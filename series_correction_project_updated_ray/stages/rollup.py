@@ -1,0 +1,140 @@
+"""Tumbling-window continuous aggregates over the events stream table.
+
+Scale-correct two-phase aggregation (SURVEY.md §2.7): a ``map_batches``
+pre-aggregation folds each block to at most one row per (key, window) —
+so the ONLY shuffle moves partials, not raw events — followed by a small
+``groupby().aggregate()`` that merges partials with the mergeable tuple
+(min, max, sum, count).  Mean is derived after the merge.
+
+Windows are event-time buckets ``window_start = ts - ts % width`` on Unix
+seconds; tiers nest (60 | 3600 | 86400) so coarser tiers can fold finer
+partials without re-shuffling (used by ``rollup_tiers``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Max, Min, Sum
+
+TIER_WIDTHS = {"1m": 60, "1h": 3600, "1d": 86400}
+
+
+def _epoch_seconds(ts_col) -> np.ndarray:
+    """Arrow timestamp / numeric column → int64 Unix seconds (UTC-naive,
+    floor division — matches DuckDB ``epoch_us(ts) // 1000000``).
+
+    pandas preserves the storage resolution (us/ns/…), so normalize to
+    nanoseconds explicitly before flooring."""
+    arr = ts_col.to_pandas()
+    if pd.api.types.is_datetime64_any_dtype(arr):
+        ns = arr.astype("datetime64[ns]").astype("int64").to_numpy()
+        return ns // 1_000_000_000
+    return arr.to_numpy(np.int64)
+
+
+class PartialRollup:
+    """Per-batch combiner: emits one partial row per (key, window)."""
+
+    def __init__(self, key_col: str, ts_col: str, value_col: str, width: int):
+        self.key_col, self.ts_col, self.value_col = key_col, ts_col, value_col
+        self.width = width
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key_col].to_pandas().to_numpy(object)
+        secs = _epoch_seconds(batch[self.ts_col])
+        vals = batch[self.value_col].to_pandas().to_numpy(np.float64)
+        win = secs - secs % self.width
+        df = pd.DataFrame({"k": keys, "w": win, "v": vals})
+        g = df.groupby(["k", "w"], sort=False)["v"]
+        agg = g.agg(["min", "max", "sum", "count"]).reset_index()
+        return pa.table({
+            self.key_col: pa.array(agg["k"].to_numpy(object), pa.string()),
+            "window_start": pa.array(agg["w"].to_numpy(np.int64)),
+            "vmin": pa.array(agg["min"].to_numpy(np.float64)),
+            "vmax": pa.array(agg["max"].to_numpy(np.float64)),
+            "vsum": pa.array(agg["sum"].to_numpy(np.float64)),
+            "vcount": pa.array(agg["count"].to_numpy(np.int64)),
+        })
+
+
+def _finalize(batch: pa.Table, round_to: int | None) -> pa.Table:
+    vsum = batch["vsum"].to_numpy(zero_copy_only=False)
+    vcount = batch["vcount"].to_numpy(zero_copy_only=False)
+    vmean = vsum / np.maximum(vcount, 1)
+    if round_to is not None:
+        vmean = np.round(vmean, round_to)
+        vsum = np.round(vsum, round_to)
+        batch = batch.set_column(
+            batch.schema.get_field_index("vsum"), "vsum", pa.array(vsum))
+    return batch.append_column("vmean", pa.array(vmean))
+
+
+def rollup_events(events, key_col: str = "event_type", ts_col: str = "ts",
+                  value_col: str = "value", width: int = 60,
+                  round_to: int | None = 6):
+    """events Dataset → (key, window_start, vmin, vmax, vsum, vcount, vmean).
+
+    ``round_to`` rounds the float aggregates so results hash-match a SQL
+    oracle despite summation-order differences (documented tolerance).
+    """
+    partials = events.map_batches(
+        PartialRollup(key_col, ts_col, value_col, width),
+        batch_format="pyarrow")
+    merged = partials.groupby([key_col, "window_start"]).aggregate(
+        Min("vmin", alias_name="vmin"),
+        Max("vmax", alias_name="vmax"),
+        Sum("vsum", alias_name="vsum"),
+        Sum("vcount", alias_name="vcount"),
+    )
+    return merged.map_batches(_finalize, batch_format="pyarrow",
+                              fn_kwargs={"round_to": round_to})
+
+
+class CascadePartial:
+    """Fold finer-tier partial rows into a coarser tier inside a batch."""
+
+    def __init__(self, key_col: str, width: int):
+        self.key_col, self.width = key_col, width
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["window_start"] = df["window_start"] - df["window_start"] % self.width
+        g = df.groupby([self.key_col, "window_start"], sort=False).agg(
+            vmin=("vmin", "min"), vmax=("vmax", "max"),
+            vsum=("vsum", "sum"), vcount=("vcount", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def rollup_tiers(events, key_col: str = "event_type", ts_col: str = "ts",
+                 value_col: str = "value", round_to: int | None = 6):
+    """All three retention tiers in one pass: raw → 1m partials → shuffle
+    once → per-key merged 1m; 1h and 1d fold the merged 1m partials map-side
+    (windows nest; no second shuffle of raw data)."""
+    partials = events.map_batches(
+        PartialRollup(key_col, ts_col, value_col, TIER_WIDTHS["1m"]),
+        batch_format="pyarrow")
+    merged_1m = partials.groupby([key_col, "window_start"]).aggregate(
+        Min("vmin", alias_name="vmin"), Max("vmax", alias_name="vmax"),
+        Sum("vsum", alias_name="vsum"), Sum("vcount", alias_name="vcount"),
+    ).materialize()
+
+    out = {}
+    tier_src = merged_1m
+    for tier, width in (("1m", 60), ("1h", 3600), ("1d", 86400)):
+        if tier != "1m":
+            # per-key partials already merged; one small groupby merges the
+            # per-block folds of the coarser windows
+            folded = tier_src.map_batches(
+                CascadePartial(key_col, width), batch_format="pyarrow")
+            tier_src = folded.groupby([key_col, "window_start"]).aggregate(
+                Min("vmin", alias_name="vmin"), Max("vmax", alias_name="vmax"),
+                Sum("vsum", alias_name="vsum"),
+                Sum("vcount", alias_name="vcount"))
+        out[tier] = tier_src.map_batches(
+            _finalize, batch_format="pyarrow", fn_kwargs={"round_to": round_to})
+        if tier != "1d":
+            tier_src = tier_src.materialize() if tier != "1m" else merged_1m
+    return out

