@@ -216,6 +216,26 @@ def _q_corrected_sequences(sf_dir: str):
     return ds.map_batches(_project, batch_format="pyarrow")
 
 
+def _q_compressed_segments(sf_dir: str):
+    """Corrected per-user event series → Gorilla/delta-of-delta segments
+    (actor-pool stage); returns segment lineage metadata (binary payloads
+    dropped for hashing)."""
+    from series_correction_project_updated_ray.stages.compress import (
+        compress_series)
+    from series_correction_project_updated_ray.stages.events_series import (
+        corrected_series)
+    corr = corrected_series(_read(sf_dir, "events",
+                                  ["user_id", "event_id", "ts", "value"]))
+    renamed = corr.map_batches(
+        lambda df: df.rename(columns={"user_id": "series_key",
+                                      "value_corrected": "value"})[
+            ["series_key", "t", "value"]],
+        batch_format="pandas")
+    segs = compress_series(renamed, max_points=8192)
+    return segs.select_columns(["series_key", "seg_day", "n_points",
+                                "raw_bytes", "compressed_bytes"])
+
+
 def _q_minhash_dedup(sf_dir: str):
     from series_correction_project_updated_ray.stages.dedup import (
         minhash_lsh_dedup)
@@ -273,6 +293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship sequences pipelines — rows-only (token-derived series)
         "rollup_sequences": _q_rollup_sequences,
         "corrected_sequences": _q_corrected_sequences,
+        # Gorilla/delta-of-delta segment compression — rows-only
+        "compressed_segments": _q_compressed_segments,
     }
 
 

@@ -101,12 +101,42 @@ def detect_gaps(t: np.ndarray, threshold_factor: float = 3.0) -> np.ndarray:
 # Hampel outlier detection [processor.py:202-276, discontinuity_utils.py:166-203]
 # ---------------------------------------------------------------------------
 
+def _median3(x, y, z):
+    """Elementwise median of three arrays (min/max network, NaN-propagating
+    like np.median: any NaN input → NaN output)."""
+    return np.maximum(np.minimum(x, y), np.minimum(np.maximum(x, y), z))
+
+
+def _median5(a, b, c, d, e):
+    """Elementwise median of five arrays via the classic 6-comparison
+    min/max network — no per-window materialization, ~10× less memory
+    traffic than np.median over a windows matrix, NaN-propagating."""
+    f = np.maximum(np.minimum(a, b), np.minimum(c, d))
+    g = np.minimum(np.maximum(a, b), np.maximum(c, d))
+    return _median3(e, f, g)
+
+
+def _rolling_median_network(padded: np.ndarray, window_size: int,
+                            n: int) -> np.ndarray:
+    cols = [padded[i:i + n] for i in range(window_size)]
+    if window_size == 3:
+        return _median3(*cols)
+    return _median5(*cols)
+
+
 def rolling_median_centered(values: np.ndarray, window_size: int) -> np.ndarray:
-    """NaN-propagating centered rolling median with asymmetric NaN padding."""
+    """NaN-propagating centered rolling median with asymmetric NaN padding.
+
+    window_size 3/5 (the defaults everywhere) use a branch-free min/max
+    median network over shifted views — zero window materialization; other
+    sizes fall back to np.median over a sliding-window view."""
     pad_left = window_size // 2
     pad_right = window_size - 1 - pad_left
     padded = np.pad(values, (pad_left, pad_right), mode="constant",
                     constant_values=np.nan)
+    if window_size in (3, 5):
+        with np.errstate(invalid="ignore"):
+            return _rolling_median_network(padded, window_size, len(values))
     windows = sliding_window_view(padded, window_shape=window_size)
     with np.errstate(invalid="ignore"):
         return np.median(windows, axis=1)
@@ -124,6 +154,16 @@ def rolling_mad_centered(values: np.ndarray, rolling_median: np.ndarray,
         return np.full(n, np.nan)
     num_windows = n - window_size + 1
     pad = window_size // 2
+    if window_size in (3, 5):
+        # network fast path: |shifted slice − center median| per tap, then
+        # the same min/max median network — no window matrix, O(w) slices
+        center = rolling_median[pad:pad + num_windows]
+        with np.errstate(invalid="ignore"):
+            taps = [np.abs(values[i:i + num_windows] - center)
+                    for i in range(window_size)]
+            m = (_median3(*taps) if window_size == 3 else _median5(*taps))
+        return np.pad(m, (pad, n - num_windows - pad),
+                      constant_values=np.nan)
     mads = []
     for s in range(0, num_windows, chunk_size):
         e = min(s + chunk_size, num_windows)

@@ -1,0 +1,109 @@
+"""Stateful actor-pool segment compression stage.
+
+``SegmentCompactor`` is a callable class for ``map_batches(...,
+concurrency=(m, n))``: each actor holds reusable encoder state and an
+open-segment buffer, turning corrected series rows ``(series_key, t,
+value)`` into Gorilla/delta-of-delta compressed segments of at most
+``max_points`` points, cut on day boundaries (the retention-tier flush
+rule).  Segments are self-contained, so a series whose rows land on two
+actors simply yields two segments — decode-concat is lossless; only the
+compression ratio varies with routing.
+
+Output schema: one row per segment with the binary payloads and lineage
+fields (n_points, t range, raw/compressed bytes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..state.gorilla import decode_segment, encode_segment
+
+SEGMENT_SCHEMA = pa.schema([
+    ("series_key", pa.int64()),
+    ("seg_day", pa.int64()),
+    ("n_points", pa.int64()),
+    ("t_min", pa.int64()),
+    ("t_max", pa.int64()),
+    ("ts_bytes", pa.binary()),
+    ("val_bytes", pa.binary()),
+    ("raw_bytes", pa.int64()),
+    ("compressed_bytes", pa.int64()),
+])
+
+
+class SegmentCompactor:
+    """Actor: encode (series_key, t, value) rows into compressed segments.
+
+    State initialized once per actor (the actor-pool pattern the north
+    rule requires); per batch the work is numpy-grouped, then each
+    (series, day) run is bit-packed.
+    """
+
+    def __init__(self, max_points: int = 65536,
+                 key_col: str = "series_key", t_col: str = "t",
+                 value_col: str = "value"):
+        self.max_points = max_points
+        self.key_col, self.t_col, self.value_col = key_col, t_col, value_col
+        self.segments_encoded = 0  # actor-lifetime counter (lineage metric)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key_col].to_numpy(zero_copy_only=False)
+        t = batch[self.t_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[self.value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        day = t // 86400
+        order = np.lexsort((t, day, keys))
+        keys, t, v, day = keys[order], t[order], v[order], day[order]
+        boundary = np.r_[True, (keys[1:] != keys[:-1]) | (day[1:] != day[:-1])]
+        starts = np.flatnonzero(boundary)
+        ends = np.r_[starts[1:], len(keys)]
+        rows = {name: [] for name in SEGMENT_SCHEMA.names}
+        for s, e in zip(starts, ends):
+            for cs in range(s, e, self.max_points):
+                ce = min(cs + self.max_points, e)
+                seg = encode_segment(t[cs:ce], v[cs:ce])
+                rows["series_key"].append(int(keys[cs]))
+                rows["seg_day"].append(int(day[cs]))
+                rows["n_points"].append(seg["n_points"])
+                rows["t_min"].append(seg["t_min"])
+                rows["t_max"].append(seg["t_max"])
+                rows["ts_bytes"].append(seg["ts_bytes"])
+                rows["val_bytes"].append(seg["val_bytes"])
+                rows["raw_bytes"].append(seg["raw_bytes"])
+                rows["compressed_bytes"].append(seg["compressed_bytes"])
+                self.segments_encoded += 1
+        return pa.Table.from_pydict(rows, schema=SEGMENT_SCHEMA)
+
+
+def decompress_segments(batch: pa.Table) -> pa.Table:
+    """Inverse stage: segments → (series_key, t, value) rows."""
+    out_k, out_t, out_v = [], [], []
+    for i in range(len(batch)):
+        seg = {"ts_bytes": batch["ts_bytes"][i].as_py(),
+               "val_bytes": batch["val_bytes"][i].as_py()}
+        t, v = decode_segment(seg)
+        out_k.append(np.full(len(t), batch["series_key"][i].as_py(),
+                             dtype=np.int64))
+        out_t.append(t)
+        out_v.append(v)
+    if not out_k:
+        return pa.table({"series_key": pa.array([], pa.int64()),
+                         "t": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.float64())})
+    return pa.table({"series_key": pa.array(np.concatenate(out_k)),
+                     "t": pa.array(np.concatenate(out_t)),
+                     "value": pa.array(np.concatenate(out_v))})
+
+
+def compress_series(ds, *, max_points: int = 65536, concurrency=(2, 8)):
+    """(series_key, t, value) Dataset → compressed-segment Dataset via the
+    actor pool."""
+    return ds.map_batches(SegmentCompactor, batch_format="pyarrow",
+                          concurrency=concurrency,
+                          fn_constructor_kwargs={"max_points": max_points})
+
+
+def decompress_series(segments):
+    return segments.map_batches(decompress_segments, batch_format="pyarrow")

@@ -1,0 +1,184 @@
+"""Gorilla codec, segment compactor, checkpoint/resume tests."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from series_correction_project_updated_ray.state import checkpoint as CP
+from series_correction_project_updated_ray.state.gorilla import (
+    decode_segment, decode_timestamps, decode_values, encode_segment,
+    encode_timestamps, encode_values)
+
+
+# --- codecs ----------------------------------------------------------------
+
+def test_timestamps_roundtrip_uniform():
+    t = np.arange(0, 100000, 13090, dtype=np.int64)
+    assert np.array_equal(decode_timestamps(encode_timestamps(t)), t)
+
+
+def test_timestamps_roundtrip_irregular():
+    rng = np.random.default_rng(1)
+    t = np.cumsum(rng.integers(1, 100000, 5000)).astype(np.int64)
+    assert np.array_equal(decode_timestamps(encode_timestamps(t)), t)
+
+
+def test_timestamps_roundtrip_edges():
+    for t in ([], [7], [7, 7], [0, 1, 2, 1000000000000]):
+        arr = np.asarray(t, dtype=np.int64)
+        assert np.array_equal(decode_timestamps(encode_timestamps(arr)), arr)
+
+
+def test_values_roundtrip():
+    rng = np.random.default_rng(2)
+    v = rng.normal(5, 1, 5000)
+    out = decode_values(encode_values(v))
+    assert np.array_equal(out.view(np.uint64), v.view(np.uint64))
+
+
+def test_values_roundtrip_special():
+    v = np.array([0.0, -0.0, 1.5, 1.5, np.nan, np.inf, -np.inf, 3.14])
+    out = decode_values(encode_values(v))
+    assert np.array_equal(out.view(np.uint64), v.view(np.uint64))
+
+
+def test_values_compress_constant_series():
+    v = np.full(10000, 4.25)
+    enc = encode_values(v)
+    # constant series: ~1 bit/point after the first value
+    assert len(enc) < 10000 / 4
+    assert np.array_equal(decode_values(enc), v)
+
+
+def test_uniform_cadence_compresses_well():
+    t = np.arange(0, 13090 * 10000, 13090, dtype=np.int64)
+    enc = encode_timestamps(t)
+    assert len(enc) < 10000 / 4  # delta-of-delta = 0 → 1 bit/point
+
+
+def test_segment_roundtrip():
+    rng = np.random.default_rng(3)
+    t = np.cumsum(rng.integers(1, 100, 1000)).astype(np.int64)
+    v = np.round(rng.normal(10, 2, 1000), 2)
+    seg = encode_segment(t, v)
+    t2, v2 = decode_segment(seg)
+    assert np.array_equal(t, t2)
+    assert np.array_equal(v.view(np.uint64), v2.view(np.uint64))
+    assert seg["compressed_bytes"] < seg["raw_bytes"]
+
+
+# --- compactor stage -------------------------------------------------------
+
+def test_segment_compactor_stage(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.compress import (
+        compress_series, decompress_series)
+    rng = np.random.default_rng(4)
+    n = 20000
+    df = pd.DataFrame({
+        "series_key": rng.integers(0, 8, n).astype(np.int64),
+        "t": rng.integers(0, 1_000_000, n).astype(np.int64),
+        "value": np.round(rng.normal(0, 1, n), 3),
+    }).drop_duplicates(["series_key", "t"])
+    segs = compress_series(rd.from_pandas(df), max_points=4096,
+                           concurrency=2).materialize()
+    sdf = segs.to_pandas()
+    assert (sdf["compressed_bytes"] < sdf["raw_bytes"]).all()
+    back = decompress_series(segs).to_pandas()
+    a = df.sort_values(["series_key", "t"]).reset_index(drop=True)
+    b = back.sort_values(["series_key", "t"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a["series_key"], b["series_key"])
+    np.testing.assert_array_equal(a["t"], b["t"])
+    np.testing.assert_array_equal(a["value"].to_numpy().view(np.uint64),
+                                  b["value"].to_numpy().view(np.uint64))
+
+
+# --- checkpoint / resume ---------------------------------------------------
+
+@pytest.fixture()
+def synth_input(tmp_path):
+    from series_correction_project_updated_ray.sources.sequences import (
+        write_synthetic_sequences)
+    p = str(tmp_path / "seqs")
+    write_synthetic_sequences(p, 2000, seed=11, rows_per_file=500)
+    return p
+
+
+def test_resumable_run_and_skip(ray_session, synth_input, tmp_path):
+    from series_correction_project_updated_ray.pipelines.resumable import (
+        run_resumable)
+    out = str(tmp_path / "out")
+    m1 = run_resumable(synth_input, out, n_partitions=8,
+                       buckets_per_source=8, step_seconds=1)
+    assert len(m1) == 8
+    assert (m1["status"] == "complete").all()
+    assert os.path.exists(os.path.join(out, "_COMMIT"))
+    # tier dirs exist
+    for tier in ("1m", "1h", "1d"):
+        assert os.path.isdir(os.path.join(out, f"tier={tier}"))
+    # committed → second run is a no-op
+    m2 = run_resumable(synth_input, out, n_partitions=8,
+                       buckets_per_source=8, step_seconds=1)
+    assert len(m2) == 0
+
+
+def test_resume_after_partial_failure(ray_session, synth_input, tmp_path):
+    """Kill-simulation: delete _COMMIT and 3 manifests → resume reprocesses
+    exactly those 3 partitions and converges to identical output."""
+    import pyarrow.parquet as pq
+    from series_correction_project_updated_ray.pipelines.resumable import (
+        run_resumable)
+    out = str(tmp_path / "out")
+    run_resumable(synth_input, out, n_partitions=8, buckets_per_source=8,
+                  step_seconds=1)
+    full = {
+        tier: pq.read_table(os.path.join(out, f"tier={tier}")).to_pandas()
+        .sort_values(["series_key", "window_start"]).reset_index(drop=True)
+        for tier in ("1m", "1h", "1d")}
+
+    os.remove(os.path.join(out, "_COMMIT"))
+    for pid in (1, 3, 5):
+        os.remove(CP.manifest_path(out, pid))
+        shutil.rmtree(os.path.join(out, "tier=1d", f"part={pid:05d}"))
+    m = run_resumable(synth_input, out, n_partitions=8, buckets_per_source=8,
+                      step_seconds=1)
+    assert sorted(m["part_id"]) == [1, 3, 5]  # only incomplete partitions ran
+    assert os.path.exists(os.path.join(out, "_COMMIT"))
+    for tier in ("1m", "1h", "1d"):
+        redo = pq.read_table(os.path.join(out, f"tier={tier}")).to_pandas() \
+            .sort_values(["series_key", "window_start"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(redo, full[tier])
+
+
+def test_fingerprint_invalidation(ray_session, synth_input, tmp_path):
+    from series_correction_project_updated_ray.pipelines.resumable import (
+        run_resumable)
+    out = str(tmp_path / "out")
+    run_resumable(synth_input, out, n_partitions=4, buckets_per_source=8,
+                  step_seconds=1)
+    # mutate the input (rewrite one file minus a row — still valid parquet,
+    # different size) → fingerprint changes → everything recomputes
+    import pyarrow.parquet as pq
+    files = sorted(f for f in os.listdir(synth_input) if f.endswith(".parquet"))
+    p0 = os.path.join(synth_input, files[0])
+    pq.write_table(pq.read_table(p0).slice(1), p0)
+    m = run_resumable(synth_input, out, n_partitions=4, buckets_per_source=8,
+                      step_seconds=1)
+    assert len(m) == 4
+
+
+def test_skew_report(ray_session, synth_input, tmp_path):
+    from series_correction_project_updated_ray.pipelines.resumable import (
+        run_resumable)
+    out = str(tmp_path / "out")
+    run_resumable(synth_input, out, n_partitions=4, buckets_per_source=8,
+                  step_seconds=1)
+    rep = CP.skew_report(out)
+    assert len(rep) == 4
+    assert rep["rows_in"].sum() == 2000
+    assert (rep["rows_per_s"] > 0).all()
