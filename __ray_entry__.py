@@ -257,6 +257,62 @@ def _q_embedding_near_dup(sf_dir: str):
                               threshold=0.9, planes=8)
 
 
+def _seatek_fixture_dir() -> str:
+    """Deterministic Seatek wide-file corpus under /tmp (FIXTURES.md §F2) —
+    the sf tables carry no Seatek files, so the compat pipelines generate
+    their fixture input once and reuse it."""
+    import glob
+    from series_correction_project_updated_ray.sources.seatek import (
+        write_seatek_fixture)
+    d = "/tmp/graft_seatek_fixture"
+    if not glob.glob(os.path.join(d, "S*_Y*.txt")):
+        write_seatek_fixture(d, series_ids=("26", "27"), n_years=3, rows=120)
+    return d
+
+
+def _q_seatek_correct(sf_dir: str):
+    from series_correction_project_updated_ray.pipelines.seatek_compat import (
+        batch_correct)
+    return batch_correct(_seatek_fixture_dir()).select_columns(
+        ["series", "year_idx", "Time (Seconds)", "Value2", "status"])
+
+
+def _q_seatek_summary(sf_dir: str):
+    from series_correction_project_updated_ray.pipelines.seatek_compat import (
+        batch_correct, summarize)
+    return summarize(batch_correct(_seatek_fixture_dir()))
+
+
+def _q_seatek_level_shifts(sf_dir: str):
+    import pandas as pd
+    from series_correction_project_updated_ray.pipelines.levelshift import (
+        apply_level_shifts)
+    from series_correction_project_updated_ray.sources.seatek import read_seatek
+    long_ds = read_seatek(_seatek_fixture_dir(), mode="long")
+    yty = pd.DataFrame({
+        "Year_Pair": ["1995 (Y01) to 1996 (Y02)", "1996 (Y02) to 1997 (Y03)"],
+        **{f"Sensor {i}": [0.0, 0.0] for i in range(1, 33)}})
+    yty["Sensor 3"] = [2.5, -1.4]
+    shifted, _ = apply_level_shifts(long_ds, yty)
+    return shifted.map_batches(
+        lambda df: df.round({"value_shifted": 6, "shift_log": 6}),
+        batch_format="pandas")
+
+
+def _q_seatek_comparison(sf_dir: str):
+    from series_correction_project_updated_ray.pipelines.comparison import (
+        export_comparisons)
+    from series_correction_project_updated_ray.pipelines.seatek_compat import (
+        batch_correct)
+    from series_correction_project_updated_ray.sources.seatek import read_seatek
+    d = _seatek_fixture_dir()
+    raw = read_seatek(d, mode="compat")
+    corrected = batch_correct(d).drop_columns(["status"])
+    return export_comparisons(raw, corrected).select_columns(
+        ["series", "year_idx", "Time (Seconds)", "Value2_raw",
+         "Value2_processed", "Outlier_Flag"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # continuous aggregates (north rule) — oracle-checked
@@ -295,6 +351,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corrected_sequences": _q_corrected_sequences,
         # Gorilla/delta-of-delta segment compression — rows-only
         "compressed_segments": _q_compressed_segments,
+        # Seatek exact-compat workflows (reference entry points 3.1-3.3)
+        # over the deterministic /tmp fixture corpus — rows-only
+        "seatek_batch_correct": _q_seatek_correct,
+        "seatek_summary": _q_seatek_summary,
+        "seatek_level_shifts": _q_seatek_level_shifts,
+        "seatek_comparison": _q_seatek_comparison,
     }
 
 

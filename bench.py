@@ -32,8 +32,8 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SYNTH_DOCS = int(os.environ.get("GRAFT_SYNTH_DOCS", "100000"))
-SYNTH_DIR = f"/tmp/graft_synth_sequences_{SYNTH_DOCS}"
+SYNTH_DOCS = int(os.environ.get("GRAFT_SYNTH_DOCS", "400000"))
+SYNTH_DIR = f"/tmp/graft_synth_bucketed_v2_{SYNTH_DOCS}"
 
 METRIC = ("rolled-up points/sec and end-to-end 3-tier rollup wall-time over "
           "tokenized sequences; plus operator pipeline wall-times")
@@ -43,8 +43,10 @@ def ensure_synth():
     marker = os.path.join(SYNTH_DIR, "_DONE")
     if not os.path.exists(marker):
         from series_correction_project_updated_ray.sources.sequences import (
-            write_synthetic_sequences)
-        write_synthetic_sequences(SYNTH_DIR, SYNTH_DOCS, seed=42)
+            write_synthetic_sequences_bucketed)
+        write_synthetic_sequences_bucketed(SYNTH_DIR, SYNTH_DOCS, seed=42,
+                                           n_files=256,
+                                           buckets_per_source=128)
         with open(marker, "w") as f:
             f.write("ok")
     return SYNTH_DIR
@@ -64,7 +66,7 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
 
     from series_correction_project_updated_ray.stages.correction import (
-        correct_and_rollup)
+        correct_and_rollup, correct_and_rollup_local)
     from series_correction_project_updated_ray.stages.events_series import (
         corrected_series, hampel_flags)
     from series_correction_project_updated_ray.stages.dedup import (
@@ -81,14 +83,20 @@ def run_bench() -> dict:
         r["n_tok"] for r in rd.read_parquet(
             SYNTH_DIR, columns=["n_tok"]).take_all()))
 
-    # partitioning is pinned independent of NUM_CPUS so the 8-vs-32 scaling
-    # runs execute the IDENTICAL job (same blocks, same groups)
+    # HEADLINE: zero-shuffle plan over the bucket-partitioned layout (the
+    # 100 TB ingest layout).  Partitioning is pinned independent of
+    # NUM_CPUS so scaling runs execute the IDENTICAL job.
     t0 = time.time()
-    roll = correct_and_rollup(read_sequences(SYNTH_DIR, num_blocks=64),
-                              buckets_per_source=128,
-                              step_seconds=1)
+    roll = correct_and_rollup_local(SYNTH_DIR, buckets_per_source=128,
+                                    step_seconds=1)
     n_rollup_rows = roll.count()
     timings["rollup_sequences_synth"] = round(time.time() - t0, 3)
+
+    # general-input plan (one groupby shuffle) for comparison
+    t0 = time.time()
+    correct_and_rollup(read_sequences(SYNTH_DIR, num_blocks=64),
+                       buckets_per_source=128, step_seconds=1).count()
+    timings["rollup_sequences_shuffle"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     ev = rd.read_parquet(f"{SF_DIR}/events.parquet",

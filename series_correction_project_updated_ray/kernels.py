@@ -261,22 +261,55 @@ def cusum_jumps(values: np.ndarray, window_size: int = 5,
     dev = cusum_deviations(values, window_size)
     start = window_size
     prefix = np.cumsum(dev[start:])
-    jumps = []
-    pos = 0  # index into prefix
-    base = 0.0
     m = len(prefix)
-    B = 4096
+    # Regime probe: count crossings in a vectorized pass over a sample
+    # prefix window.  Dense regime (the CUSUM fires every few points on any
+    # stationary noise, since the normalized deviations form a unit random
+    # walk) → a pure-Python tight loop that touches each element exactly
+    # once beats per-jump numpy slicing by ~10×.  Sparse regime → galloping
+    # numpy block scans skip long quiet stretches at memory speed.
+    probe_n = min(m, 4096)
+    _b = 0.0
+    _resets = 0
+    for _p in prefix[:probe_n].tolist():
+        _d = _p - _b
+        if _d > threshold or _d < -threshold:
+            _resets += 1
+            _b = _p
+    dense = _resets > 8
+
+    jumps = []
+    base = 0.0
+    if dense:
+        thr = float(threshold)
+        plist = prefix.tolist()
+        append = jumps.append
+        for i, p in enumerate(plist):
+            d = p - base
+            if d > thr or d < -thr:
+                append(i + start)
+                base = p
+        return np.asarray(jumps, dtype=np.int64)
+
+    pos = 0  # index into prefix
     while pos < m:
-        end = min(pos + B, m)
-        exceed = np.abs(prefix[pos:end] - base) > threshold
-        hit = int(np.argmax(exceed))
-        if exceed[hit]:
-            pos += hit
-            jumps.append(pos + start)
-            base = prefix[pos]
-            pos += 1
-        else:
+        B = 32
+        found = False
+        while pos < m:
+            end = min(pos + B, m)
+            exceed = np.abs(prefix[pos:end] - base) > threshold
+            hit = int(np.argmax(exceed))
+            if exceed[hit]:
+                pos += hit
+                found = True
+                break
             pos = end
+            B *= 8
+        if not found:
+            break
+        jumps.append(pos + start)
+        base = prefix[pos]
+        pos += 1
     return np.asarray(jumps, dtype=np.int64)
 
 

@@ -73,10 +73,18 @@ def _flatten_group(group: pa.Table) -> tuple[pa.Table, np.ndarray, np.ndarray]:
 
 
 class CorrectAndRollupGroup:
-    """map_groups kernel: token stream → corrected series → 3 rollup tiers.
+    """Fused kernel: token stream → corrected series → 3 rollup tiers.
 
-    Emits one row per (tier, window); the full 3-step correction (gaps →
-    outliers → jumps) runs first, so rolled-up points aggregate the
+    Accepts a batch holding ONE OR MORE whole series (it partitions by
+    series_key internally), so the same class serves both execution plans:
+
+    * general input → ``groupby(series_key).map_groups`` (one shuffle);
+    * bucket-partitioned input (ingest layout already co-locates whole
+      series per file) → plain ``map_batches(batch_size=None)`` — the
+      zero-shuffle scale path.
+
+    Emits one row per (series, tier, window); the full 3-step correction
+    (gaps → outliers → jumps) runs first, so rolled-up points aggregate the
     *corrected* series — the north-star contract.
     """
 
@@ -88,44 +96,62 @@ class CorrectAndRollupGroup:
         self.tiers = tiers
         self.__name__ = type(self).__name__  # map_groups wants a named callable
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        group, flat, _ = _flatten_group(group)
-        series_key = group["series_key"][0].as_py()
-        source = group["source"][0].as_py()
+    def _one_series(self, flat: np.ndarray, out: dict, series_key: int,
+                    source: str):
         v = tokens_to_values(flat)
         t = np.arange(len(v), dtype=np.int64) * self.step
         t, v = K.process_series(t, v, self.config)
-
-        out = {k: [] for k in ("tier", "window_start", "vmin", "vmax",
-                                "vsum", "vcount")}
         partial = None
         for name, width in self.tiers:
             partial = (K.rollup_series(t, v, width) if partial is None
                        else K.rollup_cascade(partial, width))
             n = len(partial["window_start"])
+            out["series_key"].append(np.full(n, series_key, dtype=np.int64))
+            out["source"].append(np.full(n, source, dtype=object))
             out["tier"].append(np.full(n, name, dtype=object))
             out["window_start"].append(partial["window_start"])
             out["vmin"].append(partial["min"])
             out["vmax"].append(partial["max"])
             out["vsum"].append(partial["sum"])
-            out["vcount"].append(partial["count"])
+            out["vcount"].append(partial["count"].astype(np.int64))
 
-        tier = np.concatenate(out["tier"]) if out["tier"] else np.empty(0, object)
-        n_rows = len(tier)
-        vsum = np.concatenate(out["vsum"]) if n_rows else np.empty(0)
-        vcount = (np.concatenate(out["vcount"]).astype(np.int64)
-                  if n_rows else np.empty(0, np.int64))
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch, flat, offsets = _flatten_group(batch)
+        keys = batch["series_key"].to_numpy(zero_copy_only=False)
+        sources = batch["source"].to_pandas().to_numpy(object)
+        out = {k: [] for k in ("series_key", "source", "tier", "window_start",
+                               "vmin", "vmax", "vsum", "vcount")}
+        # rows are sorted by doc_id; series membership is by key — process
+        # each key's docs in doc_id order (order within key preserved by
+        # the stable doc sort)
+        order = np.argsort(keys, kind="stable")
+        keys_s = keys[order]
+        bounds = np.flatnonzero(np.r_[True, keys_s[1:] != keys_s[:-1]])
+        row_ends = np.r_[bounds[1:], len(keys_s)]
+        for b, e in zip(bounds, row_ends):
+            rows = order[b:e]
+            flat_k = np.concatenate([flat[offsets[r]:offsets[r + 1]]
+                                     for r in rows]) \
+                if len(rows) else np.empty(0, np.int32)
+            self._one_series(flat_k, out, int(keys_s[b]), sources[rows[0]])
+        n_rows = sum(len(a) for a in out["tier"])
+
+        def cat(name, dtype=None):
+            if not n_rows:
+                return np.empty(0, dtype=dtype or np.float64)
+            return np.concatenate(out[name])
+
+        vsum = cat("vsum")
+        vcount = cat("vcount", np.int64)
         with np.errstate(invalid="ignore", divide="ignore"):
-            vmean = np.where(vcount > 0, vsum / vcount, np.nan)
+            vmean = np.where(vcount > 0, vsum / np.maximum(vcount, 1), np.nan)
         return pa.Table.from_arrays([
-            pa.array(np.full(n_rows, series_key, dtype=np.int64)),
-            pa.array(np.full(n_rows, source, dtype=object), pa.string()),
-            pa.array(tier, pa.string()),
-            pa.array(np.concatenate(out["window_start"]) if n_rows
-                     else np.empty(0, np.int64), pa.int64()),
-            pa.array(np.concatenate(out["vmin"]) if n_rows else np.empty(0)),
-            pa.array(np.concatenate(out["vmax"]) if n_rows else np.empty(0)),
-            pa.array(vsum), pa.array(vcount), pa.array(vmean),
+            pa.array(cat("series_key", np.int64), pa.int64()),
+            pa.array(cat("source", object), pa.string()),
+            pa.array(cat("tier", object), pa.string()),
+            pa.array(cat("window_start", np.int64), pa.int64()),
+            pa.array(cat("vmin")), pa.array(cat("vmax")),
+            pa.array(vsum), pa.array(vcount, pa.int64()), pa.array(vmean),
         ], schema=ROLLUP_SCHEMA)
 
 
@@ -175,6 +201,58 @@ def correct_and_rollup(sequences, *, buckets_per_source: int = 64,
     return keyed.groupby("series_key").map_groups(
         CorrectAndRollupGroup(config, step_seconds=step_seconds),
         batch_format="pyarrow")
+
+
+class BucketFileKernel:
+    """Per-file fused stage for the zero-shuffle plan: the task READS its
+    bucket file itself (pruned to the needed columns), derives keys, and
+    runs the correct+rollup kernel — so whole-series co-location is
+    guaranteed by the file boundary, not by block boundaries (Ray may
+    re-slice blocks arbitrarily under ``override_num_blocks``, which would
+    silently split a series), and the token payload never transits the
+    object store between stages."""
+
+    def __init__(self, buckets_per_source: int, config: dict | None,
+                 step_seconds: int):
+        self.buckets = buckets_per_source
+        self.kernel = CorrectAndRollupGroup(config, step_seconds=step_seconds)
+
+    def __call__(self, batch) -> pa.Table:
+        import pyarrow.parquet as pq
+        outs = []
+        for path in batch["item"]:
+            tbl = pq.read_table(str(path),
+                                columns=["doc_id", "tokens", "source"])
+            outs.append(self.kernel(add_series_key(tbl, self.buckets)))
+        return pa.concat_tables(outs) if outs else self.kernel(
+            pa.Table.from_pydict(
+                {"doc_id": [], "tokens": [], "source": []}))
+
+
+def correct_and_rollup_local(bucketed_dir_or_files, *,
+                             buckets_per_source: int = 64,
+                             config: dict | None = None,
+                             step_seconds: int = SERIES_STEP_SECONDS):
+    """Zero-shuffle plan for bucket-partitioned input (the 100 TB path).
+
+    When the ingest layout already co-locates every series inside one file
+    (one file = one series-bucket range, as the retention engine's own
+    partitioned output guarantees), correction+rollup is a pure map over
+    FILES: no sort, no all-to-all — the only cluster-wide movement is the
+    small rollup rows.  The work unit is the file path; each task reads
+    and processes whole files (series can never split)."""
+    import glob as _glob
+    import os as _os
+    import ray.data
+    if isinstance(bucketed_dir_or_files, (list, tuple)):
+        files = sorted(bucketed_dir_or_files)
+    else:
+        files = sorted(_glob.glob(
+            _os.path.join(bucketed_dir_or_files, "*.parquet")))
+    ds = ray.data.from_items(files, override_num_blocks=len(files))
+    return ds.map_batches(
+        BucketFileKernel(buckets_per_source, config, step_seconds),
+        batch_format="numpy", batch_size=1)
 
 
 def correct_sequences(sequences, *, buckets_per_source: int = 64,
