@@ -313,6 +313,29 @@ def _q_seatek_comparison(sf_dir: str):
          "Value2_processed", "Outlier_Flag"])
 
 
+def _q_media_features(sf_dir: str):
+    """Multimodal actor-pool stage over the deterministic fake media corpus
+    (decode stubbed — libraries absent; plumbing real).  Returns scalar
+    projections of the embeddings so the result hashes cleanly."""
+    import pyarrow as pa
+    import ray.data
+    from series_correction_project_updated_ray.stages.multimodal import (
+        media_features, synth_media_table)
+    ds = ray.data.from_arrow(synth_media_table(256))
+    feats = media_features(ds, concurrency=2, batch_size=16)
+
+    def _proj(batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch["embedding"].combine_chunks().flatten(),
+                         dtype=np.float64).reshape(len(batch), -1)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "media_type": batch["media_type"],
+            "emb_norm": pa.array(np.round(np.linalg.norm(emb, axis=1), 4)),
+        })
+
+    return feats.map_batches(_proj, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # continuous aggregates (north rule) — oracle-checked
@@ -357,6 +380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seatek_summary": _q_seatek_summary,
         "seatek_level_shifts": _q_seatek_level_shifts,
         "seatek_comparison": _q_seatek_comparison,
+        # multimodal actor-pool stage (stubbed decode) — rows-only
+        "media_features": _q_media_features,
     }
 
 

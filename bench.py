@@ -77,8 +77,14 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
 
-    # warm the page cache (untimed) so we measure compute+shuffle
+    # warm-up (untimed): page cache AND worker-process imports — the first
+    # task on each fresh Ray worker pays the numpy/pandas/package import,
+    # which would otherwise be billed to the first timed pipeline
     rd.read_parquet(SYNTH_DIR).count()
+    import glob as _glob
+    warm_files = sorted(_glob.glob(os.path.join(SYNTH_DIR, "*.parquet")))
+    correct_and_rollup_local(warm_files, buckets_per_source=128,
+                             step_seconds=1).count()
     n_points = int(sum(
         r["n_tok"] for r in rd.read_parquet(
             SYNTH_DIR, columns=["n_tok"]).take_all()))
