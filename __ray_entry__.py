@@ -313,6 +313,16 @@ def _q_seatek_comparison(sf_dir: str):
          "Value2_processed", "Outlier_Flag"])
 
 
+def _q_seatek_file_stats(sf_dir: str):
+    """Per-file mean/median/outlier-count summary (A7) over the Seatek
+    fixture corpus."""
+    from series_correction_project_updated_ray.pipelines.reports import (
+        per_file_summary)
+    from series_correction_project_updated_ray.sources.seatek import read_seatek
+    compat = read_seatek(_seatek_fixture_dir(), mode="compat")
+    return per_file_summary(compat)
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal actor-pool stage over the deterministic fake media corpus
     (decode stubbed — libraries absent; plumbing real).  Returns scalar
@@ -382,6 +392,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seatek_comparison": _q_seatek_comparison,
         # multimodal actor-pool stage (stubbed decode) — rows-only
         "media_features": _q_media_features,
+        # per-file stats summary (A7) — rows-only
+        "seatek_file_stats": _q_seatek_file_stats,
     }
 
 

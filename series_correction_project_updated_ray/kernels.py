@@ -317,9 +317,23 @@ def cusum_jumps(values: np.ndarray, window_size: int = 5,
 # Corrections [processor.py:279-465, discontinuity_utils.py:28-163,206-258]
 # ---------------------------------------------------------------------------
 
-def interp_positional(values: np.ndarray) -> np.ndarray:
-    """pandas ``interpolate(method='linear', limit_direction='both')`` ≡
-    positional np.interp with constant edge extrapolation."""
+def interp_positional(values: np.ndarray, method: str = "linear"
+                      ) -> np.ndarray:
+    """NaN fill matching pandas ``interpolate(method=…,
+    limit_direction='both')`` on a positional index.
+
+    Supported methods (the reference exposes the full pandas surface via
+    its ``gap_method`` config; these cover every method meaningful on the
+    numeric positional index the engine uses):
+    * 'linear' / 'time' / 'index' — positional linear, constant edge
+      extrapolation (≡ np.interp; 'time' falls back to linear on numeric
+      data exactly like the reference, discontinuity_utils.py:151-158);
+    * 'nearest' — nearest valid neighbor (tie → left, scipy convention;
+      pandas itself needs scipy for this method);
+    * anything else → ValueError naming the method (the reference would
+      raise inside pandas for the same inputs: e.g. 'pad' is incompatible
+      with limit_direction='both', spline/polynomial need scipy).
+    """
     values = np.asarray(values, dtype=np.float64)
     nan_mask = np.isnan(values)
     if not nan_mask.any():
@@ -328,7 +342,21 @@ def interp_positional(values: np.ndarray) -> np.ndarray:
     if len(valid) == 0:
         return values
     out = values.copy()
-    out[nan_mask] = np.interp(np.where(nan_mask)[0], valid, values[valid])
+    targets = np.where(nan_mask)[0]
+    if method in ("linear", "time", "index"):
+        out[targets] = np.interp(targets, valid, values[valid])
+    elif method == "nearest":
+        pos = np.searchsorted(valid, targets)
+        pos = np.clip(pos, 1, len(valid) - 1) if len(valid) > 1 else \
+            np.zeros(len(targets), dtype=int)
+        if len(valid) > 1:
+            left, right = valid[pos - 1], valid[pos]
+            nearest = np.where(targets - left <= right - targets, left, right)
+        else:
+            nearest = np.full(len(targets), valid[0])
+        out[targets] = values[nearest]
+    else:
+        raise ValueError(f"unsupported gap interpolation method: {method!r}")
     return out
 
 
@@ -370,9 +398,10 @@ def gap_fill_times(t: np.ndarray, gap_indices: np.ndarray) -> np.ndarray:
 
 
 def correct_gaps(t: np.ndarray, values: np.ndarray,
-                 gap_indices: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+                 gap_indices: np.ndarray, method: str = "linear"
+                 ) -> tuple[np.ndarray, np.ndarray]:
     """Insert synthesized timestamps with NaN values, re-sort by time, and
-    positional-linear interpolate.  Returns (t_out, values_out); row count
+    interpolate by ``method``.  Returns (t_out, values_out); row count
     grows by the number of inserted points."""
     values = np.asarray(values, dtype=np.float64)
     if len(gap_indices) == 0:
@@ -380,12 +409,12 @@ def correct_gaps(t: np.ndarray, values: np.ndarray,
     new_times = gap_fill_times(t, gap_indices)
     if len(new_times) == 0:
         # reference still interpolates existing NaNs even when no rows insert
-        return t, interp_positional(values)
+        return t, interp_positional(values, method)
     t_all = np.concatenate([t, new_times])
     v_all = np.concatenate([values, np.full(len(new_times), np.nan)])
     order = np.argsort(t_all, kind="stable")
     t_all, v_all = t_all[order], v_all[order]
-    return t_all, interp_positional(v_all)
+    return t_all, interp_positional(v_all, method)
 
 
 def correct_jumps(values: np.ndarray, jump_indices: np.ndarray,
@@ -543,7 +572,7 @@ def process_series(t: np.ndarray, values: np.ndarray,
 
     gaps = detect_gaps(t, cfg["gap_threshold_factor"])
     if len(gaps):
-        t, values = correct_gaps(t, values, gaps)
+        t, values = correct_gaps(t, values, gaps, cfg["gap_method"])
         order = np.argsort(t, kind="stable")
         t, values = t[order], values[order]
 
