@@ -252,9 +252,11 @@ def _q_simhash(sf_dir: str):
 def _q_embedding_near_dup(sf_dir: str):
     from series_correction_project_updated_ray.stages.dedup import (
         embedding_near_dup)
+    # the synthetic embeddings carry no true near-dups (max pair cosine
+    # ≈0.51 at sf0.01); 0.4 exercises the bucket-verify path with output
     return embedding_near_dup(_read(sf_dir, "embeddings",
                                     ["vec_id", "embedding"]),
-                              threshold=0.9, planes=8)
+                              threshold=0.4, planes=6)
 
 
 def _seatek_fixture_dir() -> str:
@@ -323,6 +325,88 @@ def _q_seatek_file_stats(sf_dir: str):
     return per_file_summary(compat)
 
 
+def _q_join_lineitem_orders(sf_dir: str):
+    """Large-×-large partitioned hash join (one bucket shuffle)."""
+    from series_correction_project_updated_ray.stages.joins import hash_join
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    j = hash_join(li, orders, "l_orderkey", "o_orderkey", how="inner",
+                  n_buckets=16)
+    return j.select_columns(["l_orderkey", "l_linenumber", "l_quantity",
+                             "l_extendedprice", "o_custkey", "o_totalprice"])
+
+
+def _q_rollup_user_1h(sf_dir: str):
+    from series_correction_project_updated_ray.stages.rollup import rollup_events
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return rollup_events(ev, key_col="user_id", width=3600)
+
+
+def _q_distinct_users(sf_dir: str):
+    """COUNT(DISTINCT) via partial distinct: batch-local dedup →
+    groupby(pair) → per-type count — only distinct pairs shuffle."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def _local_distinct(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ev.map_batches(_local_distinct, batch_format="pyarrow") \
+        .groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_n"))
+    return pairs.groupby("event_type").aggregate(
+        Count(alias_name="n_users")).select_columns(["event_type", "n_users"])
+
+
+def _q_top_users(sf_dir: str):
+    """Global top-10 users by total value (grouped sum → tiny sort)."""
+    from ray.data.aggregate import Sum
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    sums = ev.groupby("user_id").aggregate(
+        Sum("value", alias_name="total_value")).to_pandas()
+    sums = sums.sort_values(["total_value", "user_id"],
+                            ascending=[False, True]).head(10)
+    sums["total_value"] = np.round(sums["total_value"], 6)
+    return sums.reset_index(drop=True)
+
+
+def _q_filter_pushdown(sf_dir: str):
+    """Predicate+projection pushdown read: only matching row groups and the
+    three needed columns leave storage."""
+    import pyarrow.compute as pc
+    import ray.data
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "value"],
+        filter=(pc.field("value") > 50.0))
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t["value"], 50.0)),
+        batch_format="pyarrow")
+
+
+def _q_resumable_rollup(sf_dir: str):
+    """Checkpointed flagship over a deterministic synthetic sequences dir;
+    returns the per-partition lineage manifest (wall-clock fields dropped
+    so the result is value-stable)."""
+    import shutil
+    from series_correction_project_updated_ray.pipelines.resumable import (
+        run_resumable)
+    from series_correction_project_updated_ray.sources.sequences import (
+        write_synthetic_sequences)
+    src = "/tmp/graft_resumable_src"
+    if not os.path.isdir(src) or not os.listdir(src):
+        write_synthetic_sequences(src, 2000, seed=17, rows_per_file=500)
+    out = "/tmp/graft_resumable_out"
+    shutil.rmtree(out, ignore_errors=True)  # idempotent per invocation
+    m = run_resumable(src, out, n_partitions=8, buckets_per_source=8,
+                      step_seconds=1)
+    return m[["part_id", "rows_in", "rows_out", "status"]] \
+        .sort_values("part_id").reset_index(drop=True)
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal actor-pool stage over the deterministic fake media corpus
     (decode stubbed — libraries absent; plumbing real).  Returns scalar
@@ -367,6 +451,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_enrich_orders": _q_broadcast_enrich,
         "sanitize_docs": _q_sanitize,
         "summary_by_source": _q_summary,
+        "join_lineitem_orders": _q_join_lineitem_orders,
+        "rollup_user_1h": _q_rollup_user_1h,
+        "distinct_users": _q_distinct_users,
+        "top_users_by_value": _q_top_users,
+        "filter_pushdown_events": _q_filter_pushdown,
+        # checkpoint/resume lineage manifests — rows-only
+        "resumable_rollup": _q_resumable_rollup,
         # training-data operators — oracle-checked where SQL-expressible
         "dedup_exact": _q_dedup_exact,
         "token_counts": _q_token_counts,
@@ -532,6 +623,31 @@ SELECT doc_id,
        len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
        len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
 FROM documents
+""",
+        "join_lineitem_orders": """
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
+       o.o_custkey, o.o_totalprice
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+""",
+        "rollup_user_1h": f"""
+SELECT user_id,
+       {EPOCH_S} - ({EPOCH_S} % 3600) AS window_start,
+       min(value) AS vmin, max(value) AS vmax,
+       round(sum(value), 6) AS vsum, count(*) AS vcount,
+       round(sum(value) / count(*), 6) AS vmean
+FROM events GROUP BY 1, 2
+""",
+        "distinct_users": """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
+        "top_users_by_value": """
+SELECT user_id, round(sum(value), 6) AS total_value
+FROM events GROUP BY user_id
+ORDER BY sum(value) DESC, user_id ASC LIMIT 10
+""",
+        "filter_pushdown_events": """
+SELECT event_id, user_id, value FROM events WHERE value > 50.0
 """,
         "knn_topk": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings

@@ -1,0 +1,120 @@
+"""Join operators.
+
+The reference has only broadcast lookups and a co-partitioned outer merge
+(SURVEY.md §2.6); a complete engine also needs a large-×-large equi-join.
+Implemented as an explicit partitioned hash join (the portable Ray Data
+pattern): both sides get a ``__bucket = hash(key) % B`` column, a single
+``groupby(__bucket).map_groups`` co-locates matching buckets, and the
+per-bucket merge is a vectorized pandas join.  B bounds per-task memory
+(pick B so the larger side's bucket ≈ tens of MB); the bucket hash is
+uniform in the key, so skew only arises from individual hot KEYS, which an
+equi-join must co-locate anyway.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import stable_hash_array
+
+
+def _bucket_of(keys, n_buckets: int) -> np.ndarray:
+    if pa.types.is_integer(keys.type):
+        h = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = h * np.uint64(0x9E3779B97F4A7C15)  # splitmix-style spread
+    else:
+        h = stable_hash_array(keys)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+class _TagPad:
+    """Tag side + bucket and align to the union schema (missing columns →
+    typed nulls) so the two sides can union."""
+
+    def __init__(self, key: str, n_buckets: int, side: str,
+                 union_fields: list[tuple[str, pa.DataType]]):
+        self.key, self.n_buckets, self.side = key, n_buckets, side
+        self.union_fields = union_fields
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        bucket = _bucket_of(batch[self.key], self.n_buckets)
+        cols, names = [], []
+        for name, typ in self.union_fields:
+            if name in batch.column_names:
+                col = batch[name]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                cols.append(col.cast(typ))
+            else:
+                cols.append(pa.nulls(n, typ))
+            names.append(name)
+        cols.append(pa.array(bucket))
+        names.append("__bucket")
+        cols.append(pa.array(np.full(n, self.side, dtype=object), pa.string()))
+        names.append("__side")
+        return pa.table(dict(zip(names, cols)))
+
+
+class BucketJoin:
+    """map_groups kernel over one bucket of the unioned tagged rows."""
+
+    def __init__(self, left_key: str, right_key: str, l_cols: list[str],
+                 r_cols: list[str], how: str = "inner"):
+        self.left_key, self.right_key = left_key, right_key
+        self.l_cols, self.r_cols = l_cols, r_cols
+        self.how = how
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        left = g.loc[g["__side"] == "l", self.l_cols]
+        right = g.loc[g["__side"] == "r", self.r_cols]
+        if (len(left) == 0 or len(right) == 0) and self.how == "inner":
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=g[c].dtype)
+                 for c in dict.fromkeys(self.l_cols + self.r_cols)})
+        return left.merge(right, left_on=self.left_key,
+                          right_on=self.right_key, how=self.how)
+
+
+def _rename_stage(ds, mapping: dict[str, str]):
+    def _r(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [mapping.get(c, c) for c in batch.column_names])
+    return ds.map_batches(_r, batch_format="pyarrow")
+
+
+def hash_join(left, right, left_key: str, right_key: str,
+              how: str = "inner", n_buckets: int = 32,
+              suffixes=("_l", "_r")):
+    """Partitioned hash equi-join of two Datasets — ONE shuffle total.
+
+    Shared non-key column names are suffixed pandas-style before the
+    union; each side is null-padded to the union schema so the bucket
+    groupby can co-locate both sides in one exchange."""
+    l_sch, r_sch = left.schema(), right.schema()
+    l_fields = list(zip(l_sch.names, l_sch.types))
+    r_fields = list(zip(r_sch.names, r_sch.types))
+    clash = ({n for n, _ in l_fields} & {n for n, _ in r_fields}) \
+        - {left_key, right_key}
+    if clash:
+        left = _rename_stage(left, {c: c + suffixes[0] for c in clash})
+        right = _rename_stage(right, {c: c + suffixes[1] for c in clash})
+        l_fields = [(n + suffixes[0] if n in clash else n, t)
+                    for n, t in l_fields]
+        r_fields = [(n + suffixes[1] if n in clash else n, t)
+                    for n, t in r_fields]
+    union_fields = list(dict(l_fields + r_fields).items())
+    l_tagged = left.map_batches(
+        _TagPad(left_key, n_buckets, "l", union_fields),
+        batch_format="pyarrow")
+    r_tagged = right.map_batches(
+        _TagPad(right_key, n_buckets, "r", union_fields),
+        batch_format="pyarrow")
+    both = l_tagged.union(r_tagged)
+    return both.groupby("__bucket").map_groups(
+        BucketJoin(left_key, right_key,
+                   [n for n, _ in l_fields], [n for n, _ in r_fields], how),
+        batch_format="pandas")

@@ -43,15 +43,16 @@ class PartialRollup:
         self.width = width
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch[self.key_col].to_pandas().to_numpy(object)
+        key_type = batch[self.key_col].type
+        keys = batch[self.key_col].to_pandas()
         secs = _epoch_seconds(batch[self.ts_col])
         vals = batch[self.value_col].to_pandas().to_numpy(np.float64)
         win = secs - secs % self.width
-        df = pd.DataFrame({"k": keys, "w": win, "v": vals})
+        df = pd.DataFrame({"k": keys.to_numpy(), "w": win, "v": vals})
         g = df.groupby(["k", "w"], sort=False)["v"]
         agg = g.agg(["min", "max", "sum", "count"]).reset_index()
         return pa.table({
-            self.key_col: pa.array(agg["k"].to_numpy(object), pa.string()),
+            self.key_col: pa.array(agg["k"]).cast(key_type),
             "window_start": pa.array(agg["w"].to_numpy(np.int64)),
             "vmin": pa.array(agg["min"].to_numpy(np.float64)),
             "vmax": pa.array(agg["max"].to_numpy(np.float64)),
