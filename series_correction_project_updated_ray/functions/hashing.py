@@ -44,13 +44,14 @@ def minhash_signatures(shingle_sets: list[np.ndarray], num_perm: int,
     b = rng.integers(0, 1 << 61, size=num_perm, dtype=np.uint64)
     out = np.full((len(shingle_sets), num_perm), np.iinfo(np.uint64).max,
                   dtype=np.uint64)
-    for i, sh in enumerate(shingle_sets):
-        if len(sh) == 0:
-            continue
-        # (num_perm, n_shingles) — modular arithmetic in uint64 (wraps are
-        # fine for hashing purposes as long as deterministic)
-        h = (a[:, None] * sh[None, :] + b[:, None]) % p
-        out[i] = h.min(axis=1)
+    with np.errstate(over="ignore"):
+        for i, sh in enumerate(shingle_sets):
+            if len(sh) == 0:
+                continue
+            # (num_perm, n_shingles) — uint64 wraparound is deterministic
+            # and fine for hashing
+            h = (a[:, None] * sh[None, :] + b[:, None]) % p
+            out[i] = h.min(axis=1)
     return out
 
 

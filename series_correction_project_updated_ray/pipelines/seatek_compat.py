@@ -57,7 +57,8 @@ def process_frame(df: pd.DataFrame, config: dict | None = None,
             out = pd.concat([out, gap_rows], ignore_index=True)
             out = out.sort_values(by=time_col, kind="stable") \
                      .reset_index(drop=True)
-        out[value_col] = K.interp_positional(out[value_col].to_numpy(float))
+        out[value_col] = K.interp_positional(out[value_col].to_numpy(float),
+                                             cfg["gap_method"])
         out = out.sort_values(by=time_col, kind="stable").reset_index(drop=True)
 
     # Step 2: outliers

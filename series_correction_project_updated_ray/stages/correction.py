@@ -224,9 +224,9 @@ class BucketFileKernel:
             tbl = pq.read_table(str(path),
                                 columns=["doc_id", "tokens", "source"])
             outs.append(self.kernel(add_series_key(tbl, self.buckets)))
-        return pa.concat_tables(outs) if outs else self.kernel(
-            pa.Table.from_pydict(
-                {"doc_id": [], "tokens": [], "source": []}))
+        if not outs:
+            return ROLLUP_SCHEMA.empty_table()
+        return pa.concat_tables(outs)
 
 
 def correct_and_rollup_local(bucketed_dir_or_files, *,

@@ -77,15 +77,16 @@ class MinHashBands:
         sigs = minhash_signatures(shingles, self.num_perm, self.seed)
         r = self.rows_per_band
         band_ids, band_hashes, doc_ids = [], [], []
-        for b in range(self.bands):
-            seg = sigs[:, b * r:(b + 1) * r]
-            # stable 64-bit digest of each band segment
-            bh = seg[:, 0].copy()
-            for j in range(1, r):
-                bh = bh * np.uint64(1099511628211) + seg[:, j]
-            band_ids.append(np.full(len(ids), b, dtype=np.int32))
-            band_hashes.append(bh.astype(np.int64))
-            doc_ids.append(ids)
+        with np.errstate(over="ignore"):  # uint64 wraparound digest
+            for b in range(self.bands):
+                seg = sigs[:, b * r:(b + 1) * r]
+                # stable 64-bit digest of each band segment
+                bh = seg[:, 0].copy()
+                for j in range(1, r):
+                    bh = bh * np.uint64(1099511628211) + seg[:, j]
+                band_ids.append(np.full(len(ids), b, dtype=np.int32))
+                band_hashes.append(bh.astype(np.int64))
+                doc_ids.append(ids)
         return pa.table({
             "band_id": pa.array(np.concatenate(band_ids)),
             "band_hash": pa.array(np.concatenate(band_hashes)),
