@@ -285,6 +285,16 @@ def _q_seatek_summary(sf_dir: str):
     return summarize(batch_correct(_seatek_fixture_dir()))
 
 
+def _q_seatek_all_sensors(sf_dir: str):
+    """Intended-semantics correction: every (series, year, sensor) series
+    corrected independently over the real timestamps."""
+    from series_correction_project_updated_ray.pipelines.seatek_compat import (
+        correct_all_sensors)
+    ds = correct_all_sensors(_seatek_fixture_dir())
+    return ds.map_batches(lambda df: df.round({"value_corrected": 6}),
+                          batch_format="pandas")
+
+
 def _q_seatek_level_shifts(sf_dir: str):
     import pandas as pd
     from series_correction_project_updated_ray.pipelines.levelshift import (
@@ -387,6 +397,27 @@ def _q_filter_pushdown(sf_dir: str):
         batch_format="pyarrow")
 
 
+RETENTION_CUTOFF = 1705276800  # 2024-01-15T00:00:00Z — fixed, deterministic
+
+
+def _q_rollup_retention(sf_dir: str):
+    """1m rollup with the retention filter applied (windows >= cutoff)."""
+    from series_correction_project_updated_ray.stages.rollup import (
+        apply_retention, rollup_events)
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    return apply_retention(rollup_events(ev, key_col="event_type", width=60),
+                           RETENTION_CUTOFF)
+
+
+def _q_downsample_stride(sf_dir: str):
+    """Every-10th-point decimation per user (ts, event_id order)."""
+    from series_correction_project_updated_ray.stages.rollup import (
+        downsample_stride)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return downsample_stride(ev, n=10).select_columns(
+        ["user_id", "event_id", "value"])
+
+
 def _q_resumable_rollup(sf_dir: str):
     """Checkpointed flagship over a deterministic synthetic sequences dir;
     returns the per-partition lineage manifest (wall-clock fields dropped
@@ -456,6 +487,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "top_users_by_value": _q_top_users,
         "filter_pushdown_events": _q_filter_pushdown,
+        "rollup_1m_retention": _q_rollup_retention,
+        "downsample_stride": _q_downsample_stride,
         # checkpoint/resume lineage manifests — rows-only
         "resumable_rollup": _q_resumable_rollup,
         # training-data operators — oracle-checked where SQL-expressible
@@ -481,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seatek_summary": _q_seatek_summary,
         "seatek_level_shifts": _q_seatek_level_shifts,
         "seatek_comparison": _q_seatek_comparison,
+        "seatek_all_sensors": _q_seatek_all_sensors,
         # multimodal actor-pool stage (stubbed decode) — rows-only
         "media_features": _q_media_features,
         # per-file stats summary (A7) — rows-only
@@ -648,6 +682,24 @@ ORDER BY sum(value) DESC, user_id ASC LIMIT 10
 """,
         "filter_pushdown_events": """
 SELECT event_id, user_id, value FROM events WHERE value > 50.0
+""",
+        "rollup_1m_retention": f"""
+SELECT * FROM (
+  SELECT event_type,
+         {EPOCH_S} - ({EPOCH_S} % 60) AS window_start,
+         min(value) AS vmin, max(value) AS vmax,
+         round(sum(value), 6) AS vsum, count(*) AS vcount,
+         round(sum(value) / count(*), 6) AS vmean
+  FROM events GROUP BY 1, 2)
+WHERE window_start >= {RETENTION_CUTOFF}
+""",
+        "downsample_stride": """
+WITH ordered AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id, event_id, value FROM ordered WHERE (rn - 1) % 10 = 0
 """,
         "knn_topk": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings

@@ -111,6 +111,44 @@ def batch_correct(data_dir: str, config: dict | None = None,
         CompatFileKernel(config), batch_format="pandas")
 
 
+class LongSeriesKernel:
+    """map_groups kernel for the INTENDED semantics (SURVEY.md §1.2): every
+    (series, year, sensor) is an independent series over the real
+    last-column timestamps — the knowingly-fixed version of the reference's
+    only-Value2 quirk.  Emits the corrected long rows (gap-inserted rows
+    appear with inserted=True)."""
+
+    def __init__(self, config: dict | None = None):
+        self.config = config
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        from .. import kernels as K
+        g = g.sort_values("t", kind="stable")
+        t = g["t"].to_numpy(np.float64)
+        v = g["value"].to_numpy(np.float64)
+        t2, v2 = K.process_series(t, v, self.config)
+        orig = set(t.tolist())
+        return pd.DataFrame({
+            "series": np.full(len(t2), g["series"].iloc[0], dtype=object),
+            "year_idx": np.full(len(t2), g["year_idx"].iloc[0], np.int32),
+            "sensor_id": np.full(len(t2), g["sensor_id"].iloc[0], np.int32),
+            "t": t2,
+            "value_corrected": v2,
+            "inserted": np.fromiter((x not in orig for x in t2.tolist()),
+                                    dtype=bool, count=len(t2)),
+        })
+
+
+def correct_all_sensors(data_dir: str, config: dict | None = None):
+    """Long-form correction of every sensor column independently — one
+    groupby shuffle keyed (series, year_idx, sensor_id)."""
+    from ..sources.seatek import read_seatek
+    long_ds = read_seatek(data_dir, mode="long")
+    return long_ds.groupby(["series", "year_idx", "sensor_id"]).map_groups(
+        LongSeriesKernel(config), batch_format="pandas")
+
+
 def summarize(corrected, first_year: int = 1995) -> pd.DataFrame:
     """[Series, Year, Y-Index, Filename, Status, Records] summary
     (batch_correction.py:629-640; Year = first_year + yidx - 1; filename

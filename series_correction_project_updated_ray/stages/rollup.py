@@ -94,6 +94,40 @@ def rollup_events(events, key_col: str = "event_type", ts_col: str = "ts",
                               fn_kwargs={"round_to": round_to})
 
 
+def apply_retention(tier_ds, cutoff_epoch_s: int):
+    """Retention filter for one tier: drop windows older than the cutoff.
+
+    At scale this is a partition-pruning DELETE: with the engine's
+    ``tier=/part=`` layout plus per-file window ranges, expired partitions
+    are dropped file-by-file without reading them; this stage is the
+    in-pipeline form (vectorized predicate, streaming)."""
+    import pyarrow.compute as pc
+    return tier_ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["window_start"],
+                                            cutoff_epoch_s)),
+        batch_format="pyarrow")
+
+
+class StrideDownsample:
+    """Per-series stride downsampling: keep every Nth point in
+    (ts, id) order — the simplest decimation tier (map_groups kernel)."""
+
+    def __init__(self, n: int, key_col="user_id", ts_col="ts",
+                 id_col="event_id"):
+        self.n, self.key_col, self.ts_col, self.id_col = (n, key_col,
+                                                          ts_col, id_col)
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([self.ts_col, self.id_col], kind="stable")
+        return g.iloc[::self.n]
+
+
+def downsample_stride(events, n: int = 10, key_col="user_id"):
+    return events.groupby(key_col).map_groups(
+        StrideDownsample(n, key_col), batch_format="pandas")
+
+
 class CascadePartial:
     """Fold finer-tier partial rows into a coarser tier inside a batch."""
 

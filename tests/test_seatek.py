@@ -160,3 +160,17 @@ def test_comparison_export(ray_session, seatek_dir):
     assert {"Value2_raw", "Value2_processed", "Outlier_Flag"} <= set(comp.columns)
     assert len(comp) >= 6 * 60
     assert comp["Outlier_Flag"].dtype == bool
+
+
+def test_correct_all_sensors_long(ray_session, seatek_dir):
+    from series_correction_project_updated_ray.pipelines.seatek_compat import (
+        correct_all_sensors)
+    out = correct_all_sensors(seatek_dir).to_pandas()
+    # every (series, year, sensor) combination present
+    combos = out.groupby(["series", "year_idx", "sensor_id"]).size()
+    assert len(combos) == 2 * 3 * 32
+    # uniform cadence -> no gap insertion; injected Value3 outlier corrected
+    assert (~out["inserted"]).all()
+    s3 = out[(out["series"] == "26") & (out["year_idx"] == 1)
+             & (out["sensor_id"] == 2)].sort_values("t")
+    assert s3["value_corrected"].max() < 20.0  # the +25 spike is gone
