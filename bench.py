@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SYNTH_DOCS = int(os.environ.get("GRAFT_SYNTH_DOCS", "400000"))
-SYNTH_DIR = f"/tmp/graft_synth_bucketed_v2_{SYNTH_DOCS}"
+SYNTH_DIR = f"/tmp/graft_synth_bucketed_v3_{SYNTH_DOCS}"
 
 METRIC = ("rolled-up points/sec and end-to-end 3-tier rollup wall-time over "
           "tokenized sequences; plus operator pipeline wall-times")

@@ -146,7 +146,12 @@ def write_synthetic_sequences_bucketed(out_dir: str, num_docs: int,
                  pa.array(src, type=pa.string())], schema=SEQUENCES_SCHEMA)
             keyed = add_series_key(tbl, buckets_per_source)
             key = keyed["series_key"].to_numpy()
-            fidx = (key.astype(np.uint64) % np.uint64(n_files)).astype(np.int64)
+            # multiplicative spread before the modulus: the raw key embeds
+            # source-hash*buckets structure, so key % n_files would collapse
+            # onto a fraction of the files (observed: 128 of 256)
+            with np.errstate(over="ignore"):
+                spread = key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            fidx = (spread % np.uint64(n_files)).astype(np.int64)
             order = np.argsort(fidx, kind="stable")
             fidx_s = fidx[order]
             starts = np.flatnonzero(np.r_[True, fidx_s[1:] != fidx_s[:-1]])
