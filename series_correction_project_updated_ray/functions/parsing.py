@@ -59,6 +59,26 @@ def find_sensor_columns(columns) -> list[str]:
             and c[len("Sensor "):].isdigit()]
 
 
+_PROCESSED_MATCH_CACHE: dict[str, tuple[str, int] | None] = {}
+
+
+def match_processed_filename(name: str) -> tuple[str, int] | None:
+    """Processed-output name → join key (P2 with the reference's memo
+    cache, export_comparison_sheets.py:19-51):
+    'Series26_File03_Processed…' → ('series', 3);
+    'Year_1997 (Y03)_Data…' → ('year', 3)."""
+    if name in _PROCESSED_MATCH_CACHE:
+        return _PROCESSED_MATCH_CACHE[name]
+    m = PROCESSED_SERIES_RE.search(name)
+    if m:
+        out = ("series", int(m.group(2)))
+    else:
+        m = PROCESSED_YEAR_RE.search(name)
+        out = ("year", int(m.group(2))) if m else None
+    _PROCESSED_MATCH_CACHE[name] = out
+    return out
+
+
 def safe_round(value, ndigits: int = 3):
     """round with passthrough on non-numeric input."""
     try:

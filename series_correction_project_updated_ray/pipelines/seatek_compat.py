@@ -149,14 +149,21 @@ def correct_all_sensors(data_dir: str, config: dict | None = None):
         LongSeriesKernel(config), batch_format="pandas")
 
 
-def summarize(corrected, first_year: int = 1995) -> pd.DataFrame:
+def summarize(corrected, first_year: int = 1995,
+              year_index_map: dict[int, int] | None = None) -> pd.DataFrame:
     """[Series, Year, Y-Index, Filename, Status, Records] summary
-    (batch_correction.py:629-640; Year = first_year + yidx - 1; filename
-    template K4 'Year_{year} (Y{yi:02d})_Data')."""
+    (batch_correction.py:629-640).  Year = ``year_index_map[yidx]`` when a
+    map is configured (the reference's optional config key), else
+    positional ``first_year + yidx - 1``; filename template K4
+    'Year_{year} (Y{yi:02d})_Data'."""
     from ray.data.aggregate import Count
     df = corrected.groupby(["series", "year_idx"]).aggregate(
         Count(alias_name="Records")).to_pandas()
-    df["Year"] = first_year + df["year_idx"] - 1
+    if year_index_map:
+        df["Year"] = df["year_idx"].map(
+            lambda i: year_index_map.get(int(i), first_year + int(i) - 1))
+    else:
+        df["Year"] = first_year + df["year_idx"] - 1
     df["Filename"] = [f"Year_{y} (Y{int(i):02d})_Data.xlsx"
                       for y, i in zip(df["Year"], df["year_idx"])]
     df["Status"] = "Processed"

@@ -134,3 +134,13 @@ def test_overview_table():
     assert out["Prev_End_Avg"].iloc[0] == 4.9
     assert out["Next_Begin_Avg"].iloc[0] == 5.0
     assert out["Level_Shift"].iloc[0] == 1.235  # safe_round to 3
+
+
+def test_match_processed_filename():
+    from series_correction_project_updated_ray.functions.parsing import (
+        match_processed_filename)
+    assert match_processed_filename("Series26_File03_Processed.xlsx") == ("series", 3)
+    assert match_processed_filename("Year_1997 (Y03)_Data.xlsx") == ("year", 3)
+    assert match_processed_filename("Seatek_Analysis_Summary.xlsx") is None
+    # memoized second call
+    assert match_processed_filename("Year_1997 (Y03)_Data.xlsx") == ("year", 3)
