@@ -143,11 +143,55 @@ class CascadePartial:
         return pa.Table.from_pandas(g, preserve_index=False)
 
 
+class PartialRollupTiers:
+    """Per-batch combiner emitting partials for EVERY tier at once (tier
+    column added); because the 1m partials already collapse each batch,
+    the extra 1h/1d partial rows cost ~2% more rows than 1m alone."""
+
+    def __init__(self, key_col: str, ts_col: str, value_col: str,
+                 tiers: dict[str, int] = TIER_WIDTHS):
+        self.inner = {t: PartialRollup(key_col, ts_col, value_col, w)
+                      for t, w in tiers.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for tier, p in self.inner.items():
+            t = p(batch)
+            outs.append(t.append_column(
+                "tier", pa.array([tier] * len(t), pa.string())))
+        return pa.concat_tables(outs)
+
+
 def rollup_tiers(events, key_col: str = "event_type", ts_col: str = "ts",
                  value_col: str = "value", round_to: int | None = 6):
-    """All three retention tiers in one pass: raw → 1m partials → shuffle
-    once → per-key merged 1m; 1h and 1d fold the merged 1m partials map-side
-    (windows nest; no second shuffle of raw data)."""
+    """All three retention tiers with ONE shuffle: every batch emits
+    per-tier partials (windows nest, so the per-tier partial sets are
+    nearly free given the 1m fold), then a single
+    groupby(key, tier, window) merge.  Returns {tier: Dataset}."""
+    partials = events.map_batches(
+        PartialRollupTiers(key_col, ts_col, value_col),
+        batch_format="pyarrow")
+    merged = partials.groupby([key_col, "tier", "window_start"]).aggregate(
+        Min("vmin", alias_name="vmin"), Max("vmax", alias_name="vmax"),
+        Sum("vsum", alias_name="vsum"), Sum("vcount", alias_name="vcount"),
+    ).map_batches(_finalize, batch_format="pyarrow",
+                  fn_kwargs={"round_to": round_to}).materialize()
+    import pyarrow.compute as pc
+    out = {}
+    for tier in TIER_WIDTHS:
+        out[tier] = merged.map_batches(
+            lambda t, _tier=tier: t.filter(pc.equal(t["tier"], _tier))
+            .drop_columns(["tier"]),
+            batch_format="pyarrow")
+    return out
+
+
+def rollup_tiers_cascade(events, key_col: str = "event_type",
+                         ts_col: str = "ts", value_col: str = "value",
+                         round_to: int | None = 6):
+    """Alternative plan: shuffle merged 1m once, fold 1h/1d from the merged
+    1m partials map-side (CascadePartial) with small per-tier merges —
+    preferable when the 1m tier itself is consumed incrementally."""
     partials = events.map_batches(
         PartialRollup(key_col, ts_col, value_col, TIER_WIDTHS["1m"]),
         batch_format="pyarrow")
@@ -160,8 +204,6 @@ def rollup_tiers(events, key_col: str = "event_type", ts_col: str = "ts",
     tier_src = merged_1m
     for tier, width in (("1m", 60), ("1h", 3600), ("1d", 86400)):
         if tier != "1m":
-            # per-key partials already merged; one small groupby merges the
-            # per-block folds of the coarser windows
             folded = tier_src.map_batches(
                 CascadePartial(key_col, width), batch_format="pyarrow")
             tier_src = folded.groupby([key_col, "window_start"]).aggregate(
