@@ -397,6 +397,27 @@ def _q_filter_pushdown(sf_dir: str):
         batch_format="pyarrow")
 
 
+def _q_session_windows(sf_dir: str):
+    from series_correction_project_updated_ray.stages.windows import (
+        session_windows)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return session_windows(ev, timeout_s=1800)
+
+
+def _q_sliding_mean(sf_dir: str):
+    from series_correction_project_updated_ray.stages.windows import sliding_mean
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return sliding_mean(ev, width_s=300)
+
+
+def _q_asof_join(sf_dir: str):
+    from series_correction_project_updated_ray.stages.windows import (
+        asof_join_events)
+    ev = _read(sf_dir, "events",
+               ["user_id", "event_id", "ts", "value", "event_type"])
+    return asof_join_events(ev, right_type="purchase")
+
+
 RETENTION_CUTOFF = 1705276800  # 2024-01-15T00:00:00Z — fixed, deterministic
 
 
@@ -489,6 +510,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_pushdown_events": _q_filter_pushdown,
         "rollup_1m_retention": _q_rollup_retention,
         "downsample_stride": _q_downsample_stride,
+        # streaming-window operators — oracle-checked
+        "session_windows": _q_session_windows,
+        "sliding_mean": _q_sliding_mean,
+        "asof_join_purchases": _q_asof_join,
         # checkpoint/resume lineage manifests — rows-only
         "resumable_rollup": _q_resumable_rollup,
         # training-data operators — oracle-checked where SQL-expressible
@@ -700,6 +725,38 @@ WITH ordered AS (
                             ORDER BY ts, event_id) AS rn
   FROM events)
 SELECT user_id, event_id, value FROM ordered WHERE (rn - 1) % 10 = 0
+""",
+        "session_windows": f"""
+WITH ordered AS (
+  SELECT user_id, {EPOCH_S} AS t,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+                   OR {EPOCH_S} - lag({EPOCH_S}) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS boundary
+  FROM events),
+sess AS (
+  SELECT user_id, t,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY rn) AS session_id
+  FROM ordered)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(t) AS t_start, max(t) AS t_end
+FROM sess GROUP BY user_id, session_id
+""",
+        "sliding_mean": """
+SELECT user_id, event_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW), 6)
+         AS sliding_mean
+FROM events
+""",
+        "asof_join_purchases": """
+WITH p AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events
+           WHERE event_type = 'purchase')
+SELECT e.user_id, e.event_id, round(p.value, 6) AS last_purchase_value
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND epoch_us(e.ts) >= p.tu
 """,
         "knn_topk": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings

@@ -1,0 +1,161 @@
+"""Streaming-window operators beyond tumbling rollups.
+
+The reference is pure batch (SURVEY.md §2.11); these are the rebuild's
+stream-shaped operators, implemented as per-key kernels over event-time-
+sorted groups (the Ray Data streaming pattern: partition by key, sort
+within group, window with numpy — no watermark machinery needed on batch
+data).  All three are exactly SQL-expressible, so they are oracle-checked:
+
+* session windows (gap timeout) → per-session aggregates;
+* sliding event-time window (RANGE frame) → per-point trailing mean;
+* as-of join (latest prior right-side row per left row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .rollup import _epoch_seconds
+
+
+def _sorted_group(g: pd.DataFrame, ts_col="ts", id_col="event_id"):
+    g = g.sort_values([ts_col, id_col], kind="stable").reset_index(drop=True)
+    ts = g[ts_col]
+    if pd.api.types.is_datetime64_any_dtype(ts):
+        t = ts.astype("datetime64[ns]").astype("int64").to_numpy() // 1_000_000_000
+    else:
+        t = ts.to_numpy(np.int64)
+    return g, t
+
+
+class SessionWindows:
+    """map_groups: sessions split where the inter-event gap exceeds
+    ``timeout_s``; emits (key, session_id [1-based], n_events, t_start,
+    t_end)."""
+
+    def __init__(self, timeout_s: int = 1800, key_col="user_id",
+                 ts_col="ts", id_col="event_id"):
+        self.timeout_s, self.key_col = timeout_s, key_col
+        self.ts_col, self.id_col = ts_col, id_col
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        g, t = _sorted_group(g, self.ts_col, self.id_col)
+        boundary = np.r_[True, np.diff(t) > self.timeout_s]
+        sid = np.cumsum(boundary)
+        starts = np.flatnonzero(boundary)
+        ends = np.r_[starts[1:], len(t)]
+        return pd.DataFrame({
+            self.key_col: np.full(len(starts), g[self.key_col].iloc[0]),
+            "session_id": np.arange(1, len(starts) + 1, dtype=np.int64),
+            "n_events": (ends - starts).astype(np.int64),
+            "t_start": t[starts],
+            "t_end": t[ends - 1],
+        })
+
+
+class SlidingMean:
+    """map_groups: trailing event-time window mean — for each point, the
+    mean of values with t in [t_i - width, t_i] (inclusive RANGE frame).
+    O(n) via prefix sums + searchsorted."""
+
+    def __init__(self, width_s: int = 300, key_col="user_id", ts_col="ts",
+                 id_col="event_id", value_col="value", round_to=6):
+        self.width_s, self.key_col = width_s, key_col
+        self.ts_col, self.id_col, self.value_col = ts_col, id_col, value_col
+        self.round_to = round_to
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        # microsecond resolution so RANGE-frame tie semantics can't differ
+        # from the SQL oracle (second-floored times could alias two events)
+        g = g.sort_values([self.ts_col, self.id_col],
+                          kind="stable").reset_index(drop=True)
+        ts = g[self.ts_col]
+        if pd.api.types.is_datetime64_any_dtype(ts):
+            t = ts.astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+        else:
+            t = ts.to_numpy(np.int64) * 1_000_000
+        v = g[self.value_col].to_numpy(np.float64)
+        csum = np.r_[0.0, np.cumsum(v)]
+        lo = np.searchsorted(t, t - self.width_s * 1_000_000, side="left")
+        idx = np.arange(1, len(t) + 1)
+        means = (csum[idx] - csum[lo]) / (idx - lo)
+        return pd.DataFrame({
+            self.key_col: np.full(len(t), g[self.key_col].iloc[0]),
+            self.id_col: g[self.id_col].to_numpy(),
+            "sliding_mean": np.round(means, self.round_to),
+        })
+
+
+class AsofJoinGroup:
+    """cogroup kernel: each left row matched to the LATEST right row with
+    right.t <= left.t (per key); unmatched left rows keep nulls —
+    pandas.merge_asof semantics ≡ SQL ASOF LEFT JOIN."""
+
+    def __init__(self, key_col="user_id", ts_col="t", id_col="event_id",
+                 right_value="value", out_name="last_purchase_value",
+                 round_to=6):
+        self.key_col, self.ts_col, self.id_col = key_col, ts_col, id_col
+        self.right_value, self.out_name = right_value, out_name
+        self.round_to = round_to
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["__side"] == "l"].sort_values(
+            [self.ts_col, self.id_col], kind="stable")
+        right = g[g["__side"] == "r"].sort_values(
+            [self.ts_col, self.id_col], kind="stable")
+        lt = left[self.ts_col].to_numpy(np.int64)
+        if len(right) == 0:
+            matched = np.full(len(left), np.nan)
+        else:
+            rt = right[self.ts_col].to_numpy(np.int64)
+            rv = right[self.right_value].to_numpy(np.float64)
+            pos = np.searchsorted(rt, lt, side="right") - 1
+            matched = np.where(pos >= 0, rv[np.clip(pos, 0, None)], np.nan)
+        out = pd.DataFrame({
+            self.key_col: left[self.key_col].to_numpy(),
+            self.id_col: left[self.id_col].to_numpy(),
+            self.out_name: np.round(matched, self.round_to),
+        })
+        return out
+
+
+def session_windows(events, timeout_s=1800):
+    return events.groupby("user_id").map_groups(
+        SessionWindows(timeout_s), batch_format="pandas")
+
+
+def sliding_mean(events, width_s=300):
+    return events.groupby("user_id").map_groups(
+        SlidingMean(width_s), batch_format="pandas")
+
+
+def asof_join_events(events, right_type="purchase"):
+    """Each event matched to the user's latest prior-or-equal event of
+    ``right_type`` — one co-grouped shuffle (union + groupby)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _prep(batch: pa.Table, side: str) -> pa.Table:
+        # microseconds — exact tie semantics vs the epoch_us SQL oracle
+        t = (batch["ts"].to_pandas().astype("datetime64[ns]")
+             .astype("int64").to_numpy() // 1000)
+        out = pa.table({
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "t": pa.array(t),
+            "value": batch["value"],
+            "__side": pa.array([side] * len(batch), pa.string()),
+        })
+        if side == "r":
+            out = out.filter(pc.equal(batch["event_type"], right_type))
+        return out
+
+    left = events.map_batches(lambda b: _prep(b, "l"), batch_format="pyarrow")
+    right = events.map_batches(lambda b: _prep(b, "r"), batch_format="pyarrow")
+    both = left.union(right)
+    return both.groupby("user_id").map_groups(
+        AsofJoinGroup(), batch_format="pandas")

@@ -1,0 +1,52 @@
+"""Streaming-window kernel tests (sessionization, sliding mean, as-of)."""
+
+import numpy as np
+import pandas as pd
+
+from series_correction_project_updated_ray.stages.windows import (
+    AsofJoinGroup, SessionWindows, SlidingMean)
+
+
+def _g(ts, **cols):
+    return pd.DataFrame({"user_id": 1, "event_id": range(len(ts)),
+                         "ts": ts, **cols})
+
+
+def test_session_windows_kernel():
+    t = pd.to_datetime([0, 60, 120, 5000, 5060, 99999], unit="s")
+    out = SessionWindows(timeout_s=1800)(_g(t))
+    assert out["session_id"].tolist() == [1, 2, 3]
+    assert out["n_events"].tolist() == [3, 2, 1]
+    assert out["t_start"].tolist() == [0, 5000, 99999]
+    assert out["t_end"].tolist() == [120, 5060, 99999]
+
+
+def test_sliding_mean_kernel():
+    t = pd.to_datetime([0, 100, 200, 600], unit="s")
+    out = SlidingMean(width_s=300)(_g(t, value=[1.0, 2.0, 3.0, 10.0]))
+    # windows: [0], [0,100], [0,100,200], [600-300=300..600] -> only 10.0
+    np.testing.assert_allclose(out["sliding_mean"],
+                               [1.0, 1.5, 2.0, 10.0])
+
+
+def test_asof_join_kernel():
+    left = pd.DataFrame({"user_id": 1, "event_id": [10, 11, 12],
+                         "t": [100, 200, 300], "value": [0.0, 0.0, 0.0],
+                         "__side": "l"})
+    right = pd.DataFrame({"user_id": 1, "event_id": [90, 91],
+                          "t": [150, 250], "value": [7.0, 9.0],
+                          "__side": "r"})
+    out = AsofJoinGroup()(pd.concat([left, right], ignore_index=True))
+    vals = out.sort_values("event_id")["last_purchase_value"].tolist()
+    assert np.isnan(vals[0])          # t=100: no prior purchase
+    assert vals[1] == 7.0             # t=200: purchase at 150
+    assert vals[2] == 9.0             # t=300: purchase at 250
+
+
+def test_asof_join_matches_self_at_equal_time():
+    left = pd.DataFrame({"user_id": 1, "event_id": [10], "t": [150],
+                         "value": [0.0], "__side": "l"})
+    right = pd.DataFrame({"user_id": 1, "event_id": [10], "t": [150],
+                          "value": [5.0], "__side": "r"})
+    out = AsofJoinGroup()(pd.concat([left, right], ignore_index=True))
+    assert out["last_purchase_value"].iloc[0] == 5.0
