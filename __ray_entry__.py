@@ -418,6 +418,43 @@ def _q_asof_join(sf_dir: str):
     return asof_join_events(ev, right_type="purchase")
 
 
+def _q_semi_join(sf_dir: str):
+    """Broadcast semi-join: orders of BUILDING-segment customers."""
+    from series_correction_project_updated_ray.stages.joins import semi_join
+    import pyarrow.compute as pc
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+        batch_format="pyarrow")
+    return semi_join(orders, building, "o_custkey",
+                     right_key="c_custkey"
+                     ).select_columns(["o_orderkey", "o_custkey",
+                                       "o_totalprice"])
+
+
+def _q_anti_join(sf_dir: str):
+    """Broadcast anti-join: orders of customers NOT in BUILDING."""
+    from series_correction_project_updated_ray.stages.joins import semi_join
+    import pyarrow.compute as pc
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    building = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+        batch_format="pyarrow")
+    return semi_join(orders, building, "o_custkey",
+                     right_key="c_custkey", anti=True
+                     ).select_columns(["o_orderkey", "o_custkey",
+                                       "o_totalprice"])
+
+
+def _q_grouped_median(sf_dir: str):
+    from series_correction_project_updated_ray.stages.rollup import (
+        grouped_median)
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    return grouped_median(ev, width=3600)
+
+
 RETENTION_CUTOFF = 1705276800  # 2024-01-15T00:00:00Z — fixed, deterministic
 
 
@@ -514,6 +551,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": _q_session_windows,
         "sliding_mean": _q_sliding_mean,
         "asof_join_purchases": _q_asof_join,
+        "semi_join_orders": _q_semi_join,
+        "anti_join_orders": _q_anti_join,
+        "grouped_median_1h": _q_grouped_median,
         # checkpoint/resume lineage manifests — rows-only
         "resumable_rollup": _q_resumable_rollup,
         # training-data operators — oracle-checked where SQL-expressible
@@ -757,6 +797,24 @@ WITH p AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events
 SELECT e.user_id, e.event_id, round(p.value, 6) AS last_purchase_value
 FROM events e ASOF LEFT JOIN p
   ON e.user_id = p.user_id AND epoch_us(e.ts) >= p.tu
+""",
+        "semi_join_orders": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey
+                AND c.c_mktsegment = 'BUILDING')
+""",
+        "anti_join_orders": """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'BUILDING')
+""",
+        "grouped_median_1h": f"""
+SELECT event_type,
+       {EPOCH_S} - ({EPOCH_S} % 3600) AS window_start,
+       round(median(value), 6) AS vmedian
+FROM events GROUP BY 1, 2
 """,
         "knn_topk": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings

@@ -86,6 +86,42 @@ def _rename_stage(ds, mapping: dict[str, str]):
     return ds.map_batches(_r, batch_format="pyarrow")
 
 
+class KeySetFilter:
+    """Broadcast semi/anti-join stage: the key SET ships once via
+    ``ray.put`` (at real scale: a Bloom filter of it), probed per batch
+    with a vectorized isin — no shuffle ever."""
+
+    def __init__(self, keys_ref, key_col: str, anti: bool):
+        import ray
+        self.keys = pa.array(sorted(ray.get(keys_ref)))
+        self.key_col, self.anti = key_col, anti
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.is_in(batch[self.key_col], value_set=self.keys)
+        if self.anti:
+            mask = pc.invert(mask)
+        return batch.filter(pc.fill_null(mask, self.anti))
+
+
+def semi_join(left, right_keys, key_col: str, *, right_key: str | None = None,
+              anti: bool = False):
+    """left rows whose key ∈ right_keys (semi) or ∉ (anti).
+
+    ``right_keys``: a Dataset (its ``right_key`` — default ``key_col`` —
+    column is collected; use only when the distinct key set is
+    broadcast-small) or an iterable of keys."""
+    import ray
+    if hasattr(right_keys, "unique"):
+        keys = right_keys.unique(right_key or key_col)
+    else:
+        keys = list(right_keys)
+    ref = ray.put(set(keys))
+    return left.map_batches(KeySetFilter, batch_format="pyarrow",
+                            concurrency=2,
+                            fn_constructor_args=(ref, key_col, anti))
+
+
 def hash_join(left, right, left_key: str, right_key: str,
               how: str = "inner", n_buckets: int = 32,
               suffixes=("_l", "_r")):

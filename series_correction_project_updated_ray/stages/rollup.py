@@ -94,6 +94,39 @@ def rollup_events(events, key_col: str = "event_type", ts_col: str = "ts",
                               fn_kwargs={"round_to": round_to})
 
 
+class GroupedMedian:
+    """map_groups kernel: exact per-(key, window) median — the exact-quantile
+    grain the reference's per-series medians establish (A1/A5), lifted to
+    windows.  Exact medians need the group co-located; for broader
+    percentile sets at scale use mergeable histogram sketches instead."""
+
+    def __init__(self, key_col="event_type", round_to=6):
+        self.key_col, self.round_to = key_col, round_to
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            self.key_col: [g[self.key_col].iloc[0]],
+            "window_start": [np.int64(g["window_start"].iloc[0])],
+            "vmedian": [round(float(np.median(g["value"].to_numpy())),
+                              self.round_to)],
+        })
+
+
+def grouped_median(events, key_col="event_type", ts_col="ts",
+                   value_col="value", width: int = 3600):
+    """Exact median per (key, tumbling window)."""
+    def _bucket(batch: pa.Table) -> pa.Table:
+        secs = _epoch_seconds(batch[ts_col])
+        win = secs - secs % width
+        return pa.table({key_col: batch[key_col],
+                         "window_start": pa.array(win),
+                         "value": batch[value_col]})
+    bucketed = events.map_batches(_bucket, batch_format="pyarrow")
+    return bucketed.groupby([key_col, "window_start"]).map_groups(
+        GroupedMedian(key_col), batch_format="pandas")
+
+
 def apply_retention(tier_ds, cutoff_epoch_s: int):
     """Retention filter for one tier: drop windows older than the cutoff.
 
