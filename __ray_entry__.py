@@ -379,7 +379,9 @@ def _q_top_users(sf_dir: str):
         Sum("value", alias_name="total_value")).to_pandas()
     sums = sums.sort_values(["total_value", "user_id"],
                             ascending=[False, True]).head(10)
-    sums["total_value"] = np.round(sums["total_value"], 6)
+    from series_correction_project_updated_ray.functions.rounding import (
+        round_half_away)
+    sums["total_value"] = round_half_away(sums["total_value"].to_numpy(), 6)
     return sums.reset_index(drop=True)
 
 
@@ -598,7 +600,7 @@ SELECT event_type,
        max(value) AS vmax,
        round(sum(value), 6) AS vsum,
        count(*) AS vcount,
-       round(sum(value) / count(*), 6) AS vmean
+       round(round(sum(value), 6) / count(*), 6) AS vmean
 FROM events
 GROUP BY 1, 2
 """
@@ -733,7 +735,7 @@ SELECT user_id,
        {EPOCH_S} - ({EPOCH_S} % 3600) AS window_start,
        min(value) AS vmin, max(value) AS vmax,
        round(sum(value), 6) AS vsum, count(*) AS vcount,
-       round(sum(value) / count(*), 6) AS vmean
+       round(round(sum(value), 6) / count(*), 6) AS vmean
 FROM events GROUP BY 1, 2
 """,
         "distinct_users": """
@@ -754,7 +756,7 @@ SELECT * FROM (
          {EPOCH_S} - ({EPOCH_S} % 60) AS window_start,
          min(value) AS vmin, max(value) AS vmax,
          round(sum(value), 6) AS vsum, count(*) AS vcount,
-         round(sum(value) / count(*), 6) AS vmean
+         round(round(sum(value), 6) / count(*), 6) AS vmean
   FROM events GROUP BY 1, 2)
 WHERE window_start >= {RETENTION_CUTOFF}
 """,

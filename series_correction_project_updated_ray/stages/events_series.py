@@ -17,6 +17,7 @@ import pyarrow as pa
 
 from .. import kernels as K
 from .rollup import _epoch_seconds
+from ..functions.rounding import round_half_away
 
 
 def _series_sorted(g: pd.DataFrame, ts_col="ts", value_col="value",
@@ -51,7 +52,7 @@ def global_mad_group(g: pd.DataFrame, threshold=3.0,
     return pd.DataFrame({
         key_col: [g[key_col].iloc[0]],
         "n_outliers": np.array([int(mask.sum())], np.int64),
-        "global_median": np.array([round(float(np.nanmedian(v)), 6)]),
+        "global_median": np.array([round_half_away(float(np.nanmedian(v)), 6)]),
     })
 
 
@@ -91,7 +92,7 @@ def corrected_series_group(g: pd.DataFrame, config=None,
     return pd.DataFrame({
         key_col: np.full(len(t2), g[key_col].iloc[0]),
         "t": t2.astype(np.int64),
-        "value_corrected": np.round(v2, 6),
+        "value_corrected": round_half_away(v2, 6),
         "inserted": out_ids == -1,
     })
 
@@ -103,8 +104,8 @@ def tail_nonzero_avg_group(g: pd.DataFrame, n=5, key_col="user_id"
     g, _, v = _series_sorted(g)
     return pd.DataFrame({
         key_col: [g[key_col].iloc[0]],
-        "tail_avg": [round(K.nonzero_mean(v[-n:]), 6)],
-        "head_avg": [round(K.nonzero_mean(v[:n]), 6)],
+        "tail_avg": [round_half_away(K.nonzero_mean(v[-n:]), 6)],
+        "head_avg": [round_half_away(K.nonzero_mean(v[:n]), 6)],
     })
 
 
@@ -122,7 +123,7 @@ def level_shift_group(g: pd.DataFrame, segment_col="day", n=5,
     return pd.DataFrame({
         key_col: np.full(len(uniq), g[key_col].iloc[0]),
         "segment": uniq,
-        "shift": np.round(np.asarray(shifts, np.float64), 6),
+        "shift": round_half_away(np.asarray(shifts, np.float64), 6),
     })
 
 

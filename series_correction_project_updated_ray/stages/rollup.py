@@ -19,6 +19,8 @@ import pyarrow as pa
 
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..functions.rounding import round_half_away
+
 TIER_WIDTHS = {"1m": 60, "1h": 3600, "1d": 86400}
 
 
@@ -64,12 +66,18 @@ class PartialRollup:
 def _finalize(batch: pa.Table, round_to: int | None) -> pa.Table:
     vsum = batch["vsum"].to_numpy(zero_copy_only=False)
     vcount = batch["vcount"].to_numpy(zero_copy_only=False)
-    vmean = vsum / np.maximum(vcount, 1)
     if round_to is not None:
-        vmean = np.round(vmean, round_to)
-        vsum = np.round(vsum, round_to)
+        # Round the sum FIRST, then derive the mean from the rounded sum
+        # (oracle mirrors this as round(round(sum,6)/count,6)).  Summation
+        # order puts ray/duckdb sums within ~1e-10 of each other; rounding
+        # collapses both to the identical double, so the division and the
+        # second rounding are bit-identical — no boundary-straddle flips.
+        vsum = round_half_away(vsum, round_to)
+        vmean = round_half_away(vsum / np.maximum(vcount, 1), round_to)
         batch = batch.set_column(
             batch.schema.get_field_index("vsum"), "vsum", pa.array(vsum))
+    else:
+        vmean = vsum / np.maximum(vcount, 1)
     return batch.append_column("vmean", pa.array(vmean))
 
 
@@ -108,8 +116,8 @@ class GroupedMedian:
         return pd.DataFrame({
             self.key_col: [g[self.key_col].iloc[0]],
             "window_start": [np.int64(g["window_start"].iloc[0])],
-            "vmedian": [round(float(np.median(g["value"].to_numpy())),
-                              self.round_to)],
+            "vmedian": [round_half_away(float(np.median(g["value"].to_numpy())),
+                                        self.round_to)],
         })
 
 

@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.rounding import round_half_away
+
 
 def _vec_matrix(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
@@ -56,7 +58,7 @@ def knn_brute_force(embeddings, query_vec, k: int = 10,
     df = df.sort_values(["cosine_sim", id_col],
                         ascending=[False, True]).head(k)
     if round_to is not None:
-        df["cosine_sim"] = np.round(df["cosine_sim"], round_to)
+        df["cosine_sim"] = round_half_away(df["cosine_sim"].to_numpy(), round_to)
     return df.reset_index(drop=True)
 
 

@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 
 from .rollup import _epoch_seconds
+from ..functions.rounding import round_half_away
 
 
 def _sorted_group(g: pd.DataFrame, ts_col="ts", id_col="event_id"):
@@ -85,7 +86,7 @@ class SlidingMean:
         return pd.DataFrame({
             self.key_col: np.full(len(t), g[self.key_col].iloc[0]),
             self.id_col: g[self.id_col].to_numpy(),
-            "sliding_mean": np.round(means, self.round_to),
+            "sliding_mean": round_half_away(means, self.round_to),
         })
 
 
@@ -118,7 +119,7 @@ class AsofJoinGroup:
         out = pd.DataFrame({
             self.key_col: left[self.key_col].to_numpy(),
             self.id_col: left[self.id_col].to_numpy(),
-            self.out_name: np.round(matched, self.round_to),
+            self.out_name: round_half_away(matched, self.round_to),
         })
         return out
 
