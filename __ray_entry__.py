@@ -103,10 +103,9 @@ def _q_token_counts(sf_dir: str):
 
 def _q_quality(sf_dir: str):
     from series_correction_project_updated_ray.stages.textstage import quality_scores
-    ds = quality_scores(_read(sf_dir, "documents", ["doc_id", "text"]))
-    # oracle-matched projection: integer features only (float ratios carry
-    # a round-half mismatch risk between numpy and SQL)
-    return ds.select_columns(["doc_id", "n_chars", "n_words", "n_punct"])
+    # full feature set incl. ratios: both sides divide identical integers
+    # and round half-away, so the floats are oracle-exact
+    return quality_scores(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def _q_lang(sf_dir: str):
@@ -719,11 +718,21 @@ SELECT doc_id,
 FROM documents
 """,
         "quality_features": r"""
-SELECT doc_id,
-       length(text) AS n_chars,
-       len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
-       len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
-FROM documents
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         regexp_extract_all(lower(text), '[a-z]+') AS words,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+  FROM documents)
+SELECT doc_id, n_chars, len(words) AS n_words, n_punct,
+       CASE WHEN n_chars > 0
+            THEN round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6)
+            ELSE 0.0 END AS punct_ratio,
+       CASE WHEN len(words) > 0
+            THEN round(CAST(len(list_filter(words, w -> w IN ('a', 'all', 'an', 'and', 'are', 'as', 'at', 'be', 'but', 'by', 'can', 'for', 'from', 'had', 'in', 'is', 'it', 'not', 'of', 'on', 'or', 'that', 'the', 'there', 'this', 'to', 'was', 'we', 'were', 'what', 'when', 'with')))
+                            AS DOUBLE) / greatest(len(words), 1), 6)
+            ELSE 0.0 END AS stop_ratio
+FROM f
 """,
         "join_lineitem_orders": """
 SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,

@@ -111,7 +111,12 @@ def run_resumable(input_path: str, out_root: str, *,
     table of THIS run (empty when everything was already complete)."""
     files = sorted(glob.glob(os.path.join(input_path, "*.parquet"))) \
         if os.path.isdir(input_path) else [input_path]
-    fp = CP.input_fingerprint(files)
+    # the fingerprint covers the PLAN, not just the input: a manifest from a
+    # different partition layout / key derivation / kernel config must not
+    # satisfy a resume (it would silently skip rows of the new layout)
+    plan = (f"n_partitions={n_partitions};buckets={buckets_per_source};"
+            f"step={step_seconds};config={sorted((config or {}).items())}")
+    fp = CP.plan_fingerprint(files, plan)
     if CP.is_committed(out_root, fp):
         return pd.DataFrame(columns=["part_id", "status"])
     done = frozenset(CP.completed_partitions(out_root, fp))

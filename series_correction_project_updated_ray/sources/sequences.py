@@ -95,8 +95,12 @@ def write_synthetic_sequences(out_dir: str, num_docs: int, seed: int = 42,
         flat = _sensor_like_tokens(rng, int(n_tok.sum()))
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(n_tok, out=offsets[1:])
+        if offsets[-1] >= 2**31:
+            raise ValueError(
+                "chunk token total exceeds int32 list offsets; lower "
+                "rows_per_file (schema uses list<int32> per input_hint)")
         tokens = pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32() if offsets[-1] < 2**31 else pa.int64()).cast(pa.int32()),
+            pa.array(offsets).cast(pa.int32()),
             pa.array(flat, type=pa.int32()))
         idx = np.arange(written, written + n)
         doc_id = pa.array([f"{s}/{i:08d}" for s, i in zip(src, idx)],
@@ -135,6 +139,10 @@ def write_synthetic_sequences_bucketed(out_dir: str, num_docs: int,
             flat = _sensor_like_tokens(rng, int(n_tok.sum()))
             offsets = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(n_tok, out=offsets[1:])
+            if offsets[-1] >= 2**31:
+                raise ValueError(
+                    "chunk token total exceeds int32 list offsets; lower "
+                    "chunk (schema uses list<int32> per input_hint)")
             tokens = pa.ListArray.from_arrays(
                 pa.array(offsets).cast(pa.int32()),
                 pa.array(flat, type=pa.int32()))

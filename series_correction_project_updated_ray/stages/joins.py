@@ -21,12 +21,19 @@ from ..functions.hashing import stable_hash_array
 
 
 def _bucket_of(keys, n_buckets: int) -> np.ndarray:
+    """Bucket id per key; NULL keys get bucket -1 (they can never satisfy
+    an equi-join predicate — SQL NULL = NULL is not true)."""
+    null_mask = np.asarray(pa.compute.is_null(keys))
     if pa.types.is_integer(keys.type):
-        h = keys.to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = h * np.uint64(0x9E3779B97F4A7C15)  # splitmix-style spread
+        with np.errstate(invalid="ignore", over="ignore"):
+            raw = keys.to_numpy(zero_copy_only=False)
+            h = np.where(null_mask, 0, raw).astype(np.uint64)
+            h = h * np.uint64(0x9E3779B97F4A7C15)  # splitmix-style spread
     else:
         h = stable_hash_array(keys)
-    return (h % np.uint64(n_buckets)).astype(np.int64)
+    bucket = (h % np.uint64(n_buckets)).astype(np.int64)
+    bucket[null_mask] = -1
+    return bucket
 
 
 class _TagPad:
@@ -71,6 +78,12 @@ class BucketJoin:
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
         left = g.loc[g["__side"] == "l", self.l_cols]
         right = g.loc[g["__side"] == "r", self.r_cols]
+        # SQL equi-join semantics: NULL keys never match (pandas merge would
+        # happily match NaN == NaN) — drop null-key right rows always, and
+        # null-key left rows for inner joins
+        right = right[right[self.right_key].notna()]
+        if self.how == "inner":
+            left = left[left[self.left_key].notna()]
         if (len(left) == 0 or len(right) == 0) and self.how == "inner":
             return pd.DataFrame(
                 {c: pd.Series([], dtype=g[c].dtype)

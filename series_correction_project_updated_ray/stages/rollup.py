@@ -51,7 +51,9 @@ class PartialRollup:
         vals = batch[self.value_col].to_pandas().to_numpy(np.float64)
         win = secs - secs % self.width
         df = pd.DataFrame({"k": keys.to_numpy(), "w": win, "v": vals})
-        g = df.groupby(["k", "w"], sort=False)["v"]
+        # dropna=False: SQL GROUP BY emits a NULL-keyed group; silently
+        # discarding null keys would diverge from the oracle
+        g = df.groupby(["k", "w"], sort=False, dropna=False)["v"]
         agg = g.agg(["min", "max", "sum", "count"]).reset_index()
         return pa.table({
             self.key_col: pa.array(agg["k"]).cast(key_type),
@@ -178,7 +180,8 @@ class CascadePartial:
     def __call__(self, batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["window_start"] = df["window_start"] - df["window_start"] % self.width
-        g = df.groupby([self.key_col, "window_start"], sort=False).agg(
+        g = df.groupby([self.key_col, "window_start"], sort=False,
+                       dropna=False).agg(
             vmin=("vmin", "min"), vmax=("vmax", "max"),
             vsum=("vsum", "sum"), vcount=("vcount", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)

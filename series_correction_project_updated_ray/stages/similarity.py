@@ -40,8 +40,10 @@ class BatchTopK:
         sims = (M @ self.q) / norms
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         if len(sims) > self.k:
-            part = np.argpartition(-sims, self.k)[:self.k]
-            sims, ids = sims[part], ids[part]
+            # prune with the FULL ordering (sim desc, id asc) so block-level
+            # cuts never violate the documented deterministic tie-break
+            order = np.lexsort((ids, -sims))[:self.k]
+            sims, ids = sims[order], ids[order]
         return pa.table({self.id_col: pa.array(ids),
                          "cosine_sim": pa.array(sims)})
 

@@ -37,7 +37,7 @@ def _detect_gaps(t, v, **kw):
 
 
 def _correct_gaps(t, v, idx, **kw):
-    return K.correct_gaps(t, v, idx)
+    return K.correct_gaps(t, v, idx, kw.get("method", "linear"))
 
 
 def _detect_outliers(t, v, **kw):
@@ -97,7 +97,7 @@ def default_steps(config: dict | None = None) -> list[CorrectionStep]:
     w, thr = cfg["window_size"], cfg["threshold"]
     return [
         make_step("gaps", {"threshold_factor": cfg["gap_threshold_factor"]},
-                  resort_time=True),
+                  {"method": cfg["gap_method"]}, resort_time=True),
         make_step("outliers", {"window_size": w, "threshold": thr},
                   {"window_size": w, "method": cfg["outlier_method"]}),
         make_step("jumps", {"window_size": w, "threshold": thr},

@@ -25,6 +25,7 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
 
 
 def quality_batch(batch: pa.Table) -> pa.Table:
+    from ..functions.rounding import round_half_away
     texts = batch["text"].to_pandas()
     f = T.quality_features(texts)
     return pa.table({
@@ -32,8 +33,8 @@ def quality_batch(batch: pa.Table) -> pa.Table:
         "n_chars": pa.array(f["n_chars"]),
         "n_words": pa.array(f["n_words"]),
         "n_punct": pa.array(f["n_punct"]),
-        "punct_ratio": pa.array(np.round(f["punct_ratio"], 6)),
-        "stop_ratio": pa.array(np.round(f["stop_ratio"], 6)),
+        "punct_ratio": pa.array(round_half_away(f["punct_ratio"], 6)),
+        "stop_ratio": pa.array(round_half_away(f["stop_ratio"], 6)),
     })
 
 

@@ -81,8 +81,10 @@ class SlidingMean:
         v = g[self.value_col].to_numpy(np.float64)
         csum = np.r_[0.0, np.cumsum(v)]
         lo = np.searchsorted(t, t - self.width_s * 1_000_000, side="left")
-        idx = np.arange(1, len(t) + 1)
-        means = (csum[idx] - csum[lo]) / (idx - lo)
+        # RANGE frames include ALL peer rows with the same ordering value,
+        # so the window's upper bound is the last tie, not the current row
+        hi = np.searchsorted(t, t, side="right")
+        means = (csum[hi] - csum[lo]) / (hi - lo)
         return pd.DataFrame({
             self.key_col: np.full(len(t), g[self.key_col].iloc[0]),
             self.id_col: g[self.id_col].to_numpy(),
@@ -141,9 +143,14 @@ def asof_join_events(events, right_type="purchase"):
     import pyarrow.compute as pc
 
     def _prep(batch: pa.Table, side: str) -> pa.Table:
-        # microseconds — exact tie semantics vs the epoch_us SQL oracle
-        t = (batch["ts"].to_pandas().astype("datetime64[ns]")
-             .astype("int64").to_numpy() // 1000)
+        # microseconds — exact tie semantics vs the epoch_us SQL oracle;
+        # numeric ts columns are epoch SECONDS (same dtype branch as every
+        # sibling operator), not nanoseconds
+        ts = batch["ts"].to_pandas()
+        if pd.api.types.is_datetime64_any_dtype(ts):
+            t = ts.astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+        else:
+            t = ts.to_numpy(np.int64) * 1_000_000
         out = pa.table({
             "user_id": batch["user_id"],
             "event_id": batch["event_id"],

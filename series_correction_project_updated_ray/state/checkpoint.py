@@ -36,6 +36,18 @@ def input_fingerprint(paths: list[str]) -> str:
     return f"{int(h) & 0xFFFFFFFFFFFFFFFF:016x}"
 
 
+def plan_fingerprint(paths: list[str], plan: str) -> str:
+    """Fingerprint of (input file set, execution plan parameters).
+
+    Resume validity requires BOTH to match: a manifest written under a
+    different partition count / key derivation / kernel config describes a
+    different output layout, so it must not satisfy the new run."""
+    h = pd.util.hash_array(
+        pd.Series([input_fingerprint(paths), plan], dtype=object)
+        .to_numpy()).sum()
+    return f"{int(h) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
 def manifest_path(out_root: str, part_id: int) -> str:
     return os.path.join(out_root, "_manifest", f"part-{part_id:05d}.json")
 

@@ -50,3 +50,28 @@ def test_asof_join_matches_self_at_equal_time():
                           "value": [5.0], "__side": "r"})
     out = AsofJoinGroup()(pd.concat([left, right], ignore_index=True))
     assert out["last_purchase_value"].iloc[0] == 5.0
+
+
+def test_sliding_mean_includes_tie_peers():
+    """RANGE frames include all rows with the same ordering value."""
+    t = pd.to_datetime([0, 100, 100, 200], unit="s")
+    out = SlidingMean(width_s=50)(_g(t, value=[1.0, 2.0, 4.0, 8.0]))
+    # at t=100 (both rows): window = both tied rows -> mean 3.0
+    np.testing.assert_allclose(out["sliding_mean"], [1.0, 3.0, 3.0, 8.0])
+
+
+def test_asof_numeric_seconds_ts(ray_session):
+    """Numeric (epoch-seconds) ts columns must not be read as nanoseconds."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.windows import (
+        asof_join_events)
+    df = pd.DataFrame({
+        "user_id": [1, 1], "event_id": [10, 11],
+        "ts": [1000, 1500],
+        "value": [0.0, 7.5],
+        "event_type": ["view", "purchase"],
+    })
+    out = asof_join_events(rd.from_pandas(df)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert np.isnan(out["last_purchase_value"].iloc[0])  # no FUTURE match
+    assert out["last_purchase_value"].iloc[1] == 7.5
