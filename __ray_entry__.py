@@ -197,19 +197,28 @@ def _q_corrected_sequences(sf_dir: str):
     ds = flagship_corrected(sf_dir, buckets_per_source=16)
 
     def _project(batch: pa.Table) -> pa.Table:
+        from series_correction_project_updated_ray.functions.rounding import (
+            round_half_away)
         corr = batch["corrected"].combine_chunks()
         tok = batch["tokens"].combine_chunks()
-        sums, tsums = [], []
         co, cv = np.asarray(corr.offsets), np.asarray(corr.values)
         to, tv = np.asarray(tok.offsets), np.asarray(tok.values, dtype=np.int64)
-        for i in range(len(batch)):
-            sums.append(round(float(cv[co[i]:co[i + 1]].sum()), 6))
-            tsums.append(int(tv[to[i]:to[i + 1]].sum()))
+
+        def seg_sums(offsets, values, dtype):
+            starts = offsets[:-1].astype(np.int64)
+            out = np.zeros(len(starts), dtype=dtype)
+            nonempty = offsets[1:] > offsets[:-1]
+            if nonempty.any():
+                out[nonempty] = np.add.reduceat(values, starts[nonempty])
+            return out
+
+        sums = round_half_away(seg_sums(co, cv, np.float64), 6)
+        tsums = seg_sums(to, tv, np.int64)
         return pa.table({
             "doc_id": batch["doc_id"],
             "n_tok": batch["n_tok"],
-            "token_sum": pa.array(tsums, pa.int64()),
-            "corrected_sum": pa.array(sums, pa.float64()),
+            "token_sum": pa.array(tsums),
+            "corrected_sum": pa.array(sums),
         })
 
     return ds.map_batches(_project, batch_format="pyarrow")
@@ -266,8 +275,13 @@ def _seatek_fixture_dir() -> str:
     from series_correction_project_updated_ray.sources.seatek import (
         write_seatek_fixture)
     d = "/tmp/graft_seatek_fixture"
-    if not glob.glob(os.path.join(d, "S*_Y*.txt")):
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)  # partial fixture from a crash
         write_seatek_fixture(d, series_ids=("26", "27"), n_years=3, rows=120)
+        with open(marker, "w") as f:
+            f.write("ok")
     return d
 
 
@@ -389,13 +403,12 @@ def _q_filter_pushdown(sf_dir: str):
     three needed columns leave storage."""
     import pyarrow.compute as pc
     import ray.data
-    ds = ray.data.read_parquet(
+    # the pyarrow filter expression is applied exactly per row during the
+    # scan in this Ray version — no residual predicate stage needed
+    return ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "user_id", "value"],
         filter=(pc.field("value") > 50.0))
-    return ds.map_batches(
-        lambda t: t.filter(pc.greater(t["value"], 50.0)),
-        batch_format="pyarrow")
 
 
 def _q_session_windows(sf_dir: str):
@@ -487,8 +500,12 @@ def _q_resumable_rollup(sf_dir: str):
     from series_correction_project_updated_ray.sources.sequences import (
         write_synthetic_sequences)
     src = "/tmp/graft_resumable_src"
-    if not os.path.isdir(src) or not os.listdir(src):
+    marker = os.path.join(src, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(src, ignore_errors=True)  # partial corpus from a crash
         write_synthetic_sequences(src, 2000, seed=17, rows_per_file=500)
+        with open(marker, "w") as f:
+            f.write("ok")
     out = "/tmp/graft_resumable_out"
     shutil.rmtree(out, ignore_errors=True)  # idempotent per invocation
     m = run_resumable(src, out, n_partitions=8, buckets_per_source=8,
@@ -722,7 +739,7 @@ WITH f AS (
   SELECT doc_id,
          length(text) AS n_chars,
          regexp_extract_all(lower(text), '[a-z]+') AS words,
-         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+         len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS n_punct
   FROM documents)
 SELECT doc_id, n_chars, len(words) AS n_words, n_punct,
        CASE WHEN n_chars > 0

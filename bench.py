@@ -85,9 +85,7 @@ def run_bench() -> dict:
     warm_files = sorted(_glob.glob(os.path.join(SYNTH_DIR, "*.parquet")))
     correct_and_rollup_local(warm_files, buckets_per_source=128,
                              step_seconds=1).count()
-    n_points = int(sum(
-        r["n_tok"] for r in rd.read_parquet(
-            SYNTH_DIR, columns=["n_tok"]).take_all()))
+    n_points = int(rd.read_parquet(SYNTH_DIR, columns=["n_tok"]).sum("n_tok"))
 
     # HEADLINE: zero-shuffle plan over the bucket-partitioned layout (the
     # 100 TB ingest layout).  Partitioning is pinned independent of

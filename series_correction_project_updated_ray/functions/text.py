@@ -70,7 +70,10 @@ def quality_features(texts: pd.Series) -> dict[str, np.ndarray]:
     n_chars = texts.str.len().fillna(0).to_numpy(np.int64)
     words = texts.str.lower().str.findall(re.compile(r"[a-z]+"))
     n_words = words.str.len().fillna(0).to_numpy(np.int64)
-    n_punct = texts.str.count(r"[^\w\s]").fillna(0).to_numpy(np.int64)
+    # explicit ASCII punctuation class: Python counts characters while
+    # RE2 (the DuckDB oracle) scans UTF-8 bytes, so a [^\w\s] class would
+    # diverge on any non-ASCII character — a closed ASCII set cannot
+    n_punct = texts.str.count(r"[!-/:-@\[-`{-~]").fillna(0).to_numpy(np.int64)
     stop = words.map(lambda ws: sum(w in STOPWORDS for w in ws)).to_numpy(np.int64)
     with np.errstate(divide="ignore", invalid="ignore"):
         punct_ratio = np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0)

@@ -98,6 +98,10 @@ def main():
     import __ray_entry__ as E
     qs, oracles = E.queries(), E.oracle_sql()
     n_ok = n_bad = 0
+    unknown = only - set(qs)
+    if unknown:
+        print(f"[FAIL] unknown query name(s): {sorted(unknown)}")
+        n_bad += len(unknown)
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -121,7 +125,10 @@ def main():
             traceback.print_exc()
             n_bad += 1
             continue
-        problems = compare(ray_df, sql_df)
+        try:
+            problems = compare(ray_df, sql_df)
+        except Exception as e:
+            problems = [f"compare raised: {type(e).__name__}: {e}"]
         if problems:
             n_bad += 1
             print(f"[MISMATCH] {name} ({dt:.1f}s): " + "; ".join(problems))
