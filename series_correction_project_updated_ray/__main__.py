@@ -1,0 +1,138 @@
+"""``ray job submit``-able CLI.
+
+    python -m series_correction_project_updated_ray <command> [...]
+
+Commands:
+
+* ``rollup`` — checkpointed flagship (sequences → correction → tiers),
+  resumable from per-partition manifests.
+* ``seatek-correct`` — the reference CLI surface
+  (/root/reference/scripts/series_correction_cli.py:9-64): --series,
+  --river-miles, --years, --dry-run over a Seatek raw directory.
+* ``skew-report`` — print the per-partition lineage/skew table of a
+  rollup output directory.
+
+Owns its Ray session (guarded init) — library code never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_rollup(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .pipelines.resumable import run_resumable
+    manifests = run_resumable(
+        args.input, args.output, n_partitions=args.n_partitions,
+        buckets_per_source=args.buckets_per_source,
+        step_seconds=args.step_seconds)
+    print(json.dumps({
+        "partitions_processed": int(len(manifests)),
+        "rows_in": int(manifests["rows_in"].sum()) if len(manifests) else 0,
+        "output": args.output,
+    }))
+    return 0
+
+
+def cmd_seatek_correct(args) -> int:
+    _ensure_ray(args.num_cpus)
+    import pandas as pd
+    from .pipelines.reports import write_csv_safely
+    from .pipelines.seatek_compat import batch_correct, summarize
+    from .sources.config import (enrich_with_river_mappings,
+                                 filter_series_by_river_miles)
+    from .sources.seatek import discover_files
+
+    series = None
+    if args.series != "all":
+        series = [args.series]
+    all_series = sorted({s for s, _, _ in discover_files(args.data_dir)})
+    cfg = enrich_with_river_mappings({}, args.river_mile_map)
+    wanted = [int(s) for s in (series or all_series) if s.isdigit()]
+    allowed = filter_series_by_river_miles(wanted, args.river_miles
+                                           if args.river_miles else "all", cfg)
+    keep = [str(s) for s in allowed] or (series or all_series)
+
+    y0, y1 = sorted(args.years) if args.years else (1, 99)
+    corrected = batch_correct(args.data_dir, series=keep,
+                              year_range=(y0 - 1994 if y0 > 1900 else y0,
+                                          y1 - 1994 if y1 > 1900 else y1))
+    corrected = corrected.materialize()
+    summary = summarize(corrected)
+    if args.dry_run:
+        print(summary.to_string(index=False))
+        return 0
+    import os
+    os.makedirs(args.output, exist_ok=True)
+    corrected.drop_columns(["status"]).write_parquet(
+        os.path.join(args.output, "corrected"))
+    write_csv_safely(summary, os.path.join(args.output, "summary.csv"),
+                     index=False)
+    print(summary.to_string(index=False))
+    return 0
+
+
+def cmd_skew_report(args) -> int:
+    from .state.checkpoint import skew_report
+    print(skew_report(args.output).to_string(index=False))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="series_correction_project_updated_ray")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pr = sub.add_parser("rollup", help="checkpointed flagship rollup")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--output", required=True)
+    pr.add_argument("--n-partitions", type=int, default=32)
+    pr.add_argument("--buckets-per-source", type=int, default=64)
+    pr.add_argument("--step-seconds", type=int, default=13090)
+    pr.add_argument("--num-cpus", type=int, default=None)
+    pr.set_defaults(fn=cmd_rollup)
+
+    ps = sub.add_parser("seatek-correct",
+                        help="reference-compatible batch correction")
+    ps.add_argument("--data-dir", required=True)
+    ps.add_argument("--output", default="./seatek_out")
+    ps.add_argument("--series", default="all")
+    ps.add_argument("--river-miles", nargs=2, type=float, default=None)
+    ps.add_argument("--river-mile-map", default=None)
+    ps.add_argument("--years", nargs=2, type=int, default=None)
+    ps.add_argument("--dry-run", action="store_true")
+    ps.add_argument("--num-cpus", type=int, default=None)
+    ps.set_defaults(fn=cmd_seatek_correct)
+
+    pk = sub.add_parser("skew-report", help="per-partition lineage table")
+    pk.add_argument("--output", required=True)
+    pk.set_defaults(fn=cmd_skew_report)
+
+    args = p.parse_args(argv)
+    try:
+        return args.fn(args)
+    finally:
+        try:
+            import ray
+            if ray.is_initialized():
+                ray.shutdown()
+        except Exception:
+            pass
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,61 @@
+"""CLI surface tests (subprocess — each command owns its Ray session)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*argv):
+    env = dict(os.environ, PYTHONPATH=REPO)
+    return subprocess.run(
+        [sys.executable, "-m", "series_correction_project_updated_ray", *argv],
+        env=env, capture_output=True, text=True, cwd="/tmp")
+
+
+@pytest.fixture(scope="module")
+def cli_dirs(tmp_path_factory):
+    from series_correction_project_updated_ray.sources.seatek import (
+        write_seatek_fixture)
+    from series_correction_project_updated_ray.sources.sequences import (
+        write_synthetic_sequences)
+    root = tmp_path_factory.mktemp("cli")
+    write_seatek_fixture(str(root / "seatek"), n_years=2, rows=40)
+    write_synthetic_sequences(str(root / "seqs"), 600, seed=5,
+                              rows_per_file=200)
+    return root
+
+
+def test_cli_seatek_dry_run(cli_dirs):
+    r = _run("seatek-correct", "--data-dir", str(cli_dirs / "seatek"),
+             "--dry-run", "--num-cpus", "4")
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "Year_1995 (Y01)_Data.xlsx" in r.stdout
+    assert "Processed" in r.stdout
+
+
+def test_cli_rollup_and_skew_report(cli_dirs):
+    out = str(cli_dirs / "out")
+    r = _run("rollup", "--input", str(cli_dirs / "seqs"), "--output", out,
+             "--n-partitions", "4", "--step-seconds", "1", "--num-cpus", "4")
+    assert r.returncode == 0, r.stderr[-500:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["partitions_processed"] == 4
+    assert payload["rows_in"] == 600
+    # resume: immediate rerun is a committed no-op
+    r2 = _run("rollup", "--input", str(cli_dirs / "seqs"), "--output", out,
+              "--n-partitions", "4", "--step-seconds", "1", "--num-cpus", "4")
+    assert json.loads(r2.stdout.strip().splitlines()[-1])[
+        "partitions_processed"] == 0
+    r3 = _run("skew-report", "--output", out)
+    assert r3.returncode == 0
+    assert "rows_per_s" in r3.stdout
+
+
+def test_cli_unknown_command():
+    r = _run("definitely-not-a-command")
+    assert r.returncode != 0
