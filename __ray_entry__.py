@@ -514,6 +514,15 @@ def _q_resumable_rollup(sf_dir: str):
         .sort_values("part_id").reset_index(drop=True)
 
 
+def _q_approx_distinct(sf_dir: str):
+    """HyperLogLog per-type distinct users (mergeable-sketch scale path;
+    rows-only — approximate by design, accuracy asserted in tests)."""
+    from series_correction_project_updated_ray.stages.sketches import (
+        approx_distinct)
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return approx_distinct(ev, "event_type", "user_id")
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal actor-pool stage over the deterministic fake media corpus
     (decode stubbed — libraries absent; plumbing real).  Returns scalar
@@ -602,6 +611,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         # per-file stats summary (A7) — rows-only
         "seatek_file_stats": _q_seatek_file_stats,
+        # mergeable HLL sketch — rows-only (approximate by design)
+        "approx_distinct_users": _q_approx_distinct,
     }
 
 
