@@ -143,6 +143,86 @@ class VerifyJaccard:
         return out[out["jaccard"] >= self.threshold]
 
 
+def connected_components_distributed(pairs, *, max_rounds: int = 16,
+                                     n_blocks: int = 8):
+    """Min-label propagation over a verified-pair Dataset — the scale path
+    when the candidate-pair set itself exceeds driver memory.
+
+    Each round: propagate the current min-label across edges plus one
+    pointer-jumping step, stop when no label changes.  Rounds needed =
+    O(log(diameter)); every round is a bounded number of groupby shuffles
+    of (node, label) pairs.  ``n_blocks`` pins the label dataset's block
+    count between rounds — without it every union+aggregate accumulates
+    blocks and round latency grows without bound (size n_blocks so one
+    block of (int64, int64) pairs is ~100 MB at real scale).  Returns
+    pandas (doc_id, cluster_id) like the driver version.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min as AggMin
+
+    edges = pairs.map_batches(
+        lambda t: pa.table({
+            "src": pa.concat_arrays([t["id_a"].combine_chunks(),
+                                     t["id_b"].combine_chunks()]),
+            "dst": pa.concat_arrays([t["id_b"].combine_chunks(),
+                                     t["id_a"].combine_chunks()]),
+        }), batch_format="pyarrow").repartition(n_blocks).materialize()
+    # labels: node -> current min label (init: own id)
+    labels = edges.map_batches(
+        lambda t: pa.table({"node": t["src"], "label": t["src"]}),
+        batch_format="pyarrow").groupby("node").aggregate(
+        AggMin("label", alias_name="label")) \
+        .repartition(n_blocks).materialize()
+
+    from .joins import hash_join
+
+    def _pairs(name_a, name_b):
+        # cast back to int64 every round: the join's null padding round-trips
+        # through pandas, which would otherwise float-ify the key column and
+        # break hash matching against the int64 edge endpoints
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t[name_a].combine_chunks().cast(pa.int64()),
+                "label": t[name_b].combine_chunks().cast(pa.int64())})
+        return fn
+
+    prev_sum = int(labels.sum("label"))
+    for _ in range(max_rounds):
+        # (1) edge propagation: edge (src,dst) carries src's label to dst
+        carried = hash_join(edges, labels, "src", "node", how="inner",
+                            n_buckets=16).map_batches(
+            _pairs("dst", "label"), batch_format="pyarrow")
+        new_labels = carried.union(labels).groupby("node").aggregate(
+            AggMin("label", alias_name="label")) \
+            .repartition(n_blocks).materialize()
+        # (2) pointer jumping: label[x] <- label[label[x]] — halves the
+        # effective path length each round, so convergence is O(log D)
+        # instead of O(D) hops for chain-shaped components
+        jumped = hash_join(
+            new_labels.map_batches(_pairs("node", "label"),
+                                   batch_format="pyarrow"),
+            new_labels, "label", "node", how="inner", n_buckets=16,
+            suffixes=("_x", "_y")).map_batches(
+            lambda t: pa.table({
+                "node": t["node_x"].combine_chunks().cast(pa.int64()),
+                "label": t["label_y"].combine_chunks().cast(pa.int64())}),
+            batch_format="pyarrow")
+        new_labels = jumped.union(new_labels).groupby("node").aggregate(
+            AggMin("label", alias_name="label")) \
+            .repartition(n_blocks).materialize()
+        # labels are monotonically nonincreasing: an unchanged total sum
+        # means a fixed point
+        new_sum = int(new_labels.sum("label"))
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    out = labels.to_pandas().rename(columns={"node": "doc_id",
+                                             "label": "cluster_id"})
+    out = out.astype({"doc_id": np.int64, "cluster_id": np.int64})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def connected_components(pairs_df: pd.DataFrame) -> pd.DataFrame:
     """Union-find over verified pairs → (doc_id, cluster_id=min member)."""
     parent: dict = {}

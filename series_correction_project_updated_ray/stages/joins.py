@@ -75,7 +75,7 @@ class BucketJoin:
         self.how = how
         self.__name__ = type(self).__name__
 
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, g: pd.DataFrame) -> pa.Table:
         left = g.loc[g["__side"] == "l", self.l_cols]
         right = g.loc[g["__side"] == "r", self.r_cols]
         # SQL equi-join semantics: NULL keys never match (pandas merge would
@@ -85,11 +85,17 @@ class BucketJoin:
         if self.how == "inner":
             left = left[left[self.left_key].notna()]
         if (len(left) == 0 or len(right) == 0) and self.how == "inner":
-            return pd.DataFrame(
+            merged = pd.DataFrame(
                 {c: pd.Series([], dtype=g[c].dtype)
                  for c in dict.fromkeys(self.l_cols + self.r_cols)})
-        return left.merge(right, left_on=self.left_key,
-                          right_on=self.right_key, how=self.how)
+        else:
+            merged = left.merge(right, left_on=self.left_key,
+                                right_on=self.right_key, how=self.how)
+        # emit Arrow: Ray passes EMPTY blocks through downstream
+        # map_batches unconverted, so a pandas return here would leak
+        # pandas blocks into arrow-block consumers (observed: aggregate
+        # sample_boundaries asserting on mixed block types)
+        return pa.Table.from_pandas(merged, preserve_index=False)
 
 
 def _rename_stage(ds, mapping: dict[str, str]):

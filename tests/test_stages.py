@@ -196,3 +196,24 @@ def test_queries_have_oracles_subset(ray_session):
     qs, os_ = E.queries(), E.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(os_) >= 12
+
+
+def test_connected_components_distributed_matches_driver(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.dedup import (
+        connected_components, connected_components_distributed)
+    rng = np.random.default_rng(12)
+    # random graph over 60 nodes: chains + a few cross links
+    edges = set()
+    for _ in range(80):
+        a, b = sorted(rng.integers(0, 60, 2).tolist())
+        if a != b:
+            edges.add((a, b))
+    pairs_df = pd.DataFrame(sorted(edges), columns=["id_a", "id_b"])
+    want = connected_components(pairs_df)
+    got = connected_components_distributed(rd.from_pandas(pairs_df))
+    merged = want.merge(got, on="doc_id", suffixes=("_drv", "_dist"))
+    assert len(merged) == len(want)
+    # identical partitions: min-member label on both sides
+    np.testing.assert_array_equal(merged["cluster_id_drv"],
+                                  merged["cluster_id_dist"])
