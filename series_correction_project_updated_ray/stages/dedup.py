@@ -167,6 +167,9 @@ def connected_components_distributed(pairs, *, max_rounds: int = 16,
             "dst": pa.concat_arrays([t["id_b"].combine_chunks(),
                                      t["id_a"].combine_chunks()]),
         }), batch_format="pyarrow").repartition(n_blocks).materialize()
+    if edges.count() == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "cluster_id": pd.Series([], dtype=np.int64)})
     # labels: node -> current min label (init: own id)
     labels = edges.map_batches(
         lambda t: pa.table({"node": t["src"], "label": t["src"]}),
@@ -243,9 +246,16 @@ def connected_components(pairs_df: pd.DataFrame) -> pd.DataFrame:
 
 
 def minhash_lsh_dedup(docs, *, text_col="text", id_col="doc_id",
-                      num_perm=128, bands=16, ngram=5, threshold=0.8):
+                      num_perm=128, bands=16, ngram=5, threshold=0.8,
+                      distributed_cc: bool = False):
     """Full near-dup pipeline → pandas (doc_id, cluster_id) for docs that
-    belong to a near-duplicate cluster (singletons omitted)."""
+    belong to a near-duplicate cluster (singletons omitted).
+
+    ``distributed_cc=True`` runs the final labeling as log-round min-label
+    propagation over the pair Dataset (the 100 TB path, where even the
+    verified-pair set exceeds driver memory); the default driver-side
+    union-find is faster whenever the pairs fit, and both paths are
+    equivalence-tested."""
     import ray
     bands_ds = docs.map_batches(
         MinHashBands(text_col, id_col, num_perm, bands, ngram),
@@ -257,6 +267,10 @@ def minhash_lsh_dedup(docs, *, text_col="text", id_col="doc_id",
     verified = cands.map_batches(
         VerifyJaccard, batch_format="pandas", concurrency=2,
         fn_constructor_args=(texts_ref, ngram, threshold))
+    if distributed_cc:
+        return connected_components_distributed(
+            verified.map_batches(
+                lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"))
     vdf = verified.to_pandas()
     return connected_components(vdf)
 

@@ -130,6 +130,11 @@ def test_minhash_lsh_finds_near_duplicates(ray_session):
     clusters = minhash_lsh_dedup(rd.from_pandas(df), threshold=0.7)
     assert set(clusters["doc_id"]) == {10, 11}
     assert clusters["cluster_id"].nunique() == 1
+    # the scale path (log-round label propagation) labels identically
+    dist = minhash_lsh_dedup(rd.from_pandas(df), threshold=0.7,
+                             distributed_cc=True)
+    pd.testing.assert_frame_equal(clusters.reset_index(drop=True),
+                                  dist.reset_index(drop=True))
 
 
 def test_knn_brute_force_matches_full_numpy(sf_dir):
