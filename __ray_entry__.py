@@ -546,6 +546,33 @@ def _q_media_features(sf_dir: str):
     return feats.map_batches(_proj, batch_format="pyarrow")
 
 
+PRICING_CUTOFF = "1998-09-02"
+
+
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style exact-arithmetic pricing summary (scaled-int sums;
+    shipdate predicate pushed into the parquet scan)."""
+    import pyarrow.compute as pc
+    import ray.data
+    from series_correction_project_updated_ray.stages.relational import (
+        pricing_summary)
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+        filter=(pc.field("l_shipdate") <=
+                pc.scalar(np.datetime64(PRICING_CUTOFF, "us"))))
+    return pricing_summary(li)
+
+
+def _q_revenue_summary(sf_dir: str):
+    from series_correction_project_updated_ray.stages.relational import (
+        revenue_summary)
+    li = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice", "l_discount"])
+    return revenue_summary(li)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # continuous aggregates (north rule) — oracle-checked
@@ -613,6 +640,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seatek_file_stats": _q_seatek_file_stats,
         # mergeable HLL sketch — rows-only (approximate by design)
         "approx_distinct_users": _q_approx_distinct,
+        # exact-arithmetic pricing aggregates (TPC-H Q1/Q6 style) —
+        # oracle-checked bit-exact via scaled-int sums
+        "pricing_summary": _q_pricing_summary,
+        "revenue_summary": _q_revenue_summary,
     }
 
 
@@ -865,5 +896,37 @@ FROM embeddings e, q
 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC,
          e.vec_id ASC
 LIMIT 10
+""",
+        # bit-exact via identical scaled-int sums and identical final
+        # divisions on both engines (see stages/relational.pricing_summary)
+        "pricing_summary": f"""
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity*100) AS BIGINT)       AS q100,
+         CAST(round(l_extendedprice*100) AS BIGINT)  AS p100,
+         CAST(round(l_discount*100) AS BIGINT)       AS d100,
+         CAST(round(l_tax*100) AS BIGINT)            AS t100
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF} 00:00:00')
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(q100) AS DOUBLE) / 100.0                    AS sum_qty,
+       CAST(SUM(p100) AS DOUBLE) / 100.0                    AS sum_base_price,
+       CAST(SUM(p100*(100-d100)) AS DOUBLE) / 10000.0       AS sum_disc_price,
+       CAST(SUM(p100*(100-d100)*(100+t100)) AS DOUBLE) / 1000000.0
+                                                            AS sum_charge,
+       CAST(SUM(q100) AS DOUBLE) / (100.0*COUNT(*))         AS avg_qty,
+       CAST(SUM(p100) AS DOUBLE) / (100.0*COUNT(*))         AS avg_price,
+       CAST(SUM(d100) AS DOUBLE) / (100.0*COUNT(*))         AS avg_disc,
+       COUNT(*)                                             AS count_order
+FROM s GROUP BY 1, 2
+""",
+        "revenue_summary": """
+WITH s AS (
+  SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS p100,
+         CAST(round(l_discount*100) AS BIGINT)      AS d100,
+         CAST(round(l_quantity*100) AS BIGINT)      AS q100
+  FROM lineitem)
+SELECT CAST(SUM(p100*d100) AS DOUBLE) / 10000.0 AS revenue
+FROM s WHERE d100 BETWEEN 5 AND 7 AND q100 < 2400
 """,
     }

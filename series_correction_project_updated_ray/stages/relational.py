@@ -90,3 +90,99 @@ def broadcast_enrich(ds, small_df: pd.DataFrame, key_col: str,
 def sanitize_dataset(ds):
     """Formula-injection sanitizer stage in front of any text export sink."""
     return ds.map_batches(sanitize_batch, batch_format="pyarrow")
+
+
+# --- exact-arithmetic pricing aggregates (TPC-H Q1/Q6 style) ---------------
+
+def _scaled_cents(col, factor: int = 100) -> np.ndarray:
+    """Exact int64 of a 2dp-decimal-valued float column (price → cents).
+
+    The inputs are decimals stored as doubles, so x*100 lands within 1 ulp
+    of an integer and never exactly on .5 — rint (half-even) and the
+    oracle's round (half-away) agree, making the scaled representation
+    identical on both sides and every downstream sum exact.
+    """
+    v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+    return np.rint(v * factor).astype(np.int64)
+
+
+def _pricing_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner for pricing_summary: ≤ |flag×status| (~6) rows of
+    exact integer partial sums leave each block, so the one global shuffle
+    moves a few hundred bytes per block regardless of block size."""
+    q100 = _scaled_cents(batch["l_quantity"])
+    p100 = _scaled_cents(batch["l_extendedprice"])
+    d100 = _scaled_cents(batch["l_discount"])
+    t100 = _scaled_cents(batch["l_tax"])
+    disc1e4 = p100 * (100 - d100)
+    charge1e6 = disc1e4 * (100 + t100)
+    df = pd.DataFrame({
+        "l_returnflag": batch["l_returnflag"].to_pandas(),
+        "l_linestatus": batch["l_linestatus"].to_pandas(),
+        "q100": q100, "p100": p100, "d100": d100,
+        "disc1e4": disc1e4, "charge1e6": charge1e6,
+        "n": np.ones(len(q100), dtype=np.int64),
+    })
+    part = df.groupby(["l_returnflag", "l_linestatus"], as_index=False,
+                      sort=False).sum()
+    return pa.Table.from_pandas(part, preserve_index=False)
+
+
+def pricing_summary(lineitem):
+    """TPC-H-Q1-style pricing summary, exact to the bit against SQL.
+
+    All money/quantity/rate columns are 2dp decimals; scaling to int64
+    (cents, basis points) makes every sum exact integer arithmetic — the
+    float division back to decimal happens once per GROUP on identical
+    integers on both engines, so even the avg_* columns compare with
+    atol=0.  Partial aggregation inside map_batches keeps the global
+    groupby tiny (≤6 rows per block)."""
+    from ray.data.aggregate import Sum
+    partials = lineitem.map_batches(_pricing_partial, batch_format="pyarrow")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("q100", alias_name="q100"), Sum("p100", alias_name="p100"),
+        Sum("d100", alias_name="d100"), Sum("disc1e4", alias_name="disc1e4"),
+        Sum("charge1e6", alias_name="charge1e6"), Sum("n", alias_name="n"))
+
+    def _finalize(t: pa.Table) -> pa.Table:
+        q100 = t["q100"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p100 = t["p100"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d100 = t["d100"].to_numpy(zero_copy_only=False).astype(np.int64)
+        disc = t["disc1e4"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chg = t["charge1e6"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pa.array(q100 / 100.0),
+            "sum_base_price": pa.array(p100 / 100.0),
+            "sum_disc_price": pa.array(disc / 10000.0),
+            "sum_charge": pa.array(chg / 1000000.0),
+            "avg_qty": pa.array(q100 / (100.0 * n)),
+            "avg_price": pa.array(p100 / (100.0 * n)),
+            "avg_disc": pa.array(d100 / (100.0 * n)),
+            "count_order": pa.array(n),
+        })
+
+    return agg.map_batches(_finalize, batch_format="pyarrow")
+
+
+def revenue_summary(lineitem, disc_lo: int = 5, disc_hi: int = 7,
+                    qty_below: int = 24):
+    """TPC-H-Q6-style revenue: sum(extendedprice*discount) over a
+    discount-band/quantity filter — one row out, zero shuffles (per-batch
+    partial sums → a single global Sum).  Predicates evaluate on the
+    scaled-int representation so the oracle can mirror them exactly."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        q100 = _scaled_cents(batch["l_quantity"])
+        p100 = _scaled_cents(batch["l_extendedprice"])
+        d100 = _scaled_cents(batch["l_discount"])
+        keep = (d100 >= disc_lo) & (d100 <= disc_hi) & (q100 < qty_below * 100)
+        return pa.table({"rev1e4": pa.array([int((p100[keep] *
+                                                  d100[keep]).sum())])})
+
+    total = lineitem.map_batches(_partial, batch_format="pyarrow") \
+        .sum("rev1e4")
+    return pd.DataFrame({"revenue": [total / 10000.0]})

@@ -222,3 +222,44 @@ def test_connected_components_distributed_matches_driver(ray_session):
     # identical partitions: min-member label on both sides
     np.testing.assert_array_equal(merged["cluster_id_drv"],
                                   merged["cluster_id_dist"])
+
+
+def test_pricing_summary_exact_arithmetic(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        pricing_summary, revenue_summary)
+    rng = np.random.default_rng(7)
+    n = 1000
+    df = pd.DataFrame({
+        "l_returnflag": rng.choice(["A", "N", "R"], n),
+        "l_linestatus": rng.choice(["F", "O"], n),
+        "l_quantity": rng.integers(1, 51, n).astype(float),
+        "l_extendedprice": np.round(rng.uniform(900, 105000, n), 2),
+        "l_discount": np.round(rng.integers(0, 11, n) / 100.0, 2),
+        "l_tax": np.round(rng.integers(0, 9, n) / 100.0, 2),
+    })
+    out = pricing_summary(rd.from_pandas(df)).to_pandas() \
+        .sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    # exact integer reference computed driver-side
+    p100 = np.rint(df["l_extendedprice"] * 100).astype(np.int64)
+    d100 = np.rint(df["l_discount"] * 100).astype(np.int64)
+    t100 = np.rint(df["l_tax"] * 100).astype(np.int64)
+    ref = df.assign(q100=np.rint(df["l_quantity"] * 100).astype(np.int64),
+                    p100=p100, d100=d100,
+                    disc=p100 * (100 - d100),
+                    chg=p100 * (100 - d100) * (100 + t100)) \
+        .groupby(["l_returnflag", "l_linestatus"], as_index=False) \
+        .agg(q100=("q100", "sum"), p100=("p100", "sum"),
+             disc=("disc", "sum"), chg=("chg", "sum"),
+             n=("q100", "size"))
+    np.testing.assert_array_equal(out["sum_qty"], ref["q100"] / 100.0)
+    np.testing.assert_array_equal(out["sum_disc_price"], ref["disc"] / 1e4)
+    np.testing.assert_array_equal(out["sum_charge"], ref["chg"] / 1e6)
+    np.testing.assert_array_equal(out["count_order"], ref["n"])
+    np.testing.assert_array_equal(out["avg_price"],
+                                  ref["p100"] / (100.0 * ref["n"]))
+    # Q6-style revenue on the same frame
+    rev = revenue_summary(rd.from_pandas(df))
+    keep = (d100 >= 5) & (d100 <= 7) & (df["l_quantity"] < 24)
+    want = (p100[keep] * d100[keep]).sum() / 1e4
+    assert rev["revenue"].iloc[0] == want
