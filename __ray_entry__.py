@@ -565,6 +565,30 @@ def _q_pricing_summary(sf_dir: str):
     return pricing_summary(li)
 
 
+Q3_CUTOFF = "1998-06-01"
+
+
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-shaped segment revenue top-10 (broadcast semi + one hash
+    join + partial agg + distributed top-k); date predicates pushed into
+    both parquet scans."""
+    import pyarrow.compute as pc
+    import ray.data
+    from series_correction_project_updated_ray.stages.relational import (
+        shipping_priority)
+    cutoff = pc.scalar(np.datetime64(Q3_CUTOFF, "us"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=(pc.field("o_orderdate") < cutoff))
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") > cutoff))
+    return shipping_priority(cust, orders, li, segment="BUILDING", k=10)
+
+
 def _q_revenue_summary(sf_dir: str):
     from series_correction_project_updated_ray.stages.relational import (
         revenue_summary)
@@ -644,6 +668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-checked bit-exact via scaled-int sums
         "pricing_summary": _q_pricing_summary,
         "revenue_summary": _q_revenue_summary,
+        "shipping_priority": _q_shipping_priority,
     }
 
 
@@ -928,5 +953,23 @@ WITH s AS (
   FROM lineitem)
 SELECT CAST(SUM(p100*d100) AS DOUBLE) / 10000.0 AS revenue
 FROM s WHERE d100 BETWEEN 5 AND 7 AND q100 < 2400
+""",
+        "shipping_priority": f"""
+WITH s AS (
+  SELECT l.l_orderkey,
+         CAST(round(l.l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount*100) AS BIGINT)) AS rev,
+         o.o_orderdate, o.o_orderpriority
+  FROM customer c
+  JOIN orders o   ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+    AND l.l_shipdate  > TIMESTAMP '{Q3_CUTOFF} 00:00:00')
+SELECT l_orderkey, CAST(SUM(rev) AS DOUBLE) / 10000.0 AS revenue,
+       o_orderdate, o_orderpriority
+FROM s GROUP BY 1, 3, 4
+ORDER BY SUM(rev) DESC, o_orderdate, l_orderkey
+LIMIT 10
 """,
     }

@@ -186,3 +186,72 @@ def revenue_summary(lineitem, disc_lo: int = 5, disc_hi: int = 7,
     total = lineitem.map_batches(_partial, batch_format="pyarrow") \
         .sum("rev1e4")
     return pd.DataFrame({"revenue": [total / 10000.0]})
+
+
+def topk_by(ds, sort_cols: list[str], descending: list[bool], k: int):
+    """Distributed top-k without a global sort: each block reduces to its
+    own top-k (vectorized lexsort), survivors (≤ k×blocks rows) collapse
+    into one block for the final exact top-k.  The all-to-all a global
+    sort would need never happens."""
+
+    def _local(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keys = [(c, "descending" if d else "ascending")
+                for c, d in zip(sort_cols, descending)]
+        idx = pc.sort_indices(t, sort_keys=keys)[:k]
+        return t.take(idx)
+
+    return ds.map_batches(_local, batch_format="pyarrow") \
+        .repartition(1).map_batches(_local, batch_format="pyarrow")
+
+
+def shipping_priority(customer, orders, lineitem, *, segment: str = "BUILDING",
+                      k: int = 10):
+    """TPC-H-Q3-shaped: revenue per unshipped order for one market segment,
+    top-k by revenue.
+
+    Plan (scale-idiomatic): the segment's customer keys broadcast-semi-filter
+    orders (no shuffle; a Bloom filter of the key set at real scale), the
+    filtered orders hash-join lineitem on orderkey (the ONE shuffle),
+    revenue partials combine per batch on the already-co-located orderkey,
+    and top-k is per-block partial → single-block final (no global sort).
+    Revenue is exact scaled-int arithmetic (see pricing_summary).
+    Date predicates are expected to be pushed into the scans by the caller.
+    """
+    from ray.data.aggregate import Sum
+    from .joins import hash_join, semi_join
+
+    seg_keys = customer.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["c_mktsegment"], segment)),
+        batch_format="pyarrow")
+    orders_f = semi_join(orders, seg_keys, "o_custkey", right_key="c_custkey")
+    j = hash_join(lineitem, orders_f, "l_orderkey", "o_orderkey",
+                  how="inner", n_buckets=16)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        p100 = _scaled_cents(t["l_extendedprice"])
+        d100 = _scaled_cents(t["l_discount"])
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "o_orderdate": t["o_orderdate"].to_pandas(),
+            "o_orderpriority": t["o_orderpriority"].to_pandas(),
+            "rev1e4": p100 * (100 - d100),
+        })
+        part = df.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"],
+                          as_index=False, sort=False)["rev1e4"].sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    agg = j.map_batches(_partial, batch_format="pyarrow") \
+        .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .aggregate(Sum("rev1e4", alias_name="rev1e4"))
+    top = topk_by(agg, ["rev1e4", "o_orderdate", "l_orderkey"],
+                  [True, False, False], k)
+    return top.map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "revenue": pa.array(
+                t["rev1e4"].to_numpy(zero_copy_only=False).astype(np.int64)
+                / 10000.0),
+            "o_orderdate": t["o_orderdate"],
+            "o_orderpriority": t["o_orderpriority"],
+        }), batch_format="pyarrow")

@@ -263,3 +263,16 @@ def test_pricing_summary_exact_arithmetic(ray_session):
     keep = (d100 >= 5) & (d100 <= 7) & (df["l_quantity"] < 24)
     want = (p100[keep] * d100[keep]).sum() / 1e4
     assert rev["revenue"].iloc[0] == want
+
+
+def test_topk_by_matches_full_sort(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import topk_by
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"a": rng.integers(0, 40, 500),
+                       "b": rng.integers(0, 1000, 500)})
+    got = topk_by(rd.from_pandas(df).repartition(8), ["a", "b"],
+                  [True, False], 7).to_pandas()
+    want = df.sort_values(["a", "b"], ascending=[False, True]).head(7) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
