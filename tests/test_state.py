@@ -182,3 +182,61 @@ def test_skew_report(ray_session, synth_input, tmp_path):
     assert len(rep) == 4
     assert rep["rows_in"].sum() == 2000
     assert (rep["rows_per_s"] > 0).all()
+
+
+def test_sigkill_resume_converges(ray_session, tmp_path):
+    """TRUE kill test: SIGKILL a subprocess driver mid-run, resume, and the
+    final output must equal a clean never-killed run bit for bit.  Robust
+    to timing: if the kill lands after commit the resume is a no-op and the
+    comparison still gates correctness."""
+    import glob as _glob
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import pyarrow.parquet as pq
+
+    from series_correction_project_updated_ray.pipelines.resumable import (
+        run_resumable)
+    from series_correction_project_updated_ray.sources.sequences import (
+        write_synthetic_sequences)
+
+    inp = str(tmp_path / "seqs")
+    write_synthetic_sequences(inp, 12000, seed=13, rows_per_file=750)
+    out_clean, out_kill = str(tmp_path / "clean"), str(tmp_path / "kill")
+
+    run_resumable(inp, out_clean, n_partitions=16, buckets_per_source=16,
+                  step_seconds=1)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "series_correction_project_updated_ray", "rollup",
+         "--input", inp, "--output", out_kill, "--n-partitions", "16",
+         "--buckets-per-source", "16", "--step-seconds", "1",
+         "--num-cpus", "4"],
+        env=env, cwd="/tmp", stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL)
+    deadline = time.time() + 180
+    while time.time() < deadline and proc.poll() is None:
+        if len(_glob.glob(os.path.join(out_kill, "_manifest", "*.json"))) >= 3:
+            break
+        time.sleep(0.05)
+    killed_midway = proc.poll() is None
+    if killed_midway:
+        os.kill(proc.pid, signal.SIGKILL)
+    proc.wait()
+
+    done_before = len(CP.load_manifests(out_kill))
+    m = run_resumable(inp, out_kill, n_partitions=16, buckets_per_source=16,
+                      step_seconds=1)
+    if killed_midway and done_before < 16:
+        assert len(m) == 16 - done_before  # only the unfinished partitions ran
+    assert os.path.exists(os.path.join(out_kill, "_COMMIT"))
+    for tier in ("1m", "1h", "1d"):
+        a = pq.read_table(os.path.join(out_clean, f"tier={tier}")).to_pandas() \
+            .sort_values(["series_key", "window_start"]).reset_index(drop=True)
+        b = pq.read_table(os.path.join(out_kill, f"tier={tier}")).to_pandas() \
+            .sort_values(["series_key", "window_start"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
