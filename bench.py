@@ -107,6 +107,18 @@ def run_bench() -> dict:
                        buckets_per_source=128, step_seconds=1).count()
     timings["rollup_sequences_shuffle"] = round(time.time() - t0, 3)
 
+    # headline plan consumed by a real parquet SINK (one file per block
+    # under /tmp) — end-to-end including serialization + disk, the shape a
+    # production run has; kept separate so the headline metric stays
+    # comparable across rounds
+    import shutil
+    sink_dir = "/tmp/graft_bench_rollup_out"
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    t0 = time.time()
+    correct_and_rollup_local(SYNTH_DIR, buckets_per_source=128,
+                             step_seconds=1).write_parquet(sink_dir)
+    timings["rollup_write_parquet"] = round(time.time() - t0, 3)
+
     t0 = time.time()
     ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
                          columns=["event_type", "ts", "value"])
