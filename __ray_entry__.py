@@ -565,6 +565,33 @@ def _q_pricing_summary(sf_dir: str):
     return pricing_summary(li)
 
 
+EVENT_TYPES = ["click", "view", "signup", "purchase", "error"]
+
+
+def _q_grouped_quantiles(sf_dir: str):
+    from series_correction_project_updated_ray.stages.rollup import (
+        grouped_quantiles)
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantiles(ev)
+
+
+def _q_topn_per_user(sf_dir: str):
+    """ROW_NUMBER() window shape: top-3 events per user by value (event_id
+    tiebreak makes the ranking a total order)."""
+    from series_correction_project_updated_ray.stages.windows import (
+        topn_per_group)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+    return topn_per_group(ev, "user_id", ["value", "event_id"],
+                          [True, False], 3)
+
+
+def _q_pivot_user_event_type(sf_dir: str):
+    from series_correction_project_updated_ray.stages.relational import (
+        pivot_sum_exact)
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    return pivot_sum_exact(ev, "user_id", "event_type", "value", EVENT_TYPES)
+
+
 Q3_CUTOFF = "1998-06-01"
 
 
@@ -669,6 +696,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "revenue_summary": _q_revenue_summary,
         "shipping_priority": _q_shipping_priority,
+        # window-function / quantile / pivot shapes — oracle-checked
+        "grouped_quantiles": _q_grouped_quantiles,
+        "topn_per_user": _q_topn_per_user,
+        "pivot_user_event_type": _q_pivot_user_event_type,
     }
 
 
@@ -971,5 +1002,40 @@ SELECT l_orderkey, CAST(SUM(rev) AS DOUBLE) / 10000.0 AS revenue,
 FROM s GROUP BY 1, 3, 4
 ORDER BY SUM(rev) DESC, o_orderdate, l_orderkey
 LIMIT 10
+""",
+        "grouped_quantiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6)  AS p50,
+       round(quantile_cont(value, 0.9), 6)  AS p90,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1
+""",
+        "topn_per_user": """
+SELECT user_id, event_id, value,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY value DESC, event_id) AS rn
+FROM events
+QUALIFY rn <= 3
+""",
+        "pivot_user_event_type": """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type='click'
+                THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+         / 100.0 AS click,
+       CAST(SUM(CASE WHEN event_type='view'
+                THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+         / 100.0 AS view,
+       CAST(SUM(CASE WHEN event_type='signup'
+                THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+         / 100.0 AS signup,
+       CAST(SUM(CASE WHEN event_type='purchase'
+                THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+         / 100.0 AS purchase,
+       CAST(SUM(CASE WHEN event_type='error'
+                THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+         / 100.0 AS error,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
 """,
     }

@@ -255,3 +255,45 @@ def shipping_priority(customer, orders, lineitem, *, segment: str = "BUILDING",
             "o_orderdate": t["o_orderdate"],
             "o_orderpriority": t["o_orderpriority"],
         }), batch_format="pyarrow")
+
+
+def pivot_sum_exact(ds, index_col: str, pivot_col: str, value_col: str,
+                    categories: list[str]):
+    """Pivot (inverse of unpivot): one output column per category, cell =
+    sum of ``value_col`` where ``pivot_col`` == category.
+
+    ``categories`` is explicit — discovering it would need a pass over the
+    data; at scale the category set is schema knowledge.  Values are 2dp
+    decimals, so cells sum as exact scaled int64 inside each batch (wide
+    partial rows, one row per index key per batch) and the single shuffle
+    carries only those partials; the final division back to decimal is
+    identical on both engines → bit-exact vs conditional-aggregation SQL.
+    """
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        idx = t[index_col].to_numpy(zero_copy_only=False)
+        cat = t[pivot_col].to_pandas().to_numpy()
+        v100 = _scaled_cents(t[value_col])
+        df = pd.DataFrame({index_col: idx})
+        for c in categories:
+            df[c] = np.where(cat == c, v100, 0)
+        df["n_events"] = np.ones(len(df), dtype=np.int64)
+        part = df.groupby(index_col, as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow") \
+        .groupby(index_col).aggregate(
+        *[Sum(c, alias_name=c) for c in categories],
+        Sum("n_events", alias_name="n_events"))
+
+    def _finalize(t: pa.Table) -> pa.Table:
+        cols = {index_col: t[index_col]}
+        for c in categories:
+            cols[c] = pa.array(
+                t[c].to_numpy(zero_copy_only=False).astype(np.int64) / 100.0)
+        cols["n_events"] = pa.array(
+            t["n_events"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table(cols)
+
+    return agg.map_batches(_finalize, batch_format="pyarrow")

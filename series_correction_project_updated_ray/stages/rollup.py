@@ -259,3 +259,34 @@ def rollup_tiers_cascade(events, key_col: str = "event_type",
         if tier != "1d":
             tier_src = tier_src.materialize() if tier != "1m" else merged_1m
     return out
+
+
+class GroupedQuantiles:
+    """map_groups kernel: exact multi-quantile per key (linear
+    interpolation — identical to SQL quantile_cont).  Exact quantiles need
+    the group co-located; for percentile sets over groups too big to
+    co-locate, use a mergeable histogram/t-digest sketch instead."""
+
+    def __init__(self, key_col="event_type", probs=(0.5, 0.9, 0.95, 0.99),
+                 round_to=6):
+        self.key_col, self.probs, self.round_to = key_col, probs, round_to
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        qs = np.quantile(g["value"].to_numpy(), self.probs, method="linear")
+        row = {self.key_col: [g[self.key_col].iloc[0]]}
+        for p, q in zip(self.probs, qs):
+            row[f"p{int(p * 100)}"] = [round_half_away(float(q),
+                                                       self.round_to)]
+        return pd.DataFrame(row)
+
+
+def grouped_quantiles(events, key_col="event_type", value_col="value",
+                      probs=(0.5, 0.9, 0.95, 0.99)):
+    """Exact p50/p90/p95/p99 per key."""
+    proj = events.map_batches(
+        lambda t: t.select([key_col, value_col]).rename_columns(
+            [key_col, "value"]),
+        batch_format="pyarrow")
+    return proj.groupby(key_col).map_groups(
+        GroupedQuantiles(key_col, probs), batch_format="pandas")

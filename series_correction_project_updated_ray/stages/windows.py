@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from .rollup import _epoch_seconds
 from ..functions.rounding import round_half_away
@@ -167,3 +168,31 @@ def asof_join_events(events, right_type="purchase"):
     both = left.union(right)
     return both.groupby("user_id").map_groups(
         AsofJoinGroup(), batch_format="pandas")
+
+
+class _TopNPerGroup:
+    """map_groups kernel: rank rows within one group and keep the top n —
+    the ROW_NUMBER() OVER (PARTITION BY …) <= n window shape."""
+
+    def __init__(self, sort_cols, descending, n):
+        self.sort_cols, self.descending, self.n = sort_cols, descending, n
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keys = [(c, "descending" if d else "ascending")
+                for c, d in zip(self.sort_cols, self.descending)]
+        idx = pc.sort_indices(g, sort_keys=keys)[:self.n]
+        out = g.take(idx)
+        return out.append_column(
+            "rn", pa.array(np.arange(1, len(out) + 1, dtype=np.int64)))
+
+
+def topn_per_group(ds, group_col: str, sort_cols: list[str],
+                   descending: list[bool], n: int):
+    """Top-n rows per group with a rank column (deterministic only if
+    ``sort_cols`` is a total order within a group — pass a unique
+    tiebreak column).  One shuffle (the groupby); the per-group sort is a
+    vectorized arrow kernel."""
+    return ds.groupby(group_col).map_groups(
+        _TopNPerGroup(sort_cols, descending, n), batch_format="pyarrow")
