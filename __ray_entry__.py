@@ -592,6 +592,15 @@ def _q_pivot_user_event_type(sf_dir: str):
     return pivot_sum_exact(ev, "user_id", "event_type", "value", EVENT_TYPES)
 
 
+def _q_range_join(sf_dir: str):
+    from series_correction_project_updated_ray.stages.windows import (
+        range_join_agg)
+    ev = _read(sf_dir, "events",
+               ["user_id", "event_id", "event_type", "ts", "value"])
+    return range_join_agg(ev, left_type="purchase", right_type="click",
+                          window_s=3600)
+
+
 Q3_CUTOFF = "1998-06-01"
 
 
@@ -700,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": _q_grouped_quantiles,
         "topn_per_user": _q_topn_per_user,
         "pivot_user_event_type": _q_pivot_user_event_type,
+        "range_join_purchases": _q_range_join,
     }
 
 
@@ -1037,5 +1047,17 @@ SELECT user_id,
          / 100.0 AS error,
        COUNT(*) AS n_events
 FROM events GROUP BY 1
+""",
+        "range_join_purchases": """
+SELECT p.user_id, p.event_id, epoch_us(p.ts) AS t,
+       COUNT(c.event_id) AS n_in_range,
+       CAST(COALESCE(SUM(CAST(round(c.value*100) AS BIGINT)), 0) AS DOUBLE)
+         / 100.0 AS vsum
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2, 3
 """,
     }

@@ -196,3 +196,70 @@ def topn_per_group(ds, group_col: str, sort_cols: list[str],
     vectorized arrow kernel."""
     return ds.groupby(group_col).map_groups(
         _TopNPerGroup(sort_cols, descending, n), batch_format="pyarrow")
+
+
+class RangeJoinAggGroup:
+    """map_groups kernel for one user: every left row aggregated over the
+    right rows whose timestamp falls in [t_left - window, t_left]
+    (inclusive — microsecond semantics, matching the SQL BETWEEN oracle).
+
+    Vectorized: rights sorted once, two searchsorted calls give each left
+    row's window bounds, a cents-scaled prefix sum makes the per-window
+    value sums exact integer arithmetic (no float accumulation drift, so
+    the LEFT JOIN oracle matches at atol=0).
+    """
+
+    def __init__(self, window_us: int):
+        self.window_us = window_us
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["__side"] == "l"]
+        right = g[g["__side"] == "r"].sort_values("t", kind="stable")
+        tl = left["t"].to_numpy(np.int64)
+        tr = right["t"].to_numpy(np.int64)
+        v100 = np.rint(right["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(v100)])
+        lo = np.searchsorted(tr, tl - self.window_us, side="left")
+        hi = np.searchsorted(tr, tl, side="right")
+        return pd.DataFrame({
+            "user_id": left["user_id"].to_numpy(),
+            "event_id": left["event_id"].to_numpy(),
+            "t": tl,
+            "n_in_range": (hi - lo).astype(np.int64),
+            "vsum": (csum[hi] - csum[lo]) / 100.0,
+        })
+
+
+def range_join_agg(events, *, left_type="purchase", right_type="click",
+                   window_s: int = 3600):
+    """Interval/range join as aggregation: for every ``left_type`` event,
+    count + exact value-sum of the same user's ``right_type`` events in the
+    trailing ``window_s`` window.  One co-grouped shuffle (tagged union +
+    groupby on the user key) — the same partitioning-key-reuse pattern as
+    the as-of join; no all-pairs blowup because the join collapses to a
+    per-left aggregate inside the group kernel."""
+    import pyarrow.compute as pc
+
+    def _prep(batch: pa.Table, side: str, typ: str) -> pa.Table:
+        ts = batch["ts"].to_pandas()
+        if pd.api.types.is_datetime64_any_dtype(ts):
+            t = ts.astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+        else:
+            t = ts.to_numpy(np.int64) * 1_000_000
+        out = pa.table({
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "t": pa.array(t),
+            "value": batch["value"],
+            "__side": pa.array([side] * len(batch), pa.string()),
+        })
+        return out.filter(pc.equal(batch["event_type"], typ))
+
+    left = events.map_batches(lambda b: _prep(b, "l", left_type),
+                              batch_format="pyarrow")
+    right = events.map_batches(lambda b: _prep(b, "r", right_type),
+                               batch_format="pyarrow")
+    return left.union(right).groupby("user_id").map_groups(
+        RangeJoinAggGroup(window_s * 1_000_000), batch_format="pandas")

@@ -75,3 +75,25 @@ def test_asof_numeric_seconds_ts(ray_session):
         .sort_values("event_id").reset_index(drop=True)
     assert np.isnan(out["last_purchase_value"].iloc[0])  # no FUTURE match
     assert out["last_purchase_value"].iloc[1] == 7.5
+
+
+def test_range_join_agg_bounds_and_empty_right(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.windows import (
+        range_join_agg)
+    # user 1: clicks at t=0, 100, 3600, 3601; purchase at t=3600
+    #   window [0, 3600] inclusive → clicks 0, 100, 3600 (not 3601)
+    # user 2: purchase with no clicks at all → LEFT JOIN row with zeros
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 1, 2],
+        "event_id": [10, 11, 12, 13, 14, 20],
+        "event_type": ["click", "click", "click", "click",
+                       "purchase", "purchase"],
+        "ts": [0, 100, 3600, 3601, 3600, 50],
+        "value": [1.25, 2.50, 4.00, 8.00, 99.0, 99.0],
+    })
+    out = range_join_agg(rd.from_pandas(df), window_s=3600).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert out["event_id"].tolist() == [14, 20]
+    assert out["n_in_range"].tolist() == [3, 0]
+    assert out["vsum"].tolist() == [7.75, 0.0]
