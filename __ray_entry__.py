@@ -592,6 +592,33 @@ def _q_pivot_user_event_type(sf_dir: str):
     return pivot_sum_exact(ev, "user_id", "event_type", "value", EVENT_TYPES)
 
 
+def _q_approx_quantiles(sf_dir: str):
+    """Mergeable KLL quantile sketch per event_type (rows-only: the
+    estimate is approximate by construction; accuracy is asserted by the
+    rank-error tests in tests/test_sketches.py)."""
+    from series_correction_project_updated_ray.stages.sketches import (
+        approx_quantiles)
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return approx_quantiles(ev, "event_type", "value",
+                            probs=(0.5, 0.9, 0.99))
+
+
+def _q_left_join_customer_orders(sf_dir: str):
+    """LEFT outer hash join with real unmatched lefts: customers joined to
+    only their high-value orders (filter pushed into the orders scan) —
+    customers with none survive with typed-null order columns."""
+    import pyarrow.compute as pc
+    import ray.data
+    from series_correction_project_updated_ray.stages.joins import hash_join
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        filter=(pc.field("o_totalprice") > 400000.0))
+    return hash_join(cust, orders, "c_custkey", "o_custkey", how="left",
+                     n_buckets=16)
+
+
 def _q_range_join(sf_dir: str):
     from series_correction_project_updated_ray.stages.windows import (
         range_join_agg)
@@ -710,6 +737,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topn_per_user": _q_topn_per_user,
         "pivot_user_event_type": _q_pivot_user_event_type,
         "range_join_purchases": _q_range_join,
+        "left_join_customer_orders": _q_left_join_customer_orders,
+        # mergeable KLL quantile sketch — rows-only (approximate by design)
+        "approx_quantiles_value": _q_approx_quantiles,
     }
 
 
@@ -1059,5 +1089,11 @@ LEFT JOIN events c
  AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
 WHERE p.event_type = 'purchase'
 GROUP BY 1, 2, 3
+""",
+        "left_join_customer_orders": """
+SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM customer c
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+  ON c.c_custkey = o.o_custkey
 """,
     }

@@ -112,3 +112,159 @@ def approx_distinct(ds, key_col: str, value_col: str, p: int = 12):
                               batch_format="pyarrow")
     return partials.groupby(key_col).map_groups(
         HLLMergeGroup(key_col), batch_format="pandas")
+
+
+# --- KLL quantile sketch ---------------------------------------------------
+#
+# Mergeable approximate quantiles (Karnin, Lang, Liberty 2016 — the
+# construction behind Apache DataSketches' quantile sketch).  A sketch is
+# a hierarchy of levels; level i holds a sorted buffer whose items each
+# represent 2^i input values.  A full level compacts: keep every other
+# element (alternating offset) and promote the survivors one level up.
+# Merging concatenates level-wise and re-compacts.  Rank error is
+# O(1/k) with k controlling total size (k=200 → ~1% of n).
+
+KLL_K = 200
+_KLL_MIN_CAP = 8
+
+
+def _kll_capacity(k: int, depth_from_top: int) -> int:
+    return max(_KLL_MIN_CAP, int(np.ceil(k * (2.0 / 3.0) ** depth_from_top)))
+
+
+class KLLSketch:
+    """Levels of float64 arrays; ``levels[i]`` has per-item weight 2^i."""
+
+    def __init__(self, k: int = KLL_K):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.n = 0
+        self._flip = 0  # deterministic alternating compaction offset
+
+    def update_many(self, values: np.ndarray):
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+
+    def merge(self, other: "KLLSketch"):
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, np.float64))
+        for i, arr in enumerate(other.levels):
+            if len(arr):
+                self.levels[i] = np.concatenate([self.levels[i], arr])
+        self.n += other.n
+        self._compress()
+
+    def _compress(self):
+        while True:
+            depth = len(self.levels)
+            for i in range(depth):
+                cap = _kll_capacity(self.k, depth - 1 - i)
+                if len(self.levels[i]) > cap:
+                    buf = np.sort(self.levels[i], kind="stable")
+                    off = self._flip & 1
+                    self._flip += 1
+                    promoted = buf[off::2]
+                    self.levels[i] = np.empty(0, np.float64)
+                    if i + 1 == len(self.levels):
+                        self.levels.append(np.empty(0, np.float64))
+                    self.levels[i + 1] = np.concatenate(
+                        [self.levels[i + 1], promoted])
+                    break
+            else:
+                return
+
+    def quantiles(self, probs) -> np.ndarray:
+        items, weights = [], []
+        for i, arr in enumerate(self.levels):
+            if len(arr):
+                items.append(arr)
+                weights.append(np.full(len(arr), 1 << i, np.int64))
+        if not items:
+            return np.full(len(probs), np.nan)
+        v = np.concatenate(items)
+        w = np.concatenate(weights)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        cum = np.cumsum(w)
+        total = cum[-1]
+        out = np.empty(len(probs))
+        for j, p in enumerate(probs):
+            target = p * total
+            out[j] = v[min(np.searchsorted(cum, target, side="left"),
+                           len(v) - 1)]
+        return out
+
+    # fixed-layout serialization: [k, n, n_levels, len_0..len_L, data...]
+    def to_bytes(self) -> bytes:
+        header = np.array([self.k, self.n, len(self.levels)]
+                          + [len(a) for a in self.levels], np.int64)
+        return header.tobytes() + np.concatenate(
+            self.levels or [np.empty(0)]).tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "KLLSketch":
+        head = np.frombuffer(b, np.int64, 3)
+        k, n, n_levels = int(head[0]), int(head[1]), int(head[2])
+        lens = np.frombuffer(b, np.int64, n_levels, offset=24)
+        data = np.frombuffer(b, np.float64, offset=24 + 8 * n_levels)
+        sk = cls(k)
+        sk.n = n
+        sk.levels, pos = [], 0
+        for ln in lens:
+            sk.levels.append(data[pos:pos + ln].copy())
+            pos += ln
+        return sk
+
+
+class KLLPartial:
+    """map_batches combiner: one serialized KLL sketch per (key, batch)."""
+
+    def __init__(self, key_col: str, value_col: str, k: int = KLL_K):
+        self.key_col, self.value_col, self.k = key_col, value_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key_col].to_pandas().to_numpy()
+        vals = batch[self.value_col].to_numpy(zero_copy_only=False)
+        rows_k, rows_s = [], []
+        for key in pd.unique(keys):
+            sk = KLLSketch(self.k)
+            sk.update_many(vals[keys == key])
+            rows_k.append(key)
+            rows_s.append(sk.to_bytes())
+        return pa.table({self.key_col: pa.array(rows_k),
+                         "sketch": pa.array(rows_s, pa.binary())})
+
+
+class KLLMergeGroup:
+    """map_groups: merge one key's sketches, emit quantile estimates."""
+
+    def __init__(self, key_col: str, probs):
+        self.key_col, self.probs = key_col, probs
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        sk = KLLSketch.from_bytes(g["sketch"].iloc[0])
+        for b in g["sketch"].iloc[1:]:
+            sk.merge(KLLSketch.from_bytes(b))
+        qs = sk.quantiles(self.probs)
+        row = {self.key_col: [g[self.key_col].iloc[0]],
+               "n": [np.int64(sk.n)]}
+        for p, q in zip(self.probs, qs):
+            row[f"p{int(p * 100)}"] = [q]
+        return pd.DataFrame(row)
+
+
+def approx_quantiles(ds, key_col: str, value_col: str,
+                     probs=(0.5, 0.9, 0.99), k: int = KLL_K):
+    """Approximate per-key quantiles; the shuffle moves only ~k-item
+    sketches per (key, batch) instead of every value — the scale answer
+    when groups are too large to co-locate for ``grouped_quantiles``."""
+    partials = ds.map_batches(KLLPartial(key_col, value_col, k),
+                              batch_format="pyarrow")
+    return partials.groupby(key_col).map_groups(
+        KLLMergeGroup(key_col, probs), batch_format="pandas")

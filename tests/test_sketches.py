@@ -49,3 +49,66 @@ def test_approx_distinct_stage(ray_session):
     for _, row in out.iterrows():
         t = truth[row["k"]]
         assert abs(row["approx_distinct"] - t) / t < 0.06
+
+
+def test_kll_single_sketch_rank_accuracy():
+    from series_correction_project_updated_ray.stages.sketches import KLLSketch
+    rng = np.random.default_rng(21)
+    v = rng.lognormal(3, 1, 200_000)
+    sk = KLLSketch()
+    for chunk in np.array_split(v, 37):
+        sk.update_many(chunk)
+    assert sk.n == len(v)
+    sv = np.sort(v)
+    for p in (0.1, 0.5, 0.9, 0.99):
+        est = sk.quantiles([p])[0]
+        true_rank = np.searchsorted(sv, est) / len(v)
+        assert abs(true_rank - p) < 0.02, (p, true_rank)
+
+
+def test_kll_merge_equivalent_to_single():
+    from series_correction_project_updated_ray.stages.sketches import KLLSketch
+    rng = np.random.default_rng(22)
+    v = rng.normal(0, 1, 100_000)
+    shards = [KLLSketch() for _ in range(8)]
+    for i, chunk in enumerate(np.array_split(v, 8)):
+        shards[i].update_many(chunk)
+    merged = shards[0]
+    for s in shards[1:]:
+        merged.merge(s)
+    assert merged.n == len(v)
+    sv = np.sort(v)
+    for p in (0.25, 0.5, 0.75, 0.95):
+        est = merged.quantiles([p])[0]
+        true_rank = np.searchsorted(sv, est) / len(v)
+        assert abs(true_rank - p) < 0.025, (p, true_rank)
+
+
+def test_kll_roundtrip_bytes():
+    from series_correction_project_updated_ray.stages.sketches import KLLSketch
+    rng = np.random.default_rng(23)
+    sk = KLLSketch()
+    sk.update_many(rng.uniform(0, 1, 50_000))
+    back = KLLSketch.from_bytes(sk.to_bytes())
+    assert back.n == sk.n
+    np.testing.assert_array_equal(back.quantiles([0.1, 0.5, 0.9]),
+                                  sk.quantiles([0.1, 0.5, 0.9]))
+
+
+def test_approx_quantiles_distributed(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.sketches import (
+        approx_quantiles)
+    rng = np.random.default_rng(24)
+    n = 120_000
+    df = pd.DataFrame({"key": rng.choice(["a", "b", "c"], n),
+                       "v": rng.exponential(10, n)})
+    out = approx_quantiles(rd.from_pandas(df).repartition(16), "key", "v",
+                           probs=(0.5, 0.9, 0.99)).to_pandas()
+    assert sorted(out["key"]) == ["a", "b", "c"]
+    for _, row in out.iterrows():
+        g = np.sort(df.loc[df["key"] == row["key"], "v"].to_numpy())
+        assert row["n"] == len(g)
+        for p in (50, 90, 99):
+            true_rank = np.searchsorted(g, row[f"p{p}"]) / len(g)
+            assert abs(true_rank - p / 100) < 0.03, (row["key"], p, true_rank)
