@@ -592,6 +592,12 @@ def _q_pivot_user_event_type(sf_dir: str):
     return pivot_sum_exact(ev, "user_id", "event_type", "value", EVENT_TYPES)
 
 
+def _q_funnel(sf_dir: str):
+    from series_correction_project_updated_ray.stages.windows import funnel
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    return funnel(ev, first_type="click", then_type="purchase")
+
+
 def _q_approx_quantiles(sf_dir: str):
     """Mergeable KLL quantile sketch per event_type (rows-only: the
     estimate is approximate by construction; accuracy is asserted by the
@@ -740,6 +746,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_customer_orders": _q_left_join_customer_orders,
         # mergeable KLL quantile sketch — rows-only (approximate by design)
         "approx_quantiles_value": _q_approx_quantiles,
+        # sequence-match / funnel shape — oracle-checked
+        "funnel_click_purchase": _q_funnel,
     }
 
 
@@ -1095,5 +1103,19 @@ SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_custkey, o.o_totalprice
 FROM customer c
 LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
   ON c.c_custkey = o.o_custkey
+""",
+        "funnel_click_purchase": """
+WITH fc AS (
+  SELECT user_id, min(epoch_us(ts)) AS t_first
+  FROM events WHERE event_type = 'click' GROUP BY 1),
+fp AS (
+  SELECT f.user_id, f.t_first, min(epoch_us(e.ts)) AS t_then
+  FROM fc f JOIN events e
+    ON e.user_id = f.user_id AND e.event_type = 'purchase'
+   AND epoch_us(e.ts) >= f.t_first
+  GROUP BY 1, 2)
+SELECT user_id, t_first, t_then,
+       (t_then - t_first) // 1000000 AS latency_s
+FROM fp
 """,
     }

@@ -263,3 +263,59 @@ def range_join_agg(events, *, left_type="purchase", right_type="click",
                                batch_format="pyarrow")
     return left.union(right).groupby("user_id").map_groups(
         RangeJoinAggGroup(window_s * 1_000_000), batch_format="pandas")
+
+
+class FunnelGroup:
+    """map_groups kernel for one user: first ``first_type`` event, then the
+    first ``then_type`` event at-or-after it — the 2-step funnel /
+    sequence-match shape (MATCH_RECOGNIZE's simplest pattern).  Emits one
+    row per converting user with the conversion latency."""
+
+    def __init__(self, first_type: str, then_type: str):
+        self.first_type, self.then_type = first_type, then_type
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype=g["user_id"].dtype),
+            "t_first": pd.Series([], dtype=np.int64),
+            "t_then": pd.Series([], dtype=np.int64),
+            "latency_s": pd.Series([], dtype=np.int64)})
+        ts = g["t"].to_numpy(np.int64)
+        typ = g["event_type"].to_numpy()
+        first_ts = ts[typ == self.first_type]
+        if len(first_ts) == 0:
+            return empty
+        t0 = first_ts.min()
+        then_ts = ts[(typ == self.then_type) & (ts >= t0)]
+        if len(then_ts) == 0:
+            return empty
+        t1 = then_ts.min()
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "t_first": [np.int64(t0)],
+                             "t_then": [np.int64(t1)],
+                             "latency_s": [np.int64((t1 - t0) // 1_000_000)]})
+
+
+def funnel(events, *, first_type="click", then_type="purchase"):
+    """Per-user 2-step funnel conversion (first→then) — one user-key
+    groupby shuffle; the group kernel is two vectorized min-scans.
+    Timestamps compare in microseconds (the engine-wide tie convention)."""
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ts = batch["ts"].to_pandas()
+        if pd.api.types.is_datetime64_any_dtype(ts):
+            t = ts.astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+        else:
+            t = ts.to_numpy(np.int64) * 1_000_000
+        out = pa.table({"user_id": batch["user_id"],
+                        "event_type": batch["event_type"],
+                        "t": pa.array(t)})
+        keep = pc.is_in(out["event_type"],
+                        value_set=pa.array([first_type, then_type]))
+        return out.filter(keep)
+
+    return events.map_batches(_prep, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(
+        FunnelGroup(first_type, then_type), batch_format="pandas")
