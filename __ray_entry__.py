@@ -592,6 +592,13 @@ def _q_pivot_user_event_type(sf_dir: str):
     return pivot_sum_exact(ev, "user_id", "event_type", "value", EVENT_TYPES)
 
 
+def _q_term_frequencies(sf_dir: str):
+    from series_correction_project_updated_ray.stages.textstage import (
+        term_frequencies)
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    return term_frequencies(docs, top_k=20)
+
+
 def _q_funnel(sf_dir: str):
     from series_correction_project_updated_ray.stages.windows import funnel
     ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
@@ -748,6 +755,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles_value": _q_approx_quantiles,
         # sequence-match / funnel shape — oracle-checked
         "funnel_click_purchase": _q_funnel,
+        # distributed word count + per-source top-k — oracle-checked
+        "term_frequencies": _q_term_frequencies,
     }
 
 
@@ -1117,5 +1126,17 @@ fp AS (
 SELECT user_id, t_first, t_then,
        (t_then - t_first) // 1000000 AS latency_s
 FROM fp
+""",
+        "term_frequencies": r"""
+WITH terms AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents),
+totals AS (
+  SELECT source, term, COUNT(*) AS cnt FROM terms GROUP BY 1, 2)
+SELECT source, term, cnt,
+       row_number() OVER (PARTITION BY source
+                          ORDER BY cnt DESC, term) AS rn
+FROM totals
+QUALIFY rn <= 20
 """,
     }

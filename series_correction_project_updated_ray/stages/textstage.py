@@ -75,3 +75,46 @@ def language_id(docs):
 
 def fingerprints(docs):
     return docs.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+class TermFreqPartial:
+    """map_batches combiner for the canonical distributed word count:
+    each batch emits (source, term, cnt) partial rows — the vocabulary of
+    one batch, not its token stream — so the shuffle moves |vocab| rows
+    per block instead of |tokens|.  The word regex is the ASCII class the
+    oracle mirrors with regexp_extract_all(lower(text), '[a-z]+')."""
+
+    def __init__(self, text_col="text", source_col="source"):
+        import re
+        self.re = re.compile(r"[a-z]+")
+        self.text_col, self.source_col = text_col, source_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        texts = batch[self.text_col].to_pandas()
+        sources = batch[self.source_col].to_pandas().to_numpy()
+        counters: dict[str, Counter] = {}
+        for src, txt in zip(sources, texts):
+            counters.setdefault(src, Counter()).update(
+                self.re.findall((txt or "").lower()))
+        srcs, terms, cnts = [], [], []
+        for src, c in counters.items():
+            srcs.extend([src] * len(c))
+            terms.extend(c.keys())
+            cnts.extend(c.values())
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "term": pa.array(terms, pa.string()),
+                         "cnt": pa.array(np.asarray(cnts, dtype=np.int64))})
+
+
+def term_frequencies(docs, *, top_k: int = 20):
+    """Top-k terms per source by total count (ties broken by term) —
+    batch-local vocabulary partials, ONE (source, term) groupby, then the
+    distributed top-k (no global sort)."""
+    from ray.data.aggregate import Sum
+    from .windows import topn_per_group
+    partials = docs.map_batches(TermFreqPartial(), batch_format="pyarrow")
+    totals = partials.groupby(["source", "term"]).aggregate(
+        Sum("cnt", alias_name="cnt"))
+    return topn_per_group(totals, "source", ["cnt", "term"],
+                          [True, False], top_k)
