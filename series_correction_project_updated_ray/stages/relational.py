@@ -201,8 +201,12 @@ def topk_by(ds, sort_cols: list[str], descending: list[bool], k: int):
         idx = pc.sort_indices(t, sort_keys=keys)[:k]
         return t.take(idx)
 
-    return ds.map_batches(_local, batch_format="pyarrow") \
-        .repartition(1).map_batches(_local, batch_format="pyarrow")
+    # batch_size=None pins whole-block batches: the final pass is exact
+    # ONLY if the single repartitioned block arrives as one batch
+    return ds.map_batches(_local, batch_format="pyarrow",
+                          batch_size=None) \
+        .repartition(1).map_batches(_local, batch_format="pyarrow",
+                                    batch_size=None)
 
 
 def shipping_priority(customer, orders, lineitem, *, segment: str = "BUILDING",
