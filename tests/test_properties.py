@@ -122,3 +122,54 @@ def test_gap_fill_times_strictly_inside_gaps(ts):
         # of the merged axis is preserved
         merged = np.sort(np.concatenate([t, new]))
         assert len(merged) == len(t) + len(new)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["l", "r"]),
+                          st.integers(min_value=0, max_value=500),
+                          st.integers(min_value=0, max_value=5000)),
+                min_size=0, max_size=60),
+       st.integers(min_value=0, max_value=1000))
+def test_range_join_kernel_matches_bruteforce(rows, window_us):
+    """RangeJoinAggGroup vs O(n^2) reference on one group: every left row
+    counts/sums right rows with t in [t_l - window, t_l] inclusive."""
+    import pandas as pd
+    from series_correction_project_updated_ray.stages.windows import (
+        RangeJoinAggGroup)
+    g = pd.DataFrame({
+        "__side": [s for s, _, _ in rows],
+        "value": [v / 100.0 for _, v, _ in rows],
+        "t": [t for _, _, t in rows],
+        "user_id": np.ones(len(rows), dtype=np.int64),
+        "event_id": np.arange(len(rows), dtype=np.int64),
+    })
+    out = RangeJoinAggGroup(window_us)(g).sort_values("event_id") \
+        .reset_index(drop=True)
+    lefts = g[g["__side"] == "l"]
+    rights = g[g["__side"] == "r"]
+    assert len(out) == len(lefts)
+    for _, lrow in lefts.iterrows():
+        m = rights[(rights["t"] >= lrow["t"] - window_us)
+                   & (rights["t"] <= lrow["t"])]
+        got = out[out["event_id"] == lrow["event_id"]].iloc[0]
+        assert got["n_in_range"] == len(m)
+        want_sum = int(np.rint(m["value"].to_numpy() * 100).sum()) / 100.0
+        assert got["vsum"] == want_sum
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(finite, min_size=1, max_size=3000),
+       st.sampled_from([0.1, 0.5, 0.9, 0.99]))
+def test_kll_rank_error_property(xs, p):
+    from series_correction_project_updated_ray.stages.sketches import KLLSketch
+    v = np.asarray(xs, dtype=np.float64)
+    sk = KLLSketch()
+    sk.update_many(v)
+    est = sk.quantiles([p])[0]
+    sv = np.sort(v)
+    # rank of the estimate within the true data: within 5% of target
+    # (k=200 gives ~1% on large n; small n is exact because nothing
+    # compacts below the level capacities)
+    lo = np.searchsorted(sv, est, side="left") / len(sv)
+    hi = np.searchsorted(sv, est, side="right") / len(sv)
+    assert lo - 0.05 <= p <= hi + 0.05, (p, lo, hi)
