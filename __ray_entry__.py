@@ -592,6 +592,27 @@ def _q_pivot_user_event_type(sf_dir: str):
     return pivot_sum_exact(ev, "user_id", "event_type", "value", EVENT_TYPES)
 
 
+def _q_hash_sample(sf_dir: str):
+    """Deterministic 10% sample of events keyed by user (all rows of a
+    sampled user survive together — consistent across tables/runs)."""
+    from series_correction_project_updated_ray.stages.relational import (
+        hash_sample)
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    return hash_sample(ev, "user_id", 0.10)
+
+
+def _q_hash_split(sf_dir: str):
+    """Deterministic train/val/test split of documents (per-split counts;
+    no-leakage property is asserted in tests/test_stages.py)."""
+    from ray.data.aggregate import Count
+    from series_correction_project_updated_ray.stages.relational import (
+        hash_split)
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    tagged = hash_split(docs, "doc_id",
+                        {"train": 0.8, "val": 0.1, "test": 0.1})
+    return tagged.groupby("split").aggregate(Count(alias_name="n_docs"))
+
+
 def _q_term_frequencies(sf_dir: str):
     from series_correction_project_updated_ray.stages.textstage import (
         term_frequencies)
@@ -757,6 +778,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_click_purchase": _q_funnel,
         # distributed word count + per-source top-k — oracle-checked
         "term_frequencies": _q_term_frequencies,
+        # deterministic hash sampling / splits — rows-only (engine hash)
+        "sample_users_10pct": _q_hash_sample,
+        "split_documents": _q_hash_split,
     }
 
 

@@ -301,3 +301,47 @@ def pivot_sum_exact(ds, index_col: str, pivot_col: str, value_col: str,
         return pa.table(cols)
 
     return agg.map_batches(_finalize, batch_format="pyarrow")
+
+
+def hash_sample(ds, key_col: str, rate: float, *, salt: int = 0):
+    """Deterministic distributed sample: keep rows whose stable 64-bit
+    key hash falls under ``rate`` — no shuffle, no RNG state, identical
+    row set on every run/cluster size, and consistent across tables
+    sharing the key (sampling users samples all their events).  ``salt``
+    decorrelates repeated samples over the same key."""
+    from ..functions.hashing import stable_hash_array
+    threshold = np.uint64(int(rate * float(2**64 - 1)))
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        h = stable_hash_array(batch[key_col].to_pandas())
+        if salt:
+            with np.errstate(over="ignore"):
+                h = (h + np.uint64(salt)) * np.uint64(0x9E3779B97F4A7C15)
+        return batch.filter(pa.array(h <= threshold))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+def hash_split(ds, key_col: str, fractions: dict[str, float], *,
+               salt: int = 0):
+    """Deterministic train/val/test split: appends a ``split`` column by
+    bucketing the stable key hash into cumulative fraction ranges.
+    Disjoint and exhaustive by construction; all rows of one key land in
+    the same split (no leakage across splits for grouped data)."""
+    from ..functions.hashing import stable_hash_array
+    names = list(fractions)
+    cum = np.cumsum([fractions[n] for n in names])
+    assert abs(cum[-1] - 1.0) < 1e-9, "fractions must sum to 1"
+    bounds = (cum * float(2**64 - 1)).astype(np.uint64)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        h = stable_hash_array(batch[key_col].to_pandas())
+        if salt:
+            with np.errstate(over="ignore"):
+                h = (h + np.uint64(salt)) * np.uint64(0x9E3779B97F4A7C15)
+        idx = np.searchsorted(bounds, h, side="left")
+        idx = np.minimum(idx, len(names) - 1)
+        tags = np.asarray(names, dtype=object)[idx]
+        return batch.append_column("split", pa.array(tags, pa.string()))
+
+    return ds.map_batches(_tag, batch_format="pyarrow")

@@ -276,3 +276,33 @@ def test_topk_by_matches_full_sort(ray_session):
     want = df.sort_values(["a", "b"], ascending=[False, True]).head(7) \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_hash_sample_deterministic_and_rate(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        hash_sample)
+    df = pd.DataFrame({"k": np.arange(20000), "v": np.arange(20000) * 2})
+    a = hash_sample(rd.from_pandas(df), "k", 0.25).to_pandas()
+    b = hash_sample(rd.from_pandas(df).repartition(8), "k", 0.25).to_pandas()
+    # identical row set regardless of partitioning; rate within 2%
+    assert sorted(a["k"]) == sorted(b["k"])
+    assert abs(len(a) / len(df) - 0.25) < 0.02
+    # nested: a 10% sample is a subset of the 25% sample (same threshold fn)
+    c = hash_sample(rd.from_pandas(df), "k", 0.10).to_pandas()
+    assert set(c["k"]) <= set(a["k"])
+
+
+def test_hash_split_disjoint_exhaustive_no_leakage(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        hash_split)
+    n = 30000
+    df = pd.DataFrame({"user": np.arange(n) % 1000, "row": np.arange(n)})
+    out = hash_split(rd.from_pandas(df).repartition(8), "user",
+                     {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    assert len(out) == n
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.05
+    # every user maps to exactly one split (no leakage)
+    assert (out.groupby("user")["split"].nunique() == 1).all()
