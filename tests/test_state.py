@@ -228,6 +228,15 @@ def test_sigkill_resume_converges(ray_session, tmp_path):
         os.kill(proc.pid, signal.SIGKILL)
     proc.wait()
 
+    # the killed driver's WORKERS survive it briefly and may still finish
+    # (and manifest) their in-flight partitions — wait until the manifest
+    # count has been stable for 3 s before counting what the resume sees
+    stable_since, last = time.time(), -1
+    while time.time() - stable_since < 3.0:
+        cur = len(CP.load_manifests(out_kill))
+        if cur != last:
+            last, stable_since = cur, time.time()
+        time.sleep(0.2)
     done_before = len(CP.load_manifests(out_kill))
     m = run_resumable(inp, out_kill, n_partitions=16, buckets_per_source=16,
                       step_seconds=1)
