@@ -592,6 +592,17 @@ def _q_pivot_user_event_type(sf_dir: str):
     return pivot_sum_exact(ev, "user_id", "event_type", "value", EVENT_TYPES)
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    from series_correction_project_updated_ray.stages.relational import (
+        revenue_by_nation)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    return revenue_by_nation(li, orders, cust, nation)
+
+
 def _q_hash_sample(sf_dir: str):
     """Deterministic 10% sample of events keyed by user (all rows of a
     sampled user survive together — consistent across tables/runs)."""
@@ -781,6 +792,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic hash sampling / splits — rows-only (engine hash)
         "sample_users_10pct": _q_hash_sample,
         "split_documents": _q_hash_split,
+        # multi-hop join aggregate (Q5-lite) — oracle-checked
+        "revenue_by_nation": _q_revenue_by_nation,
     }
 
 
@@ -1162,5 +1175,16 @@ SELECT source, term, cnt,
                           ORDER BY cnt DESC, term) AS rn
 FROM totals
 QUALIFY rn <= 20
+""",
+        "revenue_by_nation": """
+SELECT n.n_name,
+       CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
 """,
     }

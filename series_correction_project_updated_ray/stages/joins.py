@@ -66,18 +66,67 @@ class _TagPad:
 
 
 class BucketJoin:
-    """map_groups kernel over one bucket of the unioned tagged rows."""
+    """map_groups kernel over one bucket of the unioned tagged rows.
+
+    Receives the group as ARROW and splits sides before any pandas
+    conversion: each side's own columns are null-free there (the union's
+    null padding lives only in the OTHER side's columns), so integer
+    dtypes survive the pandas merge and the output schema equals the
+    declared union schema.  Without this, a chained join would hash a
+    float-degraded key column against an int one and silently drop rows.
+    Output columns are cast back to the union types; a column that HAD
+    to become float (outer-join null padding of an int column) converts
+    NaN→null to restore the declared integer type."""
 
     def __init__(self, left_key: str, right_key: str, l_cols: list[str],
-                 r_cols: list[str], how: str = "inner"):
+                 r_cols: list[str], types: dict, how: str = "inner"):
         self.left_key, self.right_key = left_key, right_key
         self.l_cols, self.r_cols = l_cols, r_cols
+        self.types = types
         self.how = how
         self.__name__ = type(self).__name__
 
-    def __call__(self, g: pd.DataFrame) -> pa.Table:
-        left = g.loc[g["__side"] == "l", self.l_cols]
-        right = g.loc[g["__side"] == "r", self.r_cols]
+    def _merged_columns(self) -> list[tuple[str, str]]:
+        """(output_name, base_name) pairs exactly as pandas merge names
+        them: columns present on both sides get the default _x/_y
+        suffixes, except a shared key name under left_on==right_on which
+        pandas collapses into one column."""
+        overlap = set(self.l_cols) & set(self.r_cols)
+        same_key = self.left_key == self.right_key
+        out = []
+        for c in self.l_cols:
+            suffixed = c in overlap and not (same_key and c == self.left_key)
+            out.append((c + "_x" if suffixed else c, c))
+        for c in self.r_cols:
+            if same_key and c == self.right_key:
+                continue
+            suffixed = c in overlap
+            out.append((c + "_y" if suffixed else c, c))
+        return out
+
+    def _emit(self, merged: pd.DataFrame) -> pa.Table:
+        import pyarrow.compute as pc
+        cols = {}
+        for name, base in self._merged_columns():
+            want = self.types[base]
+            arr = pa.Array.from_pandas(merged[name])
+            if arr.type != want:
+                if (pa.types.is_floating(arr.type)
+                        and not pa.types.is_floating(want)):
+                    # outer-join padding floatified this column: NaN→null,
+                    # then cast the (now exact) values back
+                    nulls = pc.is_nan(arr)
+                    arr = pc.if_else(nulls, pa.nulls(len(arr), arr.type),
+                                     arr)
+                arr = arr.cast(want)
+            cols[name] = arr
+        return pa.table(cols)
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        side = g["__side"]
+        left = g.filter(pc.equal(side, "l")).select(self.l_cols).to_pandas()
+        right = g.filter(pc.equal(side, "r")).select(self.r_cols).to_pandas()
         # SQL equi-join semantics: NULL keys never match (pandas merge would
         # happily match NaN == NaN) — drop null-key right rows always, and
         # null-key left rows for inner joins
@@ -85,17 +134,16 @@ class BucketJoin:
         if self.how == "inner":
             left = left[left[self.left_key].notna()]
         if (len(left) == 0 or len(right) == 0) and self.how == "inner":
-            merged = pd.DataFrame(
-                {c: pd.Series([], dtype=g[c].dtype)
-                 for c in dict.fromkeys(self.l_cols + self.r_cols)})
-        else:
-            merged = left.merge(right, left_on=self.left_key,
-                                right_on=self.right_key, how=self.how)
+            return pa.table(
+                {name: pa.nulls(0, self.types[base])
+                 for name, base in self._merged_columns()})
+        merged = left.merge(right, left_on=self.left_key,
+                            right_on=self.right_key, how=self.how)
         # emit Arrow: Ray passes EMPTY blocks through downstream
         # map_batches unconverted, so a pandas return here would leak
         # pandas blocks into arrow-block consumers (observed: aggregate
         # sample_boundaries asserting on mixed block types)
-        return pa.Table.from_pandas(merged, preserve_index=False)
+        return self._emit(merged)
 
 
 def _rename_stage(ds, mapping: dict[str, str]):
@@ -171,5 +219,6 @@ def hash_join(left, right, left_key: str, right_key: str,
     both = l_tagged.union(r_tagged)
     return both.groupby("__bucket").map_groups(
         BucketJoin(left_key, right_key,
-                   [n for n, _ in l_fields], [n for n, _ in r_fields], how),
-        batch_format="pandas")
+                   [n for n, _ in l_fields], [n for n, _ in r_fields],
+                   dict(union_fields), how),
+        batch_format="pyarrow")

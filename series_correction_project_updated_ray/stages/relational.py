@@ -345,3 +345,53 @@ def hash_split(ds, key_col: str, fractions: dict[str, float], *,
         return batch.append_column("split", pa.array(tags, pa.string()))
 
     return ds.map_batches(_tag, batch_format="pyarrow")
+
+
+def revenue_by_nation(lineitem, orders, customer, nation):
+    """TPC-H-Q5-lite: revenue per customer nation.
+
+    Scale-honest plan: the two BIG tables hash-join on orderkey (shuffle
+    1), the result hash-joins customer on custkey (shuffle 2 — customer is
+    NOT broadcastable at real TPC-H scale), and only the 25-row nation dim
+    broadcasts.  Revenue partials combine per batch before the final tiny
+    groupby, cents-scaled for bit-exactness."""
+    from ray.data.aggregate import Sum
+    from .joins import hash_join
+
+    def _li_partial(t: pa.Table) -> pa.Table:
+        p100 = _scaled_cents(t["l_extendedprice"])
+        d100 = _scaled_cents(t["l_discount"])
+        df = pd.DataFrame({"l_orderkey": t["l_orderkey"]
+                           .to_numpy(zero_copy_only=False),
+                           "rev1e4": p100 * (100 - d100)})
+        part = df.groupby("l_orderkey", as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    # pre-combine lineitem to one row per order BEFORE the join: the
+    # shuffle then moves |orders| rows instead of |lineitems|
+    li_per_order = lineitem.map_batches(_li_partial, batch_format="pyarrow")
+    j1 = hash_join(li_per_order, orders, "l_orderkey", "o_orderkey",
+                   how="inner", n_buckets=16)
+    j2 = hash_join(j1, customer, "o_custkey", "c_custkey",
+                   how="inner", n_buckets=16)
+    nat = nation.to_pandas()
+    enriched = broadcast_enrich(j2, nat, "c_nationkey", "n_nationkey",
+                                {"n_name": "n_name"})
+
+    def _nat_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "n_name": t["n_name"].to_pandas(),
+            "rev1e4": t["rev1e4"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        part = df.groupby("n_name", as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    agg = enriched.map_batches(_nat_partial, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(Sum("rev1e4", alias_name="rev1e4"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "n_name": t["n_name"],
+            "revenue": pa.array(
+                t["rev1e4"].to_numpy(zero_copy_only=False).astype(np.int64)
+                / 10000.0)}),
+        batch_format="pyarrow")
