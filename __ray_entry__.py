@@ -523,6 +523,25 @@ def _q_approx_distinct(sf_dir: str):
     return approx_distinct(ev, "event_type", "user_id")
 
 
+def _q_media_frames(sf_dir: str):
+    """Frame-sampling fan-out stage over the fake media corpus (frame
+    payloads summarized to lengths so the result hashes cleanly)."""
+    import pyarrow as pa
+    import ray.data
+    from series_correction_project_updated_ray.stages.multimodal import (
+        sample_frames, synth_media_table)
+    frames = sample_frames(ray.data.from_arrow(synth_media_table(256)),
+                           stride=4)
+    return frames.map_batches(
+        lambda t: pa.table({
+            "media_id": t["media_id"],
+            "frame_idx": t["frame_idx"],
+            "frame_bytes": pa.array(
+                np.asarray([len(b) for b in t["frame"].to_pylist()],
+                           dtype=np.int64)),
+        }), batch_format="pyarrow")
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal actor-pool stage over the deterministic fake media corpus
     (decode stubbed — libraries absent; plumbing real).  Returns scalar
@@ -768,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seatek_all_sensors": _q_seatek_all_sensors,
         # multimodal actor-pool stage (stubbed decode) — rows-only
         "media_features": _q_media_features,
+        "media_frame_sample": _q_media_frames,
         # per-file stats summary (A7) — rows-only
         "seatek_file_stats": _q_seatek_file_stats,
         # mergeable HLL sketch — rows-only (approximate by design)

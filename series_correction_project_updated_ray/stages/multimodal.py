@@ -136,3 +136,51 @@ def resize_images(media_ds, *, target: int = 256, concurrency=2,
         ImageResizeStub, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
         fn_constructor_kwargs={"target": target, "fake": fake})
+
+
+class FrameSampleStub:
+    """Actor-pool frame-sampling stage (video → every-kth-frame rows).
+
+    flat_map-shaped: one input row expands to ceil(n_frames/stride) frame
+    rows.  The payload is treated as a fixed-size-frame container (the
+    real kernel would demux with an av library — absent here; with
+    ``fake=True`` frames are deterministic byte slices so the Ray
+    contract — binary in, MORE binary rows out, frame index metadata — is
+    real and tested).  Non-video rows pass through untouched downstream
+    stages by being dropped here (sampling only applies to frames)."""
+
+    FRAME_BYTES = 1024
+
+    def __init__(self, stride: int = 4, fake: bool = True):
+        self.stride = stride
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "frame sampling needs a video demux library")
+        ids, idxs, frames = [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            n_frames = max(1, len(payload) // self.FRAME_BYTES)
+            for fi in range(0, n_frames, self.stride):
+                ids.append(mid)
+                idxs.append(fi)
+                frames.append(
+                    payload[fi * self.FRAME_BYTES:(fi + 1) * self.FRAME_BYTES])
+        return pa.table({
+            "media_id": pa.array(np.asarray(ids, np.int64)),
+            "frame_idx": pa.array(np.asarray(idxs, np.int32)),
+            "frame": pa.array(frames, pa.binary()),
+        })
+
+
+def sample_frames(media_ds, *, stride: int = 4, concurrency=2,
+                  batch_size: int = 16, fake: bool = True):
+    """Every-stride-th frame of each media row (fan-out stage: output has
+    MORE rows than input — small batch_size bounds the expansion held in
+    one worker heap at a time)."""
+    return media_ds.map_batches(
+        FrameSampleStub, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"stride": stride, "fake": fake})

@@ -47,3 +47,22 @@ def test_media_pipeline_actor_pool(ray_session):
     auds = resized[resized["media_type"] == "audio"]
     assert (imgs["width"] == 128).all() and (imgs["height"] == 128).all()
     assert (auds["width"] == 0).all()
+
+
+def test_frame_sampling_expansion(ray_session):
+    import ray.data
+    from series_correction_project_updated_ray.stages.multimodal import (
+        FrameSampleStub, sample_frames, synth_media_table)
+    tbl = synth_media_table(32, seed=9)
+    out = sample_frames(ray.data.from_arrow(tbl), stride=4).to_pandas()
+    # expected expansion computed driver-side
+    want = 0
+    for p in tbl["payload"].to_pylist():
+        n_frames = max(1, len(p) // FrameSampleStub.FRAME_BYTES)
+        want += len(range(0, n_frames, 4))
+    assert len(out) == want
+    assert (out["frame_idx"] % 4 == 0).all()
+    # frames are exact byte slices of the source payloads
+    p0 = tbl["payload"][0].as_py()
+    f0 = out[(out["media_id"] == 0) & (out["frame_idx"] == 0)]["frame"].iloc[0]
+    assert bytes(f0) == p0[:FrameSampleStub.FRAME_BYTES]
