@@ -611,6 +611,16 @@ def _q_pivot_user_event_type(sf_dir: str):
     return pivot_sum_exact(ev, "user_id", "event_type", "value", EVENT_TYPES)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Misra-Gries frequent users per event type (rows-only: estimates
+    are ≤ true counts by construction; bounds tested in
+    tests/test_sketches.py)."""
+    from series_correction_project_updated_ray.stages.sketches import (
+        heavy_hitters)
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return heavy_hitters(ev, "event_type", "user_id", k=64, top_n=10)
+
+
 def _q_revenue_by_nation(sf_dir: str):
     from series_correction_project_updated_ray.stages.relational import (
         revenue_by_nation)
@@ -814,6 +824,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_documents": _q_hash_split,
         # multi-hop join aggregate (Q5-lite) — oracle-checked
         "revenue_by_nation": _q_revenue_by_nation,
+        # Misra-Gries heavy hitters — rows-only (approximate by design)
+        "heavy_hitter_users": _q_heavy_hitters,
     }
 
 

@@ -268,3 +268,95 @@ def approx_quantiles(ds, key_col: str, value_col: str,
                               batch_format="pyarrow")
     return partials.groupby(key_col).map_groups(
         KLLMergeGroup(key_col, probs), batch_format="pandas")
+
+
+# --- Misra-Gries heavy hitters ---------------------------------------------
+#
+# Mergeable frequent-items summary (Misra & Gries 1982; merge rule from
+# Agarwal et al. 2012, "Mergeable Summaries"): keep ≤ k counters; an
+# overflowing insert decrements all counters (conceptually), so any true
+# count is underestimated by at most n/(k+1).  Merging sums counter maps
+# and, if over k entries, subtracts the (k+1)-largest count from all and
+# drops non-positive — the bound survives merging, making this the
+# shuffle-cheap answer to "top terms over 100 TB" (exact counts for the
+# survivors can be re-derived with one targeted second pass).
+
+def mg_build(items: np.ndarray, k: int) -> dict:
+    """Misra-Gries counter map (≤ k entries) of one batch — vectorized:
+    exact value_counts of the batch, then the same k-largest truncation
+    the merge rule applies (equivalent to streaming MG over the batch)."""
+    if len(items) == 0:
+        return {}
+    vals, counts = np.unique(items, return_counts=True)
+    if len(vals) <= k:
+        return dict(zip(vals.tolist(), counts.tolist()))
+    order = np.argsort(counts, kind="stable")[::-1]
+    thresh = counts[order[k]]  # (k+1)-largest
+    keep = order[:k]
+    kept = counts[keep] - thresh
+    pos = kept > 0
+    return dict(zip(vals[keep][pos].tolist(), kept[pos].tolist()))
+
+
+def mg_merge(a: dict, b: dict, k: int) -> dict:
+    out = dict(a)
+    for key, c in b.items():
+        out[key] = out.get(key, 0) + c
+    if len(out) <= k:
+        return out
+    counts = np.sort(np.fromiter(out.values(), dtype=np.int64))[::-1]
+    thresh = counts[k]
+    return {key: c - thresh for key, c in out.items() if c - thresh > 0}
+
+
+class MGPartial:
+    """map_batches combiner: one (key, item, est) row per surviving
+    counter per batch — ≤ k rows leave each batch per group key."""
+
+    def __init__(self, key_col: str, item_col: str, k: int = 64):
+        self.key_col, self.item_col, self.k = key_col, item_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key_col].to_pandas().to_numpy()
+        items = batch[self.item_col].to_pandas().to_numpy()
+        rows_k, rows_i, rows_c = [], [], []
+        for key in pd.unique(keys):
+            for item, c in mg_build(items[keys == key], self.k).items():
+                rows_k.append(key)
+                rows_i.append(item)
+                rows_c.append(c)
+        return pa.table({self.key_col: pa.array(rows_k),
+                         self.item_col: pa.array(rows_i),
+                         "est": pa.array(np.asarray(rows_c, np.int64))})
+
+
+class MGMergeGroup:
+    """map_groups: fold one key's partial counter rows with the mergeable
+    truncation, emit the top-n surviving (item, est) pairs."""
+
+    def __init__(self, key_col: str, item_col: str, k: int, top_n: int):
+        self.key_col, self.item_col = key_col, item_col
+        self.k, self.top_n = k, top_n
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        acc: dict = {}
+        for item, c in zip(g[self.item_col], g["est"]):
+            acc = mg_merge(acc, {item: int(c)}, self.k)
+        top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:self.top_n]
+        return pd.DataFrame({
+            self.key_col: [g[self.key_col].iloc[0]] * len(top),
+            self.item_col: [t[0] for t in top],
+            "est": np.asarray([t[1] for t in top], np.int64),
+        })
+
+
+def heavy_hitters(ds, key_col: str, item_col: str, *, k: int = 64,
+                  top_n: int = 10):
+    """Approximate per-key frequent items: ≤ k counter rows per (key,
+    batch) shuffle instead of the full item stream; estimates
+    underestimate true counts by at most n_key/(k+1)."""
+    partials = ds.map_batches(MGPartial(key_col, item_col, k),
+                              batch_format="pyarrow")
+    return partials.groupby(key_col).map_groups(
+        MGMergeGroup(key_col, item_col, k, top_n), batch_format="pandas")

@@ -112,3 +112,47 @@ def test_approx_quantiles_distributed(ray_session):
         for p in (50, 90, 99):
             true_rank = np.searchsorted(g, row[f"p{p}"]) / len(g)
             assert abs(true_rank - p / 100) < 0.03, (row["key"], p, true_rank)
+
+
+def test_mg_error_bound_and_merge():
+    from series_correction_project_updated_ray.stages.sketches import (
+        mg_build, mg_merge)
+    rng = np.random.default_rng(25)
+    # zipf-ish: heavy head + long tail
+    items = rng.zipf(1.5, 50_000)
+    items = items[items < 10_000]
+    k = 64
+    shards = [mg_build(c, k) for c in np.array_split(items, 16)]
+    acc = {}
+    for s in shards:
+        acc = mg_merge(acc, s, k)
+    true = pd.Series(items).value_counts()
+    n = len(items)
+    for item, est in acc.items():
+        t = true.get(item, 0)
+        assert est <= t  # MG never overestimates
+        assert t - est <= n / (k + 1) + 1
+    # every item with true count > n/(k+1) must survive
+    for item, t in true.items():
+        if t > n / (k + 1):
+            assert item in acc, (item, t)
+
+
+def test_heavy_hitters_distributed(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.sketches import (
+        heavy_hitters)
+    rng = np.random.default_rng(26)
+    n = 60_000
+    # two keys with different known-hot items over a uniform background
+    hot = {"a": 17, "b": 99}
+    key = rng.choice(["a", "b"], n)
+    item = rng.integers(0, 5000, n)
+    mask = rng.uniform(size=n) < 0.2  # 20% of rows are the key's hot item
+    item[mask] = np.vectorize(hot.get)(key[mask])
+    df = pd.DataFrame({"key": key, "item": item})
+    out = heavy_hitters(rd.from_pandas(df).repartition(16), "key", "item",
+                        k=64, top_n=5).to_pandas()
+    for kk, hot_item in hot.items():
+        top1 = out[out["key"] == kk].sort_values("est", ascending=False).iloc[0]
+        assert top1["item"] == hot_item

@@ -306,3 +306,24 @@ def test_hash_split_disjoint_exhaustive_no_leakage(ray_session):
     assert abs(frac["train"] - 0.8) < 0.05
     # every user maps to exactly one split (no leakage)
     assert (out.groupby("user")["split"].nunique() == 1).all()
+
+
+def test_series_key_salting_spreads_hot_source(ray_session):
+    """The north rule's skew story: 90% of docs in ONE source must still
+    spread across buckets_per_source partitions (the key embeds a uniform
+    doc hash), so no single group receives the hot source whole."""
+    import pyarrow as pa
+    from series_correction_project_updated_ray.stages.correction import (
+        add_series_key)
+    n = 20000
+    rng = np.random.default_rng(31)
+    src = np.where(rng.uniform(size=n) < 0.9, "hot", "cold").astype(object)
+    batch = pa.table({
+        "doc_id": pa.array([f"doc{i}" for i in range(n)], pa.string()),
+        "source": pa.array(src, pa.string()),
+    })
+    keyed = add_series_key(batch, buckets_per_source=64).to_pandas()
+    hot = keyed[keyed["source"] == "hot"]["series_key"].value_counts()
+    assert len(hot) == 64  # hot source hits every bucket
+    # near-uniform: max bucket ≤ 2× the mean (chernoff-comfortable at n/64)
+    assert hot.max() <= 2 * hot.mean()
