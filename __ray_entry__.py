@@ -11,6 +11,7 @@ names and rounding exactly mirror the Ray implementation.
 
 from __future__ import annotations
 
+import glob
 import os
 from collections.abc import Callable
 from typing import Any
@@ -611,6 +612,34 @@ def _q_pivot_user_event_type(sf_dir: str):
     return pivot_sum_exact(ev, "user_id", "event_type", "value", EVENT_TYPES)
 
 
+def _q_incremental_rollup(sf_dir: str):
+    """Incremental continuous-aggregate ingest: the events table arrives
+    as 3 waves into a delta store; reading the store must equal the batch
+    1h rollup SQL — the oracle is the SAME as rollup_1h's."""
+    import pyarrow.parquet as pq
+    from series_correction_project_updated_ray.state import ingest as ING
+    base = os.path.join(
+        "/tmp", f"graft_incr_{abs(hash(os.path.abspath(sf_dir))) % 10**8}")
+    waves_dir = os.path.join(base, "waves")
+    marker = os.path.join(waves_dir, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(waves_dir, exist_ok=True)
+        src = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_type", "ts", "value"])
+        n = len(src)
+        for i, (lo, hi) in enumerate(((0, n // 3), (n // 3, 2 * n // 3),
+                                      (2 * n // 3, n))):
+            pq.write_table(src.slice(lo, hi - lo),
+                           os.path.join(waves_dir, f"wave{i}.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    store = os.path.join(base, "store")
+    waves = sorted(glob.glob(os.path.join(waves_dir, "*.parquet")))
+    for w in waves:              # one ingest call per arriving wave
+        ING.ingest(store, [w], width=3600)
+    return ING.read_rollup(store)
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Misra-Gries frequent users per event type (rows-only: estimates
     are ≤ true counts by construction; bounds tested in
@@ -826,6 +855,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         # Misra-Gries heavy hitters — rows-only (approximate by design)
         "heavy_hitter_users": _q_heavy_hitters,
+        # incremental continuous-aggregate ingest — oracle-checked (same
+        # oracle as the batch 1h rollup: 3 waves must merge to identity)
+        "incremental_rollup_1h": _q_incremental_rollup,
     }
 
 
@@ -851,6 +883,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1m": _rollup_sql(60),
         "rollup_1h": _rollup_sql(3600),
         "rollup_1d": _rollup_sql(86400),
+        # incremental ingest must merge to the identical batch rollup
+        "incremental_rollup_1h": _rollup_sql(3600),
         "gap_counts": f"""
 WITH ordered AS (
   SELECT user_id, {EPOCH_S} AS t,

@@ -1,0 +1,152 @@
+"""Incremental continuous-aggregate ingest for append-only event streams.
+
+The batch rollup (stages/rollup.py) recomputes windows from all input;
+a streaming table instead receives FILES over time.  Because the rollup
+tuple (min, max, sum, count) is mergeable, each ingest wave only has to
+aggregate its OWN new files into partial rows and append them as a
+delta; reads merge deltas, and compaction folds them down — the
+continuous-aggregate maintenance loop of a timeseries store:
+
+    <store>/deltas/delta-<fingerprint>/   one per ingest wave
+    <store>/_ingested.json                ledger: files seen + LIVE deltas
+
+Crash-safety invariant: the ledger is the single source of truth and is
+replaced atomically LAST in every operation.  An ingest crash before the
+ledger update re-ingests into an identically-named delta (same wave
+fingerprint → clean overwrite).  A compaction crash before the ledger
+update leaves the old delta list live (the half-built base is
+unreferenced); after it, the old dirs are unreferenced garbage that the
+next compaction sweeps.  Reads never consult the filesystem listing,
+only the ledger, so they can't double-count.  Equality with the batch
+rollup over the union of all waves is asserted in tests/test_state.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pandas as pd
+
+from ..stages.rollup import PartialRollup, _finalize
+
+_LEDGER = "_ingested.json"
+
+
+def _ledger_path(store: str) -> str:
+    return os.path.join(store, _LEDGER)
+
+
+def _load_ledger(store: str) -> dict:
+    p = _ledger_path(store)
+    if not os.path.exists(p):
+        return {"files": [], "deltas": []}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_ledger(store: str, ledger: dict):
+    tmp = _ledger_path(store) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(ledger, f)
+    os.replace(tmp, _ledger_path(store))
+
+
+def ingested_files(store: str) -> set[str]:
+    return set(_load_ledger(store)["files"])
+
+
+def _wave_fingerprint(new_files: list[str]) -> str:
+    items = sorted((os.path.basename(f), os.path.getsize(f))
+                   for f in new_files)
+    h = pd.util.hash_pandas_object(
+        pd.Series([f"{n}:{s}" for n, s in items]), index=False).sum()
+    return f"{int(h) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+
+def _delta_files(store: str, delta_names: list[str]) -> list[str]:
+    """The parquet files inside the named delta dirs (read_parquet does
+    not expand a LIST of directories)."""
+    return sorted(
+        f for name in delta_names
+        for f in glob.glob(os.path.join(store, "deltas", name, "*.parquet")))
+
+
+def _merge_deltas(store: str, delta_names: list[str], key_col: str):
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+    paths = _delta_files(store, delta_names)
+    if not paths:
+        raise FileNotFoundError(f"no deltas ingested under {store}")
+    return rd.read_parquet(paths).groupby([key_col, "window_start"]) \
+        .aggregate(
+        Min("vmin", alias_name="vmin"), Max("vmax", alias_name="vmax"),
+        Sum("vsum", alias_name="vsum"), Sum("vcount", alias_name="vcount"))
+
+
+def ingest(store: str, files: list[str], *, key_col: str = "event_type",
+           ts_col: str = "ts", value_col: str = "value",
+           width: int = 60) -> int:
+    """Ingest any not-yet-seen files as one delta; returns the number of
+    NEW files processed (0 = everything already ingested)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ledger = _load_ledger(store)
+    done = set(ledger["files"])
+    new = [f for f in sorted(files) if os.path.basename(f) not in done]
+    if not new:
+        return 0
+    os.makedirs(os.path.join(store, "deltas"), exist_ok=True)
+    name = f"delta-{_wave_fingerprint(new)}"
+    partials = rd.read_parquet(new, columns=[key_col, ts_col, value_col]) \
+        .map_batches(PartialRollup(key_col, ts_col, value_col, width),
+                     batch_format="pyarrow")
+    # merge within the wave (unrounded — rounding happens once, at read)
+    merged = partials.groupby([key_col, "window_start"]).aggregate(
+        Min("vmin", alias_name="vmin"), Max("vmax", alias_name="vmax"),
+        Sum("vsum", alias_name="vsum"), Sum("vcount", alias_name="vcount"))
+    merged.write_parquet(os.path.join(store, "deltas", name))
+    ledger["files"] = sorted(done | {os.path.basename(f) for f in new})
+    ledger["deltas"] = sorted(set(ledger["deltas"]) | {name})
+    _write_ledger(store, ledger)  # atomic, LAST
+    return len(new)
+
+
+def read_rollup(store: str, *, key_col: str = "event_type",
+                round_to: int | None = 6):
+    """Merge the LIVE deltas → the same (key, window, vmin, vmax, vsum,
+    vcount, vmean) table the batch rollup produces over all waves."""
+    merged = _merge_deltas(store, _load_ledger(store)["deltas"], key_col)
+    return merged.map_batches(_finalize, batch_format="pyarrow",
+                              fn_kwargs={"round_to": round_to})
+
+
+def compact(store: str, *, key_col: str = "event_type") -> int:
+    """Fold all live deltas into one (returns the number folded) and sweep
+    unreferenced garbage from prior crashes.  Reads stay correct at every
+    point: the ledger swaps from the old delta list to the new base in
+    one atomic replace."""
+    import shutil
+
+    ledger = _load_ledger(store)
+    live = list(ledger["deltas"])
+    # sweep dirs no ledger references (left by a crash after a previous
+    # ledger swap, or a half-built base)
+    ddir = os.path.join(store, "deltas")
+    if os.path.isdir(ddir):
+        for name in os.listdir(ddir):
+            if name not in live:
+                shutil.rmtree(os.path.join(ddir, name), ignore_errors=True)
+    if len(live) <= 1:
+        return 0
+    merged = _merge_deltas(store, live, key_col)
+    base = f"delta-base-{_wave_fingerprint(_delta_files(store, live))}"
+    merged.write_parquet(os.path.join(ddir, base))
+    ledger["deltas"] = [base]
+    _write_ledger(store, ledger)  # atomic swap: old list → base
+    for name in live:
+        if name != base:
+            shutil.rmtree(os.path.join(ddir, name), ignore_errors=True)
+    return len(live)

@@ -249,3 +249,86 @@ def test_sigkill_resume_converges(ray_session, tmp_path):
         b = pq.read_table(os.path.join(out_kill, f"tier={tier}")).to_pandas() \
             .sort_values(["series_key", "window_start"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_incremental_ingest_matches_batch_rollup(ray_session, tmp_path):
+    """3 ingest waves over a split events table == the batch rollup over
+    the whole table; re-ingest is a no-op; compaction preserves results."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from series_correction_project_updated_ray.state import ingest as ING
+    from series_correction_project_updated_ray.stages.rollup import (
+        rollup_events)
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                        columns=["event_type", "ts", "value"])
+    waves = []
+    n = len(src)
+    for i, (lo, hi) in enumerate(((0, n // 3), (n // 3, 2 * n // 3),
+                                  (2 * n // 3, n))):
+        p = str(tmp_path / f"wave{i}.parquet")
+        pq.write_table(src.slice(lo, hi - lo), p)
+        waves.append(p)
+
+    store = str(tmp_path / "store")
+    assert ING.ingest(store, waves[:1], width=3600) == 1
+    assert ING.ingest(store, waves[:2], width=3600) == 1  # only wave1 is new
+    assert ING.ingest(store, waves, width=3600) == 1
+    assert ING.ingest(store, waves, width=3600) == 0      # idempotent
+
+    def canon(df):
+        return df[sorted(df.columns)] \
+            .sort_values(["event_type", "window_start"]) \
+            .reset_index(drop=True)
+
+    got = canon(ING.read_rollup(store).to_pandas())
+    want = canon(rollup_events(
+        rd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                        columns=["event_type", "ts", "value"]),
+        width=3600).to_pandas())
+    pd.testing.assert_frame_equal(got, want)
+
+    assert ING.compact(store) == 3
+    assert len(ING._load_ledger(store)["deltas"]) == 1
+    got2 = canon(ING.read_rollup(store).to_pandas())
+    pd.testing.assert_frame_equal(got2, want)
+    # post-compaction ingest of a brand-new wave still merges correctly
+    extra = str(tmp_path / "wave3.parquet")
+    pq.write_table(src.slice(0, 500), extra)  # duplicate rows, new file
+    assert ING.ingest(store, [extra], width=3600) == 1
+    got3 = ING.read_rollup(store).to_pandas()
+    assert got3["vcount"].sum() == want["vcount"].sum() + 500
+
+
+def test_ingest_compaction_crash_recovery(ray_session, tmp_path):
+    """A crash can leave an unreferenced delta dir; reads must ignore it
+    (ledger is the source of truth) and the next compaction sweeps it."""
+    import pyarrow.parquet as pq
+
+    from series_correction_project_updated_ray.state import ingest as ING
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                        columns=["event_type", "ts", "value"])
+    w0, w1 = str(tmp_path / "w0.parquet"), str(tmp_path / "w1.parquet")
+    pq.write_table(src.slice(0, 2000), w0)
+    pq.write_table(src.slice(2000, 2000), w1)
+    store = str(tmp_path / "store")
+    ING.ingest(store, [w0], width=3600)
+    ING.ingest(store, [w1], width=3600)
+    want = ING.read_rollup(store).to_pandas() \
+        .sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    # simulate a crashed compaction: half-built base dir, ledger untouched
+    stray = os.path.join(store, "deltas", "delta-base-deadbeef")
+    os.makedirs(stray)
+    d0 = ING._load_ledger(store)["deltas"][0]
+    src_file = ING._delta_files(store, [d0])[0]
+    shutil.copy(src_file, os.path.join(stray, "garbage.parquet"))
+    got = ING.read_rollup(store).to_pandas() \
+        .sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)  # stray dir not double-counted
+    ING.compact(store)
+    assert not os.path.isdir(stray)  # swept
+    got2 = ING.read_rollup(store).to_pandas() \
+        .sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, want)
