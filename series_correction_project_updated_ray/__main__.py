@@ -11,6 +11,8 @@ Commands:
   --river-miles, --years, --dry-run over a Seatek raw directory.
 * ``skew-report`` — print the per-partition lineage/skew table of a
   rollup output directory.
+* ``ingest`` — incremental continuous-aggregate maintenance: ingest new
+  event files into a delta store, optionally expire + compact.
 
 Owns its Ray session (guarded init) — library code never calls ray.init.
 """
@@ -93,6 +95,33 @@ def cmd_skew_report(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Incremental continuous-aggregate maintenance: ingest new files,
+    optionally expire old windows and compact, print store state."""
+    import glob as _glob
+    _ensure_ray(args.num_cpus)
+    from .state import ingest as ING
+    files = sorted(
+        f for pat in args.files for f in _glob.glob(pat)) or args.files
+    n_new = ING.ingest(args.store, files, key_col=args.key_col,
+                       width=args.width)
+    folded = expired = 0
+    if args.expire_before is not None:
+        expired = ING.expire(args.store, args.expire_before,
+                             key_col=args.key_col)
+    if args.compact:
+        folded = ING.compact(args.store, key_col=args.key_col)
+    ledger = ING._load_ledger(args.store)
+    print(json.dumps({
+        "new_files": n_new,
+        "total_files": len(ledger["files"]),
+        "live_deltas": len(ledger["deltas"]),
+        "deltas_folded": folded or expired,
+        "store": args.store,
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="series_correction_project_updated_ray")
     sub = p.add_subparsers(dest="command", required=True)
@@ -117,6 +146,19 @@ def main(argv=None) -> int:
     ps.add_argument("--dry-run", action="store_true")
     ps.add_argument("--num-cpus", type=int, default=None)
     ps.set_defaults(fn=cmd_seatek_correct)
+
+    pi = sub.add_parser("ingest",
+                        help="incremental continuous-aggregate ingest")
+    pi.add_argument("--store", required=True)
+    pi.add_argument("--files", nargs="+", required=True,
+                    help="parquet files or globs; already-seen are skipped")
+    pi.add_argument("--key-col", default="event_type")
+    pi.add_argument("--width", type=int, default=60)
+    pi.add_argument("--expire-before", type=int, default=None,
+                    help="drop windows with window_start below this")
+    pi.add_argument("--compact", action="store_true")
+    pi.add_argument("--num-cpus", type=int, default=None)
+    pi.set_defaults(fn=cmd_ingest)
 
     pk = sub.add_parser("skew-report", help="per-partition lineage table")
     pk.add_argument("--output", required=True)

@@ -150,3 +150,32 @@ def compact(store: str, *, key_col: str = "event_type") -> int:
         if name != base:
             shutil.rmtree(os.path.join(ddir, name), ignore_errors=True)
     return len(live)
+
+
+def expire(store: str, cutoff_window_start: int, *,
+           key_col: str = "event_type") -> int:
+    """Retention: drop windows older than the cutoff from the store via a
+    filtered compaction (the delete never touches raw inputs — at real
+    scale this is the tier's retention policy running on a schedule).
+    Returns the number of deltas folded."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    ledger = _load_ledger(store)
+    live = list(ledger["deltas"])
+    if not live:
+        return 0
+    merged = _merge_deltas(store, live, key_col).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["window_start"], cutoff_window_start)),
+        batch_format="pyarrow")
+    ddir = os.path.join(store, "deltas")
+    base = f"delta-base-{_wave_fingerprint(_delta_files(store, live))}x"
+    merged.write_parquet(os.path.join(ddir, base))
+    ledger["deltas"] = [base]
+    _write_ledger(store, ledger)  # atomic swap
+    for name in live:
+        if name != base:
+            shutil.rmtree(os.path.join(ddir, name), ignore_errors=True)
+    return len(live)

@@ -59,3 +59,29 @@ def test_cli_rollup_and_skew_report(cli_dirs):
 def test_cli_unknown_command():
     r = _run("definitely-not-a-command")
     assert r.returncode != 0
+
+
+def test_cli_ingest_incremental(cli_dirs, tmp_path_factory):
+    import pyarrow.parquet as pq
+    root = tmp_path_factory.mktemp("ingest")
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                        columns=["event_type", "ts", "value"])
+    for i in range(2):
+        pq.write_table(src.slice(i * 2000, 2000),
+                       str(root / f"wave{i}.parquet"))
+    store = str(root / "store")
+    r1 = _run("ingest", "--store", store, "--files",
+              str(root / "wave0.parquet"), "--width", "3600",
+              "--num-cpus", "4")
+    assert r1.returncode == 0, r1.stderr[-500:]
+    out1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert out1["new_files"] == 1 and out1["live_deltas"] == 1
+    # second call sees both files, ingests only the new one, compacts
+    r2 = _run("ingest", "--store", store, "--files",
+              str(root / "wave0.parquet"), str(root / "wave1.parquet"),
+              "--width", "3600", "--compact", "--num-cpus", "4")
+    assert r2.returncode == 0, r2.stderr[-500:]
+    out2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert out2["new_files"] == 1
+    assert out2["total_files"] == 2
+    assert out2["live_deltas"] == 1  # compacted

@@ -332,3 +332,24 @@ def test_ingest_compaction_crash_recovery(ray_session, tmp_path):
     got2 = ING.read_rollup(store).to_pandas() \
         .sort_values(["event_type", "window_start"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got2, want)
+
+
+def test_ingest_retention_expiry(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from series_correction_project_updated_ray.state import ingest as ING
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                        columns=["event_type", "ts", "value"])
+    w = str(tmp_path / "w.parquet")
+    pq.write_table(src, w)
+    store = str(tmp_path / "store")
+    ING.ingest(store, [w], width=3600)
+    full = ING.read_rollup(store).to_pandas()
+    cutoff = int(full["window_start"].median())
+    ING.expire(store, cutoff)
+    kept = ING.read_rollup(store).to_pandas()
+    want = full[full["window_start"] >= cutoff]
+    assert len(kept) == len(want)
+    assert kept["window_start"].min() >= cutoff
+    assert kept["vcount"].sum() == want["vcount"].sum()
