@@ -612,6 +612,35 @@ def _q_pivot_user_event_type(sf_dir: str):
     return pivot_sum_exact(ev, "user_id", "event_type", "value", EVENT_TYPES)
 
 
+def _q_users_intersect(sf_dir: str):
+    """INTERSECT shape: distinct clickers ∩ distinct purchasers — partial
+    distinct per batch, then a broadcast semi-join (no second shuffle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+    from series_correction_project_updated_ray.stages.joins import semi_join
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def _distinct_of(typ):
+        def _local(t: pa.Table) -> pa.Table:
+            keep = t.filter(pc.equal(t["event_type"], typ))
+            return pa.table(
+                {"user_id": pc.unique(keep["user_id"])})
+        return ev.map_batches(_local, batch_format="pyarrow") \
+            .groupby("user_id").aggregate(Count(alias_name="n")) \
+            .select_columns(["user_id"])
+
+    return semi_join(_distinct_of("click"), _distinct_of("purchase"),
+                     "user_id")
+
+
+def _q_running_sum(sf_dir: str):
+    from series_correction_project_updated_ray.stages.windows import (
+        running_sum)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return running_sum(ev)
+
+
 def _q_incremental_rollup(sf_dir: str):
     """Incremental continuous-aggregate ingest: the events table arrives
     as 3 waves into a delta store; reading the store must equal the batch
@@ -858,6 +887,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental continuous-aggregate ingest — oracle-checked (same
         # oracle as the batch 1h rollup: 3 waves must merge to identity)
         "incremental_rollup_1h": _q_incremental_rollup,
+        # cumulative window frame (SUM OVER ... ROWS UNBOUNDED PRECEDING)
+        "running_sum_per_user": _q_running_sum,
+        # set op (INTERSECT) via distinct + broadcast semi-join
+        "users_click_and_purchase": _q_users_intersect,
     }
 
 
@@ -885,6 +918,16 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1d": _rollup_sql(86400),
         # incremental ingest must merge to the identical batch rollup
         "incremental_rollup_1h": _rollup_sql(3600),
+        "running_sum_per_user": """
+SELECT user_id, event_id, epoch_us(ts) AS t,
+       CAST(SUM(CAST(round(value*100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+         AS running_sum,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS running_count
+FROM events
+""",
         "gap_counts": f"""
 WITH ordered AS (
   SELECT user_id, {EPOCH_S} AS t,
@@ -1076,6 +1119,11 @@ SELECT user_id, event_id,
              RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW), 6)
          AS sliding_mean
 FROM events
+""",
+        "users_click_and_purchase": """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
 """,
         "asof_join_purchases": """
 WITH p AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events

@@ -319,3 +319,45 @@ def funnel(events, *, first_type="click", then_type="purchase"):
     return events.map_batches(_prep, batch_format="pyarrow") \
         .groupby("user_id").map_groups(
         FunnelGroup(first_type, then_type), batch_format="pandas")
+
+
+class RunningSumGroup:
+    """map_groups kernel: cumulative sum/count over one key's event-time
+    order — the SUM(...) OVER (PARTITION BY key ORDER BY ts, id ROWS
+    UNBOUNDED PRECEDING) window shape.  The cumulative sum runs on the
+    cents-scaled int64 representation, so every prefix is exact and the
+    oracle matches at atol=0 regardless of group size."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["t", "event_id"], kind="stable")
+        v100 = np.rint(g["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "event_id": g["event_id"].to_numpy(),
+            "t": g["t"].to_numpy(np.int64),
+            "running_sum": np.cumsum(v100) / 100.0,
+            "running_count": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+
+def running_sum(events):
+    """Per-user cumulative value sum in event-time order — one user-key
+    shuffle, vectorized cumsum per group."""
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_pandas()
+        if pd.api.types.is_datetime64_any_dtype(ts):
+            t = ts.astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+        else:
+            t = ts.to_numpy(np.int64) * 1_000_000
+        return pa.table({"user_id": batch["user_id"],
+                         "event_id": batch["event_id"],
+                         "t": pa.array(t),
+                         "value": batch["value"]})
+
+    return events.map_batches(_prep, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(RunningSumGroup(),
+                                       batch_format="pandas")
