@@ -612,6 +612,20 @@ def _q_pivot_user_event_type(sf_dir: str):
     return pivot_sum_exact(ev, "user_id", "event_type", "value", EVENT_TYPES)
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (iterative
+    algorithm: centroids broadcast per round, blocks reduce to ≤k partial
+    rows).  Returns per-cluster size + mean cosine (rows-only:
+    iterative/approximate by nature)."""
+    from ray.data.aggregate import Count, Mean
+    from series_correction_project_updated_ray.stages.similarity import (
+        kmeans_distributed)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    _, assigns = kmeans_distributed(emb, n_clusters=8, iters=8)
+    return assigns.groupby("cluster").aggregate(
+        Count(alias_name="n_vecs"), Mean("cos_sim", alias_name="mean_cos"))
+
+
 def _q_users_intersect(sf_dir: str):
     """INTERSECT shape: distinct clickers ∩ distinct purchasers — partial
     distinct per batch, then a broadcast semi-join (no second shuffle)."""
@@ -891,6 +905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_sum_per_user": _q_running_sum,
         # set op (INTERSECT) via distinct + broadcast semi-join
         "users_click_and_purchase": _q_users_intersect,
+        # distributed iterative k-means — rows-only (iterative algorithm)
+        "kmeans_clusters": _q_kmeans_clusters,
     }
 
 

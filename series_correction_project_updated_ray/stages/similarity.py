@@ -117,3 +117,116 @@ def knn_ivf(embeddings, query_vec, k=10, n_centroids=16, nprobe=4,
                              value_set=pa.array(sorted(probe), pa.int32()))),
         batch_format="pyarrow")
     return knn_brute_force(probed, query_vec, k, vec_col, id_col)
+
+
+class _KMeansPartial:
+    """map_batches: assign each vector to its nearest centroid and emit
+    per-cluster PARTIAL sums — ≤ n_clusters rows per batch (a flattened
+    sum vector + count), so each Lloyd iteration moves kilobytes per
+    block regardless of block size."""
+
+    def __init__(self, centroids_ref, vec_col="embedding"):
+        import ray
+        self.C = np.asarray(ray.get(centroids_ref), dtype=np.float64)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _vec_matrix(batch[self.vec_col])
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(Xn @ self.C.T, axis=1)
+        clusters, sums, counts = [], [], []
+        for j in np.unique(assign):
+            m = assign == j
+            clusters.append(int(j))
+            sums.append(Xn[m].sum(axis=0))
+            counts.append(int(m.sum()))
+        return pa.table({
+            "cluster": pa.array(np.asarray(clusters, np.int64)),
+            "vsum": pa.array([s.tolist() for s in sums],
+                             pa.list_(pa.float64())),
+            "count": pa.array(np.asarray(counts, np.int64)),
+        })
+
+
+def kmeans_distributed(embeddings, n_clusters=8, iters=10, seed=7,
+                       vec_col="embedding", id_col="vec_id"):
+    """Distributed Lloyd k-means on the spherical (cosine) metric.
+
+    The ITERATIVE-algorithm pattern on Ray Data: the driver holds only the
+    k×d centroid matrix; each iteration broadcasts it (``ray.put`` once,
+    read per actor), a map_batches pass reduces every block to ≤k partial
+    rows, and the driver folds those partials (k×blocks rows — tiny) into
+    the next centroids.  The vectors themselves never leave the cluster
+    and are re-streamed from the object store each round.
+
+    Returns ``(centroids, assignments_dataset)`` where assignments has
+    (id_col, cluster, cos_sim)."""
+    import ray
+
+    # pin the working set in the object store ONCE — a lazy dataset would
+    # re-execute the parquet read on every iteration; materialized blocks
+    # are shared zero-copy across rounds and spill under pressure
+    embeddings = embeddings.select_columns([id_col, vec_col]).materialize()
+
+    # deterministic farthest-point init over a small id-prefix sample:
+    # greedy max-min-distance seeding avoids the merged-cluster failure a
+    # naive first-k init hits when the first k rows share a cluster
+    pool = embeddings.select_columns([id_col, vec_col]) \
+        .sort(id_col).limit(max(50, 8 * n_clusters)).take_all()
+    P = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in pool])
+    P /= np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-12)
+    chosen = [0]
+    max_sim = P @ P[0]
+    for _ in range(1, min(n_clusters, len(P))):
+        nxt = int(np.argmin(max_sim))
+        chosen.append(nxt)
+        max_sim = np.maximum(max_sim, P @ P[nxt])
+    C = P[chosen].copy()
+
+    def _partial_pass(batch: pa.Table, *, ref) -> pa.Table:
+        # task-based (no actor pool): a fresh pool per iteration would pay
+        # actor startup every round; the broadcast centroids are a
+        # zero-copy shared-memory ray.get per task
+        return _KMeansPartial(ref, vec_col=vec_col)(batch)
+
+    for _ in range(iters):
+        ref = ray.put(C)
+        partials = embeddings.map_batches(
+            _partial_pass, batch_format="pyarrow",
+            fn_kwargs={"ref": ref}).to_pandas()
+        # deterministic driver-side fold of the tiny partial table
+        partials = partials.sort_values(["cluster"], kind="stable")
+        newC = C.copy()
+        for j, g in partials.groupby("cluster"):
+            s = np.sum(np.stack([np.asarray(v) for v in g["vsum"]]), axis=0)
+            n = g["count"].sum()
+            if n > 0:
+                c = s / n
+                newC[int(j)] = c / max(np.linalg.norm(c), 1e-12)
+        if np.allclose(newC, C, atol=1e-12):
+            C = newC
+            break
+        C = newC
+
+    ref = ray.put(C)
+
+    class _Assign:
+        def __init__(self):
+            self.C = np.asarray(ray.get(ref), dtype=np.float64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            X = _vec_matrix(batch[vec_col])
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                                1e-12)
+            sims = Xn @ self.C.T
+            assign = np.argmax(sims, axis=1)
+            return pa.table({
+                id_col: batch[id_col],
+                "cluster": pa.array(assign.astype(np.int64)),
+                "cos_sim": pa.array(np.round(sims[np.arange(len(assign)),
+                                                  assign], 6)),
+            })
+
+    assignments = embeddings.map_batches(_Assign, batch_format="pyarrow",
+                                         concurrency=2)
+    return C, assignments

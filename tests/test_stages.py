@@ -327,3 +327,38 @@ def test_series_key_salting_spreads_hot_source(ray_session):
     assert len(hot) == 64  # hot source hits every bucket
     # near-uniform: max bucket ≤ 2× the mean (chernoff-comfortable at n/64)
     assert hot.max() <= 2 * hot.mean()
+
+
+def test_kmeans_distributed_recovers_planted_clusters(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.similarity import (
+        kmeans_distributed)
+    rng = np.random.default_rng(41)
+    # 3 well-separated direction clusters on the sphere (d=16)
+    centers = rng.normal(size=(3, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    n_per = 400
+    X, labels = [], []
+    for j, c in enumerate(centers):
+        pts = c + 0.05 * rng.normal(size=(n_per, 16))
+        X.append(pts)
+        labels.extend([j] * n_per)
+    X = np.vstack(X)
+    order = rng.permutation(len(X))
+    X, labels = X[order], np.asarray(labels)[order]
+    df = pd.DataFrame({"vec_id": np.arange(len(X)),
+                       "embedding": [x.tolist() for x in X]})
+    C, assigns = kmeans_distributed(rd.from_pandas(df).repartition(8),
+                                    n_clusters=3, iters=15)
+    out = assigns.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == len(X)
+    # each found cluster maps 1:1 onto a planted cluster (purity 100% on
+    # well-separated data)
+    # out is sorted by vec_id and vec_id was assigned post-shuffle, so
+    # labels (also post-shuffle order) align positionally
+    tab = pd.crosstab(out["cluster"], labels)
+    assert (tab.max(axis=1) == tab.sum(axis=1)).all()
+    assert tab.astype(bool).sum(axis=0).max() == 1
+    # centroids align with planted centers
+    sims = np.abs(C @ centers.T)
+    assert (sims.max(axis=1) > 0.99).all()
