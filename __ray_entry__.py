@@ -612,6 +612,80 @@ def _q_pivot_user_event_type(sf_dir: str):
     return pivot_sum_exact(ev, "user_id", "event_type", "value", EVENT_TYPES)
 
 
+def _q_users_except(sf_dir: str):
+    """EXCEPT shape: distinct clickers with no high-value purchase — the
+    INTERSECT plan with the broadcast semi-join flipped to anti."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+    from series_correction_project_updated_ray.stages.joins import semi_join
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def _distinct_of(typ, min_value=None):
+        def _local(t: pa.Table) -> pa.Table:
+            keep = pc.equal(t["event_type"], typ)
+            if min_value is not None:
+                keep = pc.and_(keep, pc.greater(t["value"], min_value))
+            return pa.table({"user_id": pc.unique(t.filter(keep)["user_id"])})
+        return ev.map_batches(_local, batch_format="pyarrow") \
+            .groupby("user_id").aggregate(Count(alias_name="n")) \
+            .select_columns(["user_id"])
+
+    return semi_join(_distinct_of("click"),
+                     _distinct_of("purchase", min_value=95.0),
+                     "user_id", anti=True)
+
+
+def _q_grouping_sets(sf_dir: str):
+    """GROUP BY ROLLUP(event_type) shape: per-type totals plus the grand
+    total in one result (NULL key = the total row), cents-exact sums —
+    multi-level aggregates as a union of grouped and global partials."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+    from series_correction_project_updated_ray.stages.relational import (
+        _scaled_cents)
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    # the grand-total level carries a SENTINEL key through the shuffle
+    # (Ray's groupby boundary sampling compares keys in Python, where
+    # None < str raises) and becomes SQL's NULL row on output
+    sentinel = "\x00__TOTAL__"
+
+    def _partial(t: pa.Table) -> pa.Table:
+        v100 = _scaled_cents(t["value"])
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "v100": v100,
+                           "n": np.ones(len(v100), dtype=np.int64)})
+        per_key = df.groupby("event_type", as_index=False, sort=False).sum()
+        total = pd.DataFrame({"event_type": [sentinel],
+                              "v100": [df["v100"].sum()],
+                              "n": [np.int64(len(df))]})
+        return pa.Table.from_pandas(pd.concat([per_key, total]),
+                                    preserve_index=False)
+
+    agg = ev.map_batches(_partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+        Sum("v100", alias_name="v100"), Sum("n", alias_name="n"))
+
+    def _final(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        key = t["event_type"]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        key = pc.if_else(pc.equal(key, sentinel),
+                         pa.nulls(len(key), pa.string()), key)
+        return pa.table({
+            "event_type": key,
+            "total_value": pa.array(
+                t["v100"].to_numpy(zero_copy_only=False).astype(np.int64)
+                / 100.0),
+            "n_events": pa.array(
+                t["n"].to_numpy(zero_copy_only=False).astype(np.int64)),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table (iterative
     algorithm: centroids broadcast per round, blocks reduce to ≤k partial
@@ -907,6 +981,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_click_and_purchase": _q_users_intersect,
         # distributed iterative k-means — rows-only (iterative algorithm)
         "kmeans_clusters": _q_kmeans_clusters,
+        # EXCEPT set op and GROUPING SETS shapes — oracle-checked
+        "users_click_no_purchase": _q_users_except,
+        "rollup_grouping_sets": _q_grouping_sets,
     }
 
 
@@ -1140,6 +1217,19 @@ FROM events
 SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
 INTERSECT
 SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+""",
+        "users_click_no_purchase": """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase' AND value > 95.0
+""",
+        "rollup_grouping_sets": """
+SELECT event_type,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value,
+       COUNT(*) AS n_events
+FROM events GROUP BY ROLLUP(event_type)
 """,
         "asof_join_purchases": """
 WITH p AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events
