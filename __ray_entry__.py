@@ -733,10 +733,15 @@ def _q_incremental_rollup(sf_dir: str):
     """Incremental continuous-aggregate ingest: the events table arrives
     as 3 waves into a delta store; reading the store must equal the batch
     1h rollup SQL — the oracle is the SAME as rollup_1h's."""
+    import hashlib
+
     import pyarrow.parquet as pq
     from series_correction_project_updated_ray.state import ingest as ING
-    base = os.path.join(
-        "/tmp", f"graft_incr_{abs(hash(os.path.abspath(sf_dir))) % 10**8}")
+    # stable digest — builtin hash() is per-process randomized, which
+    # would defeat the _DONE cache and grow /tmp every run
+    digest = hashlib.sha1(
+        os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = os.path.join("/tmp", f"graft_incr_{digest}")
     waves_dir = os.path.join(base, "waves")
     marker = os.path.join(waves_dir, "_DONE")
     if not os.path.exists(marker):

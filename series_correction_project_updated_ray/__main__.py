@@ -99,10 +99,16 @@ def cmd_ingest(args) -> int:
     """Incremental continuous-aggregate maintenance: ingest new files,
     optionally expire old windows and compact, print store state."""
     import glob as _glob
+    import os
     _ensure_ray(args.num_cpus)
     from .state import ingest as ING
-    files = sorted(
-        f for pat in args.files for f in _glob.glob(pat)) or args.files
+    files = sorted({f for pat in args.files
+                    for f in (_glob.glob(pat) or
+                              ([pat] if os.path.exists(pat) else []))})
+    if not files:
+        print(json.dumps({"error": "no files matched",
+                          "patterns": args.files}))
+        return 1
     n_new = ING.ingest(args.store, files, key_col=args.key_col,
                        width=args.width)
     folded = expired = 0

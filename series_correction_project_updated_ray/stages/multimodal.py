@@ -146,8 +146,9 @@ class FrameSampleStub:
     real kernel would demux with an av library — absent here; with
     ``fake=True`` frames are deterministic byte slices so the Ray
     contract — binary in, MORE binary rows out, frame index metadata — is
-    real and tested).  Non-video rows pass through untouched downstream
-    stages by being dropped here (sampling only applies to frames)."""
+    real and tested).  Every payload is frame-sliced regardless of
+    ``media_type`` — filter the input to video rows first (the real
+    demux would reject non-video containers at decode time)."""
 
     FRAME_BYTES = 1024
 

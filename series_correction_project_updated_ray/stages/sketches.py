@@ -236,7 +236,11 @@ class KLLPartial:
             sk.update_many(vals[keys == key])
             rows_k.append(key)
             rows_s.append(sk.to_bytes())
-        return pa.table({self.key_col: pa.array(rows_k),
+        # explicit key type: an untyped pa.array([]) on an empty batch
+        # would emit a null-typed column whose schema mismatches the
+        # non-empty blocks'
+        return pa.table({self.key_col: pa.array(rows_k,
+                                                batch[self.key_col].type),
                          "sketch": pa.array(rows_s, pa.binary())})
 
 
@@ -325,8 +329,11 @@ class MGPartial:
                 rows_k.append(key)
                 rows_i.append(item)
                 rows_c.append(c)
-        return pa.table({self.key_col: pa.array(rows_k),
-                         self.item_col: pa.array(rows_i),
+        # explicit types: empty batches must not emit null-typed columns
+        return pa.table({self.key_col: pa.array(rows_k,
+                                                batch[self.key_col].type),
+                         self.item_col: pa.array(rows_i,
+                                                 batch[self.item_col].type),
                          "est": pa.array(np.asarray(rows_c, np.int64))})
 
 

@@ -21,6 +21,16 @@ from .rollup import _epoch_seconds
 from ..functions.rounding import round_half_away
 
 
+def _epoch_micros(ts_col) -> "np.ndarray":
+    """Column → int64 epoch MICROseconds (the engine-wide tie
+    convention): datetime columns via ns normalization, numeric columns
+    are epoch seconds."""
+    ts = ts_col.to_pandas()
+    if pd.api.types.is_datetime64_any_dtype(ts):
+        return ts.astype("datetime64[ns]").astype("int64").to_numpy() // 1000
+    return ts.to_numpy(np.int64) * 1_000_000
+
+
 def _sorted_group(g: pd.DataFrame, ts_col="ts", id_col="event_id"):
     g = g.sort_values([ts_col, id_col], kind="stable").reset_index(drop=True)
     ts = g[ts_col]
@@ -147,11 +157,7 @@ def asof_join_events(events, right_type="purchase"):
         # microseconds — exact tie semantics vs the epoch_us SQL oracle;
         # numeric ts columns are epoch SECONDS (same dtype branch as every
         # sibling operator), not nanoseconds
-        ts = batch["ts"].to_pandas()
-        if pd.api.types.is_datetime64_any_dtype(ts):
-            t = ts.astype("datetime64[ns]").astype("int64").to_numpy() // 1000
-        else:
-            t = ts.to_numpy(np.int64) * 1_000_000
+        t = _epoch_micros(batch["ts"])
         out = pa.table({
             "user_id": batch["user_id"],
             "event_id": batch["event_id"],
@@ -243,11 +249,7 @@ def range_join_agg(events, *, left_type="purchase", right_type="click",
     import pyarrow.compute as pc
 
     def _prep(batch: pa.Table, side: str, typ: str) -> pa.Table:
-        ts = batch["ts"].to_pandas()
-        if pd.api.types.is_datetime64_any_dtype(ts):
-            t = ts.astype("datetime64[ns]").astype("int64").to_numpy() // 1000
-        else:
-            t = ts.to_numpy(np.int64) * 1_000_000
+        t = _epoch_micros(batch["ts"])
         out = pa.table({
             "user_id": batch["user_id"],
             "event_id": batch["event_id"],
@@ -304,11 +306,7 @@ def funnel(events, *, first_type="click", then_type="purchase"):
 
     def _prep(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        ts = batch["ts"].to_pandas()
-        if pd.api.types.is_datetime64_any_dtype(ts):
-            t = ts.astype("datetime64[ns]").astype("int64").to_numpy() // 1000
-        else:
-            t = ts.to_numpy(np.int64) * 1_000_000
+        t = _epoch_micros(batch["ts"])
         out = pa.table({"user_id": batch["user_id"],
                         "event_type": batch["event_type"],
                         "t": pa.array(t)})
@@ -348,11 +346,7 @@ def running_sum(events):
     shuffle, vectorized cumsum per group."""
 
     def _prep(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].to_pandas()
-        if pd.api.types.is_datetime64_any_dtype(ts):
-            t = ts.astype("datetime64[ns]").astype("int64").to_numpy() // 1000
-        else:
-            t = ts.to_numpy(np.int64) * 1_000_000
+        t = _epoch_micros(batch["ts"])
         return pa.table({"user_id": batch["user_id"],
                          "event_id": batch["event_id"],
                          "t": pa.array(t),

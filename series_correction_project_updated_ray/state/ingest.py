@@ -58,7 +58,7 @@ def ingested_files(store: str) -> set[str]:
 
 
 def _wave_fingerprint(new_files: list[str]) -> str:
-    items = sorted((os.path.basename(f), os.path.getsize(f))
+    items = sorted((os.path.abspath(f), os.path.getsize(f))
                    for f in new_files)
     h = pd.util.hash_pandas_object(
         pd.Series([f"{n}:{s}" for n, s in items]), index=False).sum()
@@ -93,13 +93,23 @@ def ingest(store: str, files: list[str], *, key_col: str = "event_type",
     import ray.data as rd
     from ray.data.aggregate import Max, Min, Sum
 
+    import shutil
+
     ledger = _load_ledger(store)
     done = set(ledger["files"])
-    new = [f for f in sorted(files) if os.path.basename(f) not in done]
+    # ledger keys are ABSOLUTE paths: basename-only keying would silently
+    # skip day2/events.parquet after day1/events.parquet was ingested
+    new = [f for f in sorted(files) if os.path.abspath(f) not in done]
     if not new:
         return 0
     os.makedirs(os.path.join(store, "deltas"), exist_ok=True)
     name = f"delta-{_wave_fingerprint(new)}"
+    delta_dir = os.path.join(store, "deltas", name)
+    # clear any crashed prior attempt: Ray's parquet filenames embed a
+    # per-execution uuid, so a retry into a non-empty dir would ADD files
+    # next to the stale ones and double-count once the ledger references
+    # the delta
+    shutil.rmtree(delta_dir, ignore_errors=True)
     partials = rd.read_parquet(new, columns=[key_col, ts_col, value_col]) \
         .map_batches(PartialRollup(key_col, ts_col, value_col, width),
                      batch_format="pyarrow")
@@ -107,8 +117,22 @@ def ingest(store: str, files: list[str], *, key_col: str = "event_type",
     merged = partials.groupby([key_col, "window_start"]).aggregate(
         Min("vmin", alias_name="vmin"), Max("vmax", alias_name="vmax"),
         Sum("vsum", alias_name="vsum"), Sum("vcount", alias_name="vcount"))
-    merged.write_parquet(os.path.join(store, "deltas", name))
-    ledger["files"] = sorted(done | {os.path.basename(f) for f in new})
+    merged.write_parquet(delta_dir)
+    if not glob.glob(os.path.join(delta_dir, "*.parquet")):
+        # empty wave (all-empty input files): Ray skips empty blocks, but
+        # a ledger entry must never reference a fileless dir
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        key_type = pq.read_schema(new[0]).field(key_col).type
+        schema = pa.schema([(key_col, key_type),
+                            ("window_start", pa.int64()),
+                            ("vmin", pa.float64()), ("vmax", pa.float64()),
+                            ("vsum", pa.float64()),
+                            ("vcount", pa.int64())])
+        os.makedirs(delta_dir, exist_ok=True)
+        pq.write_table(schema.empty_table(),
+                       os.path.join(delta_dir, "empty.parquet"))
+    ledger["files"] = sorted(done | {os.path.abspath(f) for f in new})
     ledger["deltas"] = sorted(set(ledger["deltas"]) | {name})
     _write_ledger(store, ledger)  # atomic, LAST
     return len(new)
@@ -143,6 +167,8 @@ def compact(store: str, *, key_col: str = "event_type") -> int:
         return 0
     merged = _merge_deltas(store, live, key_col)
     base = f"delta-base-{_wave_fingerprint(_delta_files(store, live))}"
+    # the sweep above already removed any crashed prior attempt at this
+    # deterministic name (it was unreferenced), so the write starts clean
     merged.write_parquet(os.path.join(ddir, base))
     ledger["deltas"] = [base]
     _write_ledger(store, ledger)  # atomic swap: old list → base
@@ -161,18 +187,34 @@ def expire(store: str, cutoff_window_start: int, *,
     import shutil
 
     import pyarrow.compute as pc
+    import pyarrow.parquet as pq
 
     ledger = _load_ledger(store)
     live = list(ledger["deltas"])
+    ddir = os.path.join(store, "deltas")
+    # sweep unreferenced dirs (crashed prior expire/compact attempts) so
+    # the deterministic-named write below starts clean
+    if os.path.isdir(ddir):
+        for name in os.listdir(ddir):
+            if name not in live:
+                shutil.rmtree(os.path.join(ddir, name), ignore_errors=True)
     if not live:
         return 0
+    live_files = _delta_files(store, live)
+    schema = pq.read_schema(live_files[0])
     merged = _merge_deltas(store, live, key_col).map_batches(
         lambda t: t.filter(
             pc.greater_equal(t["window_start"], cutoff_window_start)),
         batch_format="pyarrow")
-    ddir = os.path.join(store, "deltas")
-    base = f"delta-base-{_wave_fingerprint(_delta_files(store, live))}x"
-    merged.write_parquet(os.path.join(ddir, base))
+    base = f"delta-base-{_wave_fingerprint(live_files)}x"
+    base_dir = os.path.join(ddir, base)
+    merged.write_parquet(base_dir)
+    if not glob.glob(os.path.join(base_dir, "*.parquet")):
+        # everything expired: Ray skips empty blocks, so write an explicit
+        # empty file — a ledger entry must never point at a fileless dir
+        os.makedirs(base_dir, exist_ok=True)
+        pq.write_table(schema.empty_table(),
+                       os.path.join(base_dir, "empty.parquet"))
     ledger["deltas"] = [base]
     _write_ledger(store, ledger)  # atomic swap
     for name in live:

@@ -311,8 +311,8 @@ def test_ingest_compaction_crash_recovery(ray_session, tmp_path):
     src = pq.read_table("/root/testdata/sf0.001/events.parquet",
                         columns=["event_type", "ts", "value"])
     w0, w1 = str(tmp_path / "w0.parquet"), str(tmp_path / "w1.parquet")
-    pq.write_table(src.slice(0, 2000), w0)
-    pq.write_table(src.slice(2000, 2000), w1)
+    pq.write_table(src.slice(0, 500), w0)
+    pq.write_table(src.slice(500, 500), w1)
     store = str(tmp_path / "store")
     ING.ingest(store, [w0], width=3600)
     ING.ingest(store, [w1], width=3600)
@@ -353,3 +353,63 @@ def test_ingest_retention_expiry(ray_session, tmp_path):
     assert len(kept) == len(want)
     assert kept["window_start"].min() >= cutoff
     assert kept["vcount"].sum() == want["vcount"].sum()
+
+
+def test_ingest_same_basename_different_dirs(ray_session, tmp_path):
+    """Regression: ledger keys are absolute paths — day2/events.parquet
+    must ingest even though day1/events.parquet shares its basename."""
+    import pyarrow.parquet as pq
+
+    from series_correction_project_updated_ray.state import ingest as ING
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                        columns=["event_type", "ts", "value"])
+    d1, d2 = tmp_path / "day1", tmp_path / "day2"
+    d1.mkdir(); d2.mkdir()
+    pq.write_table(src.slice(0, 500), str(d1 / "events.parquet"))
+    pq.write_table(src.slice(500, 500), str(d2 / "events.parquet"))
+    store = str(tmp_path / "store")
+    assert ING.ingest(store, [str(d1 / "events.parquet")], width=3600) == 1
+    assert ING.ingest(store, [str(d2 / "events.parquet")], width=3600) == 1
+    out = ING.read_rollup(store).to_pandas()
+    assert out["vcount"].sum() == 1000
+
+
+def test_ingest_crash_retry_no_double_count(ray_session, tmp_path):
+    """Regression: a crashed ingest attempt leaves uuid-named parquet in
+    the delta dir; the retry must clear it, not append beside it."""
+    import pyarrow.parquet as pq
+
+    from series_correction_project_updated_ray.state import ingest as ING
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                        columns=["event_type", "ts", "value"])
+    w = str(tmp_path / "w.parquet")
+    pq.write_table(src, w)
+    store = str(tmp_path / "store")
+    # simulate the crashed attempt: delta dir pre-populated with a stale
+    # file under the SAME deterministic name, ledger never updated
+    name = f"delta-{ING._wave_fingerprint([w])}"
+    crash_dir = os.path.join(store, "deltas", name)
+    os.makedirs(crash_dir)
+    pq.write_table(src.slice(0, 500), os.path.join(crash_dir,
+                                                   "deadbeef_0_0.parquet"))
+    assert ING.ingest(store, [w], width=3600) == 1
+    out = ING.read_rollup(store).to_pandas()
+    assert out["vcount"].sum() == 1000  # stale file cleared, not added
+
+
+def test_expire_everything_leaves_readable_store(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from series_correction_project_updated_ray.state import ingest as ING
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                        columns=["event_type", "ts", "value"])
+    w = str(tmp_path / "w.parquet")
+    pq.write_table(src.slice(0, 1000), w)
+    store = str(tmp_path / "store")
+    ING.ingest(store, [w], width=3600)
+    ING.expire(store, 2**62)  # cutoff beyond every window
+    out = ING.read_rollup(store).to_pandas()
+    assert len(out) == 0
