@@ -612,6 +612,20 @@ def _q_pivot_user_event_type(sf_dir: str):
     return pivot_sum_exact(ev, "user_id", "event_type", "value", EVENT_TYPES)
 
 
+def _q_top_windows(sf_dir: str):
+    """Continuous-top-k shape (SAP ICDE'18 problem): the k busiest
+    (key, window) cells by rolled-up volume — windowed aggregate feeding
+    the distributed top-k, no global sort."""
+    from series_correction_project_updated_ray.stages.relational import (
+        topk_by)
+    from series_correction_project_updated_ray.stages.rollup import (
+        rollup_events)
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    roll = rollup_events(ev, key_col="event_type", width=3600)
+    return topk_by(roll, ["vsum", "event_type", "window_start"],
+                   [True, False, False], 20)
+
+
 def _q_users_except(sf_dir: str):
     """EXCEPT shape: distinct clickers with no high-value purchase — the
     INTERSECT plan with the broadcast semi-join flipped to anti."""
@@ -989,6 +1003,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # EXCEPT set op and GROUPING SETS shapes — oracle-checked
         "users_click_no_purchase": _q_users_except,
         "rollup_grouping_sets": _q_grouping_sets,
+        # continuous top-k over windowed aggregates — oracle-checked
+        "top_windows_by_volume": _q_top_windows,
     }
 
 
@@ -1235,6 +1251,17 @@ SELECT event_type,
          AS total_value,
        COUNT(*) AS n_events
 FROM events GROUP BY ROLLUP(event_type)
+""",
+        "top_windows_by_volume": f"""
+SELECT * FROM (
+  SELECT event_type,
+         {EPOCH_S} - ({EPOCH_S} % 3600) AS window_start,
+         min(value) AS vmin, max(value) AS vmax,
+         round(sum(value), 6) AS vsum, count(*) AS vcount,
+         round(round(sum(value), 6) / count(*), 6) AS vmean
+  FROM events GROUP BY 1, 2)
+ORDER BY vsum DESC, event_type, window_start
+LIMIT 20
 """,
         "asof_join_purchases": """
 WITH p AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events
