@@ -190,6 +190,7 @@ def connected_components_distributed(pairs, *, max_rounds: int = 16,
         return fn
 
     prev_sum = int(labels.sum("label"))
+    converged = False
     for _ in range(max_rounds):
         # (1) edge propagation: edge (src,dst) carries src's label to dst
         carried = hash_join(edges, labels, "src", "node", how="inner",
@@ -218,8 +219,17 @@ def connected_components_distributed(pairs, *, max_rounds: int = 16,
         new_sum = int(new_labels.sum("label"))
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # silently-wrong labels would break the advertised equivalence
+        # with the driver union-find — fail loudly instead (with pointer
+        # jumping, max_rounds=16 covers component diameters up to ~2^16)
+        raise RuntimeError(
+            f"connected_components_distributed did not converge in "
+            f"{max_rounds} rounds — raise max_rounds (component diameter "
+            f"exceeds 2^{max_rounds})")
     out = labels.to_pandas().rename(columns={"node": "doc_id",
                                              "label": "cluster_id"})
     out = out.astype({"doc_id": np.int64, "cluster_id": np.int64})

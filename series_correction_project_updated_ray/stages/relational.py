@@ -106,10 +106,22 @@ def _scaled_cents(col, factor: int = 100) -> np.ndarray:
     return np.rint(v * factor).astype(np.int64)
 
 
+_HI_LO = 10**9
+
+
+def _split_hi_lo(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Widen an int64 partial-sum column to (hi, lo) base-1e9 limbs so the
+    GLOBAL Sum of each limb stays far inside int64 at any row count (a
+    single-limb global charge sum wraps around ~2.4e8 TPC-H rows)."""
+    return v // _HI_LO, v % _HI_LO
+
+
 def _pricing_partial(batch: pa.Table) -> pa.Table:
     """Per-batch combiner for pricing_summary: ≤ |flag×status| (~6) rows of
     exact integer partial sums leave each block, so the one global shuffle
-    moves a few hundred bytes per block regardless of block size."""
+    moves a few hundred bytes per block regardless of block size.
+    dropna=False: a null group key must surface (and fail the shuffle
+    loudly), never silently drop its rows — the engine-wide invariant."""
     q100 = _scaled_cents(batch["l_quantity"])
     p100 = _scaled_cents(batch["l_extendedprice"])
     d100 = _scaled_cents(batch["l_discount"])
@@ -124,8 +136,19 @@ def _pricing_partial(batch: pa.Table) -> pa.Table:
         "n": np.ones(len(q100), dtype=np.int64),
     })
     part = df.groupby(["l_returnflag", "l_linestatus"], as_index=False,
-                      sort=False).sum()
-    return pa.Table.from_pandas(part, preserve_index=False)
+                      sort=False, dropna=False).sum()
+    for col in ("disc1e4", "charge1e6"):
+        hi, lo = _split_hi_lo(part[col].to_numpy())
+        part[f"{col}_hi"], part[f"{col}_lo"] = hi, lo
+    part = part.drop(columns=["disc1e4", "charge1e6"])
+    schema = pa.schema([
+        ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+        ("q100", pa.int64()), ("p100", pa.int64()), ("d100", pa.int64()),
+        ("n", pa.int64()),
+        ("disc1e4_hi", pa.int64()), ("disc1e4_lo", pa.int64()),
+        ("charge1e6_hi", pa.int64()), ("charge1e6_lo", pa.int64()),
+    ])
+    return pa.Table.from_pandas(part, schema=schema, preserve_index=False)
 
 
 def pricing_summary(lineitem):
@@ -141,23 +164,35 @@ def pricing_summary(lineitem):
     partials = lineitem.map_batches(_pricing_partial, batch_format="pyarrow")
     agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("q100", alias_name="q100"), Sum("p100", alias_name="p100"),
-        Sum("d100", alias_name="d100"), Sum("disc1e4", alias_name="disc1e4"),
-        Sum("charge1e6", alias_name="charge1e6"), Sum("n", alias_name="n"))
+        Sum("d100", alias_name="d100"), Sum("n", alias_name="n"),
+        Sum("disc1e4_hi", alias_name="disc1e4_hi"),
+        Sum("disc1e4_lo", alias_name="disc1e4_lo"),
+        Sum("charge1e6_hi", alias_name="charge1e6_hi"),
+        Sum("charge1e6_lo", alias_name="charge1e6_lo"))
 
     def _finalize(t: pa.Table) -> pa.Table:
         q100 = t["q100"].to_numpy(zero_copy_only=False).astype(np.int64)
         p100 = t["p100"].to_numpy(zero_copy_only=False).astype(np.int64)
         d100 = t["d100"].to_numpy(zero_copy_only=False).astype(np.int64)
-        disc = t["disc1e4"].to_numpy(zero_copy_only=False).astype(np.int64)
-        chg = t["charge1e6"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def _widened(col: str) -> list[int]:
+            # exact arbitrary-precision recombination in Python ints; the
+            # final int→float conversion is the same round-nearest DuckDB's
+            # CAST(hugeint AS DOUBLE) performs
+            hi = t[f"{col}_hi"].to_numpy(zero_copy_only=False)
+            lo = t[f"{col}_lo"].to_numpy(zero_copy_only=False)
+            return [int(h) * _HI_LO + int(l) for h, l in zip(hi, lo)]
+
+        disc = _widened("disc1e4")
+        chg = _widened("charge1e6")
         return pa.table({
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
             "sum_qty": pa.array(q100 / 100.0),
             "sum_base_price": pa.array(p100 / 100.0),
-            "sum_disc_price": pa.array(disc / 10000.0),
-            "sum_charge": pa.array(chg / 1000000.0),
+            "sum_disc_price": pa.array([v / 10000.0 for v in disc]),
+            "sum_charge": pa.array([v / 1000000.0 for v in chg]),
             "avg_qty": pa.array(q100 / (100.0 * n)),
             "avg_price": pa.array(p100 / (100.0 * n)),
             "avg_disc": pa.array(d100 / (100.0 * n)),
@@ -242,8 +277,15 @@ def shipping_priority(customer, orders, lineitem, *, segment: str = "BUILDING",
             "rev1e4": p100 * (100 - d100),
         })
         part = df.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"],
-                          as_index=False, sort=False)["rev1e4"].sum()
-        return pa.Table.from_pandas(part, preserve_index=False)
+                          as_index=False, sort=False,
+                          dropna=False)["rev1e4"].sum()
+        schema = pa.schema([
+            ("l_orderkey", t["l_orderkey"].type),
+            ("o_orderdate", t["o_orderdate"].type),
+            ("o_orderpriority", pa.string()),
+            ("rev1e4", pa.int64())])
+        return pa.Table.from_pandas(part, schema=schema,
+                                    preserve_index=False)
 
     agg = j.map_batches(_partial, batch_format="pyarrow") \
         .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"]) \
@@ -283,8 +325,13 @@ def pivot_sum_exact(ds, index_col: str, pivot_col: str, value_col: str,
         for c in categories:
             df[c] = np.where(cat == c, v100, 0)
         df["n_events"] = np.ones(len(df), dtype=np.int64)
-        part = df.groupby(index_col, as_index=False, sort=False).sum()
-        return pa.Table.from_pandas(part, preserve_index=False)
+        part = df.groupby(index_col, as_index=False, sort=False,
+                          dropna=False).sum()
+        schema = pa.schema([(index_col, t[index_col].type)]
+                           + [(c, pa.int64()) for c in categories]
+                           + [("n_events", pa.int64())])
+        return pa.Table.from_pandas(part, schema=schema,
+                                    preserve_index=False)
 
     agg = ds.map_batches(_partial, batch_format="pyarrow") \
         .groupby(index_col).aggregate(
@@ -303,6 +350,13 @@ def pivot_sum_exact(ds, index_col: str, pivot_col: str, value_col: str,
     return agg.map_batches(_finalize, batch_format="pyarrow")
 
 
+def _hash_threshold(frac: float) -> np.uint64:
+    """Fraction → uint64 threshold, clamped: float(2**64-1) rounds UP to
+    2**64, so the naive int(frac * float(2**64-1)) overflows uint64 at
+    frac=1.0 (and wraps the top split bound to 0 in hash_split)."""
+    return np.uint64(min(max(int(frac * (2**64 - 1)), 0), 2**64 - 1))
+
+
 def hash_sample(ds, key_col: str, rate: float, *, salt: int = 0):
     """Deterministic distributed sample: keep rows whose stable 64-bit
     key hash falls under ``rate`` — no shuffle, no RNG state, identical
@@ -310,7 +364,7 @@ def hash_sample(ds, key_col: str, rate: float, *, salt: int = 0):
     sharing the key (sampling users samples all their events).  ``salt``
     decorrelates repeated samples over the same key."""
     from ..functions.hashing import stable_hash_array
-    threshold = np.uint64(int(rate * float(2**64 - 1)))
+    threshold = _hash_threshold(rate)
 
     def _keep(batch: pa.Table) -> pa.Table:
         h = stable_hash_array(batch[key_col].to_pandas())
@@ -332,7 +386,7 @@ def hash_split(ds, key_col: str, fractions: dict[str, float], *,
     names = list(fractions)
     cum = np.cumsum([fractions[n] for n in names])
     assert abs(cum[-1] - 1.0) < 1e-9, "fractions must sum to 1"
-    bounds = (cum * float(2**64 - 1)).astype(np.uint64)
+    bounds = np.array([_hash_threshold(c) for c in cum], dtype=np.uint64)
 
     def _tag(batch: pa.Table) -> pa.Table:
         h = stable_hash_array(batch[key_col].to_pandas())
@@ -364,8 +418,12 @@ def revenue_by_nation(lineitem, orders, customer, nation):
         df = pd.DataFrame({"l_orderkey": t["l_orderkey"]
                            .to_numpy(zero_copy_only=False),
                            "rev1e4": p100 * (100 - d100)})
-        part = df.groupby("l_orderkey", as_index=False, sort=False).sum()
-        return pa.Table.from_pandas(part, preserve_index=False)
+        part = df.groupby("l_orderkey", as_index=False, sort=False,
+                          dropna=False).sum()
+        schema = pa.schema([("l_orderkey", t["l_orderkey"].type),
+                            ("rev1e4", pa.int64())])
+        return pa.Table.from_pandas(part, schema=schema,
+                                    preserve_index=False)
 
     # pre-combine lineitem to one row per order BEFORE the join: the
     # shuffle then moves |orders| rows instead of |lineitems|
@@ -378,20 +436,37 @@ def revenue_by_nation(lineitem, orders, customer, nation):
     enriched = broadcast_enrich(j2, nat, "c_nationkey", "n_nationkey",
                                 {"n_name": "n_name"})
 
+    # a missed nationkey leaves n_name NULL; the null group must SURVIVE
+    # (LEFT-JOIN-style SQL emits it) — sentinel through the shuffle, null
+    # on output, same pattern as the grouping-sets total row
+    null_sentinel = "\x00__NULL__"
+
     def _nat_partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({
-            "n_name": t["n_name"].to_pandas(),
+            "n_name": t["n_name"].to_pandas().fillna(null_sentinel),
             "rev1e4": t["rev1e4"].to_numpy(zero_copy_only=False)
             .astype(np.int64)})
-        part = df.groupby("n_name", as_index=False, sort=False).sum()
-        return pa.Table.from_pandas(part, preserve_index=False)
+        part = df.groupby("n_name", as_index=False, sort=False,
+                          dropna=False).sum()
+        schema = pa.schema([("n_name", pa.string()),
+                            ("rev1e4", pa.int64())])
+        return pa.Table.from_pandas(part, schema=schema,
+                                    preserve_index=False)
 
     agg = enriched.map_batches(_nat_partial, batch_format="pyarrow") \
         .groupby("n_name").aggregate(Sum("rev1e4", alias_name="rev1e4"))
-    return agg.map_batches(
-        lambda t: pa.table({
-            "n_name": t["n_name"],
+
+    def _final(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        key = t["n_name"]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        key = pc.if_else(pc.equal(key, null_sentinel),
+                         pa.nulls(len(key), pa.string()), key)
+        return pa.table({
+            "n_name": key,
             "revenue": pa.array(
                 t["rev1e4"].to_numpy(zero_copy_only=False).astype(np.int64)
-                / 10000.0)}),
-        batch_format="pyarrow")
+                / 10000.0)})
+
+    return agg.map_batches(_final, batch_format="pyarrow")

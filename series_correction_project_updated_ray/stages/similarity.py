@@ -170,9 +170,13 @@ def kmeans_distributed(embeddings, n_clusters=8, iters=10, seed=7,
 
     # deterministic farthest-point init over a small id-prefix sample:
     # greedy max-min-distance seeding avoids the merged-cluster failure a
-    # naive first-k init hits when the first k rows share a cluster
-    pool = embeddings.select_columns([id_col, vec_col]) \
-        .sort(id_col).limit(max(50, 8 * n_clusters)).take_all()
+    # naive first-k init hits when the first k rows share a cluster.  The
+    # prefix comes from the distributed top-k (per-block partial → one
+    # final block) — a .sort(id).limit(...) here would be a whole-dataset
+    # all-to-all shuffle just to fetch ~50 rows
+    from .relational import topk_by
+    pool_size = max(50, 8 * n_clusters)
+    pool = topk_by(embeddings, [id_col], [False], pool_size).take_all()
     P = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in pool])
     P /= np.maximum(np.linalg.norm(P, axis=1, keepdims=True), 1e-12)
     chosen = [0]

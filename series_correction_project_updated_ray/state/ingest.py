@@ -165,11 +165,21 @@ def compact(store: str, *, key_col: str = "event_type") -> int:
                 shutil.rmtree(os.path.join(ddir, name), ignore_errors=True)
     if len(live) <= 1:
         return 0
+    import pyarrow.parquet as pq
+    live_files = _delta_files(store, live)
+    schema = pq.read_schema(live_files[0])
     merged = _merge_deltas(store, live, key_col)
-    base = f"delta-base-{_wave_fingerprint(_delta_files(store, live))}"
+    base = f"delta-base-{_wave_fingerprint(live_files)}"
+    base_dir = os.path.join(ddir, base)
     # the sweep above already removed any crashed prior attempt at this
     # deterministic name (it was unreferenced), so the write starts clean
-    merged.write_parquet(os.path.join(ddir, base))
+    merged.write_parquet(base_dir)
+    if not glob.glob(os.path.join(base_dir, "*.parquet")):
+        # all-empty deltas: Ray writes nothing for empty blocks, but the
+        # ledger must never reference a fileless dir
+        os.makedirs(base_dir, exist_ok=True)
+        pq.write_table(schema.empty_table(),
+                       os.path.join(base_dir, "empty.parquet"))
     ledger["deltas"] = [base]
     _write_ledger(store, ledger)  # atomic swap: old list → base
     for name in live:

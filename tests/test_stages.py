@@ -362,3 +362,30 @@ def test_kmeans_distributed_recovers_planted_clusters(ray_session):
     # centroids align with planted centers
     sims = np.abs(C @ centers.T)
     assert (sims.max(axis=1) > 0.99).all()
+
+
+def test_hash_sample_full_rate_boundary(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        hash_sample, hash_split)
+    df = pd.DataFrame({"k": np.arange(500)})
+    assert len(hash_sample(rd.from_pandas(df), "k", 1.0).to_pandas()) == 500
+    out = hash_split(rd.from_pandas(df), "k", {"all": 1.0}).to_pandas()
+    assert (out["split"] == "all").all()
+
+
+def test_pivot_preserves_null_group_key(ray_session):
+    """Null index keys must survive (as SQL's NULL group), not be dropped
+    by pandas' default dropna — engine-wide invariant."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        pivot_sum_exact)
+    df = pd.DataFrame({"who": ["a", None, "a", None],
+                       "kind": ["x", "x", "y", "y"],
+                       "value": [1.25, 2.50, 4.00, 8.00]})
+    out = pivot_sum_exact(rd.from_pandas(df), "who", "kind", "value",
+                          ["x", "y"]).to_pandas()
+    assert len(out) == 2
+    null_row = out[out["who"].isna()].iloc[0]
+    assert null_row["x"] == 2.50 and null_row["y"] == 8.00
+    assert null_row["n_events"] == 2

@@ -413,3 +413,24 @@ def test_expire_everything_leaves_readable_store(ray_session, tmp_path):
     ING.expire(store, 2**62)  # cutoff beyond every window
     out = ING.read_rollup(store).to_pandas()
     assert len(out) == 0
+
+
+def test_compact_all_empty_deltas_keeps_store_readable(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from series_correction_project_updated_ray.state import ingest as ING
+
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "ts": pa.array([], pa.int64()),
+                      "value": pa.array([], pa.float64())})
+    w0, w1 = str(tmp_path / "e0.parquet"), str(tmp_path / "e1.parquet")
+    pq.write_table(empty, w0)
+    pq.write_table(empty, w1)
+    store = str(tmp_path / "store")
+    assert ING.ingest(store, [w0], width=3600) == 1
+    assert ING.ingest(store, [w1], width=3600) == 1
+    assert ING.compact(store) == 2
+    out = ING.read_rollup(store).to_pandas()
+    assert len(out) == 0
+    assert ING.expire(store, 0) == 1  # still operable after compaction
