@@ -197,6 +197,16 @@ def hash_join(left, right, left_key: str, right_key: str,
     Shared non-key column names are suffixed pandas-style before the
     union; each side is null-padded to the union schema so the bucket
     groupby can co-locate both sides in one exchange."""
+    def _arrow_backed(ds):
+        # a pandas-backed dataset reports PYTHON classes (e.g. object) in
+        # schema().types for string columns; the tag/pad/cast machinery
+        # needs real arrow types, so coerce such inputs to arrow blocks
+        # first (the conversion would happen at _TagPad anyway)
+        if any(not isinstance(t, pa.DataType) for t in ds.schema().types):
+            return ds.map_batches(lambda t: t, batch_format="pyarrow")
+        return ds
+
+    left, right = _arrow_backed(left), _arrow_backed(right)
     l_sch, r_sch = left.schema(), right.schema()
     l_fields = list(zip(l_sch.names, l_sch.types))
     r_fields = list(zip(r_sch.names, r_sch.types))

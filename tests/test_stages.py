@@ -389,3 +389,63 @@ def test_pivot_preserves_null_group_key(ray_session):
     null_row = out[out["who"].isna()].iloc[0]
     assert null_row["x"] == 2.50 and null_row["y"] == 8.00
     assert null_row["n_events"] == 2
+
+
+def test_hash_join_semantics_battery(ray_session):
+    """hash_join vs a SQL-semantics pandas reference across the cases that
+    have historically broken it: null keys, empty sides, int-dtype
+    preservation through chains, shared column names, left-outer padding."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.joins import hash_join
+
+    left_t = pa.table({"k": pa.array([1, 2, 2, None, 5], pa.int64()),
+                       "lv": pa.array([10, 20, 21, 30, 50], pa.int64())})
+    right_t = pa.table({"k2": pa.array([2, 2, 5, None, 7], pa.int64()),
+                        "rv": pa.array([200, 201, 500, 900, 700],
+                                       pa.int64())})
+    left, right = left_t.to_pandas(), right_t.to_pandas()
+
+    def ref(how):
+        l = left.copy()
+        r = right[right["k2"].notna()]
+        if how == "inner":
+            l = l[l["k"].notna()]
+        return l.merge(r, left_on="k", right_on="k2", how=how)
+
+    for how in ("inner", "left"):
+        got = hash_join(rd.from_arrow(left_t), rd.from_arrow(right_t),
+                        "k", "k2", how=how, n_buckets=4).to_pandas()
+        want = ref(how)
+        assert len(got) == len(want), how
+        g = got.sort_values(["lv", "rv"], na_position="last") \
+            .reset_index(drop=True).astype("float64")
+        w = want.sort_values(["lv", "rv"], na_position="last") \
+            .reset_index(drop=True).astype("float64")
+        pd.testing.assert_frame_equal(g[sorted(g.columns)],
+                                      w[sorted(w.columns)])
+
+    # int64 keys survive the join output (the chained-join regression):
+    j = hash_join(rd.from_arrow(left_t.drop_null()),
+                  rd.from_arrow(right_t.drop_null()),
+                  "k", "k2", how="inner", n_buckets=4)
+    sch = dict(zip(j.schema().names, j.schema().types))
+    assert str(sch["k"]) == "int64" and str(sch["k2"]) == "int64"
+    # ...and the output joins AGAIN without loss (two-hop chain)
+    extra = pd.DataFrame({"k3": [2, 5], "xv": ["a", "b"]})
+    j2 = hash_join(j, rd.from_pandas(extra), "k", "k3", how="inner",
+                   n_buckets=4).to_pandas()
+    assert len(j2) == len(ref("inner").dropna())
+    # shared column names on both sides get pandas-style suffixes
+    lshare = pd.DataFrame({"a": [1, 2], "c": [5, 6]})
+    rshare = pd.DataFrame({"b": [1, 2], "c": [7, 8]})
+    js = hash_join(rd.from_pandas(lshare), rd.from_pandas(rshare),
+                   "a", "b", n_buckets=2).to_pandas()
+    assert {"a", "b", "c_l", "c_r"} == set(js.columns)
+    # disjoint key sets → empty result whose DATASET schema stays intact
+    # (what a chained consumer sees; Ray's to_pandas drops columns for
+    # zero-block results)
+    je = hash_join(rd.from_pandas(pd.DataFrame({"k": [1], "lv": [1]})),
+                   rd.from_pandas(pd.DataFrame({"k2": [9], "rv": [2]})),
+                   "k", "k2", n_buckets=2)
+    assert je.count() == 0
+    assert set(je.schema().names) == {"k", "lv", "k2", "rv"}
