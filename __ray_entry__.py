@@ -612,6 +612,38 @@ def _q_pivot_user_event_type(sf_dir: str):
     return pivot_sum_exact(ev, "user_id", "event_type", "value", EVENT_TYPES)
 
 
+def _q_vector_stats(sf_dir: str):
+    """List-column (vector) scalar functions: per-row dim / L2 norm /
+    mean over the embedding array, fully vectorized (one matrix op per
+    batch — no per-row Python)."""
+    import pyarrow as pa
+    from series_correction_project_updated_ray.functions.rounding import (
+        round_half_away)
+
+    def _stats(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        vals = np.asarray(emb.values, dtype=np.float64)
+        offs = np.asarray(emb.offsets)
+        dims = (offs[1:] - offs[:-1]).astype(np.int64)
+        M = vals.reshape(len(dims), dims[0]) if len(dims) and \
+            (dims == dims[0]).all() else None
+        if M is not None:
+            l2 = np.sqrt((M * M).sum(axis=1))
+            mean = M.sum(axis=1) / dims
+        else:  # ragged fallback (not hit by this table)
+            l2 = np.sqrt(np.add.reduceat(vals * vals, offs[:-1]))
+            mean = np.add.reduceat(vals, offs[:-1]) / np.maximum(dims, 1)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "dim": pa.array(dims),
+            "l2_norm": pa.array(round_half_away(l2, 6)),
+            "vmean": pa.array(round_half_away(mean, 6)),
+        })
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(_stats, batch_format="pyarrow")
+
+
 def _q_top_windows(sf_dir: str):
     """Continuous-top-k shape (SAP ICDE'18 problem): the k busiest
     (key, window) cells by rolled-up volume — windowed aggregate feeding
@@ -1005,6 +1037,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_grouping_sets": _q_grouping_sets,
         # continuous top-k over windowed aggregates — oracle-checked
         "top_windows_by_volume": _q_top_windows,
+        # list/vector scalar functions — oracle-checked
+        "vector_stats": _q_vector_stats,
     }
 
 
@@ -1262,6 +1296,13 @@ SELECT * FROM (
   FROM events GROUP BY 1, 2)
 ORDER BY vsum DESC, event_type, window_start
 LIMIT 20
+""",
+        "vector_stats": """
+SELECT vec_id, len(embedding) AS dim,
+       round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x*x))), 6) AS l2_norm,
+       round(list_avg(CAST(embedding AS DOUBLE[])), 6) AS vmean
+FROM embeddings
 """,
         "asof_join_purchases": """
 WITH p AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events
