@@ -272,7 +272,6 @@ def _seatek_fixture_dir() -> str:
     """Deterministic Seatek wide-file corpus under /tmp (FIXTURES.md §F2) —
     the sf tables carry no Seatek files, so the compat pipelines generate
     their fixture input once and reuse it."""
-    import glob
     from series_correction_project_updated_ray.sources.seatek import (
         write_seatek_fixture)
     d = "/tmp/graft_seatek_fixture"
@@ -533,13 +532,16 @@ def _q_media_frames(sf_dir: str):
         sample_frames, synth_media_table)
     frames = sample_frames(ray.data.from_arrow(synth_media_table(256)),
                            stride=4)
+    import pyarrow.compute as pc
+    # binary_length reads the arrow offsets zero-copy — materializing
+    # every payload as Python bytes just to measure it would dominate
+    # this fan-out stage
     return frames.map_batches(
         lambda t: pa.table({
             "media_id": t["media_id"],
             "frame_idx": t["frame_idx"],
-            "frame_bytes": pa.array(
-                np.asarray([len(b) for b in t["frame"].to_pylist()],
-                           dtype=np.int64)),
+            "frame_bytes": pc.cast(pc.binary_length(t["frame"]),
+                                   pa.int64()),
         }), batch_format="pyarrow")
 
 
@@ -555,8 +557,12 @@ def _q_media_features(sf_dir: str):
     feats = media_features(ds, concurrency=2, batch_size=16)
 
     def _proj(batch: pa.Table) -> pa.Table:
+        from series_correction_project_updated_ray.stages.multimodal import (
+            MediaFeatureExtractor)
+        # explicit feature dim: reshape(0, -1) on an empty block raises
         emb = np.asarray(batch["embedding"].combine_chunks().flatten(),
-                         dtype=np.float64).reshape(len(batch), -1)
+                         dtype=np.float64) \
+            .reshape(-1, MediaFeatureExtractor.FEATURE_DIM)
         return pa.table({
             "media_id": batch["media_id"],
             "media_type": batch["media_type"],
@@ -630,9 +636,20 @@ def _q_vector_stats(sf_dir: str):
         if M is not None:
             l2 = np.sqrt((M * M).sum(axis=1))
             mean = M.sum(axis=1) / dims
-        else:  # ragged fallback (not hit by this table)
-            l2 = np.sqrt(np.add.reduceat(vals * vals, offs[:-1]))
-            mean = np.add.reduceat(vals, offs[:-1]) / np.maximum(dims, 1)
+        else:
+            # ragged fallback: reduceat mis-handles empty segments (it
+            # returns the NEXT segment's head, and errors on a trailing
+            # empty) — mask them, same pattern as seg_sums above
+            starts = offs[:-1].astype(np.int64)
+            nonempty = dims > 0
+            sq = np.zeros(len(dims))
+            sm = np.zeros(len(dims))
+            if nonempty.any():
+                sq[nonempty] = np.add.reduceat(vals * vals,
+                                               starts[nonempty])
+                sm[nonempty] = np.add.reduceat(vals, starts[nonempty])
+            l2 = np.sqrt(sq)
+            mean = sm / np.maximum(dims, 1)
         return pa.table({
             "vec_id": t["vec_id"],
             "dim": pa.array(dims),
@@ -658,27 +675,31 @@ def _q_top_windows(sf_dir: str):
                    [True, False, False], 20)
 
 
-def _q_users_except(sf_dir: str):
-    """EXCEPT shape: distinct clickers with no high-value purchase — the
-    INTERSECT plan with the broadcast semi-join flipped to anti."""
+def _distinct_users_of_type(ev, typ, min_value=None):
+    """Distinct user_ids having an event of ``typ`` (optionally value >
+    min_value): batch-local unique → global distinct groupby."""
     import pyarrow as pa
     import pyarrow.compute as pc
     from ray.data.aggregate import Count
+
+    def _local(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["event_type"], typ)
+        if min_value is not None:
+            keep = pc.and_(keep, pc.greater(t["value"], min_value))
+        return pa.table({"user_id": pc.unique(t.filter(keep)["user_id"])})
+
+    return ev.map_batches(_local, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Count(alias_name="n")) \
+        .select_columns(["user_id"])
+
+
+def _q_users_except(sf_dir: str):
+    """EXCEPT shape: distinct clickers with no high-value purchase — the
+    INTERSECT plan with the broadcast semi-join flipped to anti."""
     from series_correction_project_updated_ray.stages.joins import semi_join
     ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
-
-    def _distinct_of(typ, min_value=None):
-        def _local(t: pa.Table) -> pa.Table:
-            keep = pc.equal(t["event_type"], typ)
-            if min_value is not None:
-                keep = pc.and_(keep, pc.greater(t["value"], min_value))
-            return pa.table({"user_id": pc.unique(t.filter(keep)["user_id"])})
-        return ev.map_batches(_local, batch_format="pyarrow") \
-            .groupby("user_id").aggregate(Count(alias_name="n")) \
-            .select_columns(["user_id"])
-
-    return semi_join(_distinct_of("click"),
-                     _distinct_of("purchase", min_value=95.0),
+    return semi_join(_distinct_users_of_type(ev, "click"),
+                     _distinct_users_of_type(ev, "purchase", min_value=95.0),
                      "user_id", anti=True)
 
 
@@ -749,23 +770,10 @@ def _q_kmeans_clusters(sf_dir: str):
 def _q_users_intersect(sf_dir: str):
     """INTERSECT shape: distinct clickers ∩ distinct purchasers — partial
     distinct per batch, then a broadcast semi-join (no second shuffle)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count
     from series_correction_project_updated_ray.stages.joins import semi_join
     ev = _read(sf_dir, "events", ["user_id", "event_type"])
-
-    def _distinct_of(typ):
-        def _local(t: pa.Table) -> pa.Table:
-            keep = t.filter(pc.equal(t["event_type"], typ))
-            return pa.table(
-                {"user_id": pc.unique(keep["user_id"])})
-        return ev.map_batches(_local, batch_format="pyarrow") \
-            .groupby("user_id").aggregate(Count(alias_name="n")) \
-            .select_columns(["user_id"])
-
-    return semi_join(_distinct_of("click"), _distinct_of("purchase"),
-                     "user_id")
+    return semi_join(_distinct_users_of_type(ev, "click"),
+                     _distinct_users_of_type(ev, "purchase"), "user_id")
 
 
 def _q_running_sum(sf_dir: str):
@@ -783,10 +791,14 @@ def _q_incremental_rollup(sf_dir: str):
 
     import pyarrow.parquet as pq
     from series_correction_project_updated_ray.state import ingest as ING
-    # stable digest — builtin hash() is per-process randomized, which
-    # would defeat the _DONE cache and grow /tmp every run
+    # stable digest of path AND content identity (size+mtime): builtin
+    # hash() is per-process randomized, and a path-only key would serve
+    # stale waves if the testdata were regenerated in place
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(ev_path)
     digest = hashlib.sha1(
-        os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        f"{os.path.abspath(ev_path)}:{st.st_size}:{int(st.st_mtime)}"
+        .encode()).hexdigest()[:12]
     base = os.path.join("/tmp", f"graft_incr_{digest}")
     waves_dir = os.path.join(base, "waves")
     marker = os.path.join(waves_dir, "_DONE")

@@ -34,6 +34,29 @@ from ..stages.rollup import PartialRollup, _finalize
 _LEDGER = "_ingested.json"
 
 
+class _store_lock:
+    """Advisory cross-process exclusive lock on the store — two drivers
+    ingesting concurrently would race the ledger read-modify-write and
+    interleave writes into the same deterministic delta dir (double
+    count).  flock is held for the duration of each mutating op."""
+
+    def __init__(self, store: str):
+        os.makedirs(store, exist_ok=True)
+        self.path = os.path.join(store, ".lock")
+
+    def __enter__(self):
+        import fcntl
+        self.f = open(self.path, "w")
+        fcntl.flock(self.f, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+        fcntl.flock(self.f, fcntl.LOCK_UN)
+        self.f.close()
+        return False
+
+
 def _ledger_path(store: str) -> str:
     return os.path.join(store, _LEDGER)
 
@@ -95,6 +118,17 @@ def ingest(store: str, files: list[str], *, key_col: str = "event_type",
 
     import shutil
 
+    with _store_lock(store):
+        return _ingest_locked(store, files, key_col=key_col, ts_col=ts_col,
+                              value_col=value_col, width=width)
+
+
+def _ingest_locked(store, files, *, key_col, ts_col, value_col, width):
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
     ledger = _load_ledger(store)
     done = set(ledger["files"])
     # ledger keys are ABSOLUTE paths: basename-only keying would silently
@@ -152,6 +186,11 @@ def compact(store: str, *, key_col: str = "event_type") -> int:
     unreferenced garbage from prior crashes.  Reads stay correct at every
     point: the ledger swaps from the old delta list to the new base in
     one atomic replace."""
+    with _store_lock(store):
+        return _compact_locked(store, key_col)
+
+
+def _compact_locked(store: str, key_col: str) -> int:
     import shutil
 
     ledger = _load_ledger(store)
@@ -194,6 +233,12 @@ def expire(store: str, cutoff_window_start: int, *,
     filtered compaction (the delete never touches raw inputs — at real
     scale this is the tier's retention policy running on a schedule).
     Returns the number of deltas folded."""
+    with _store_lock(store):
+        return _expire_locked(store, cutoff_window_start, key_col)
+
+
+def _expire_locked(store: str, cutoff_window_start: int,
+                   key_col: str) -> int:
     import shutil
 
     import pyarrow.compute as pc
