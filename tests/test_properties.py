@@ -173,3 +173,29 @@ def test_kll_rank_error_property(xs, p):
     lo = np.searchsorted(sv, est, side="left") / len(sv)
     hi = np.searchsorted(sv, est, side="right") / len(sv)
     assert lo - 0.05 <= p <= hi + 0.05, (p, lo, hi)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=-10**7, max_value=10**7),
+                min_size=1, max_size=500))
+def test_scaled_cents_roundtrip_exact(cents):
+    """Any 2dp decimal stored as a double scales back to its exact cents
+    int — the foundation of every bit-exact arithmetic oracle."""
+    import pyarrow as pa
+    from series_correction_project_updated_ray.stages.relational import (
+        _scaled_cents)
+    decimals = np.asarray(cents, dtype=np.float64) / 100.0
+    got = _scaled_cents(pa.array(decimals))
+    np.testing.assert_array_equal(got, np.asarray(cents, dtype=np.int64))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62),
+                min_size=1, max_size=100))
+def test_hi_lo_limbs_recombine_exact(vals):
+    from series_correction_project_updated_ray.stages.relational import (
+        _HI_LO, _split_hi_lo)
+    v = np.asarray(vals, dtype=np.int64)
+    hi, lo = _split_hi_lo(v)
+    back = [int(h) * _HI_LO + int(l) for h, l in zip(hi, lo)]
+    assert back == [int(x) for x in vals]
