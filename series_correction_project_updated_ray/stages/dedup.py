@@ -114,31 +114,33 @@ def candidate_pairs(band_rows, id_col: str = "doc_id"):
 
 
 class VerifyJaccard:
-    """Actor-pool verifier: exact n-gram Jaccard for candidate pairs.
+    """Actor-pool verifier: exact n-gram Jaccard for candidate pairs whose
+    texts were CO-LOCATED onto the pair rows by two hash joins (columns
+    ``__text_a`` / ``__text_b``) — no driver materialization, no corpus
+    broadcast; only candidate-pair rows (pair ids + their two texts) ever
+    move.  A per-actor id→shingles cache amortizes re-shingling when the
+    same document appears in many pairs of one batch stream."""
 
-    Holds the text lookup (broadcast via ray.put object ref) built ONCE per
-    actor in __init__ — the canonical small-side broadcast pattern.  At real
-    scale the lookup would be a per-actor shard keyed by the pair
-    partitioning; the plumbing (object-store ref in, dict in memory) is the
-    same.
-    """
-
-    def __init__(self, texts_ref, ngram=5, threshold=0.8):
-        import ray
-        self.texts = ray.get(texts_ref)
+    def __init__(self, ngram=5, threshold=0.8, max_cache=65536):
         self.ngram, self.threshold = ngram, threshold
+        self.max_cache = max_cache
         self._cache: dict = {}
 
-    def _sh(self, doc_id):
-        if doc_id not in self._cache:
-            self._cache[doc_id] = char_ngram_shingles(
-                self.texts.get(doc_id, ""), self.ngram)
-        return self._cache[doc_id]
+    def _sh(self, doc_id, text):
+        got = self._cache.get(doc_id)
+        if got is None:
+            got = char_ngram_shingles(text or "", self.ngram)
+            if len(self._cache) >= self.max_cache:
+                self._cache.clear()
+            self._cache[doc_id] = got
+        return got
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sims = np.array([jaccard(self._sh(a), self._sh(b))
-                         for a, b in zip(batch["id_a"], batch["id_b"])])
-        out = batch.copy()
+        sims = np.array([jaccard(self._sh(a, ta), self._sh(b, tb))
+                         for a, b, ta, tb in zip(
+                             batch["id_a"], batch["id_b"],
+                             batch["__text_a"], batch["__text_b"])])
+        out = batch[["id_a", "id_b"]].copy()
         out["jaccard"] = np.round(sims, 6)
         return out[out["jaccard"] >= self.threshold]
 
@@ -265,18 +267,35 @@ def minhash_lsh_dedup(docs, *, text_col="text", id_col="doc_id",
     propagation over the pair Dataset (the 100 TB path, where even the
     verified-pair set exceeds driver memory); the default driver-side
     union-find is faster whenever the pairs fit, and both paths are
-    equivalence-tested."""
-    import ray
+    equivalence-tested.
+
+    The verify stage never materializes the corpus: candidate pairs are
+    joined back to their two texts with two partitioned ``hash_join``s
+    (ships each text once per pair it appears in, never the dataset), so
+    the whole pipeline streams at any corpus size."""
+    from .joins import hash_join
+
     bands_ds = docs.map_batches(
         MinHashBands(text_col, id_col, num_perm, bands, ngram),
         batch_format="pyarrow")
     cands = candidate_pairs(bands_ds, id_col)
-    texts = {r[id_col]: r[text_col]
-             for r in docs.select_columns([id_col, text_col]).take_all()}
-    texts_ref = ray.put(texts)
-    verified = cands.map_batches(
+    texts_slim = docs.select_columns([id_col, text_col])
+
+    def _as(side: str):
+        names = {id_col: f"id_{side}", text_col: f"__text_{side}"}
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([names.get(c, c) for c in t.column_names])
+        return fn
+
+    with_a = hash_join(
+        cands, texts_slim.map_batches(_as("a"), batch_format="pyarrow"),
+        "id_a", "id_a", how="inner")
+    with_b = hash_join(
+        with_a, texts_slim.map_batches(_as("b"), batch_format="pyarrow"),
+        "id_b", "id_b", how="inner")
+    verified = with_b.map_batches(
         VerifyJaccard, batch_format="pandas", concurrency=2,
-        fn_constructor_args=(texts_ref, ngram, threshold))
+        fn_constructor_args=(ngram, threshold))
     if distributed_cc:
         return connected_components_distributed(
             verified.map_batches(
