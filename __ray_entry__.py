@@ -385,17 +385,21 @@ def _q_distinct_users(sf_dir: str):
 
 
 def _q_top_users(sf_dir: str):
-    """Global top-10 users by total value (grouped sum → tiny sort)."""
+    """Global top-10 users by total value: grouped sum → distributed
+    ``topk_by`` (per-block partial top-k, ≤ k×blocks survivor rows, one
+    tiny final block) — never a driver-side sort of all |users| sums."""
     from ray.data.aggregate import Sum
+    from series_correction_project_updated_ray.stages.relational import (
+        topk_by)
     ev = _read(sf_dir, "events", ["user_id", "value"])
     sums = ev.groupby("user_id").aggregate(
-        Sum("value", alias_name="total_value")).to_pandas()
-    sums = sums.sort_values(["total_value", "user_id"],
-                            ascending=[False, True]).head(10)
+        Sum("value", alias_name="total_value"))
+    top = topk_by(sums, ["total_value", "user_id"], [True, False], 10) \
+        .to_pandas()
     from series_correction_project_updated_ray.functions.rounding import (
         round_half_away)
-    sums["total_value"] = round_half_away(sums["total_value"].to_numpy(), 6)
-    return sums.reset_index(drop=True)
+    top["total_value"] = round_half_away(top["total_value"].to_numpy(), 6)
+    return top[["user_id", "total_value"]].reset_index(drop=True)
 
 
 def _q_filter_pushdown(sf_dir: str):

@@ -111,10 +111,21 @@ def apply_level_shifts(long_ds, yty_df: pd.DataFrame,
                        threshold: float = 0.1, min_rows: int = 5):
     """long-form Seatek Dataset + wide differences table →
     (shifted Dataset, correction log DataFrame)."""
+    import pyarrow as pa
     import ray
+    from ray.data.aggregate import Count
     instructions = melt_instructions(yty_df, threshold)
-    meta = long_ds.select_columns(["series", "year_idx"]).to_pandas() \
-        .drop_duplicates()
+
+    # distinct (series, year_idx) distributed: per-batch local distinct
+    # shrinks what the grouped aggregate shuffles, and only the tiny
+    # (|series| × |years|) result ever reaches the driver
+    def _local_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["series", "year_idx"]).aggregate([])
+
+    meta = long_ds.select_columns(["series", "year_idx"]) \
+        .map_batches(_local_distinct, batch_format="pyarrow") \
+        .groupby(["series", "year_idx"]).aggregate(Count(alias_name="__n")) \
+        .select_columns(["series", "year_idx"]).to_pandas()
     years_by_series = {s: set(g["year_idx"].tolist())
                        for s, g in meta.groupby("series")}
     plan = plan_corrections(instructions, years_by_series)
@@ -125,9 +136,15 @@ def apply_level_shifts(long_ds, yty_df: pd.DataFrame,
 
 
 def correction_log(shifted, plan: pd.DataFrame) -> pd.DataFrame:
-    """Reference-shaped correction log from applied shifts."""
-    applied = shifted.to_pandas()
-    applied = applied[~applied["shift_log"].isna()]
+    """Reference-shaped correction log from applied shifts.
+
+    The applied-shift rows are filtered and column-pruned INSIDE the
+    Dataset (one marker row per applied boundary shift), so only that
+    tiny set — never the full shifted output — reaches the driver."""
+    applied = shifted.map_batches(
+        lambda df: df.loc[~df["shift_log"].isna(),
+                          ["series", "sensor_id", "year_idx", "shift_log"]],
+        batch_format="pandas").to_pandas()
     rows = []
     for _, r in plan.iterrows():
         m = applied[(applied["series"] == r["series"])

@@ -85,10 +85,15 @@ def corrected_series_group(g: pd.DataFrame, config=None,
     g, t, v = _series_sorted(g)
     ids = g[id_col].to_numpy(np.int64)
     t2, v2 = K.process_series(t, v, config)
-    # map original ids onto surviving timestamps (inserted rows: id -1)
-    id_map = dict(zip(t.tolist(), ids.tolist()))
-    out_ids = np.fromiter((id_map.get(int(x), -1) for x in t2),
-                          dtype=np.int64, count=len(t2))
+    # map original ids onto surviving timestamps (inserted rows: id -1),
+    # vectorized: t is sorted, so searchsorted(side="right")-1 finds the
+    # LAST original row at each (int-truncated) timestamp — the same
+    # last-wins tie rule the previous dict-based mapping had
+    t2i = t2.astype(np.int64)
+    pos = np.searchsorted(t, t2i, side="right") - 1
+    safe = np.maximum(pos, 0)
+    hit = (pos >= 0) & (t[safe] == t2i)
+    out_ids = np.where(hit, ids[safe], np.int64(-1))
     return pd.DataFrame({
         key_col: np.full(len(t2), g[key_col].iloc[0]),
         "t": t2.astype(np.int64),

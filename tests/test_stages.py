@@ -449,3 +449,28 @@ def test_hash_join_semantics_battery(ray_session):
                    "k", "k2", n_buckets=2)
     assert je.count() == 0
     assert set(je.schema().names) == {"k", "lv", "k2", "rv"}
+
+
+def test_corrected_series_group_id_mapping():
+    """Pins the searchsorted id→timestamp mapping of corrected_series_group:
+    original timestamps come out inserted=False, gap-filled ones
+    inserted=True, including under duplicate input timestamps."""
+    from series_correction_project_updated_ray.stages.events_series import (
+        corrected_series_group)
+    t = np.array([0, 10, 10, 20, 30, 40, 200, 210, 220], np.int64)
+    g = pd.DataFrame({
+        "user_id": np.full(len(t), 7, np.int64),
+        "event_id": np.arange(1, len(t) + 1, dtype=np.int64),
+        "ts": t,
+        "value": np.linspace(1.0, 2.0, len(t)),
+    })
+    out = corrected_series_group(g)
+    orig = set(t.tolist())
+    kept = out[~out["inserted"]]
+    filled = out[out["inserted"]]
+    # every non-inserted output row maps back to an original timestamp
+    assert set(kept["t"].tolist()) <= orig
+    # every original timestamp that survived is marked non-inserted
+    assert not (filled["t"].isin(list(orig))).any()
+    # the 40→200 gap produced at least one inserted row strictly inside it
+    assert ((filled["t"] > 40) & (filled["t"] < 200)).any()
