@@ -65,10 +65,22 @@ def cmd_seatek_correct(args) -> int:
         series = [args.series]
     all_series = sorted({s for s, _, _ in discover_files(args.data_dir)})
     cfg = enrich_with_river_mappings({}, args.river_mile_map)
-    wanted = [int(s) for s in (series or all_series) if s.isdigit()]
+    requested = series or all_series
+    non_digit = [s for s in requested if not s.isdigit()]
+    wanted = [int(s) for s in requested if s.isdigit()]
     allowed = filter_series_by_river_miles(wanted, args.river_miles
                                            if args.river_miles else "all", cfg)
-    keep = [str(s) for s in allowed] or (series or all_series)
+    # non-numeric series ids can't appear in the river-mile map; pass them
+    # through alongside the filtered numeric ones
+    keep = [str(s) for s in allowed] + non_digit
+    if not keep:
+        if cfg.get("RIVER_TO_SENSORS"):
+            # a CONFIGURED filter that excludes everything means process
+            # nothing — silently reverting to all series would ignore the
+            # user's --river-miles selection
+            print("no series match the requested river miles; nothing to do")
+            return 0
+        keep = requested
 
     y0, y1 = sorted(args.years) if args.years else (1, 99)
     corrected = batch_correct(args.data_dir, series=keep,

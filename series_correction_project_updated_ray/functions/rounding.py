@@ -22,3 +22,15 @@ def round_half_away(x, ndigits: int = 6):
     if np.isscalar(x) or getattr(x, "ndim", 1) == 0:
         return float(out)
     return out
+
+
+def scaled_int(x, factor: int = 100) -> np.ndarray:
+    """Exact int64 of a decimal-valued float column scaled by ``factor``
+    (price → cents), rounding halves AWAY from zero like DuckDB round().
+
+    For 2-decimal inputs x*100 never lands exactly on .5, so this agrees
+    with the previous rint (half-even) scaling bit-for-bit; for arbitrary
+    inputs the tie-break now matches the oracle convention too."""
+    arr = np.asarray(x, dtype=np.float64)
+    return np.copysign(np.floor(np.abs(arr) * factor + 0.5),
+                       arr).astype(np.int64)

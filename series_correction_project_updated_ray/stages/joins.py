@@ -25,9 +25,15 @@ def _bucket_of(keys, n_buckets: int) -> np.ndarray:
     an equi-join predicate — SQL NULL = NULL is not true)."""
     null_mask = np.asarray(pa.compute.is_null(keys))
     if pa.types.is_integer(keys.type):
-        with np.errstate(invalid="ignore", over="ignore"):
-            raw = keys.to_numpy(zero_copy_only=False)
-            h = np.where(null_mask, 0, raw).astype(np.uint64)
+        # fill nulls on the ARROW side so to_numpy stays an exact integer
+        # array: a numpy conversion of a null-bearing int column degrades
+        # to float64 and keys with |k| > 2^53 would hash differently from
+        # the same key in a null-free batch, silently dropping matches
+        filled = pa.compute.fill_null(keys, 0)
+        if isinstance(filled, pa.ChunkedArray):
+            filled = filled.combine_chunks()
+        with np.errstate(over="ignore"):
+            h = filled.to_numpy(zero_copy_only=False).astype(np.uint64)
             h = h * np.uint64(0x9E3779B97F4A7C15)  # splitmix-style spread
     else:
         h = stable_hash_array(keys)
@@ -171,32 +177,128 @@ class KeySetFilter:
         return batch.filter(pc.fill_null(mask, self.anti))
 
 
+def _estimate_size_bytes(ds) -> int | None:
+    """Best-effort byte estimate WITHOUT executing the plan: sums the
+    metadata estimates of the plan's source operators (parquet reads and
+    from_* inputs carry sizes; transformed interior stages don't change
+    the order of magnitude for bucket sizing).  None when nothing is
+    known — callers fall back to a fixed default."""
+    try:
+        total, seen = 0, False
+        stack = [ds._logical_plan.dag]
+        while stack:
+            op = stack.pop()
+            deps = getattr(op, "input_dependencies", None) or []
+            if deps:
+                stack.extend(deps)
+                continue
+            meta = op.infer_metadata() if hasattr(op, "infer_metadata") \
+                else None
+            sb = getattr(meta, "size_bytes", None)
+            if sb:
+                total += int(sb)
+                seen = True
+        return total if seen else None
+    except Exception:
+        return None
+
+
+# per-bucket working-set target for the bucket-join kernel: the pandas
+# merge roughly triples the bucket's bytes (two frames + output), so
+# 64 MB keeps a task comfortably inside a 2 GB worker heap even if the
+# on-disk estimate undercounts decompressed width by ~4x
+_TARGET_BUCKET_BYTES = 64 << 20
+_MAX_BROADCAST_KEYS = 4_000_000
+
+
+def _derive_buckets(left, right, floor: int = 8, cap: int = 4096) -> int:
+    est = max(_estimate_size_bytes(left) or 0,
+              _estimate_size_bytes(right) or 0)
+    if not est:
+        return 32
+    import math
+    return int(min(cap, max(floor, math.ceil(est / _TARGET_BUCKET_BYTES))))
+
+
 def semi_join(left, right_keys, key_col: str, *, right_key: str | None = None,
-              anti: bool = False):
+              anti: bool = False, max_broadcast: int = _MAX_BROADCAST_KEYS,
+              n_buckets: int | None = None):
     """left rows whose key ∈ right_keys (semi) or ∉ (anti).
 
     ``right_keys``: a Dataset (its ``right_key`` — default ``key_col`` —
-    column is collected; use only when the distinct key set is
-    broadcast-small) or an iterable of keys."""
+    column is reduced to its distinct set) or an iterable of keys.  When
+    the distinct key set is broadcast-small it ships once via ``ray.put``
+    and probes per batch with no shuffle; past ``max_broadcast`` distinct
+    keys the operator falls back to a partitioned hash join against the
+    distinct-key Dataset, so a large right side can never OOM the driver."""
     import ray
+    from ray.data.aggregate import Count
+
+    rk = right_key or key_col
     if hasattr(right_keys, "unique"):
-        keys = right_keys.unique(right_key or key_col)
+        # distinct keys as a DATASET (null keys dropped — they never match
+        # a semi predicate and Ray's groupby boundary sampling chokes on
+        # None): per-batch local distinct, then one grouped pass
+        def _local_distinct(t: pa.Table) -> pa.Table:
+            return t.select([rk]).filter(pa.compute.is_valid(t[rk])) \
+                .group_by([rk]).aggregate([])
+
+        distinct = right_keys.map_batches(
+            _local_distinct, batch_format="pyarrow") \
+            .groupby(rk).aggregate(Count(alias_name="__n")) \
+            .select_columns([rk]).materialize()
+        if distinct.count() > max_broadcast:
+            return _shuffle_semi_join(left, distinct, key_col, rk, anti,
+                                      n_buckets)
+        keys = [r[rk] for r in distinct.take_all()]
     else:
-        keys = list(right_keys)
+        keys = [k for k in right_keys if k is not None]
     ref = ray.put(set(keys))
     return left.map_batches(KeySetFilter, batch_format="pyarrow",
                             concurrency=2,
                             fn_constructor_args=(ref, key_col, anti))
 
 
+def _shuffle_semi_join(left, distinct, key_col: str, rk: str, anti: bool,
+                       n_buckets: int | None):
+    """Shuffle fallback: join ``left`` against the distinct-key Dataset.
+
+    Semi = inner join with the (unique) key set — left multiplicity is
+    preserved because the right side is distinct.  Anti = left outer join
+    on a marker column, keep the unmatched rows.  Output columns equal
+    the left schema either way."""
+    left_cols = list(left.schema().names)
+
+    def _mark(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "__semi_key": t[rk],
+            "__present": pa.array(np.ones(len(t), dtype=np.int8)),
+        })
+
+    marked = distinct.map_batches(_mark, batch_format="pyarrow")
+    joined = hash_join(left, marked, key_col, "__semi_key",
+                       how="left" if anti else "inner",
+                       n_buckets=n_buckets)
+    if anti:
+        joined = joined.map_batches(
+            lambda t: t.filter(pa.compute.is_null(t["__present"])),
+            batch_format="pyarrow")
+    return joined.select_columns(left_cols)
+
+
 def hash_join(left, right, left_key: str, right_key: str,
-              how: str = "inner", n_buckets: int = 32,
+              how: str = "inner", n_buckets: int | None = None,
               suffixes=("_l", "_r")):
     """Partitioned hash equi-join of two Datasets — ONE shuffle total.
 
     Shared non-key column names are suffixed pandas-style before the
     union; each side is null-padded to the union schema so the bucket
-    groupby can co-locate both sides in one exchange."""
+    groupby can co-locate both sides in one exchange.  ``n_buckets``
+    defaults to ceil(larger-side estimated bytes / 64 MB) from plan
+    metadata (no execution), so a 100× input keeps per-bucket memory
+    bounded instead of per-bucket tasks growing 100× larger."""
+    if n_buckets is None:
+        n_buckets = _derive_buckets(left, right)
     def _arrow_backed(ds):
         # a pandas-backed dataset reports PYTHON classes (e.g. object) in
         # schema().types for string columns; the tag/pad/cast machinery

@@ -97,13 +97,12 @@ def sanitize_dataset(ds):
 def _scaled_cents(col, factor: int = 100) -> np.ndarray:
     """Exact int64 of a 2dp-decimal-valued float column (price → cents).
 
-    The inputs are decimals stored as doubles, so x*100 lands within 1 ulp
-    of an integer and never exactly on .5 — rint (half-even) and the
-    oracle's round (half-away) agree, making the scaled representation
-    identical on both sides and every downstream sum exact.
+    Delegates to the shared half-away ``scaled_int`` so the tie-break
+    convention matches DuckDB round() even for inputs wider than 2
+    decimals (2dp inputs are unchanged: x*100 never lands exactly on .5).
     """
-    v = col.to_numpy(zero_copy_only=False).astype(np.float64)
-    return np.rint(v * factor).astype(np.int64)
+    from ..functions.rounding import scaled_int
+    return scaled_int(col.to_numpy(zero_copy_only=False), factor)
 
 
 _HI_LO = 10**9

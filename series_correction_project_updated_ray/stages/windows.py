@@ -18,7 +18,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .rollup import _epoch_seconds
-from ..functions.rounding import round_half_away
+from ..functions.rounding import round_half_away, scaled_int
 
 
 def _epoch_micros(ts_col) -> "np.ndarray":
@@ -224,8 +224,7 @@ class RangeJoinAggGroup:
         right = g[g["__side"] == "r"].sort_values("t", kind="stable")
         tl = left["t"].to_numpy(np.int64)
         tr = right["t"].to_numpy(np.int64)
-        v100 = np.rint(right["value"].to_numpy(np.float64) * 100) \
-            .astype(np.int64)
+        v100 = scaled_int(right["value"].to_numpy(np.float64))
         csum = np.concatenate([[0], np.cumsum(v100)])
         lo = np.searchsorted(tr, tl - self.window_us, side="left")
         hi = np.searchsorted(tr, tl, side="right")
@@ -331,7 +330,7 @@ class RunningSumGroup:
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["t", "event_id"], kind="stable")
-        v100 = np.rint(g["value"].to_numpy(np.float64) * 100).astype(np.int64)
+        v100 = scaled_int(g["value"].to_numpy(np.float64))
         return pd.DataFrame({
             "user_id": g["user_id"].to_numpy(),
             "event_id": g["event_id"].to_numpy(),

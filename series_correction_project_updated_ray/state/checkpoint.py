@@ -28,11 +28,15 @@ import pyarrow.parquet as pq
 
 
 def input_fingerprint(paths: list[str]) -> str:
-    """Content fingerprint of an input file set: names + sizes (cheap,
-    deterministic; size change or file set change invalidates)."""
-    items = sorted((os.path.basename(p), os.path.getsize(p)) for p in paths)
+    """Content fingerprint of an input file set: names + sizes + mtimes
+    (cheap, deterministic; an in-place rewrite that happens to preserve
+    the byte count still bumps mtime, so stale partitions re-run)."""
+    def _stat(p):
+        st = os.stat(p)
+        return os.path.basename(p), st.st_size, st.st_mtime_ns
+    items = sorted(_stat(p) for p in paths)
     h = pd.util.hash_pandas_object(
-        pd.Series([f"{n}:{s}" for n, s in items]), index=False).sum()
+        pd.Series([f"{n}:{s}:{m}" for n, s, m in items]), index=False).sum()
     return f"{int(h) & 0xFFFFFFFFFFFFFFFF:016x}"
 
 
@@ -109,17 +113,26 @@ def write_partition(out_root: str, tier_tables: dict[str, pa.Table],
 
 
 def commit(out_root: str, fingerprint: str, n_partitions: int):
-    with open(os.path.join(out_root, "_COMMIT"), "w") as f:
+    # same tmp + os.replace discipline as the manifests: a crash mid-write
+    # must never leave a truncated _COMMIT that poisons every later resume
+    p = os.path.join(out_root, "_COMMIT")
+    with open(p + ".tmp", "w") as f:
         json.dump({"input_fingerprint": fingerprint,
                    "n_partitions": n_partitions}, f)
+    os.replace(p + ".tmp", p)
 
 
 def is_committed(out_root: str, fingerprint: str) -> bool:
     p = os.path.join(out_root, "_COMMIT")
     if not os.path.exists(p):
         return False
-    with open(p) as f:
-        return json.load(f).get("input_fingerprint") == fingerprint
+    try:
+        with open(p) as f:
+            return json.load(f).get("input_fingerprint") == fingerprint
+    except (json.JSONDecodeError, OSError):
+        # a torn marker (pre-replace crash on old outputs) means
+        # not-committed, never a hard failure
+        return False
 
 
 def skew_report(out_root: str) -> pd.DataFrame:

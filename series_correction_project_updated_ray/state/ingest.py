@@ -64,9 +64,16 @@ def _ledger_path(store: str) -> str:
 def _load_ledger(store: str) -> dict:
     p = _ledger_path(store)
     if not os.path.exists(p):
-        return {"files": [], "deltas": []}
+        return {"files": [], "deltas": [], "sigs": {}}
     with open(p) as f:
-        return json.load(f)
+        led = json.load(f)
+    led.setdefault("sigs", {})  # ledgers written before content signing
+    return led
+
+
+def _file_sig(path: str) -> str:
+    st = os.stat(path)
+    return f"{st.st_size}:{st.st_mtime_ns}"
 
 
 def _write_ledger(store: str, ledger: dict):
@@ -132,7 +139,19 @@ def _ingest_locked(store, files, *, key_col, ts_col, value_col, width):
     ledger = _load_ledger(store)
     done = set(ledger["files"])
     # ledger keys are ABSOLUTE paths: basename-only keying would silently
-    # skip day2/events.parquet after day1/events.parquet was ingested
+    # skip day2/events.parquet after day1/events.parquet was ingested.
+    # A seen path whose (size, mtime) signature changed means the file was
+    # rewritten AFTER its delta was folded in — re-ingesting would double
+    # count and skipping would serve stale data, so fail loudly: the
+    # store is append-only by contract.
+    changed = [f for f in files
+               if (a := os.path.abspath(f)) in done
+               and ledger["sigs"].get(a) not in (None, _file_sig(f))]
+    if changed:
+        raise ValueError(
+            f"already-ingested input files changed on disk: {changed}; "
+            "the incremental store is append-only — rebuild the store or "
+            "ingest changed data under new paths")
     new = [f for f in sorted(files) if os.path.abspath(f) not in done]
     if not new:
         return 0
@@ -167,6 +186,7 @@ def _ingest_locked(store, files, *, key_col, ts_col, value_col, width):
         pq.write_table(schema.empty_table(),
                        os.path.join(delta_dir, "empty.parquet"))
     ledger["files"] = sorted(done | {os.path.abspath(f) for f in new})
+    ledger["sigs"].update({os.path.abspath(f): _file_sig(f) for f in new})
     ledger["deltas"] = sorted(set(ledger["deltas"]) | {name})
     _write_ledger(store, ledger)  # atomic, LAST
     return len(new)

@@ -474,3 +474,40 @@ def test_corrected_series_group_id_mapping():
     assert not (filled["t"].isin(list(orig))).any()
     # the 40→200 gap produced at least one inserted row strictly inside it
     assert ((filled["t"] > 40) & (filled["t"] < 200)).any()
+
+
+def test_semi_join_shuffle_fallback_matches_broadcast(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.joins import semi_join
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 200),
+                         "v": rng.normal(size=200)})
+    right = pd.DataFrame({"k2": rng.integers(25, 75, 300)})
+    lds = rd.from_pandas(left)
+    for anti in (False, True):
+        bcast = semi_join(lds, rd.from_pandas(right), "k", right_key="k2",
+                          anti=anti).to_pandas()
+        # max_broadcast=1 forces the hash-join fallback path
+        shuf = semi_join(lds, rd.from_pandas(right), "k", right_key="k2",
+                         anti=anti, max_broadcast=1).to_pandas()
+        b = bcast.sort_values(["k", "v"]).reset_index(drop=True)
+        s = shuf.sort_values(["k", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(b, s[b.columns.tolist()])
+        assert list(shuf.columns) == ["k", "v"]
+
+
+def test_hash_join_bigint_keys_with_nulls(ray_session):
+    """Null-bearing int64 key columns must hash identically to null-free
+    ones: keys beyond 2^53 would lose precision through a float degrade."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.joins import hash_join
+    big = (1 << 60) + 12345
+    left_t = pa.table({"k": pa.array([big, None, 7, big + 2], pa.int64()),
+                       "lv": pa.array([1, 2, 3, 4], pa.int64())})
+    # null-free right side: its keys take the exact int hashing path
+    right_t = pa.table({"k2": pa.array([big, big + 1, 7], pa.int64()),
+                        "rv": pa.array([10, 11, 12], pa.int64())})
+    out = hash_join(rd.from_arrow(left_t), rd.from_arrow(right_t),
+                    "k", "k2", how="inner", n_buckets=8).to_pandas()
+    assert sorted(out["k"].tolist()) == [7, big]
+    assert sorted(out["rv"].tolist()) == [10, 12]
