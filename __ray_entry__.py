@@ -1075,6 +1075,28 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
 EPOCH_S = "(epoch_us(ts) // 1000000)"
 
 
+def _splitmix_sql(col: str) -> str:
+    """DuckDB expression computing pandas' int64 stable hash (the splitmix64
+    finalizer pandas.util.hash_array applies to integer columns) — verified
+    bit-exact against the engine's stable_hash_array on random int64 keys.
+    128-bit-safe: each mod-2^64 multiply splits the multiplicand into
+    32-bit halves so intermediate products stay under HUGEINT range."""
+    M = 18446744073709551616
+    K1, K2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(a: str, k: int) -> str:
+        klo = k % 4294967296
+        return (f"((({a}) % 4294967296) * {k} + (({a}) // 4294967296)"
+                f" * {klo} * 4294967296) % {M}")
+
+    u = f"(CAST({col} AS HUGEINT) & 18446744073709551615)"
+    s1 = f"xor({u}, {u} // 1073741824)"           # ^= >> 30
+    s2 = mulmod(s1, K1)
+    s3 = f"xor(({s2}), ({s2}) // 134217728)"      # ^= >> 27
+    s4 = mulmod(f"({s3})", K2)
+    return f"CAST(xor(({s4}), ({s4}) // 2147483648) AS UBIGINT)"  # ^= >> 31
+
+
 def _rollup_sql(width: int) -> str:
     return f"""
 SELECT event_type,
@@ -1328,6 +1350,66 @@ SELECT * FROM (
   FROM events GROUP BY 1, 2)
 ORDER BY vsum DESC, event_type, window_start
 LIMIT 20
+""",
+        # deterministic text operators replicated bit-exact in SQL:
+        # the rolling fingerprint is a Horner fold of the polynomial hash
+        # (codepoint == utf-8 byte over this ASCII corpus); lang-id is the
+        # marker-set argmax with the engine's fixed en>de>fr>es tie order
+        "doc_fingerprints": f"""
+WITH cps AS (
+  SELECT doc_id,
+         list_reverse(list_transform(string_split(text, ''),
+                                     c -> CAST(unicode(c) AS HUGEINT))) AS cs
+  FROM documents),
+fp AS (
+  SELECT doc_id,
+         CASE WHEN len(cs) = 0 THEN 0
+              ELSE list_reduce(cs, (acc, c) ->
+                   (((acc % 4294967296) * 1099511628211
+                     + (acc // 4294967296) * 435 * 4294967296)
+                    % 18446744073709551616 + c) % 18446744073709551616)
+         END AS v
+  FROM cps)
+SELECT doc_id,
+       CAST(CASE WHEN v >= 9223372036854775808
+                 THEN v - 18446744073709551616 ELSE v END AS BIGINT)
+         AS fingerprint
+FROM fp
+""",
+        "lang_id": """
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(regexp_extract_all(lower(text), '[a-zà-ÿ]+')) AS ws
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         len(list_intersect(ws, ['and','for','in','is','it','of','that','the','to','was'])) AS en,
+         len(list_intersect(ws, ['das','der','die','ein','ist','mit','nicht','und','von','zu'])) AS de,
+         len(list_intersect(ws, ['dans','des','est','et','la','le','les','pour','que','une'])) AS fr,
+         len(list_intersect(ws, ['con','de','el','en','la','las','los','por','que','una'])) AS es
+  FROM w)
+SELECT doc_id,
+       CASE WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'unknown'
+            WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+            WHEN de >= fr AND de >= es THEN 'de'
+            WHEN fr >= es THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM s
+""",
+        # engine-hash queries: the stable key hash is replicated bit-exact
+        # in SQL (_splitmix_sql), so the deterministic sample/split are
+        # fully oracle-checkable rather than rows-only
+        "sample_users_10pct": f"""
+SELECT event_id, user_id, value FROM events
+WHERE {_splitmix_sql("user_id")} <= 1844674407370955264
+""",
+        "split_documents": f"""
+WITH h AS (SELECT {_splitmix_sql("doc_id")} AS hv FROM documents)
+SELECT CASE WHEN hv <= 14757395258967642112 THEN 'train'
+            WHEN hv <= 16602069666338596864 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM h GROUP BY 1
 """,
         "vector_stats": """
 SELECT vec_id, len(embedding) AS dim,
