@@ -36,6 +36,48 @@ def write_parquet_output(ds, path: str, **kwargs):
     ds.write_parquet(path, **kwargs)
 
 
+_INVALID_SHEET_NAME_CHARS = r"[\\*?:/\[\]]"
+
+
+def _validate_sheet_name(sheet_name) -> None:
+    """Excel sheet-name rules (reference spreadsheet_safety.py:278-306):
+    string, non-empty, ≤31 chars, none of ``\\ * ? : / [ ]``."""
+    import re
+    if not isinstance(sheet_name, str):
+        raise ValueError(
+            f"sheet_name must be a string, got {type(sheet_name).__name__}")
+    if not sheet_name:
+        raise ValueError("sheet_name cannot be empty")
+    if len(sheet_name) > 31:
+        raise ValueError(f"sheet_name exceeds 31 characters: {sheet_name!r}")
+    if re.search(_INVALID_SHEET_NAME_CHARS, sheet_name):
+        raise ValueError(
+            f"sheet_name contains invalid characters: {sheet_name!r}")
+
+
+def write_excel_safely(df: pd.DataFrame, path: str, *,
+                       sheet_name: str = "Sheet1", index: bool = False,
+                       **kwargs):
+    """Excel sink through the same single sanitizer gateway as CSV
+    (reference ``write_excel_safely``, spreadsheet_safety.py:335-338,
+    consumed at batch_correction.py:614-618).
+
+    Validation and formula-injection sanitization run FIRST, so the
+    security contract is enforced (and testable) even where openpyxl is
+    not installed; only the final engine call needs the library."""
+    if not isinstance(df, pd.DataFrame):
+        raise TypeError("Expected a pandas DataFrame")
+    _validate_sheet_name(sheet_name)
+    sanitized = sanitize_dataframe(df)
+    try:
+        import openpyxl  # noqa: F401  (pandas' xlsx engine)
+    except ImportError as e:
+        raise ImportError(
+            "openpyxl is required for Excel export; use write_csv_safely "
+            "or write_parquet_output where it is unavailable") from e
+    sanitized.to_excel(path, sheet_name=sheet_name, index=index, **kwargs)
+
+
 class _FileStats:
     """map_groups: per (series, year_idx) mean/median/outlier stats over the
     compat value column (A7)."""
