@@ -956,7 +956,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """
     q = _all_queries()
     backed = set(oracle_sql())
-    ordered = {k: v for k, v in q.items() if k in backed}
+    # the window holds 50 entries and 51 queries carry oracles; the
+    # demoted ones are the weakest checks (split_documents is a 3-row
+    # count summary of the same hash mechanism sample_users_10pct
+    # verifies row-for-row)
+    late = [k for k in ("split_documents",) if len(backed) > 50]
+    ordered = {k: v for k, v in q.items() if k in backed and k not in late}
+    ordered.update({k: q[k] for k in late})
     ordered.update({k: v for k, v in q.items() if k not in backed})
     return ordered
 
@@ -1350,6 +1356,43 @@ SELECT * FROM (
   FROM events GROUP BY 1, 2)
 ORDER BY vsum DESC, event_type, window_start
 LIMIT 20
+""",
+        # the cumulative (user, day) level-shift fold as a recursive CTE:
+        # state carried across segments is the previous segment's applied
+        # offset; list slices give the raw head/tail windows and the
+        # nonzero means run over the SHIFTED previous tail, exactly like
+        # kernels.level_shift_fold (skipped boundaries emit NaN like the
+        # engine)
+        "level_shifts_events": """
+WITH RECURSIVE seg AS (
+  SELECT user_id,
+         (epoch_us(ts)//1000000)//86400 AS day,
+         count(*) AS n,
+         list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY 1, 2),
+ord AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS k
+  FROM seg),
+rec AS (
+  SELECT user_id, k, day, CAST(0.0 AS DOUBLE) AS shift,
+         CAST(0.0 AS DOUBLE) AS offs, n, vals
+  FROM ord WHERE k = 0
+  UNION ALL
+  SELECT user_id, k, day,
+         CASE WHEN ok THEN s ELSE 'NaN'::DOUBLE END AS shift,
+         CASE WHEN ok THEN s ELSE 0.0 END AS offs,
+         n, vals
+  FROM (
+    SELECT o.user_id, o.k, o.day, o.n, o.vals,
+           (r.n >= 5 AND o.n >= 5) AS ok,
+           COALESCE(list_aggregate(list_filter(
+               list_transform(list_slice(r.vals, greatest(r.n - 4, 1), r.n),
+                              x -> x + r.offs),
+               y -> y != 0), 'avg'), 0.0)
+           - COALESCE(list_aggregate(list_filter(
+               list_slice(o.vals, 1, 5), y -> y != 0), 'avg'), 0.0) AS s
+    FROM rec r JOIN ord o ON o.user_id = r.user_id AND o.k = r.k + 1))
+SELECT user_id, day AS segment, round(shift, 6) AS shift FROM rec
 """,
         # deterministic text operators replicated bit-exact in SQL:
         # the rolling fingerprint is a Horner fold of the polynomial hash
