@@ -866,6 +866,80 @@ def _q_hash_split(sf_dir: str):
     return tagged.groupby("split").aggregate(Count(alias_name="n_docs"))
 
 
+def _q_contamination(sf_dir: str):
+    """Benchmark-decontamination scan: (doc_id, n_hits) of training docs
+    containing any probe snippet (probes derived deterministically from
+    the corpus — substring [10:34] of every doc_id ≡ 0 mod 97 — so the
+    SQL oracle can derive the identical probe set)."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        contamination_scan)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return contamination_scan(docs)
+
+
+PACK_SEQ_LEN = 512
+PACK_BUCKETS = 16
+
+
+def _tokenized_docs(sf_dir: str):
+    """documents → (doc_id, tokens:list<int32>) via the deterministic
+    pseudo-BPE tokenizer (the flagship's sequences payload)."""
+    import pyarrow as pa
+    from series_correction_project_updated_ray.functions.text import (
+        tokenize_to_ids)
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        toks = tokenize_to_ids(batch["text"].to_pandas())
+        flat = (np.concatenate(toks) if toks else
+                np.empty(0, np.int32)).astype(np.int32)
+        offsets = np.zeros(len(toks) + 1, dtype=np.int32)
+        np.cumsum([len(t) for t in toks], out=offsets[1:])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "tokens": pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                               pa.array(flat, pa.int32())),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(_tok, batch_format="pyarrow")
+
+
+def _q_packed_sequences(sf_dir: str):
+    """Fixed-length training-sequence packing (scalar projection: token
+    checksum per packed row so the result hashes cleanly)."""
+    import pyarrow as pa
+    from series_correction_project_updated_ray.stages.packing import (
+        pack_token_sequences)
+    packed = pack_token_sequences(_tokenized_docs(sf_dir), PACK_SEQ_LEN,
+                                  n_buckets=PACK_BUCKETS)
+
+    def _project(batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"].combine_chunks()
+        off, val = np.asarray(toks.offsets), np.asarray(toks.values,
+                                                        dtype=np.int64)
+        sums = np.add.reduceat(val, off[:-1]) if len(val) else \
+            np.zeros(len(batch), np.int64)
+        sums[off[:-1] == off[1:]] = 0  # ragged-reduceat empty-row artifact
+        return pa.table({
+            "bucket": batch["bucket"], "seq_idx": batch["seq_idx"],
+            "n_tok": batch["n_tok"], "is_full": batch["is_full"],
+            "tok_checksum": pa.array(sums),
+        })
+
+    return packed.map_batches(_project, batch_format="pyarrow")
+
+
+def _q_packing_summary(sf_dir: str):
+    """Per-bucket packing accounting — oracle-checked: the bucket hash
+    (splitmix64) and per-doc token counts (BPE regex) are both
+    replicated exactly in the DuckDB oracle."""
+    from series_correction_project_updated_ray.stages.packing import (
+        pack_token_sequences, packing_summary)
+    packed = pack_token_sequences(_tokenized_docs(sf_dir), PACK_SEQ_LEN,
+                                  n_buckets=PACK_BUCKETS)
+    return packing_summary(packed)
+
+
 def _q_term_frequencies(sf_dir: str):
     from series_correction_project_updated_ray.stages.textstage import (
         term_frequencies)
@@ -956,11 +1030,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """
     q = _all_queries()
     backed = set(oracle_sql())
-    # the window holds 50 entries and 51 queries carry oracles; the
-    # demoted ones are the weakest checks (split_documents is a 3-row
-    # count summary of the same hash mechanism sample_users_10pct
-    # verifies row-for-row)
-    late = [k for k in ("split_documents",) if len(backed) > 50]
+    # the window holds 50 entries and more queries carry oracles; the
+    # demoted ones are the most redundant checks (split_documents and
+    # sample_users_10pct exercise the same hash replication — the
+    # row-level sample is kept; rollup_user_1h repeats rollup_1h's shape
+    # on a different key), ordered weakest-first
+    late = ["split_documents", "rollup_user_1h",
+            "sample_users_10pct"][:max(0, len(backed) - 50)]
     ordered = {k: v for k, v in q.items() if k in backed and k not in late}
     ordered.update({k: q[k] for k in late})
     ordered.update({k: v for k, v in q.items() if k not in backed})
@@ -1052,6 +1128,14 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "funnel_click_purchase": _q_funnel,
         # distributed word count + per-source top-k — oracle-checked
         "term_frequencies": _q_term_frequencies,
+        # benchmark decontamination (probe-substring scan) — oracle-checked
+        "contamination_scan": _q_contamination,
+        # fixed-length training-sequence packing: accounting summary is
+        # oracle-checked (hash + token counts replicated in SQL); the
+        # packed rows themselves are rows-only (token conservation is
+        # pinned by tests)
+        "packing_summary": _q_packing_summary,
+        "packed_sequences": _q_packed_sequences,
         # deterministic hash sampling / splits — rows-only (engine hash)
         "sample_users_10pct": _q_hash_sample,
         "split_documents": _q_hash_split,
@@ -1439,6 +1523,26 @@ SELECT doc_id,
             ELSE 'es' END AS lang_pred
 FROM s
 """,
+        "contamination_scan": """
+WITH probes AS (
+  SELECT substr(text, 11, 24) AS p FROM documents WHERE doc_id % 97 = 0),
+v AS (SELECT p FROM probes WHERE length(p) = 24)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM documents d JOIN v ON position(v.p IN d.text) > 0
+GROUP BY d.doc_id
+""",
+        "packing_summary": f"""
+WITH tok AS (
+  SELECT CAST({_splitmix_sql("doc_id")} % {{nb}} AS BIGINT) AS bucket,
+         len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tok
+  FROM documents)
+SELECT bucket,
+       CAST(sum(n_tok) // {{sl}} AS BIGINT) AS n_full_seqs,
+       CAST(sum(n_tok) % {{sl}} AS BIGINT) AS rem_tokens,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM tok GROUP BY bucket
+""".replace("{nb}", str(PACK_BUCKETS)).replace("{sl}", str(PACK_SEQ_LEN)),
         # engine-hash queries: the stable key hash is replicated bit-exact
         # in SQL (_splitmix_sql), so the deterministic sample/split are
         # fully oracle-checkable rather than rows-only

@@ -161,13 +161,15 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Identical job, fresh ray.init processes, two N→4N pairs.
+    """Identical job, fresh ray.init processes, three N→4N pairs.
 
-    4→16 shows the engine's scaling (the box is unsaturated there);
-    8→32 additionally documents the single-machine memory-bandwidth
-    ceiling (~20M pts/s on this host — measured with raw Ray tasks too),
-    which a real multi-node cluster does not share (each node brings its
-    own memory channels)."""
+    2→8 is the engine-scaling signal: both ends sit below this host's
+    memory-bandwidth ceiling (~20-30M pts/s, measured with raw Ray tasks
+    too), so the pair measures the software, not the machine.  4→16 and
+    8→32 are reported as well and document the ceiling: the hi end of
+    each saturates bandwidth (the kernels are fast enough that 16 CPUs
+    already reach it), which a real multi-node cluster does not share —
+    each added node brings its own memory channels."""
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
@@ -182,7 +184,7 @@ def run_scaling() -> dict:
 
     result = {"metric": "scaling efficiency at N->4N (same input, fresh "
                         "ray.init processes, best of 2)", "pairs": {}}
-    for lo_n, hi_n in ((4, 16), (8, 32)):
+    for lo_n, hi_n in ((2, 8), (4, 16), (8, 32)):
         lo, hi = run(lo_n), run(hi_n)
         eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
         result["pairs"][f"{lo_n}->{hi_n}"] = {

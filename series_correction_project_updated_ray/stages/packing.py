@@ -1,0 +1,102 @@
+"""Token-sequence packing for LLM training-data preparation.
+
+Packs variable-length tokenized documents into fixed-length training
+sequences (the standard "sequence packing" step before pre-training):
+documents are hash-bucketed by ``doc_id`` (deterministic, balanced,
+independent of block boundaries), each bucket's token streams are
+concatenated in doc_id order and cut every ``seq_len`` tokens, and the
+bucket tail is emitted as an explicit remainder row so token
+conservation is exact: concat(packed tokens in seq order) ==
+concat(sorted input docs' tokens) per bucket — the north rule's
+per-row token-array invariant carried through the transform.
+
+Scale shape: ONE keyed shuffle (the bucket groupby); a bucket's group is
+|total tokens| / n_buckets, so ``n_buckets`` bounds per-task memory the
+same way the flagship's bucketed plan does.  Packing across bucket
+boundaries would need sequential state for ~seq_len tokens of benefit
+per bucket — the per-bucket remainder is the standard trade.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import stable_hash_array
+
+
+class PackGroup:
+    """map_groups kernel over one bucket: doc_id-ordered concat → cut."""
+
+    def __init__(self, seq_len: int, tok_col: str = "tokens"):
+        self.seq_len, self.tok_col = seq_len, tok_col
+        self.__name__ = type(self).__name__
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+        toks = t[self.tok_col]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(toks.flatten(), dtype=np.int32)
+        L = self.seq_len
+        n_full = len(flat) // L
+        rem = len(flat) - n_full * L
+        n_rows = n_full + (1 if rem else 0)
+        offsets = np.minimum(np.arange(n_rows + 1, dtype=np.int64) * L,
+                             len(flat))
+        seqs = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                        pa.array(flat, pa.int32()))
+        n_tok = np.full(n_rows, L, dtype=np.int32)
+        if rem:
+            n_tok[-1] = rem
+        bucket = t["bucket"][0].as_py() if n_rows else 0
+        return pa.table({
+            "bucket": pa.array(np.full(n_rows, bucket, np.int64)),
+            "seq_idx": pa.array(np.arange(n_rows, dtype=np.int64)),
+            "tokens": seqs,
+            "n_tok": pa.array(n_tok),
+            "is_full": pa.array(n_tok == L),
+        })
+
+
+def pack_token_sequences(docs, seq_len: int, *, n_buckets: int = 64,
+                         id_col: str = "doc_id", tok_col: str = "tokens"):
+    """Dataset[(doc_id, tokens)] → Dataset[(bucket, seq_idx, tokens,
+    n_tok, is_full)] of fixed-length packed sequences + per-bucket
+    remainder rows."""
+    def _bucketize(t: pa.Table) -> pa.Table:
+        h = stable_hash_array(t[id_col].to_pandas())
+        b = (h % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(b),
+            "doc_id": t[id_col],
+            tok_col: t[tok_col],
+        })
+
+    return docs.map_batches(_bucketize, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(PackGroup(seq_len, tok_col),
+                                      batch_format="pyarrow")
+
+
+def packing_summary(packed):
+    """Per-bucket packing accounting: (bucket, n_full_seqs, rem_tokens,
+    total_tokens) — SQL-oracle-checkable because the bucket hash and the
+    per-doc token counts are both replicable in DuckDB."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        full = pc.cast(t["is_full"], pa.int64())
+        n_tok64 = pc.cast(t["n_tok"], pa.int64())
+        rem = pc.multiply(pc.subtract(pa.scalar(1, pa.int64()), full),
+                          n_tok64)
+        return pa.table({"bucket": t["bucket"], "full": full,
+                         "rem": rem, "n_tok": n_tok64})
+
+    return packed.map_batches(_partial, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(
+            Sum("full", alias_name="n_full_seqs"),
+            Max("rem", alias_name="rem_tokens"),
+            Sum("n_tok", alias_name="total_tokens"))

@@ -118,3 +118,69 @@ def term_frequencies(docs, *, top_k: int = 20):
         Sum("cnt", alias_name="cnt"))
     return topn_per_group(totals, "source", ["cnt", "term"],
                           [True, False], top_k)
+
+
+class ContaminationScan:
+    """Actor-pool benchmark-decontamination stage: flags training documents
+    containing any probe substring (the n-gram-overlap contamination test
+    run before LLM training; probes are benchmark/eval snippets).
+
+    The probe list ships ONCE per actor via a ``ray.put`` object ref —
+    the canonical broadcast-small-side pattern (at 100 TB the probe set
+    from an eval suite is a few MB; an Aho-Corasick automaton built in
+    ``__init__`` would drop the per-probe scan to one pass — the per-probe
+    ``pyarrow.compute.match_substring`` used here is exact, zero-copy and
+    fully vectorized, and the probe count is small by construction).
+    Emits (doc_id, n_hits) for contaminated documents only."""
+
+    def __init__(self, probes_ref, text_col="text", id_col="doc_id"):
+        import ray
+        self.probes = ray.get(probes_ref)
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        col = batch[self.text_col]
+        hits = np.zeros(len(batch), dtype=np.int64)
+        for p in self.probes:
+            m = pc.fill_null(pc.match_substring(col, p), False)
+            if isinstance(m, pa.ChunkedArray):
+                m = m.combine_chunks()
+            hits += np.asarray(m).astype(np.int64)
+        keep = hits > 0
+        return pa.table({
+            self.id_col: batch[self.id_col].filter(pa.array(keep)),
+            "n_hits": pa.array(hits[keep]),
+        })
+
+
+def derive_probes(docs, *, modulus: int = 97, offset: int = 10,
+                  width: int = 24, text_col="text", id_col="doc_id"
+                  ) -> list[str]:
+    """Deterministic probe set: the ``width``-char substring at ``offset``
+    of every doc whose id ≡ 0 (mod ``modulus``) — a stand-in for an eval
+    suite's snippets that both the engine and the SQL oracle can derive
+    from the corpus itself.  Probes shorter than ``width`` (short docs)
+    are dropped.  The candidate read is filtered AT THE SCAN, so only
+    ~|docs|/modulus rows are ever materialized."""
+    import pyarrow.compute as pc
+    cand = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.modulo(t[id_col], modulus), 0)),
+        batch_format="pyarrow")
+    rows = cand.select_columns([id_col, text_col]).take_all()
+    probes = []
+    for r in sorted(rows, key=lambda r: r[id_col]):
+        p = (r[text_col] or "")[offset:offset + width]
+        if len(p) == width:
+            probes.append(p)
+    return probes
+
+
+def contamination_scan(docs, probes: list[str] | None = None, **kwargs):
+    """(doc_id, n_hits) of documents containing any probe substring."""
+    import ray
+    if probes is None:
+        probes = derive_probes(docs, **kwargs)
+    ref = ray.put(list(probes))
+    return docs.map_batches(ContaminationScan, batch_format="pyarrow",
+                            concurrency=2, fn_constructor_args=(ref,))

@@ -1,0 +1,102 @@
+"""Sequence packing + contamination scan."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from series_correction_project_updated_ray.functions.hashing import (
+    stable_hash_array)
+from series_correction_project_updated_ray.stages.packing import (
+    pack_token_sequences, packing_summary)
+
+
+def _toy_docs(n_docs=60, seed=3):
+    rng = np.random.default_rng(seed)
+    ids = np.arange(n_docs, dtype=np.int64)
+    lengths = rng.integers(0, 40, n_docs)
+    toks = [rng.integers(0, 50257, L).astype(np.int32) for L in lengths]
+    offsets = np.zeros(n_docs + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    flat = (np.concatenate(toks) if n_docs else np.empty(0, np.int32))
+    tbl = pa.table({
+        "doc_id": pa.array(ids),
+        "tokens": pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                           pa.array(flat, pa.int32())),
+    })
+    return tbl, {int(i): t for i, t in zip(ids, toks)}
+
+
+def test_pack_token_conservation(ray_session):
+    """Per bucket: concat(packed rows in seq order) == concat(doc_id-sorted
+    input docs' tokens) — the north-rule token-array invariant."""
+    tbl, by_id = _toy_docs()
+    seq_len = 16
+    n_buckets = 4
+    packed = pack_token_sequences(rd.from_arrow(tbl), seq_len,
+                                  n_buckets=n_buckets).to_pandas()
+    ids = sorted(by_id)
+    bucket_of = dict(zip(ids, (stable_hash_array(pd.Series(ids))
+                               % np.uint64(n_buckets)).astype(np.int64)))
+    for b in range(n_buckets):
+        want = np.concatenate(
+            [by_id[i] for i in ids if bucket_of[i] == b]
+            or [np.empty(0, np.int32)])
+        got_rows = packed[packed["bucket"] == b].sort_values("seq_idx")
+        got = (np.concatenate([np.asarray(t, np.int32)
+                               for t in got_rows["tokens"]])
+               if len(got_rows) else np.empty(0, np.int32))
+        assert np.array_equal(got, want), f"bucket {b} token stream differs"
+        # every row but the last is exactly seq_len and flagged full
+        if len(got_rows):
+            n_tok = got_rows["n_tok"].to_numpy()
+            assert (n_tok[:-1] == seq_len).all()
+            assert (got_rows["is_full"].to_numpy()
+                    == (n_tok == seq_len)).all()
+            assert (got_rows["seq_idx"].to_numpy()
+                    == np.arange(len(got_rows))).all()
+
+
+def test_pack_deterministic_across_block_splits(ray_session):
+    """Identical output regardless of how the input is sliced into blocks
+    (the bucket groupby, not block boundaries, defines packing units)."""
+    tbl, _ = _toy_docs(n_docs=50, seed=11)
+    a = pack_token_sequences(rd.from_arrow(tbl), 8, n_buckets=3).to_pandas()
+    many = rd.from_arrow(tbl).repartition(7)
+    b = pack_token_sequences(many, 8, n_buckets=3).to_pandas()
+
+    def canon(df):
+        df = df.sort_values(["bucket", "seq_idx"]).reset_index(drop=True)
+        df["tokens"] = df["tokens"].map(lambda t: tuple(np.asarray(t)))
+        return df
+    pd.testing.assert_frame_equal(canon(a), canon(b))
+
+
+def test_packing_summary_matches_rows(ray_session):
+    tbl, by_id = _toy_docs(n_docs=80, seed=5)
+    packed = pack_token_sequences(rd.from_arrow(tbl), 32, n_buckets=4)
+    summ = packing_summary(packed).to_pandas().set_index("bucket")
+    total_in = sum(len(t) for t in by_id.values())
+    assert int(summ["total_tokens"].sum()) == total_in
+    assert ((summ["n_full_seqs"] * 32 + summ["rem_tokens"])
+            == summ["total_tokens"]).all()
+
+
+def test_contamination_scan_matches_pandas(ray_session):
+    from series_correction_project_updated_ray.stages.textstage import (
+        contamination_scan)
+    rng = np.random.default_rng(7)
+    base = ["the quick brown fox jumps over the lazy dog " * 3,
+            "pack my box with five dozen liquor jugs now then " * 3,
+            "sphinx of black quartz judge my vow swiftly here " * 3]
+    texts = [base[i % 3] + str(rng.integers(1000)) for i in range(40)]
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                       "text": texts})
+    probes = [texts[0][10:34], texts[1][10:34], "zzz-not-present"]
+    out = contamination_scan(rd.from_pandas(df), probes=probes) \
+        .to_pandas().set_index("doc_id")["n_hits"]
+    for i, t in enumerate(texts):
+        want = sum(p in t for p in probes)
+        assert out.get(i, 0) == want
