@@ -163,10 +163,11 @@ def derive_probes(docs, *, modulus: int = 97, offset: int = 10,
     from the corpus itself.  Probes shorter than ``width`` (short docs)
     are dropped.  The candidate read is filtered AT THE SCAN, so only
     ~|docs|/modulus rows are ever materialized."""
-    import pyarrow.compute as pc
-    cand = docs.map_batches(
-        lambda t: t.filter(pc.equal(pc.modulo(t[id_col], modulus), 0)),
-        batch_format="pyarrow")
+    def _keep(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % modulus == 0))
+
+    cand = docs.map_batches(_keep, batch_format="pyarrow")
     rows = cand.select_columns([id_col, text_col]).take_all()
     probes = []
     for r in sorted(rows, key=lambda r: r[id_col]):
