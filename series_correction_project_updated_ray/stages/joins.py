@@ -177,6 +177,18 @@ class KeySetFilter:
         return batch.filter(pc.fill_null(mask, self.anti))
 
 
+def _known_schema(ds):
+    """(ds, schema) without a throwaway execution: ds.schema() on a lazy
+    plan with no metadata schema (any map_batches/map_groups output)
+    executes the plan and DISCARDS the blocks; materializing first makes
+    the schema read and the subsequent consumption share one execution."""
+    sch = ds.schema(fetch_if_missing=False)
+    if sch is None:
+        ds = ds.materialize()
+        sch = ds.schema()
+    return ds, sch
+
+
 def _estimate_size_bytes(ds) -> int | None:
     """Best-effort byte estimate WITHOUT executing the plan: sums the
     metadata estimates of the plan's source operators (parquet reads and
@@ -267,7 +279,8 @@ def _shuffle_semi_join(left, distinct, key_col: str, rk: str, anti: bool,
     preserved because the right side is distinct.  Anti = left outer join
     on a marker column, keep the unmatched rows.  Output columns equal
     the left schema either way."""
-    left_cols = list(left.schema().names)
+    left, left_schema = _known_schema(left)
+    left_cols = list(left_schema.names)
 
     def _mark(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -299,17 +312,24 @@ def hash_join(left, right, left_key: str, right_key: str,
     bounded instead of per-bucket tasks growing 100× larger."""
     if n_buckets is None:
         n_buckets = _derive_buckets(left, right)
-    def _arrow_backed(ds):
-        # a pandas-backed dataset reports PYTHON classes (e.g. object) in
-        # schema().types for string columns; the tag/pad/cast machinery
-        # needs real arrow types, so coerce such inputs to arrow blocks
-        # first (the conversion would happen at _TagPad anyway)
-        if any(not isinstance(t, pa.DataType) for t in ds.schema().types):
-            return ds.map_batches(lambda t: t, batch_format="pyarrow")
-        return ds
 
-    left, right = _arrow_backed(left), _arrow_backed(right)
-    l_sch, r_sch = left.schema(), right.schema()
+    def _arrow_backed(ds):
+        # the union machinery needs the input schema up front; see
+        # _known_schema for why lazy inputs are materialized rather than
+        # schema()-probed (a probe executes and discards — measured 3x
+        # wall on chained joins).  A pandas-backed dataset reports PYTHON
+        # classes (object) in schema().types for string columns; the
+        # tag/pad/cast machinery needs real arrow types, so coerce such
+        # inputs through one arrow map_batches and take the schema from
+        # a one-row sample of the coerced stage (cheap: the coercion is
+        # a streaming identity map, not an all-to-all).
+        ds, sch = _known_schema(ds)
+        if any(not isinstance(t, pa.DataType) for t in sch.types):
+            ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+            ds, sch = _known_schema(ds)
+        return ds, sch
+
+    (left, l_sch), (right, r_sch) = _arrow_backed(left), _arrow_backed(right)
     l_fields = list(zip(l_sch.names, l_sch.types))
     r_fields = list(zip(r_sch.names, r_sch.types))
     clash = ({n for n, _ in l_fields} & {n for n, _ in r_fields}) \
