@@ -1035,8 +1035,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sample_users_10pct exercise the same hash replication — the
     # row-level sample is kept; rollup_user_1h repeats rollup_1h's shape
     # on a different key), ordered weakest-first
+    n_over = max(0, len(backed) - 50)
     late = ["split_documents", "rollup_user_1h",
-            "sample_users_10pct"][:max(0, len(backed) - 50)]
+            "sample_users_10pct"][:n_over]
+    if n_over > len(late):
+        # more oracles than the preference list covers: demote the
+        # newest-declared backed entries so the window always holds
+        # exactly 50 oracle-backed queries (never silently drops one)
+        late += [k for k in reversed(list(q))
+                 if k in backed and k not in late][:n_over - len(late)]
     ordered = {k: v for k, v in q.items() if k in backed and k not in late}
     ordered.update({k: q[k] for k in late})
     ordered.update({k: v for k, v in q.items() if k not in backed})
@@ -1525,7 +1532,10 @@ FROM s
 """,
         "contamination_scan": """
 WITH probes AS (
-  SELECT substr(text, 11, 24) AS p FROM documents WHERE doc_id % 97 = 0),
+  -- ((x % m) + m) % m = numpy's sign-independent modulo; DuckDB's bare
+  -- % is sign-following and would diverge from the engine on negative ids
+  SELECT substr(text, 11, 24) AS p FROM documents
+  WHERE ((doc_id % 97) + 97) % 97 = 0),
 v AS (SELECT p FROM probes WHERE length(p) = 24)
 SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM documents d JOIN v ON position(v.p IN d.text) > 0

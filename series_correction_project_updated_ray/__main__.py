@@ -68,6 +68,13 @@ def cmd_seatek_correct(args) -> int:
     requested = series or all_series
     non_digit = [s for s in requested if not s.isdigit()]
     wanted = [int(s) for s in requested if s.isdigit()]
+    if args.river_miles and not cfg.get("RIVER_TO_SENSORS"):
+        # an explicit --river-miles with no usable river-mile map (absent
+        # flag or missing file) cannot be honored; processing everything
+        # anyway would silently ignore the user's selection
+        print("--river-miles given but no river-mile map is configured "
+              "(pass --river-mile-map with an existing CSV)")
+        return 2
     allowed = filter_series_by_river_miles(wanted, args.river_miles
                                            if args.river_miles else "all", cfg)
     # non-numeric series ids can't appear in the river-mile map; pass them

@@ -111,21 +111,13 @@ def apply_level_shifts(long_ds, yty_df: pd.DataFrame,
                        threshold: float = 0.1, min_rows: int = 5):
     """long-form Seatek Dataset + wide differences table →
     (shifted Dataset, correction log DataFrame)."""
-    import pyarrow as pa
     import ray
-    from ray.data.aggregate import Count
+    from ..stages.joins import distributed_distinct
     instructions = melt_instructions(yty_df, threshold)
 
-    # distinct (series, year_idx) distributed: per-batch local distinct
-    # shrinks what the grouped aggregate shuffles, and only the tiny
+    # distinct (series, year_idx) distributed — only the tiny
     # (|series| × |years|) result ever reaches the driver
-    def _local_distinct(t: pa.Table) -> pa.Table:
-        return t.group_by(["series", "year_idx"]).aggregate([])
-
-    meta = long_ds.select_columns(["series", "year_idx"]) \
-        .map_batches(_local_distinct, batch_format="pyarrow") \
-        .groupby(["series", "year_idx"]).aggregate(Count(alias_name="__n")) \
-        .select_columns(["series", "year_idx"]).to_pandas()
+    meta = distributed_distinct(long_ds, ["series", "year_idx"]).to_pandas()
     years_by_series = {s: set(g["year_idx"].tolist())
                        for s, g in meta.groupby("series")}
     plan = plan_corrections(instructions, years_by_series)

@@ -232,6 +232,30 @@ def _derive_buckets(left, right, floor: int = 8, cap: int = 4096) -> int:
     return int(min(cap, max(floor, math.ceil(est / _TARGET_BUCKET_BYTES))))
 
 
+def distributed_distinct(ds, cols: list[str], *, drop_nulls: bool = False):
+    """Distinct rows of ``cols`` with a two-level plan: per-batch local
+    distinct (arrow group_by) shrinks what the grouped aggregate
+    shuffles, then one Ray groupby dedups across batches.  The result is
+    |distinct| rows — safe to materialize/collect only when that is known
+    small.  ``drop_nulls`` removes rows with a null in any of ``cols``
+    (Ray's groupby boundary sampling compares keys in Python and chokes
+    on None)."""
+    from ray.data.aggregate import Count
+
+    def _local_distinct(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.select(cols)
+        if drop_nulls:
+            for c in cols:
+                t = t.filter(pc.is_valid(t[c]))
+        return t.group_by(cols).aggregate([])
+
+    return ds.map_batches(_local_distinct, batch_format="pyarrow") \
+        .groupby(cols[0] if len(cols) == 1 else cols) \
+        .aggregate(Count(alias_name="__n")) \
+        .select_columns(cols)
+
+
 def semi_join(left, right_keys, key_col: str, *, right_key: str | None = None,
               anti: bool = False, max_broadcast: int = _MAX_BROADCAST_KEYS,
               n_buckets: int | None = None):
@@ -244,21 +268,13 @@ def semi_join(left, right_keys, key_col: str, *, right_key: str | None = None,
     keys the operator falls back to a partitioned hash join against the
     distinct-key Dataset, so a large right side can never OOM the driver."""
     import ray
-    from ray.data.aggregate import Count
 
     rk = right_key or key_col
     if hasattr(right_keys, "unique"):
-        # distinct keys as a DATASET (null keys dropped — they never match
-        # a semi predicate and Ray's groupby boundary sampling chokes on
-        # None): per-batch local distinct, then one grouped pass
-        def _local_distinct(t: pa.Table) -> pa.Table:
-            return t.select([rk]).filter(pa.compute.is_valid(t[rk])) \
-                .group_by([rk]).aggregate([])
-
-        distinct = right_keys.map_batches(
-            _local_distinct, batch_format="pyarrow") \
-            .groupby(rk).aggregate(Count(alias_name="__n")) \
-            .select_columns([rk]).materialize()
+        # distinct keys as a DATASET (null keys dropped — they never
+        # match a semi predicate)
+        distinct = distributed_distinct(right_keys, [rk],
+                                        drop_nulls=True).materialize()
         if distinct.count() > max_broadcast:
             return _shuffle_semi_join(left, distinct, key_col, rk, anti,
                                       n_buckets)

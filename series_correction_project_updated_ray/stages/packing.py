@@ -40,18 +40,26 @@ class PackGroup:
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = np.asarray(toks.flatten(), dtype=np.int32)
+        if len(flat) >= np.iinfo(np.int32).max:
+            raise ValueError(
+                f"bucket holds {len(flat)} tokens, past the int32 list-"
+                "offset limit; raise n_buckets (pack_token_sequences "
+                "derives a safe count when n_buckets=None)")
         L = self.seq_len
         n_full = len(flat) // L
         rem = len(flat) - n_full * L
-        n_rows = n_full + (1 if rem else 0)
+        # a bucket whose docs are all zero-token still gets one (empty)
+        # remainder row so it stays visible to packing_summary — the SQL
+        # oracle emits every bucket present in the input
+        n_rows = max(n_full + (1 if rem else 0), 1 if len(t) else 0)
         offsets = np.minimum(np.arange(n_rows + 1, dtype=np.int64) * L,
                              len(flat))
         seqs = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
                                         pa.array(flat, pa.int32()))
         n_tok = np.full(n_rows, L, dtype=np.int32)
-        if rem:
+        if rem or not n_full:
             n_tok[-1] = rem
-        bucket = t["bucket"][0].as_py() if n_rows else 0
+        bucket = t["bucket"][0].as_py() if len(t) else 0
         return pa.table({
             "bucket": pa.array(np.full(n_rows, bucket, np.int64)),
             "seq_idx": pa.array(np.arange(n_rows, dtype=np.int64)),
@@ -61,11 +69,20 @@ class PackGroup:
         })
 
 
-def pack_token_sequences(docs, seq_len: int, *, n_buckets: int = 64,
+def pack_token_sequences(docs, seq_len: int, *, n_buckets: int | None = 64,
                          id_col: str = "doc_id", tok_col: str = "tokens"):
     """Dataset[(doc_id, tokens)] → Dataset[(bucket, seq_idx, tokens,
     n_tok, is_full)] of fixed-length packed sequences + per-bucket
-    remainder rows."""
+    remainder rows.
+
+    ``n_buckets=None`` derives a count from the input's estimated size so
+    each bucket stays well under the int32 list-offset limit (~2^31
+    tokens) that caps a single PackGroup task."""
+    if n_buckets is None:
+        from .joins import _estimate_size_bytes
+        est = _estimate_size_bytes(docs) or 0
+        # tokens are int32: bound each bucket near 2^28 tokens (~1 GiB)
+        n_buckets = max(64, -(-est // (4 * (1 << 28))))
     def _bucketize(t: pa.Table) -> pa.Table:
         h = stable_hash_array(t[id_col].to_pandas())
         b = (h % np.uint64(n_buckets)).astype(np.int64)
@@ -84,7 +101,7 @@ def packing_summary(packed):
     """Per-bucket packing accounting: (bucket, n_full_seqs, rem_tokens,
     total_tokens) — SQL-oracle-checkable because the bucket hash and the
     per-doc token counts are both replicable in DuckDB."""
-    from ray.data.aggregate import Count, Max, Sum
+    from ray.data.aggregate import Max, Sum
 
     def _partial(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -100,3 +100,48 @@ def test_contamination_scan_matches_pandas(ray_session):
     for i, t in enumerate(texts):
         want = sum(p in t for p in probes)
         assert out.get(i, 0) == want
+
+
+def test_pack_zero_token_bucket_stays_visible(ray_session):
+    """A bucket whose docs are ALL zero-token must still surface in the
+    packed output (one empty remainder row) and in packing_summary with
+    (0, 0, 0) — the SQL oracle emits every bucket present in the input."""
+    n_buckets = 4
+    ids = np.arange(200, dtype=np.int64)
+    buckets = (stable_hash_array(pd.Series(ids))
+               % np.uint64(n_buckets)).astype(np.int64)
+    # give tokens only to docs OUTSIDE the emptied bucket
+    empty_b = int(buckets[0])
+    lengths = np.where(buckets == empty_b, 0, 7)
+    offsets = np.zeros(len(ids) + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    flat = np.arange(offsets[-1], dtype=np.int32)
+    tbl = pa.table({
+        "doc_id": pa.array(ids),
+        "tokens": pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                           pa.array(flat, pa.int32())),
+    })
+    packed = pack_token_sequences(rd.from_arrow(tbl), 16,
+                                  n_buckets=n_buckets)
+    summ = packing_summary(packed).to_pandas().set_index("bucket")
+    assert set(summ.index) == set(np.unique(buckets))
+    row = summ.loc[empty_b]
+    assert (int(row["n_full_seqs"]), int(row["rem_tokens"]),
+            int(row["total_tokens"])) == (0, 0, 0)
+    # token conservation still exact for the non-empty buckets
+    assert int(summ["total_tokens"].sum()) == int(offsets[-1])
+
+
+def test_distributed_distinct_matches_pandas(ray_session):
+    from series_correction_project_updated_ray.stages.joins import (
+        distributed_distinct)
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "a": rng.integers(0, 5, 300),
+        "b": rng.choice(["x", "y", "z"], 300),
+    })
+    got = distributed_distinct(rd.from_pandas(df), ["a", "b"]) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    want = df.drop_duplicates().sort_values(["a", "b"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
