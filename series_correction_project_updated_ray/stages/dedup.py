@@ -409,33 +409,63 @@ class HyperplaneLSH:
         })
 
 
-def _cosine_pairs_in_bucket(g: pd.DataFrame, id_col, vec_col, threshold
-                            ) -> pd.DataFrame:
+def _cosine_pairs_in_partition(g: pd.DataFrame, id_col, vec_col, threshold
+                               ) -> pd.DataFrame:
+    """Cosine pairs for every bucket co-located in one partition group:
+    sort by bucket, run-length scan, score only multi-member runs (the
+    same per-partition-not-per-bucket shape as ``candidate_pairs``)."""
+    buckets = g["bucket"].to_numpy()
+    order = np.argsort(buckets, kind="stable")
+    g = g.iloc[order]
+    buckets = buckets[order]
     ids = g[id_col].to_numpy()
-    if len(ids) < 2:
+    change = np.ones(len(ids), dtype=bool)
+    if len(ids) > 1:
+        change[1:] = buckets[1:] != buckets[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(ids))
+    frames = []
+    for s, e in zip(starts[ends - starts >= 2], ends[ends - starts >= 2]):
+        sub = g.iloc[s:e]
+        sids = ids[s:e]
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in sub[vec_col]])
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        S = M @ M.T
+        a, b = np.triu_indices(len(sids), k=1)
+        keep = S[a, b] >= threshold
+        ia, ib = sids[a[keep]], sids[b[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        frames.append(pd.DataFrame({"id_a": lo, "id_b": hi,
+                                    "cosine": np.round(S[a, b][keep], 6)}))
+    if not frames:
         e = ids[:0]
         return pd.DataFrame({"id_a": e, "id_b": e,
                              "cosine": np.empty(0, np.float64)})
-    M = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    S = M @ M.T
-    a, b = np.triu_indices(len(ids), k=1)
-    keep = S[a, b] >= threshold
-    ia, ib = ids[a[keep]], ids[b[keep]]
-    lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-    return pd.DataFrame({"id_a": lo, "id_b": hi,
-                         "cosine": np.round(S[a, b][keep], 6)})
+    return pd.concat(frames, ignore_index=True)
 
 
 def embedding_near_dup(embeddings, *, vec_col="embedding", id_col="vec_id",
-                       threshold=0.95, planes=12, dim=64):
+                       threshold=0.95, planes=12, dim=64, n_parts: int = 32):
     """Bucketed cosine near-dup pairs (scale path: only in-bucket pairs are
-    scored; recall is tunable via the plane count)."""
+    scored; recall is tunable via the plane count).  The shuffle groups by
+    a partition of the bucket id (``n_parts`` Python group calls), not by
+    bucket (2^planes mostly-singleton groups)."""
     bucketed = embeddings.map_batches(
         HyperplaneLSH(dim, planes, 99, vec_col, id_col),
         batch_format="pyarrow")
-    pairs = bucketed.groupby("bucket").map_groups(
-        lambda g: _cosine_pairs_in_bucket(g, id_col, vec_col, threshold),
-        batch_format="pandas")
+
+    def _part(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            mixed = b * np.int64(-7046029254386353131)
+        return t.append_column(
+            "__part", pa.array((mixed % n_parts + n_parts) % n_parts))
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return _cosine_pairs_in_partition(g, id_col, vec_col, threshold)
+    _pairs.__name__ = "_cosine_pairs_in_partition"
+
+    pairs = bucketed.map_batches(_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(_pairs, batch_format="pandas")
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("cosine", alias_name="cosine"))
