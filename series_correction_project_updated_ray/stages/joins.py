@@ -370,3 +370,110 @@ def hash_join(left, right, left_key: str, right_key: str,
                    [n for n, _ in l_fields], [n for n, _ in r_fields],
                    dict(union_fields), how),
         batch_format="pyarrow")
+
+
+# --- Bloom-filter join pre-filter ------------------------------------------
+
+def build_bloom(ds, key_col: str, *, bits_log2: int = 23, k: int = 4
+                ) -> np.ndarray:
+    """Bloom filter (uint64 word array, 2^bits_log2 bits) over the
+    distinct keys of ``key_col``.
+
+    Built as per-block fixed-size partials (one bitmap row per block)
+    OR-combined on the driver — the traffic is |blocks| x 2^bits_log2/8
+    bytes regardless of row count, the mergeable-sketch shape.  At the
+    default 2^23 bits (1 MiB) the false-positive rate is ~2.4% at 1M
+    distinct keys, ~9% at 2M; size up for bigger build sides."""
+    n_words = (1 << bits_log2) // 64
+
+    def _partial(t: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, dtype=np.uint64)
+        col = t[key_col]
+        valid = pa.compute.is_valid(col)
+        if pa.compute.any(valid).as_py():
+            pos = _bloom_positions(col.filter(valid), bits_log2, k)
+            np.bitwise_or.at(words, pos >> np.uint64(6),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bloom": pa.array([words.tobytes()], pa.binary())})
+
+    out = np.zeros(n_words, dtype=np.uint64)
+    for row in ds.map_batches(_partial,
+                              batch_format="pyarrow").take_all():
+        out |= np.frombuffer(row["bloom"], dtype=np.uint64)
+    return out
+
+
+def _bloom_positions(col, bits_log2: int, k: int) -> np.ndarray:
+    """(k x n) flat array of bit positions for each key (double hashing:
+    pos_i = h1 + i*h2 mod 2^bits_log2, Kirsch-Mitzenmacher)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        # both join sides must hash identically even when one declares a
+        # narrower integer type — a mismatch would be a FALSE NEGATIVE,
+        # i.e. silently dropped join rows
+        col = col.cast(pa.int64())
+    h1 = stable_hash_array(col).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) ^ (h1 >> np.uint64(29))
+    h2 |= np.uint64(1)  # odd => full-period stride
+    mask = np.uint64((1 << bits_log2) - 1)
+    with np.errstate(over="ignore"):
+        pos = np.concatenate([(h1 + np.uint64(i) * h2) & mask
+                              for i in range(k)])
+    return pos
+
+
+class BloomProbe:
+    """map_batches stage: keep rows whose key MIGHT be in the filter
+    (false positives pass — exactness comes from the join that follows;
+    false negatives are impossible).  The bitmap ships once per actor via
+    ``ray.put``."""
+
+    def __init__(self, words_ref, key_col: str, bits_log2: int, k: int):
+        import ray
+        self.words = ray.get(words_ref)
+        self.key_col, self.bits_log2, self.k = key_col, bits_log2, k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        col = t[self.key_col]
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        if not valid.any():
+            return t.slice(0, 0)
+        pos = _bloom_positions(col, self.bits_log2, self.k)
+        hit = (self.words[pos >> np.uint64(6)]
+               >> (pos & np.uint64(63))) & np.uint64(1)
+        keep = hit.astype(bool).reshape(self.k, len(t)).all(axis=0) & valid
+        return t.filter(pa.array(keep))
+
+
+def bloom_prefilter(left, right, left_key: str, right_key: str, *,
+                    bits_log2: int = 23, k: int = 4):
+    """Drop left rows whose key cannot appear in ``right`` before a
+    shuffle join — the standard way to keep a selective join's exchange
+    proportional to the MATCHING rows instead of the probe side.  Null
+    keys are dropped (they never equi-match).  The result is a superset
+    of the matching left rows; follow with an exact join."""
+    import ray
+    words = build_bloom(right, right_key, bits_log2=bits_log2, k=k)
+    ref = ray.put(words)
+    return left.map_batches(BloomProbe, batch_format="pyarrow",
+                            concurrency=2,
+                            fn_constructor_args=(ref, left_key,
+                                                 bits_log2, k))
+
+
+def hash_join_bloom(left, right, left_key: str, right_key: str, *,
+                    n_buckets: int | None = None, suffixes=("_l", "_r"),
+                    bits_log2: int = 23, k: int = 4):
+    """INNER hash_join with a Bloom pre-filter on the left (probe) side.
+
+    Result is identical to ``hash_join(..., how='inner')`` — the join
+    removes the Bloom's false positives — but only candidate left rows
+    enter the bucket shuffle.  Inner-only: an outer variant would need
+    the unmatched rows the prefilter exists to drop."""
+    slim = bloom_prefilter(left, right, left_key, right_key,
+                           bits_log2=bits_log2, k=k)
+    return hash_join(slim, right, left_key, right_key, how="inner",
+                     n_buckets=n_buckets, suffixes=suffixes)

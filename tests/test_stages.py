@@ -511,3 +511,52 @@ def test_hash_join_bigint_keys_with_nulls(ray_session):
                     "k", "k2", how="inner", n_buckets=8).to_pandas()
     assert sorted(out["k"].tolist()) == [7, big]
     assert sorted(out["rv"].tolist()) == [10, 12]
+
+
+def test_bloom_prefiltered_join_matches_plain_inner(ray_session):
+    """hash_join_bloom == hash_join(how='inner') exactly: the Bloom
+    pre-filter may pass false positives (the join removes them) but can
+    never drop a matching row."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.joins import (
+        hash_join, hash_join_bloom, bloom_prefilter)
+    rng = np.random.default_rng(21)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 10000, 5000),
+        "v": rng.normal(size=5000).round(6),
+    })
+    # selective right side: only ~2% of left keys can match
+    right = pd.DataFrame({"k2": np.arange(0, 200, dtype=np.int64),
+                          "w": np.arange(200) * 10})
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+
+    def canon(ds):
+        df = ds.to_pandas()
+        return df[sorted(df.columns)].sort_values(
+            sorted(df.columns)).reset_index(drop=True)
+
+    plain = canon(hash_join(lds, rds, "k", "k2", how="inner"))
+    bloom = canon(hash_join_bloom(lds, rds, "k", "k2"))
+    pd.testing.assert_frame_equal(bloom, plain, check_dtype=False)
+    assert len(plain) > 0
+
+    # the prefilter keeps every matching row and drops most of the rest
+    kept = bloom_prefilter(lds, rds, "k", "k2").to_pandas()
+    matching = left[left["k"].isin(right["k2"])]
+    assert set(map(tuple, matching.values)) <= set(map(tuple, kept.values))
+    assert len(kept) < len(left) * 0.2  # selective join actually pruned
+
+
+def test_bloom_prefilter_string_keys_and_nulls(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.joins import (
+        bloom_prefilter)
+    left = pa.table({
+        "k": pa.array(["a", "b", None, "c", "dddd", "e"]),
+        "v": pa.array([1, 2, 3, 4, 5, 6]),
+    })
+    right = pa.table({"k": pa.array(["b", "c"]), "w": pa.array([1, 2])})
+    kept = bloom_prefilter(rd.from_arrow(left), rd.from_arrow(right),
+                           "k", "k").to_pandas()
+    assert {"b", "c"} <= set(kept["k"])
+    assert kept["k"].notna().all()  # nulls never equi-match
