@@ -315,6 +315,23 @@ def _shuffle_semi_join(left, distinct, key_col: str, rk: str, anti: bool,
     return joined.select_columns(left_cols)
 
 
+def _join_field_plan(l_sch, r_sch, left_key: str, right_key: str, suffixes):
+    """(l_fields, r_fields, clash, union_fields) — the shared column plan
+    of every join flavor: shared non-key names get pandas-style suffixes,
+    then both sides' fields merge into one union schema."""
+    l_fields = list(zip(l_sch.names, l_sch.types))
+    r_fields = list(zip(r_sch.names, r_sch.types))
+    clash = ({n for n, _ in l_fields} & {n for n, _ in r_fields}) \
+        - {left_key, right_key}
+    if clash:
+        l_fields = [(n + suffixes[0] if n in clash else n, t)
+                    for n, t in l_fields]
+        r_fields = [(n + suffixes[1] if n in clash else n, t)
+                    for n, t in r_fields]
+    union_fields = list(dict(l_fields + r_fields).items())
+    return l_fields, r_fields, clash, union_fields
+
+
 def hash_join(left, right, left_key: str, right_key: str,
               how: str = "inner", n_buckets: int | None = None,
               suffixes=("_l", "_r")):
@@ -346,18 +363,11 @@ def hash_join(left, right, left_key: str, right_key: str,
         return ds, sch
 
     (left, l_sch), (right, r_sch) = _arrow_backed(left), _arrow_backed(right)
-    l_fields = list(zip(l_sch.names, l_sch.types))
-    r_fields = list(zip(r_sch.names, r_sch.types))
-    clash = ({n for n, _ in l_fields} & {n for n, _ in r_fields}) \
-        - {left_key, right_key}
+    l_fields, r_fields, clash, union_fields = _join_field_plan(
+        l_sch, r_sch, left_key, right_key, suffixes)
     if clash:
         left = _rename_stage(left, {c: c + suffixes[0] for c in clash})
         right = _rename_stage(right, {c: c + suffixes[1] for c in clash})
-        l_fields = [(n + suffixes[0] if n in clash else n, t)
-                    for n, t in l_fields]
-        r_fields = [(n + suffixes[1] if n in clash else n, t)
-                    for n, t in r_fields]
-    union_fields = list(dict(l_fields + r_fields).items())
     l_tagged = left.map_batches(
         _TagPad(left_key, n_buckets, "l", union_fields),
         batch_format="pyarrow")
@@ -477,3 +487,130 @@ def hash_join_bloom(left, right, left_key: str, right_key: str, *,
                            bits_log2=bits_log2, k=k)
     return hash_join(slim, right, left_key, right_key, how="inner",
                      n_buckets=n_buckets, suffixes=suffixes)
+
+
+# --- Skew-aware (hot-key hybrid) join --------------------------------------
+
+def _global_heavy_keys(ds, key_col: str, *, mg_k: int = 256
+                       ) -> tuple[dict, int]:
+    """(merged Misra-Gries counter map over ``key_col``, total row count)
+    in ONE streaming pass: each batch emits ≤ mg_k counter rows plus one
+    total-marker row; the driver folds the fixed-size partials.  Null
+    keys are excluded (they never equi-match)."""
+    from .sketches import mg_build, mg_merge
+
+    def _partial(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # drop nulls on the ARROW side: pandas dropna of a null-bearing
+        # int column leaves float64 values, which would poison the hot-
+        # key set's type
+        col = col.filter(pa.compute.is_valid(col))
+        d = mg_build(col.to_pandas().to_numpy(), mg_k)
+        keys = list(d) + [None]
+        ests = list(d.values()) + [len(t)]
+        is_total = [False] * len(d) + [True]
+        return pa.table({
+            "key": pa.array(keys, t[key_col].type),
+            "est": pa.array(np.asarray(ests, np.int64)),
+            "is_total": pa.array(is_total),
+        })
+
+    acc: dict = {}
+    total = 0
+    for row in ds.map_batches(_partial, batch_format="pyarrow").take_all():
+        if row["is_total"]:
+            total += int(row["est"])
+        else:
+            acc = mg_merge(acc, {row["key"]: int(row["est"])}, mg_k)
+    return acc, total
+
+
+def skew_join(left, right, left_key: str, right_key: str, *,
+              n_buckets: int | None = None, suffixes=("_l", "_r"),
+              hot_share: float = 0.01, mg_k: int = 256,
+              max_hot_right_rows: int = 1_000_000):
+    """INNER equi-join that routes HOT left keys around the shuffle.
+
+    A single hot key sends its entire row mass through one bucket task of
+    ``hash_join`` no matter how many buckets there are — co-location is
+    the predicate's requirement.  This variant detects keys holding more
+    than ``hot_share`` of the left side (mergeable Misra-Gries partials,
+    ≤ mg_k rows per batch to the driver), BROADCASTS the right side's
+    rows for those keys (guarded by ``max_hot_right_rows``), joins hot
+    left rows per batch with no exchange, and hash-joins the remaining
+    (now skew-free) rows normally.  Output is row-identical to
+    ``hash_join(..., how='inner')`` — the hot path reuses the same
+    TagPad/BucketJoin kernels.  Inner-only (an outer variant would need
+    unmatched-row bookkeeping across the two paths)."""
+    import ray
+
+    counters, total = _global_heavy_keys(left, left_key, mg_k=mg_k)
+    hot = sorted(k for k, c in counters.items()
+                 if total and c >= hot_share * total)
+    if not hot:
+        return hash_join(left, right, left_key, right_key, how="inner",
+                         n_buckets=n_buckets, suffixes=suffixes)
+
+    hot_ref = ray.put(set(hot))
+    cold_l = left.map_batches(KeySetFilter, batch_format="pyarrow",
+                              concurrency=2,
+                              fn_constructor_args=(hot_ref, left_key, True))
+    hot_l = left.map_batches(KeySetFilter, batch_format="pyarrow",
+                             concurrency=2,
+                             fn_constructor_args=(hot_ref, left_key, False))
+    cold_r = right.map_batches(KeySetFilter, batch_format="pyarrow",
+                               concurrency=2,
+                               fn_constructor_args=(hot_ref, right_key, True))
+    hot_r = right.map_batches(KeySetFilter, batch_format="pyarrow",
+                              concurrency=2,
+                              fn_constructor_args=(hot_ref, right_key, False)
+                              ).materialize()
+    n_hot_r = hot_r.count()
+    if n_hot_r > max_hot_right_rows:
+        raise ValueError(
+            f"skew_join: {n_hot_r} right rows carry hot keys (> "
+            f"{max_hot_right_rows}); both sides are hot — use hash_join "
+            "(co-location is unavoidable) or salt the key upstream")
+
+    cold_join = hash_join(cold_l, cold_r, left_key, right_key, how="inner",
+                          n_buckets=n_buckets, suffixes=suffixes)
+
+    # hot path: same TagPad/BucketJoin kernels as the shuffle path, with
+    # the (small) tagged right table broadcast once instead of exchanged
+    hot_l, l_sch = _known_schema(hot_l)
+    r_sch = hot_r.schema()
+    l_fields, r_fields, clash, union_fields = _join_field_plan(
+        l_sch, r_sch, left_key, right_key, suffixes)
+    if clash:
+        hot_l = _rename_stage(hot_l, {c: c + suffixes[0] for c in clash})
+    r_tbl = pa.Table.from_pandas(hot_r.to_pandas(), preserve_index=False)
+    if clash:
+        r_tbl = r_tbl.rename_columns(
+            [c + suffixes[1] if c in clash else c
+             for c in r_tbl.column_names])
+    # cast right columns to the declared union types (to_pandas round-
+    # trips can widen/narrow)
+    r_tagged = _TagPad(right_key, 1, "r", union_fields)(r_tbl)
+    r_ref = ray.put(r_tagged)
+
+    class _HotJoin:
+        def __init__(self, r_ref, left_key, right_key, l_cols, r_cols,
+                     types):
+            self.r_tagged = ray.get(r_ref)
+            self.tag = _TagPad(left_key, 1, "l", union_fields)
+            self.kernel = BucketJoin(left_key, right_key, l_cols, r_cols,
+                                     types, "inner")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            tagged = pa.concat_tables([self.tag(t), self.r_tagged])
+            return self.kernel(tagged)
+
+    hot_join = hot_l.map_batches(
+        _HotJoin, batch_format="pyarrow", concurrency=2,
+        fn_constructor_args=(r_ref, left_key, right_key,
+                             [n for n, _ in l_fields],
+                             [n for n, _ in r_fields],
+                             dict(union_fields)))
+    return cold_join.union(hot_join)

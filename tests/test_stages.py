@@ -560,3 +560,58 @@ def test_bloom_prefilter_string_keys_and_nulls(ray_session):
                            "k", "k").to_pandas()
     assert {"b", "c"} <= set(kept["k"])
     assert kept["k"].notna().all()  # nulls never equi-match
+
+
+def test_skew_join_matches_hash_join(ray_session):
+    """skew_join == hash_join(how='inner') row-for-row on data where one
+    key holds ~30% of the probe side (the hot path actually engages),
+    including duplicate right keys and suffix-clashing columns."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.joins import (
+        hash_join, skew_join)
+    rng = np.random.default_rng(33)
+    n = 8000
+    keys = rng.integers(0, 500, n)
+    keys[: n // 3] = 7  # hot key: a third of the left side
+    left = pd.DataFrame({"k": keys, "v": np.arange(n),
+                         "tag": rng.choice(["a", "b"], n)})
+    right = pd.DataFrame({
+        "k": np.concatenate([np.arange(0, 400), [7, 7]]),  # dup hot rows
+        "w": np.arange(402) * 2,
+        "tag": ["r"] * 402,
+    })
+
+    def canon(ds):
+        df = ds.to_pandas()
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    plain = canon(hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                            "k", "k", how="inner"))
+    skew = canon(skew_join(rd.from_pandas(left), rd.from_pandas(right),
+                           "k", "k", hot_share=0.05))
+    pd.testing.assert_frame_equal(skew, plain, check_dtype=False)
+    # the hot key's 3 right rows × its left rows actually flowed through
+    n_hot_left = int((left["k"] == 7).sum())
+    assert n_hot_left >= n // 3
+    assert (plain["k"] == 7).sum() == 3 * n_hot_left
+
+
+def test_skew_join_no_hot_keys_falls_back(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.joins import (
+        hash_join, skew_join)
+    left = pd.DataFrame({"k": np.arange(1000), "v": np.arange(1000)})
+    right = pd.DataFrame({"k": np.arange(0, 1000, 7), "w": np.arange(143)})
+
+    def canon(ds):
+        df = ds.to_pandas()
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        canon(skew_join(rd.from_pandas(left), rd.from_pandas(right),
+                        "k", "k")),
+        canon(hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                        "k", "k", how="inner")),
+        check_dtype=False)
