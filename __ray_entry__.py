@@ -360,6 +360,33 @@ def _q_join_lineitem_orders(sf_dir: str):
                              "l_extendedprice", "o_custkey", "o_totalprice"])
 
 
+
+def _q_join_bloom(sf_dir: str):
+    """Bloom-prefiltered inner join: identical rows to
+    ``join_lineitem_orders`` (equivalence is oracle-covered there and
+    test-pinned); listed so the prefilter path runs under the gate."""
+    from series_correction_project_updated_ray.stages.joins import hash_join_bloom
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    j = hash_join_bloom(li, orders, "l_orderkey", "o_orderkey", n_buckets=16)
+    return j.select_columns(["l_orderkey", "l_linenumber", "l_quantity",
+                             "l_extendedprice", "o_custkey", "o_totalprice"])
+
+
+def _q_join_skew(sf_dir: str):
+    """Skew-aware hybrid join (hot keys broadcast around the shuffle):
+    identical rows to ``join_lineitem_orders``."""
+    from series_correction_project_updated_ray.stages.joins import skew_join
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    j = skew_join(li, orders, "l_orderkey", "o_orderkey", n_buckets=16,
+                  hot_share=0.001)
+    return j.select_columns(["l_orderkey", "l_linenumber", "l_quantity",
+                             "l_extendedprice", "o_custkey", "o_totalprice"])
+
+
 def _q_rollup_user_1h(sf_dir: str):
     from series_correction_project_updated_ray.stages.rollup import rollup_events
     ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
@@ -1166,6 +1193,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "top_windows_by_volume": _q_top_windows,
         # list/vector scalar functions — oracle-checked
         "vector_stats": _q_vector_stats,
+        # join-variant equivalents of join_lineitem_orders — rows-only
+        # (their exactness is covered by that oracle + equivalence tests)
+        "join_lineitem_orders_bloom": _q_join_bloom,
+        "join_lineitem_orders_skew": _q_join_skew,
     }
 
 
