@@ -19,6 +19,7 @@ import pyarrow as pa
 
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..functions.hashing import stable_hash_array
 from ..functions.rounding import round_half_away
 
 TIER_WIDTHS = {"1m": 60, "1h": 3600, "1d": 86400}
@@ -104,36 +105,74 @@ def rollup_events(events, key_col: str = "event_type", ts_col: str = "ts",
                               fn_kwargs={"round_to": round_to})
 
 
+def _segment_starts(*sort_cols: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of equal-key runs in already-sorted parallel arrays."""
+    n = len(sort_cols[0])
+    change = np.ones(n, dtype=bool)
+    if n > 1:
+        acc = np.zeros(n - 1, dtype=bool)
+        for c in sort_cols:
+            acc |= c[1:] != c[:-1]
+        change[1:] = acc
+    starts = np.flatnonzero(change)
+    return starts, np.append(starts[1:], n)
+
+
 class GroupedMedian:
-    """map_groups kernel: exact per-(key, window) median — the exact-quantile
-    grain the reference's per-series medians establish (A1/A5), lifted to
-    windows.  Exact medians need the group co-located; for broader
-    percentile sets at scale use mergeable histogram sketches instead."""
+    """Per-PARTITION kernel: exact median for every (key, window) bucket
+    co-located in one partition group — the exact-quantile grain the
+    reference's per-series medians establish (A1/A5), lifted to windows.
+
+    Grouping by a hash partition of the bucket key instead of by bucket
+    keeps the shuffle identical but replaces |key×window| Python group
+    calls (billions at scale) with ``n_parts``; medians are computed
+    vectorized over sorted runs (two middle picks per run — identical to
+    np.median, including NaN propagation).  Exact medians need each
+    bucket co-located; for percentile sets over buckets too big to
+    co-locate, use a mergeable histogram sketch instead."""
 
     def __init__(self, key_col="event_type", round_to=6):
         self.key_col, self.round_to = key_col, round_to
         self.__name__ = type(self).__name__
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        codes, uniques = pd.factorize(g[self.key_col], sort=False)
+        win = g["window_start"].to_numpy(np.int64)
+        val = g["value"].to_numpy(np.float64)
+        order = np.lexsort((val, win, codes))
+        codes, win, val = codes[order], win[order], val[order]
+        starts, ends = _segment_starts(codes, win)
+        length = ends - starts
+        med = (val[starts + (length - 1) // 2]
+               + val[starts + length // 2]) / 2.0
+        # np.median propagates NaN; NaNs sort to the run's end, so a
+        # middle pick would silently return a real value
+        has_nan = np.add.reduceat(np.isnan(val), starts) > 0
+        med[has_nan] = np.nan
         return pd.DataFrame({
-            self.key_col: [g[self.key_col].iloc[0]],
-            "window_start": [np.int64(g["window_start"].iloc[0])],
-            "vmedian": [round_half_away(float(np.median(g["value"].to_numpy())),
-                                        self.round_to)],
+            self.key_col: uniques.take(codes[starts]),
+            "window_start": win[starts],
+            "vmedian": round_half_away(med, self.round_to),
         })
 
 
 def grouped_median(events, key_col="event_type", ts_col="ts",
-                   value_col="value", width: int = 3600):
+                   value_col="value", width: int = 3600,
+                   n_parts: int = 64):
     """Exact median per (key, tumbling window)."""
     def _bucket(batch: pa.Table) -> pa.Table:
         secs = _epoch_seconds(batch[ts_col])
         win = secs - secs % width
+        h = stable_hash_array(batch[key_col])
+        with np.errstate(over="ignore"):
+            mixed = h + win.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         return pa.table({key_col: batch[key_col],
                          "window_start": pa.array(win),
-                         "value": batch[value_col]})
+                         "value": batch[value_col],
+                         "__part": pa.array(
+                             (mixed % np.uint64(n_parts)).astype(np.int64))})
     bucketed = events.map_batches(_bucket, batch_format="pyarrow")
-    return bucketed.groupby([key_col, "window_start"]).map_groups(
+    return bucketed.groupby("__part").map_groups(
         GroupedMedian(key_col), batch_format="pandas")
 
 
@@ -152,8 +191,10 @@ def apply_retention(tier_ds, cutoff_epoch_s: int):
 
 
 class StrideDownsample:
-    """Per-series stride downsampling: keep every Nth point in
-    (ts, id) order — the simplest decimation tier (map_groups kernel)."""
+    """Per-series stride downsampling: keep every Nth point in (ts, id)
+    order — the simplest decimation tier.  Per-PARTITION kernel: all
+    series of one partition group are decimated in one lexsort +
+    segment-relative modulo mask (no per-series Python)."""
 
     def __init__(self, n: int, key_col="user_id", ts_col="ts",
                  id_col="event_id"):
@@ -162,13 +203,29 @@ class StrideDownsample:
         self.__name__ = type(self).__name__
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([self.ts_col, self.id_col], kind="stable")
-        return g.iloc[::self.n]
+        codes, _ = pd.factorize(g[self.key_col], sort=False)
+        ts = g[self.ts_col].to_numpy()
+        ids = g[self.id_col].to_numpy()
+        order = np.lexsort((ids, ts, codes))
+        codes = codes[order]
+        starts, ends = _segment_starts(codes)
+        # index within each series run, then every-Nth mask
+        idx = np.arange(len(codes))
+        rel = idx - np.repeat(starts, ends - starts)
+        keep = order[rel % self.n == 0]
+        out = g.iloc[keep]
+        return out.drop(columns=["__part"], errors="ignore")
 
 
-def downsample_stride(events, n: int = 10, key_col="user_id"):
-    return events.groupby(key_col).map_groups(
-        StrideDownsample(n, key_col), batch_format="pandas")
+def downsample_stride(events, n: int = 10, key_col="user_id",
+                      n_parts: int = 64):
+    def _part(t: pa.Table) -> pa.Table:
+        part = (stable_hash_array(t[key_col])
+                % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("__part", pa.array(part))
+    return events.map_batches(_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(
+            StrideDownsample(n, key_col), batch_format="pandas")
 
 
 class CascadePartial:
@@ -262,10 +319,12 @@ def rollup_tiers_cascade(events, key_col: str = "event_type",
 
 
 class GroupedQuantiles:
-    """map_groups kernel: exact multi-quantile per key (linear
-    interpolation — identical to SQL quantile_cont).  Exact quantiles need
-    the group co-located; for percentile sets over groups too big to
-    co-locate, use a mergeable histogram/t-digest sketch instead."""
+    """Per-PARTITION kernel: exact multi-quantile for every key in one
+    partition group, vectorized over sorted runs (position + linear
+    interpolation — identical to np.quantile(method='linear') and SQL
+    quantile_cont, NaN-propagating).  Exact quantiles need each key
+    co-located; for percentile sets over groups too big to co-locate,
+    use a mergeable histogram/t-digest sketch instead."""
 
     def __init__(self, key_col="event_type", probs=(0.5, 0.9, 0.95, 0.99),
                  round_to=6):
@@ -273,20 +332,33 @@ class GroupedQuantiles:
         self.__name__ = type(self).__name__
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        qs = np.quantile(g["value"].to_numpy(), self.probs, method="linear")
-        row = {self.key_col: [g[self.key_col].iloc[0]]}
-        for p, q in zip(self.probs, qs):
-            row[f"p{int(p * 100)}"] = [round_half_away(float(q),
-                                                       self.round_to)]
+        codes, uniques = pd.factorize(g[self.key_col], sort=False)
+        val = g["value"].to_numpy(np.float64)
+        order = np.lexsort((val, codes))
+        codes, val = codes[order], val[order]
+        starts, ends = _segment_starts(codes)
+        length = ends - starts
+        has_nan = np.add.reduceat(np.isnan(val), starts) > 0
+        row = {self.key_col: uniques.take(codes[starts])}
+        for p in self.probs:
+            pos = (length - 1) * p
+            lo = np.floor(pos).astype(np.int64)
+            frac = pos - lo
+            hi = np.minimum(lo + 1, length - 1)
+            q = val[starts + lo] * (1 - frac) + val[starts + hi] * frac
+            q[has_nan] = np.nan
+            row[f"p{int(p * 100)}"] = round_half_away(q, self.round_to)
         return pd.DataFrame(row)
 
 
 def grouped_quantiles(events, key_col="event_type", value_col="value",
-                      probs=(0.5, 0.9, 0.95, 0.99)):
+                      probs=(0.5, 0.9, 0.95, 0.99), n_parts: int = 64):
     """Exact p50/p90/p95/p99 per key."""
-    proj = events.map_batches(
-        lambda t: t.select([key_col, value_col]).rename_columns(
-            [key_col, "value"]),
-        batch_format="pyarrow")
-    return proj.groupby(key_col).map_groups(
+    def _proj(t: pa.Table) -> pa.Table:
+        part = (stable_hash_array(t[key_col])
+                % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({key_col: t[key_col], "value": t[value_col],
+                         "__part": pa.array(part)})
+    proj = events.map_batches(_proj, batch_format="pyarrow")
+    return proj.groupby("__part").map_groups(
         GroupedQuantiles(key_col, probs), batch_format="pandas")

@@ -615,3 +615,35 @@ def test_skew_join_no_hot_keys_falls_back(ray_session):
         canon(hash_join(rd.from_pandas(left), rd.from_pandas(right),
                         "k", "k", how="inner")),
         check_dtype=False)
+
+
+def test_partitioned_median_quantiles_match_numpy_per_group():
+    """The vectorized sorted-run kernels equal per-group np.median /
+    np.quantile(linear) exactly, including NaN propagation."""
+    from series_correction_project_updated_ray.stages.rollup import (
+        GroupedMedian, GroupedQuantiles)
+    rng = np.random.default_rng(17)
+    n = 3000
+    g = pd.DataFrame({
+        "event_type": rng.choice(list("abcdefgh"), n),
+        "window_start": rng.choice([0, 3600, 7200], n).astype(np.int64),
+        "value": rng.normal(size=n).round(4),
+    })
+    g.loc[g.index[:5], "value"] = np.nan  # a few NaN-poisoned groups
+
+    med = GroupedMedian()(g.copy()).set_index(["event_type",
+                                               "window_start"])
+    for (k, w), sub in g.groupby(["event_type", "window_start"]):
+        want = np.median(sub["value"].to_numpy())
+        got = med.loc[(k, w), "vmedian"]
+        assert (np.isnan(want) and np.isnan(got)) or \
+            abs(got - round(want, 6)) < 1e-9, (k, w)
+
+    q = GroupedQuantiles()(g.copy()).set_index("event_type")
+    for k, sub in g.groupby("event_type"):
+        want = np.quantile(sub["value"].to_numpy(), [0.5, 0.9, 0.95, 0.99],
+                           method="linear")
+        for p, wv in zip(("p50", "p90", "p95", "p99"), want):
+            gv = q.loc[k, p]
+            assert (np.isnan(wv) and np.isnan(gv)) or \
+                abs(gv - wv) < 5e-7, (k, p)
