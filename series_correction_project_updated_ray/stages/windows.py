@@ -42,9 +42,11 @@ def _sorted_group(g: pd.DataFrame, ts_col="ts", id_col="event_id"):
 
 
 class SessionWindows:
-    """map_groups: sessions split where the inter-event gap exceeds
-    ``timeout_s``; emits (key, session_id [1-based], n_events, t_start,
-    t_end)."""
+    """Per-PARTITION kernel: sessions split where the inter-event gap
+    exceeds ``timeout_s``; emits (key, session_id [1-based per key],
+    n_events, t_start, t_end).  All keys co-located in one partition
+    group are sessionized by one lexsort + boundary scan — no per-key
+    Python calls (a key per call is billions of calls at web scale)."""
 
     def __init__(self, timeout_s: int = 1800, key_col="user_id",
                  ts_col="ts", id_col="event_id"):
@@ -53,14 +55,32 @@ class SessionWindows:
         self.__name__ = type(self).__name__
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        g, t = _sorted_group(g, self.ts_col, self.id_col)
-        boundary = np.r_[True, np.diff(t) > self.timeout_s]
-        sid = np.cumsum(boundary)
+        codes, uniques = pd.factorize(g[self.key_col], sort=False)
+        ts = g[self.ts_col]
+        if pd.api.types.is_datetime64_any_dtype(ts):
+            t = (ts.astype("datetime64[ns]").astype("int64").to_numpy()
+                 // 1_000_000_000)
+        else:
+            t = ts.to_numpy(np.int64)
+        order = np.lexsort((g[self.id_col].to_numpy(), t, codes))
+        codes, t = codes[order], t[order]
+        n = len(t)
+        new_key = np.ones(n, dtype=bool)
+        boundary = np.ones(n, dtype=bool)
+        if n > 1:
+            new_key[1:] = codes[1:] != codes[:-1]
+            boundary[1:] = new_key[1:] | (np.diff(t) > self.timeout_s)
         starts = np.flatnonzero(boundary)
-        ends = np.r_[starts[1:], len(t)]
+        ends = np.r_[starts[1:], n]
+        # 1-based session index WITHIN each key: session ordinal minus the
+        # ordinal of the key's first session
+        first_of_key = np.flatnonzero(new_key[starts])
+        runs = np.diff(np.r_[first_of_key, len(starts)])
+        sid = (np.arange(len(starts), dtype=np.int64)
+               - np.repeat(first_of_key, runs) + 1)
         return pd.DataFrame({
-            self.key_col: np.full(len(starts), g[self.key_col].iloc[0]),
-            "session_id": np.arange(1, len(starts) + 1, dtype=np.int64),
+            self.key_col: uniques.take(codes[starts]),
+            "session_id": sid,
             "n_events": (ends - starts).astype(np.int64),
             "t_start": t[starts],
             "t_end": t[ends - 1],
@@ -137,9 +157,23 @@ class AsofJoinGroup:
         return out
 
 
-def session_windows(events, timeout_s=1800):
-    return events.groupby("user_id").map_groups(
-        SessionWindows(timeout_s), batch_format="pandas")
+def _add_key_partition(ds, key_col: str, n_parts: int = 64):
+    """Append ``__part = stable_hash(key) % n_parts`` — the partition-
+    group shuffle key that co-locates whole keys while keeping the group
+    count fixed (n_parts) instead of |keys|."""
+    from ..functions.hashing import stable_hash_array
+
+    def _part(t: pa.Table) -> pa.Table:
+        part = (stable_hash_array(t[key_col])
+                % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("__part", pa.array(part))
+    return ds.map_batches(_part, batch_format="pyarrow")
+
+
+def session_windows(events, timeout_s=1800, n_parts: int = 64):
+    return _add_key_partition(events, "user_id", n_parts) \
+        .groupby("__part").map_groups(
+            SessionWindows(timeout_s), batch_format="pandas")
 
 
 def sliding_mean(events, width_s=300):
@@ -177,31 +211,36 @@ def asof_join_events(events, right_type="purchase"):
 
 
 class _TopNPerGroup:
-    """map_groups kernel: rank rows within one group and keep the top n —
-    the ROW_NUMBER() OVER (PARTITION BY …) <= n window shape."""
+    """Per-PARTITION kernel: ROW_NUMBER() OVER (PARTITION BY …) <= n for
+    every group co-located in the partition — one pandas stable sort +
+    cython cumcount, no per-group Python calls."""
 
-    def __init__(self, sort_cols, descending, n):
-        self.sort_cols, self.descending, self.n = sort_cols, descending, n
+    def __init__(self, group_col, sort_cols, descending, n):
+        self.group_col, self.sort_cols = group_col, sort_cols
+        self.descending, self.n = descending, n
         self.__name__ = type(self).__name__
 
-    def __call__(self, g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        keys = [(c, "descending" if d else "ascending")
-                for c, d in zip(self.sort_cols, self.descending)]
-        idx = pc.sort_indices(g, sort_keys=keys)[:self.n]
-        out = g.take(idx)
-        return out.append_column(
-            "rn", pa.array(np.arange(1, len(out) + 1, dtype=np.int64)))
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(
+            [self.group_col] + list(self.sort_cols),
+            ascending=[True] + [not d for d in self.descending],
+            kind="stable")
+        rn = out.groupby(self.group_col, sort=False).cumcount() + 1
+        out = out.assign(rn=rn.astype(np.int64))
+        out = out[out["rn"] <= self.n]
+        return out.drop(columns=["__part"], errors="ignore")
 
 
 def topn_per_group(ds, group_col: str, sort_cols: list[str],
-                   descending: list[bool], n: int):
+                   descending: list[bool], n: int, n_parts: int = 64):
     """Top-n rows per group with a rank column (deterministic only if
     ``sort_cols`` is a total order within a group — pass a unique
-    tiebreak column).  One shuffle (the groupby); the per-group sort is a
-    vectorized arrow kernel."""
-    return ds.groupby(group_col).map_groups(
-        _TopNPerGroup(sort_cols, descending, n), batch_format="pyarrow")
+    tiebreak column).  One shuffle (the partition groupby); ranking is
+    one vectorized sort + cumcount per partition."""
+    return _add_key_partition(ds, group_col, n_parts) \
+        .groupby("__part").map_groups(
+            _TopNPerGroup(group_col, sort_cols, descending, n),
+            batch_format="pandas")
 
 
 class RangeJoinAggGroup:
@@ -319,30 +358,51 @@ def funnel(events, *, first_type="click", then_type="purchase"):
 
 
 class RunningSumGroup:
-    """map_groups kernel: cumulative sum/count over one key's event-time
-    order — the SUM(...) OVER (PARTITION BY key ORDER BY ts, id ROWS
-    UNBOUNDED PRECEDING) window shape.  The cumulative sum runs on the
-    cents-scaled int64 representation, so every prefix is exact and the
-    oracle matches at atol=0 regardless of group size."""
+    """Per-PARTITION kernel: cumulative sum/count over each key's
+    event-time order — the SUM(...) OVER (PARTITION BY key ORDER BY ts,
+    id ROWS UNBOUNDED PRECEDING) window shape, segmented-vectorized for
+    every key in the partition group (global int64 cents cumsum minus
+    per-segment base; exact, so the oracle matches at atol=0)."""
 
     def __init__(self):
         self.__name__ = type(self).__name__
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["t", "event_id"], kind="stable")
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes = codes[order]
+        g = g.iloc[order]
         v100 = scaled_int(g["value"].to_numpy(np.float64))
+        # segmented prefix sums via one global cumsum; the guard keeps the
+        # GLOBAL magnitude inside int64 (per-key prefixes alone don't
+        # bound it once many keys share a partition)
+        if float(np.abs(v100).sum(dtype=np.float64)) > 2**62:
+            raise OverflowError(
+                "running_sum: partition cents magnitude exceeds int64 — "
+                "raise n_parts so fewer keys share a partition")
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]) \
+            if len(codes) else np.array([], dtype=np.int64)
+        lens = np.diff(np.r_[starts, len(codes)])
+        cs = np.cumsum(v100)
+        base = cs[starts] - v100[starts]
+        running = cs - np.repeat(base, lens)
+        counts = (np.arange(len(codes), dtype=np.int64)
+                  - np.repeat(starts, lens) + 1)
         return pd.DataFrame({
             "user_id": g["user_id"].to_numpy(),
             "event_id": g["event_id"].to_numpy(),
             "t": g["t"].to_numpy(np.int64),
-            "running_sum": np.cumsum(v100) / 100.0,
-            "running_count": np.arange(1, len(g) + 1, dtype=np.int64),
+            "running_sum": running / 100.0,
+            "running_count": counts,
         })
 
 
-def running_sum(events):
-    """Per-user cumulative value sum in event-time order — one user-key
-    shuffle, vectorized cumsum per group."""
+def running_sum(events, n_parts: int = 64):
+    """Per-user cumulative value sum in event-time order — one
+    partition-group shuffle, segmented cumsum across all co-located
+    users."""
 
     def _prep(batch: pa.Table) -> pa.Table:
         t = _epoch_micros(batch["ts"])
@@ -351,6 +411,7 @@ def running_sum(events):
                          "t": pa.array(t),
                          "value": batch["value"]})
 
-    return events.map_batches(_prep, batch_format="pyarrow") \
-        .groupby("user_id").map_groups(RunningSumGroup(),
-                                       batch_format="pandas")
+    prepped = events.map_batches(_prep, batch_format="pyarrow")
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(RunningSumGroup(),
+                                      batch_format="pandas")

@@ -97,3 +97,17 @@ def test_range_join_agg_bounds_and_empty_right(ray_session):
     assert out["event_id"].tolist() == [14, 20]
     assert out["n_in_range"].tolist() == [3, 0]
     assert out["vsum"].tolist() == [7.75, 0.0]
+
+
+def test_session_windows_kernel_multi_key():
+    """Partition kernel: several users in one call, per-user 1-based ids."""
+    t = pd.to_datetime([0, 60, 5000, 0, 99999], unit="s")
+    g = pd.DataFrame({"user_id": [2, 2, 2, 7, 7],
+                      "event_id": [1, 2, 3, 4, 5], "ts": t})
+    # shuffle row order to prove the kernel sorts internally
+    g = g.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    out = SessionWindows(timeout_s=1800)(g).sort_values(
+        ["user_id", "session_id"]).reset_index(drop=True)
+    assert out["user_id"].tolist() == [2, 2, 7, 7]
+    assert out["session_id"].tolist() == [1, 2, 1, 2]
+    assert out["n_events"].tolist() == [2, 1, 1, 1]
