@@ -88,9 +88,13 @@ class SessionWindows:
 
 
 class SlidingMean:
-    """map_groups: trailing event-time window mean — for each point, the
-    mean of values with t in [t_i - width, t_i] (inclusive RANGE frame).
-    O(n) via prefix sums + searchsorted."""
+    """Per-PARTITION kernel: trailing event-time window mean — for each
+    point, the mean of same-key values with t in [t_i - width, t_i]
+    (inclusive RANGE frame).  One lexsort per partition; window bounds
+    via two searchsorted calls per co-located key (tiny slices — the
+    per-key Ray group overhead this replaces is orders of magnitude
+    bigger), prefix-sum mean evaluated vectorized over the whole
+    partition."""
 
     def __init__(self, width_s: int = 300, key_col="user_id", ts_col="ts",
                  id_col="event_id", value_col="value", round_to=6):
@@ -100,33 +104,49 @@ class SlidingMean:
         self.__name__ = type(self).__name__
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g[self.key_col], sort=False)
         # microsecond resolution so RANGE-frame tie semantics can't differ
         # from the SQL oracle (second-floored times could alias two events)
-        g = g.sort_values([self.ts_col, self.id_col],
-                          kind="stable").reset_index(drop=True)
         ts = g[self.ts_col]
         if pd.api.types.is_datetime64_any_dtype(ts):
             t = ts.astype("datetime64[ns]").astype("int64").to_numpy() // 1000
         else:
             t = ts.to_numpy(np.int64) * 1_000_000
+        ids = g[self.id_col].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        g = g.iloc[order]
         v = g[self.value_col].to_numpy(np.float64)
-        csum = np.r_[0.0, np.cumsum(v)]
-        lo = np.searchsorted(t, t - self.width_s * 1_000_000, side="left")
-        # RANGE frames include ALL peer rows with the same ordering value,
-        # so the window's upper bound is the last tie, not the current row
-        hi = np.searchsorted(t, t, side="right")
-        means = (csum[hi] - csum[lo]) / (hi - lo)
+        n = len(t)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]) \
+            if n else np.array([], dtype=np.int64)
+        ends = np.r_[starts[1:], n]
+        means = np.empty(n, dtype=np.float64)
+        w = self.width_s * 1_000_000
+        for s, e in zip(starts, ends):
+            seg = t[s:e]
+            # SEGMENT-local prefix sums: bit-identical float arithmetic
+            # to the per-group kernel this replaces (a partition-global
+            # cumsum would drift by accumulated ulps near round
+            # boundaries)
+            csum = np.r_[0.0, np.cumsum(v[s:e])]
+            lo = np.searchsorted(seg, seg - w, side="left")
+            # RANGE frames include ALL peer rows with the same ordering
+            # value: the upper bound is the last tie, not the current row
+            hi = np.searchsorted(seg, seg, side="right")
+            means[s:e] = (csum[hi] - csum[lo]) / (hi - lo)
         return pd.DataFrame({
-            self.key_col: np.full(len(t), g[self.key_col].iloc[0]),
+            self.key_col: g[self.key_col].to_numpy(),
             self.id_col: g[self.id_col].to_numpy(),
             "sliding_mean": round_half_away(means, self.round_to),
         })
 
 
 class AsofJoinGroup:
-    """cogroup kernel: each left row matched to the LATEST right row with
-    right.t <= left.t (per key); unmatched left rows keep nulls —
-    pandas.merge_asof semantics ≡ SQL ASOF LEFT JOIN."""
+    """Per-PARTITION cogroup kernel: each left row matched to the LATEST
+    right row with right.t <= left.t of the same key; unmatched left rows
+    keep nulls — pandas.merge_asof semantics ≡ SQL ASOF LEFT JOIN.  One
+    lexsort per partition; one searchsorted per co-located key."""
 
     def __init__(self, key_col="user_id", ts_col="t", id_col="event_id",
                  right_value="value", out_name="last_purchase_value",
@@ -137,24 +157,42 @@ class AsofJoinGroup:
         self.__name__ = type(self).__name__
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["__side"] == "l"].sort_values(
-            [self.ts_col, self.id_col], kind="stable")
-        right = g[g["__side"] == "r"].sort_values(
-            [self.ts_col, self.id_col], kind="stable")
-        lt = left[self.ts_col].to_numpy(np.int64)
-        if len(right) == 0:
-            matched = np.full(len(left), np.nan)
-        else:
-            rt = right[self.ts_col].to_numpy(np.int64)
-            rv = right[self.right_value].to_numpy(np.float64)
-            pos = np.searchsorted(rt, lt, side="right") - 1
-            matched = np.where(pos >= 0, rv[np.clip(pos, 0, None)], np.nan)
-        out = pd.DataFrame({
-            self.key_col: left[self.key_col].to_numpy(),
-            self.id_col: left[self.id_col].to_numpy(),
-            self.out_name: round_half_away(matched, self.round_to),
+        codes, _ = pd.factorize(g[self.key_col], sort=False)
+        t = g[self.ts_col].to_numpy(np.int64)
+        ids = g[self.id_col].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t, ids = codes[order], t[order], ids[order]
+        is_l = (g["__side"].to_numpy() == "l")[order]
+        rv_all = g[self.right_value].to_numpy(np.float64)[order]
+        keys = g[self.key_col].to_numpy()[order]
+        n = len(t)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]) \
+            if n else np.array([], dtype=np.int64)
+        ends = np.r_[starts[1:], n]
+        out_k, out_i, out_v = [], [], []
+        for s, e in zip(starts, ends):
+            m = is_l[s:e]
+            lt = t[s:e][m]
+            rt = t[s:e][~m]
+            if len(rt) == 0:
+                matched = np.full(len(lt), np.nan)
+            else:
+                rv = rv_all[s:e][~m]
+                pos = np.searchsorted(rt, lt, side="right") - 1
+                matched = np.where(pos >= 0, rv[np.clip(pos, 0, None)],
+                                   np.nan)
+            out_k.append(keys[s:e][m])
+            out_i.append(ids[s:e][m])
+            out_v.append(matched)
+        if not out_k:
+            return pd.DataFrame({self.key_col: [], self.id_col: [],
+                                 self.out_name: []})
+        return pd.DataFrame({
+            self.key_col: np.concatenate(out_k),
+            self.id_col: np.concatenate(out_i),
+            self.out_name: round_half_away(np.concatenate(out_v),
+                                           self.round_to),
         })
-        return out
 
 
 def _add_key_partition(ds, key_col: str, n_parts: int = 64):
@@ -176,9 +214,10 @@ def session_windows(events, timeout_s=1800, n_parts: int = 64):
             SessionWindows(timeout_s), batch_format="pandas")
 
 
-def sliding_mean(events, width_s=300):
-    return events.groupby("user_id").map_groups(
-        SlidingMean(width_s), batch_format="pandas")
+def sliding_mean(events, width_s=300, n_parts: int = 64):
+    return _add_key_partition(events, "user_id", n_parts) \
+        .groupby("__part").map_groups(
+            SlidingMean(width_s), batch_format="pandas")
 
 
 def asof_join_events(events, right_type="purchase"):
@@ -205,8 +244,8 @@ def asof_join_events(events, right_type="purchase"):
 
     left = events.map_batches(lambda b: _prep(b, "l"), batch_format="pyarrow")
     right = events.map_batches(lambda b: _prep(b, "r"), batch_format="pyarrow")
-    both = left.union(right)
-    return both.groupby("user_id").map_groups(
+    both = _add_key_partition(left.union(right), "user_id")
+    return both.groupby("__part").map_groups(
         AsofJoinGroup(), batch_format="pandas")
 
 
@@ -259,21 +298,42 @@ class RangeJoinAggGroup:
         self.__name__ = type(self).__name__
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["__side"] == "l"]
-        right = g[g["__side"] == "r"].sort_values("t", kind="stable")
-        tl = left["t"].to_numpy(np.int64)
-        tr = right["t"].to_numpy(np.int64)
-        v100 = scaled_int(right["value"].to_numpy(np.float64))
-        csum = np.concatenate([[0], np.cumsum(v100)])
-        lo = np.searchsorted(tr, tl - self.window_us, side="left")
-        hi = np.searchsorted(tr, tl, side="right")
-        return pd.DataFrame({
-            "user_id": left["user_id"].to_numpy(),
-            "event_id": left["event_id"].to_numpy(),
-            "t": tl,
-            "n_in_range": (hi - lo).astype(np.int64),
-            "vsum": (csum[hi] - csum[lo]) / 100.0,
-        })
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        t = g["t"].to_numpy(np.int64)
+        order = np.lexsort((t, codes))
+        codes, t = codes[order], t[order]
+        is_l = (g["__side"].to_numpy() == "l")[order]
+        g = g.iloc[order]
+        v100_all = scaled_int(g["value"].to_numpy(np.float64))
+        keys = g["user_id"].to_numpy()
+        ids = g["event_id"].to_numpy()
+        n = len(t)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]) \
+            if n else np.array([], dtype=np.int64)
+        ends = np.r_[starts[1:], n]
+        frames = []
+        for s, e in zip(starts, ends):
+            m = is_l[s:e]
+            tl = t[s:e][m]
+            tr = t[s:e][~m]
+            v100 = v100_all[s:e][~m]
+            csum = np.concatenate([[0], np.cumsum(v100)])
+            lo = np.searchsorted(tr, tl - self.window_us, side="left")
+            hi = np.searchsorted(tr, tl, side="right")
+            frames.append(pd.DataFrame({
+                "user_id": keys[s:e][m],
+                "event_id": ids[s:e][m],
+                "t": tl,
+                "n_in_range": (hi - lo).astype(np.int64),
+                "vsum": (csum[hi] - csum[lo]) / 100.0,
+            }))
+        if not frames:
+            return pd.DataFrame({
+                "user_id": [], "event_id": [],
+                "t": pd.Series([], dtype=np.int64),
+                "n_in_range": pd.Series([], dtype=np.int64),
+                "vsum": pd.Series([], dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
 
 
 def range_join_agg(events, *, left_type="purchase", right_type="click",
@@ -301,8 +361,9 @@ def range_join_agg(events, *, left_type="purchase", right_type="click",
                               batch_format="pyarrow")
     right = events.map_batches(lambda b: _prep(b, "r", right_type),
                                batch_format="pyarrow")
-    return left.union(right).groupby("user_id").map_groups(
-        RangeJoinAggGroup(window_s * 1_000_000), batch_format="pandas")
+    return _add_key_partition(left.union(right), "user_id") \
+        .groupby("__part").map_groups(
+            RangeJoinAggGroup(window_s * 1_000_000), batch_format="pandas")
 
 
 class FunnelGroup:
@@ -316,31 +377,42 @@ class FunnelGroup:
         self.__name__ = type(self).__name__
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            "user_id": pd.Series([], dtype=g["user_id"].dtype),
-            "t_first": pd.Series([], dtype=np.int64),
-            "t_then": pd.Series([], dtype=np.int64),
-            "latency_s": pd.Series([], dtype=np.int64)})
-        ts = g["t"].to_numpy(np.int64)
-        typ = g["event_type"].to_numpy()
-        first_ts = ts[typ == self.first_type]
-        if len(first_ts) == 0:
-            return empty
-        t0 = first_ts.min()
-        then_ts = ts[(typ == self.then_type) & (ts >= t0)]
-        if len(then_ts) == 0:
-            return empty
-        t1 = then_ts.min()
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "t_first": [np.int64(t0)],
-                             "t_then": [np.int64(t1)],
-                             "latency_s": [np.int64((t1 - t0) // 1_000_000)]})
+        codes, uniques = pd.factorize(g["user_id"], sort=False)
+        order = np.argsort(codes, kind="stable")
+        codes = codes[order]
+        ts = g["t"].to_numpy(np.int64)[order]
+        typ = g["event_type"].to_numpy()[order]
+        if len(codes) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=g["user_id"].dtype),
+                "t_first": pd.Series([], dtype=np.int64),
+                "t_then": pd.Series([], dtype=np.int64),
+                "latency_s": pd.Series([], dtype=np.int64)})
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        lens = np.diff(np.r_[starts, len(codes)])
+        BIG = np.iinfo(np.int64).max
+        # per-key min A timestamp, then min B timestamp at-or-after it —
+        # two masked reduceat min-scans, no per-key Python
+        t0 = np.minimum.reduceat(
+            np.where(typ == self.first_type, ts, BIG), starts)
+        t1 = np.minimum.reduceat(
+            np.where((typ == self.then_type)
+                     & (ts >= np.repeat(t0, lens)), ts, BIG), starts)
+        conv = (t0 < BIG) & (t1 < BIG)
+        return pd.DataFrame({
+            "user_id": uniques.take(codes[starts][conv]),
+            "t_first": t0[conv],
+            "t_then": t1[conv],
+            "latency_s": (t1[conv] - t0[conv]) // 1_000_000,
+        })
 
 
-def funnel(events, *, first_type="click", then_type="purchase"):
-    """Per-user 2-step funnel conversion (first→then) — one user-key
-    groupby shuffle; the group kernel is two vectorized min-scans.
-    Timestamps compare in microseconds (the engine-wide tie convention)."""
+def funnel(events, *, first_type="click", then_type="purchase",
+           n_parts: int = 64):
+    """Per-user 2-step funnel conversion (first→then) — one
+    partition-group shuffle; the kernel funnels every co-located user in
+    two masked reduceat min-scans.  Timestamps compare in microseconds
+    (the engine-wide tie convention)."""
 
     def _prep(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -352,8 +424,10 @@ def funnel(events, *, first_type="click", then_type="purchase"):
                         value_set=pa.array([first_type, then_type]))
         return out.filter(keep)
 
-    return events.map_batches(_prep, batch_format="pyarrow") \
-        .groupby("user_id").map_groups(
+    return _add_key_partition(
+        events.map_batches(_prep, batch_format="pyarrow"),
+        "user_id", n_parts) \
+        .groupby("__part").map_groups(
         FunnelGroup(first_type, then_type), batch_format="pandas")
 
 
