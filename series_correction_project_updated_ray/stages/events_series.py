@@ -132,9 +132,37 @@ def level_shift_group(g: pd.DataFrame, segment_col="day", n=5,
     })
 
 
-def _grouped(events, fn, **kwargs):
-    wrapped = (lambda g: fn(g, **kwargs)) if kwargs else fn
-    return events.groupby("user_id").map_groups(wrapped, batch_format="pandas")
+def _grouped(events, fn, n_parts: int = 64, **kwargs):
+    """Run a per-series kernel over every series of a partition group.
+
+    The shuffle groups by ``stable_hash(user) % n_parts`` instead of by
+    user: the kernels stay sequential per series (order-dependent folds —
+    that's their semantics), but Ray's per-group machinery (a block
+    slice, pandas conversion and task result PER KEY — billions of keys
+    at scale) collapses to one call per partition with cheap in-process
+    slicing."""
+    from ..functions.hashing import stable_hash_array
+
+    def _part(t: pa.Table) -> pa.Table:
+        part = (stable_hash_array(t["user_id"])
+                % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("__part", pa.array(part))
+
+    def wrapped(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__part"])
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        order = np.argsort(codes, kind="stable")
+        g = g.iloc[order]
+        codes = codes[order]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], len(codes)]
+        return pd.concat(
+            [fn(g.iloc[s:e], **kwargs) for s, e in zip(starts, ends)],
+            ignore_index=True)
+    wrapped.__name__ = getattr(fn, "__name__", "per_series_kernel")
+
+    return events.map_batches(_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(wrapped, batch_format="pandas")
 
 
 def gap_counts(events, threshold_factor=3.0):
