@@ -421,8 +421,11 @@ def _bloom_positions(col, bits_log2: int, k: int) -> np.ndarray:
     if pa.types.is_integer(col.type):
         # both join sides must hash identically even when one declares a
         # narrower integer type — a mismatch would be a FALSE NEGATIVE,
-        # i.e. silently dropped join rows
-        col = col.cast(pa.int64())
+        # i.e. silently dropped join rows.  Nulls are filled on the ARROW
+        # side first: a null-bearing int column degrades to float64 in
+        # to_pandas, changing every OTHER row's hash vs the null-free
+        # build side (null rows themselves are masked out by callers)
+        col = pa.compute.fill_null(col.cast(pa.int64()), 0)
     h1 = stable_hash_array(col).astype(np.uint64)
     with np.errstate(over="ignore"):
         h2 = (h1 * np.uint64(0x9E3779B97F4A7C15)) ^ (h1 >> np.uint64(29))
@@ -529,7 +532,7 @@ def _global_heavy_keys(ds, key_col: str, *, mg_k: int = 256
 
 def skew_join(left, right, left_key: str, right_key: str, *,
               n_buckets: int | None = None, suffixes=("_l", "_r"),
-              hot_share: float = 0.01, mg_k: int = 256,
+              hot_share: float = 0.01, mg_k: int | None = None,
               max_hot_right_rows: int = 1_000_000):
     """INNER equi-join that routes HOT left keys around the shuffle.
 
@@ -543,9 +546,21 @@ def skew_join(left, right, left_key: str, right_key: str, *,
     (now skew-free) rows normally.  Output is row-identical to
     ``hash_join(..., how='inner')`` — the hot path reuses the same
     TagPad/BucketJoin kernels.  Inner-only (an outer variant would need
-    unmatched-row bookkeeping across the two paths)."""
+    unmatched-row bookkeeping across the two paths).
+
+    ``mg_k`` defaults to max(256, ceil(4/hot_share)): Misra-Gries can
+    miss keys below ~1/(mg_k+1) of a batch, so a counter budget smaller
+    than the requested threshold would make small ``hot_share`` values
+    silently undetectable.  Both inputs are materialized once up front —
+    the sketch pass, the hot/cold splits and the joins all consume the
+    same cached blocks instead of re-executing the upstream plan three
+    times (Ray spills blocks under pressure)."""
     import ray
 
+    if mg_k is None:
+        mg_k = max(256, int(np.ceil(4.0 / max(hot_share, 1e-6))))
+    left = left.materialize()
+    right = right.materialize()
     counters, total = _global_heavy_keys(left, left_key, mg_k=mg_k)
     hot = sorted(k for k, c in counters.items()
                  if total and c >= hot_share * total)

@@ -136,11 +136,12 @@ class GroupedMedian:
         self.__name__ = type(self).__name__
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        codes, uniques = pd.factorize(g[self.key_col], sort=False)
+        codes, _ = pd.factorize(g[self.key_col], sort=False)
         win = g["window_start"].to_numpy(np.int64)
         val = g["value"].to_numpy(np.float64)
         order = np.lexsort((val, win, codes))
         codes, win, val = codes[order], win[order], val[order]
+        keys = g[self.key_col].to_numpy()[order]
         starts, ends = _segment_starts(codes, win)
         length = ends - starts
         med = (val[starts + (length - 1) // 2]
@@ -150,7 +151,11 @@ class GroupedMedian:
         has_nan = np.add.reduceat(np.isnan(val), starts) > 0
         med[has_nan] = np.nan
         return pd.DataFrame({
-            self.key_col: uniques.take(codes[starts]),
+            # key values from the SORTED ORIGINAL column: factorize gives
+            # null keys code -1, and uniques.take(-1) would wrap to the
+            # last real key, mislabeling the null group (-1 sorts first,
+            # so null keys still form their own runs)
+            self.key_col: keys[starts],
             "window_start": win[starts],
             "vmedian": round_half_away(med, self.round_to),
         })
@@ -332,20 +337,30 @@ class GroupedQuantiles:
         self.__name__ = type(self).__name__
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        codes, uniques = pd.factorize(g[self.key_col], sort=False)
+        codes, _ = pd.factorize(g[self.key_col], sort=False)
         val = g["value"].to_numpy(np.float64)
         order = np.lexsort((val, codes))
         codes, val = codes[order], val[order]
+        keys = g[self.key_col].to_numpy()[order]
         starts, ends = _segment_starts(codes)
         length = ends - starts
         has_nan = np.add.reduceat(np.isnan(val), starts) > 0
-        row = {self.key_col: uniques.take(codes[starts])}
+        # keys from the sorted original column, not uniques.take — see
+        # GroupedMedian (factorize codes null keys as -1)
+        row = {self.key_col: keys[starts]}
         for p in self.probs:
             pos = (length - 1) * p
             lo = np.floor(pos).astype(np.int64)
             frac = pos - lo
             hi = np.minimum(lo + 1, length - 1)
-            q = val[starts + lo] * (1 - frac) + val[starts + hi] * frac
+            a, b = val[starts + lo], val[starts + hi]
+            # numpy's _lerp exactly (a + diff*t, switching to the
+            # b-anchored form for t >= 0.5): bit-identical to
+            # np.quantile(method='linear'), which the oracle guarantee
+            # was calibrated against
+            diff = b - a
+            q = a + diff * frac
+            np.subtract(b, diff * (1 - frac), out=q, where=frac >= 0.5)
             q[has_nan] = np.nan
             row[f"p{int(p * 100)}"] = round_half_away(q, self.round_to)
         return pd.DataFrame(row)

@@ -55,7 +55,7 @@ class SessionWindows:
         self.__name__ = type(self).__name__
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        codes, uniques = pd.factorize(g[self.key_col], sort=False)
+        codes, _ = pd.factorize(g[self.key_col], sort=False)
         ts = g[self.ts_col]
         if pd.api.types.is_datetime64_any_dtype(ts):
             t = (ts.astype("datetime64[ns]").astype("int64").to_numpy()
@@ -64,6 +64,7 @@ class SessionWindows:
             t = ts.to_numpy(np.int64)
         order = np.lexsort((g[self.id_col].to_numpy(), t, codes))
         codes, t = codes[order], t[order]
+        keys = g[self.key_col].to_numpy()[order]
         n = len(t)
         new_key = np.ones(n, dtype=bool)
         boundary = np.ones(n, dtype=bool)
@@ -79,7 +80,10 @@ class SessionWindows:
         sid = (np.arange(len(starts), dtype=np.int64)
                - np.repeat(first_of_key, runs) + 1)
         return pd.DataFrame({
-            self.key_col: uniques.take(codes[starts]),
+            # key values from the sorted original column: factorize codes
+            # null keys -1 and uniques.take(-1) would wrap to the last
+            # real key, mislabeling the null group's sessions
+            self.key_col: keys[starts],
             "session_id": sid,
             "n_events": (ends - starts).astype(np.int64),
             "t_start": t[starts],
@@ -264,7 +268,10 @@ class _TopNPerGroup:
             [self.group_col] + list(self.sort_cols),
             ascending=[True] + [not d for d in self.descending],
             kind="stable")
-        rn = out.groupby(self.group_col, sort=False).cumcount() + 1
+        # dropna=False: null group keys rank as their own group instead
+        # of producing NaN ranks that astype(int64) would throw on
+        rn = out.groupby(self.group_col, sort=False,
+                         dropna=False).cumcount() + 1
         out = out.assign(rn=rn.astype(np.int64))
         out = out[out["rn"] <= self.n]
         return out.drop(columns=["__part"], errors="ignore")
@@ -377,9 +384,10 @@ class FunnelGroup:
         self.__name__ = type(self).__name__
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        codes, uniques = pd.factorize(g["user_id"], sort=False)
+        codes, _ = pd.factorize(g["user_id"], sort=False)
         order = np.argsort(codes, kind="stable")
         codes = codes[order]
+        keys = g["user_id"].to_numpy()[order]
         ts = g["t"].to_numpy(np.int64)[order]
         typ = g["event_type"].to_numpy()[order]
         if len(codes) == 0:
@@ -400,7 +408,9 @@ class FunnelGroup:
                      & (ts >= np.repeat(t0, lens)), ts, BIG), starts)
         conv = (t0 < BIG) & (t1 < BIG)
         return pd.DataFrame({
-            "user_id": uniques.take(codes[starts][conv]),
+            # sorted-original key values — not uniques.take, which wraps
+            # factorize's -1 null code onto the last real key
+            "user_id": keys[starts][conv],
             "t_first": t0[conv],
             "t_then": t1[conv],
             "latency_s": (t1[conv] - t0[conv]) // 1_000_000,

@@ -647,3 +647,62 @@ def test_partitioned_median_quantiles_match_numpy_per_group():
             gv = q.loc[k, p]
             assert (np.isnan(wv) and np.isnan(gv)) or \
                 abs(gv - wv) < 5e-7, (k, p)
+
+
+def test_bloom_prefilter_null_int_keys_keep_matches(ray_session):
+    """A null in a probe batch must not degrade the int key column's
+    hashes: matching rows survive, null-key rows are dropped."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.joins import (
+        bloom_prefilter, hash_join, hash_join_bloom)
+    left_t = pa.table({"k": pa.array([7, None, 9, 12], pa.int64()),
+                       "v": pa.array([1, 2, 3, 4], pa.int64())})
+    right_t = pa.table({"k2": pa.array([7, 9], pa.int64()),
+                        "w": pa.array([70, 90], pa.int64())})
+    kept = bloom_prefilter(rd.from_arrow(left_t), rd.from_arrow(right_t),
+                           "k", "k2").to_pandas()
+    assert {7, 9} <= set(kept["k"].dropna().astype(int))
+    assert kept["k"].notna().all()
+
+    def canon(ds):
+        df = ds.to_pandas()
+        cols = sorted(df.columns)
+        return df[cols].sort_values(cols).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        canon(hash_join_bloom(rd.from_arrow(left_t), rd.from_arrow(right_t),
+                              "k", "k2")),
+        canon(hash_join(rd.from_arrow(left_t), rd.from_arrow(right_t),
+                        "k", "k2", how="inner")),
+        check_dtype=False)
+
+
+def test_partition_kernels_null_group_keys():
+    """factorize's -1 code for null keys must label the null group as
+    null, not wrap onto the last real key."""
+    from series_correction_project_updated_ray.stages.rollup import (
+        GroupedMedian)
+    from series_correction_project_updated_ray.stages.windows import (
+        SessionWindows)
+    g = pd.DataFrame({
+        "event_type": ["a", "a", None, None, "b"],
+        "window_start": np.zeros(5, dtype=np.int64),
+        "value": [1.0, 3.0, 100.0, 200.0, 5.0],
+    })
+    med = GroupedMedian()(g)
+    by_key = {k: v for k, v in zip(med["event_type"], med["vmedian"])}
+    assert by_key["a"] == 2.0 and by_key["b"] == 5.0
+    nulls = med[med["event_type"].isna()]
+    assert len(nulls) == 1 and nulls["vmedian"].iloc[0] == 150.0
+
+    s = pd.DataFrame({
+        "user_id": [1.0, np.nan, np.nan, 2.0],
+        "event_id": [1, 2, 3, 4],
+        "ts": pd.to_datetime([0, 10, 10000, 20], unit="s"),
+    })
+    out = SessionWindows(timeout_s=1800)(s)
+    real = out[out["user_id"].notna()]
+    assert sorted(real["user_id"].tolist()) == [1.0, 2.0]
+    assert (real["session_id"] == 1).all()
+    nan_sessions = out[out["user_id"].isna()]
+    assert len(nan_sessions) == 2  # gap split within the null group
