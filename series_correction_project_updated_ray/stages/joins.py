@@ -20,9 +20,8 @@ import pyarrow as pa
 from ..functions.hashing import stable_hash_array
 
 
-def _bucket_of(keys, n_buckets: int) -> np.ndarray:
-    """Bucket id per key; NULL keys get bucket -1 (they can never satisfy
-    an equi-join predicate — SQL NULL = NULL is not true)."""
+def _hash_of(keys) -> tuple[np.ndarray, np.ndarray]:
+    """(uint64 hash, null mask) of one key column."""
     null_mask = np.asarray(pa.compute.is_null(keys))
     if pa.types.is_integer(keys.type):
         # fill nulls on the ARROW side so to_numpy stays an exact integer
@@ -37,6 +36,21 @@ def _bucket_of(keys, n_buckets: int) -> np.ndarray:
             h = h * np.uint64(0x9E3779B97F4A7C15)  # splitmix-style spread
     else:
         h = stable_hash_array(keys)
+    return h, null_mask
+
+
+def _bucket_of(batch: pa.Table, keys: list[str], n_buckets: int
+               ) -> np.ndarray:
+    """Bucket id per row over one or more key columns; a NULL in ANY key
+    gets bucket -1 (a null key can never satisfy an equi-join predicate —
+    SQL NULL = NULL is not true)."""
+    h = np.zeros(len(batch), dtype=np.uint64)
+    null_mask = np.zeros(len(batch), dtype=bool)
+    for k in keys:
+        hk, nk = _hash_of(batch[k])
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0x100000001B3) + hk  # FNV-style combine
+        null_mask |= nk
     bucket = (h % np.uint64(n_buckets)).astype(np.int64)
     bucket[null_mask] = -1
     return bucket
@@ -46,14 +60,15 @@ class _TagPad:
     """Tag side + bucket and align to the union schema (missing columns →
     typed nulls) so the two sides can union."""
 
-    def __init__(self, key: str, n_buckets: int, side: str,
+    def __init__(self, key, n_buckets: int, side: str,
                  union_fields: list[tuple[str, pa.DataType]]):
-        self.key, self.n_buckets, self.side = key, n_buckets, side
+        self.keys = [key] if isinstance(key, str) else list(key)
+        self.n_buckets, self.side = n_buckets, side
         self.union_fields = union_fields
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
-        bucket = _bucket_of(batch[self.key], self.n_buckets)
+        bucket = _bucket_of(batch, self.keys, self.n_buckets)
         cols, names = [], []
         for name, typ in self.union_fields:
             if name in batch.column_names:
@@ -84,9 +99,12 @@ class BucketJoin:
     to become float (outer-join null padding of an int column) converts
     NaN→null to restore the declared integer type."""
 
-    def __init__(self, left_key: str, right_key: str, l_cols: list[str],
+    def __init__(self, left_key, right_key, l_cols: list[str],
                  r_cols: list[str], types: dict, how: str = "inner"):
-        self.left_key, self.right_key = left_key, right_key
+        self.l_keys = [left_key] if isinstance(left_key, str) \
+            else list(left_key)
+        self.r_keys = [right_key] if isinstance(right_key, str) \
+            else list(right_key)
         self.l_cols, self.r_cols = l_cols, r_cols
         self.types = types
         self.how = how
@@ -98,13 +116,15 @@ class BucketJoin:
         suffixes, except a shared key name under left_on==right_on which
         pandas collapses into one column."""
         overlap = set(self.l_cols) & set(self.r_cols)
-        same_key = self.left_key == self.right_key
+        # pandas collapses a key pair into one column when the same name
+        # sits at the same position of left_on/right_on
+        collapsed = {l for l, r in zip(self.l_keys, self.r_keys) if l == r}
         out = []
         for c in self.l_cols:
-            suffixed = c in overlap and not (same_key and c == self.left_key)
+            suffixed = c in overlap and c not in collapsed
             out.append((c + "_x" if suffixed else c, c))
         for c in self.r_cols:
-            if same_key and c == self.right_key:
+            if c in collapsed:
                 continue
             suffixed = c in overlap
             out.append((c + "_y" if suffixed else c, c))
@@ -136,15 +156,15 @@ class BucketJoin:
         # SQL equi-join semantics: NULL keys never match (pandas merge would
         # happily match NaN == NaN) — drop null-key right rows always, and
         # null-key left rows for inner joins
-        right = right[right[self.right_key].notna()]
+        right = right[right[self.r_keys].notna().all(axis=1)]
         if self.how == "inner":
-            left = left[left[self.left_key].notna()]
+            left = left[left[self.l_keys].notna().all(axis=1)]
         if (len(left) == 0 or len(right) == 0) and self.how == "inner":
             return pa.table(
                 {name: pa.nulls(0, self.types[base])
                  for name, base in self._merged_columns()})
-        merged = left.merge(right, left_on=self.left_key,
-                            right_on=self.right_key, how=self.how)
+        merged = left.merge(right, left_on=self.l_keys,
+                            right_on=self.r_keys, how=self.how)
         # emit Arrow: Ray passes EMPTY blocks through downstream
         # map_batches unconverted, so a pandas return here would leak
         # pandas blocks into arrow-block consumers (observed: aggregate
@@ -315,14 +335,16 @@ def _shuffle_semi_join(left, distinct, key_col: str, rk: str, anti: bool,
     return joined.select_columns(left_cols)
 
 
-def _join_field_plan(l_sch, r_sch, left_key: str, right_key: str, suffixes):
+def _join_field_plan(l_sch, r_sch, left_key, right_key, suffixes):
     """(l_fields, r_fields, clash, union_fields) — the shared column plan
     of every join flavor: shared non-key names get pandas-style suffixes,
     then both sides' fields merge into one union schema."""
+    l_keys = [left_key] if isinstance(left_key, str) else list(left_key)
+    r_keys = [right_key] if isinstance(right_key, str) else list(right_key)
     l_fields = list(zip(l_sch.names, l_sch.types))
     r_fields = list(zip(r_sch.names, r_sch.types))
     clash = ({n for n, _ in l_fields} & {n for n, _ in r_fields}) \
-        - {left_key, right_key}
+        - set(l_keys) - set(r_keys)
     if clash:
         l_fields = [(n + suffixes[0] if n in clash else n, t)
                     for n, t in l_fields]
@@ -332,17 +354,25 @@ def _join_field_plan(l_sch, r_sch, left_key: str, right_key: str, suffixes):
     return l_fields, r_fields, clash, union_fields
 
 
-def hash_join(left, right, left_key: str, right_key: str,
+def hash_join(left, right, left_key, right_key,
               how: str = "inner", n_buckets: int | None = None,
               suffixes=("_l", "_r")):
     """Partitioned hash equi-join of two Datasets — ONE shuffle total.
 
+    ``left_key`` / ``right_key`` may be single column names or equal-
+    length lists (composite keys: rows match when EVERY key pair is
+    equal and null-free; the bucket hash combines all key columns).
     Shared non-key column names are suffixed pandas-style before the
     union; each side is null-padded to the union schema so the bucket
     groupby can co-locate both sides in one exchange.  ``n_buckets``
     defaults to ceil(larger-side estimated bytes / 64 MB) from plan
     metadata (no execution), so a 100× input keeps per-bucket memory
     bounded instead of per-bucket tasks growing 100× larger."""
+    n_l = 1 if isinstance(left_key, str) else len(left_key)
+    n_r = 1 if isinstance(right_key, str) else len(right_key)
+    if n_l != n_r:
+        raise ValueError(f"key lists must pair up: {n_l} left vs "
+                         f"{n_r} right")
     if n_buckets is None:
         n_buckets = _derive_buckets(left, right)
 

@@ -706,3 +706,47 @@ def test_partition_kernels_null_group_keys():
     assert (real["session_id"] == 1).all()
     nan_sessions = out[out["user_id"].isna()]
     assert len(nan_sessions) == 2  # gap split within the null group
+
+
+def test_hash_join_composite_keys(ray_session):
+    """Multi-column equi-join vs the pandas reference: shared key name
+    collapse, null in any key component never matches, inner and left."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.joins import hash_join
+    left_t = pa.table({
+        "k": pa.array([1, 1, 2, 2, None], pa.int64()),
+        "g": pa.array(["x", "y", "x", "y", "x"]),
+        "lv": pa.array([10, 11, 12, 13, 14], pa.int64()),
+    })
+    right_t = pa.table({
+        "k": pa.array([1, 2, 2, 3], pa.int64()),
+        "g2": pa.array(["x", "x", None, "y"]),
+        "rv": pa.array([100, 200, 201, 300], pa.int64()),
+    })
+    left, right = left_t.to_pandas(), right_t.to_pandas()
+
+    def ref(how):
+        l = left.copy()
+        r = right[right[["k", "g2"]].notna().all(axis=1)]
+        if how == "inner":
+            l = l[l[["k", "g"]].notna().all(axis=1)]
+        return l.merge(r, left_on=["k", "g"], right_on=["k", "g2"],
+                       how=how)
+
+    for how in ("inner", "left"):
+        got = hash_join(rd.from_arrow(left_t), rd.from_arrow(right_t),
+                        ["k", "g"], ["k", "g2"], how=how,
+                        n_buckets=4).to_pandas()
+        want = ref(how)
+        assert sorted(got.columns) == sorted(want.columns), how
+        g = got.sort_values(["lv"]).reset_index(drop=True)
+        w = want.sort_values(["lv"]).reset_index(drop=True)
+        def norm(col):
+            # engine emits Arrow nulls (None); pandas merge pads with NaN
+            vals = col.to_numpy(dtype=object)
+            return np.array([None if (v is None or v != v) else v
+                             for v in vals], dtype=object)
+
+        for c in sorted(want.columns):
+            np.testing.assert_array_equal(
+                norm(g[c]), norm(w[c]), err_msg=f"{how}:{c}")
