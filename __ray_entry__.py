@@ -387,6 +387,36 @@ def _q_join_skew(sf_dir: str):
                              "l_extendedprice", "o_custkey", "o_totalprice"])
 
 
+def _q_user_type_totals_join(sf_dir: str):
+    """Composite-key hash join: every event row enriched with its
+    (user_id, event_type) group totals.  The grouped side is built with
+    a partial-first aggregate (one keyed shuffle of group partials) and
+    joins back to the fact table on BOTH key columns through the
+    multi-column bucket hash — the equi-join shape reference J1 uses on
+    (series, year) pairs (/root/reference/scripts/comparison.py)."""
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+    from series_correction_project_updated_ray.functions.rounding import (
+        round_half_away)
+    from series_correction_project_updated_ray.stages.joins import hash_join
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "value"])
+    grouped = ev.groupby(["user_id", "event_type"]).aggregate(
+        Sum("value", alias_name="type_total"),
+        Count(alias_name="type_count"))
+
+    def _round_total(batch):
+        batch["type_total"] = round_half_away(
+            batch["type_total"].to_numpy(np.float64), 6)
+        return batch
+
+    grouped = grouped.map_batches(_round_total, batch_format="pandas")
+    j = hash_join(ev, grouped, ["user_id", "event_type"],
+                  ["user_id", "event_type"], how="inner")
+    return j.select_columns(["event_id", "user_id", "event_type", "value",
+                             "type_total", "type_count"])
+
+
 def _q_rollup_user_1h(sf_dir: str):
     from series_correction_project_updated_ray.stages.rollup import rollup_events
     ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
@@ -1099,6 +1129,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "sanitize_docs": _q_sanitize,
         "summary_by_source": _q_summary,
         "join_lineitem_orders": _q_join_lineitem_orders,
+        # composite-key (multi-column) hash join — oracle-checked
+        "user_type_totals_join": _q_user_type_totals_join,
         "rollup_user_1h": _q_rollup_user_1h,
         "distinct_users": _q_distinct_users,
         "top_users_by_value": _q_top_users,
@@ -1193,8 +1225,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "top_windows_by_volume": _q_top_windows,
         # list/vector scalar functions — oracle-checked
         "vector_stats": _q_vector_stats,
-        # join-variant equivalents of join_lineitem_orders — rows-only
-        # (their exactness is covered by that oracle + equivalence tests)
+        # join-variant equivalents of join_lineitem_orders — same oracle
+        # certifies each physical plan (declared last so the 50-window
+        # demotion prefers dropping these redundant checks)
         "join_lineitem_orders_bloom": _q_join_bloom,
         "join_lineitem_orders_skew": _q_join_skew,
     }
@@ -1236,6 +1269,13 @@ SELECT event_type,
        round(round(sum(value), 6) / count(*), 6) AS vmean
 FROM events
 GROUP BY 1, 2
+"""
+
+
+_JOIN_LI_ORDERS_SQL = """
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
+       o.o_custkey, o.o_totalprice
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 """
 
 
@@ -1381,11 +1421,20 @@ SELECT doc_id, n_chars, len(words) AS n_words, n_punct,
             ELSE 0.0 END AS stop_ratio
 FROM f
 """,
-        "join_lineitem_orders": """
-SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
-       o.o_custkey, o.o_totalprice
-FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        "join_lineitem_orders": _JOIN_LI_ORDERS_SQL,
+        "user_type_totals_join": """
+SELECT e.event_id, e.user_id, e.event_type, e.value,
+       g.type_total, g.type_count
+FROM events e
+JOIN (SELECT user_id, event_type, round(sum(value), 6) AS type_total,
+             count(*) AS type_count
+      FROM events GROUP BY 1, 2) g
+  ON e.user_id = g.user_id AND e.event_type = g.event_type
 """,
+        # bloom / skew variants compute the identical inner join through
+        # different physical plans — same oracle certifies each plan
+        "join_lineitem_orders_bloom": _JOIN_LI_ORDERS_SQL,
+        "join_lineitem_orders_skew": _JOIN_LI_ORDERS_SQL,
         "rollup_user_1h": f"""
 SELECT user_id,
        {EPOCH_S} - ({EPOCH_S} % 3600) AS window_start,
