@@ -251,6 +251,16 @@ def _q_minhash_dedup(sf_dir: str):
     return minhash_lsh_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """Exact n-gram-Jaccard near-dup pairs (shingle inverted index →
+    bucketed candidates → hash-join text co-location → exact verify);
+    oracle = DuckDB all-pairs Jaccard over exploded 5-gram sets."""
+    from series_correction_project_updated_ray.stages.dedup import (
+        ngram_jaccard_pairs)
+    return ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.8)
+
+
 def _q_simhash(sf_dir: str):
     from series_correction_project_updated_ray.stages.dedup import SimHashStage
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1155,6 +1165,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang,
         "doc_fingerprints": _q_fingerprints,
         "minhash_dedup": _q_minhash_dedup,
+        # exact n-gram Jaccard pairs — oracle-checked (DuckDB all-pairs)
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
         "simhash_signatures": _q_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
         "knn_ivf": _q_knn_ivf,
@@ -1422,6 +1434,30 @@ SELECT doc_id, n_chars, len(words) AS n_words, n_punct,
 FROM f
 """,
         "join_lineitem_orders": _JOIN_LI_ORDERS_SQL,
+        "ngram_jaccard_pairs": """
+WITH pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
+  FROM documents WHERE length(text) >= 5
+), sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS s FROM pos
+  UNION
+  SELECT doc_id, text AS s FROM documents
+  WHERE length(text) BETWEEN 1 AND 4
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), pair AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b,
+       round(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter), 6)
+         AS jaccard
+FROM pair p
+JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
+WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.8
+""",
         "user_type_totals_join": """
 SELECT e.event_id, e.user_id, e.event_type, e.value,
        g.type_total, g.type_count

@@ -387,12 +387,23 @@ def hash_join(left, right, left_key, right_key,
         # a one-row sample of the coerced stage (cheap: the coercion is
         # a streaming identity map, not an all-to-all).
         ds, sch = _known_schema(ds)
-        if any(not isinstance(t, pa.DataType) for t in sch.types):
+        if sch is not None and any(not isinstance(t, pa.DataType)
+                                   for t in sch.types):
             ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
             ds, sch = _known_schema(ds)
         return ds, sch
 
     (left, l_sch), (right, r_sch) = _arrow_backed(left), _arrow_backed(right)
+    if l_sch is None or r_sch is None:
+        # a side is EMPTY with no schema (Ray drops all-empty blocks, so
+        # a 0-row aggregate/map_groups plan loses its column metadata —
+        # e.g. a candidate-pair set that filtered everything out)
+        if how == "inner":
+            return left if l_sch is None else right  # zero-block dataset
+        raise ValueError(
+            "hash_join(how=%r) with a schema-less empty input: the empty "
+            "side's columns are unknowable (Ray dropped its blocks); seed "
+            "it with a typed empty block if this shape is intended" % how)
     l_fields, r_fields, clash, union_fields = _join_field_plan(
         l_sch, r_sch, left_key, right_key, suffixes)
     if clash:

@@ -750,3 +750,74 @@ def test_hash_join_composite_keys(ray_session):
         for c in sorted(want.columns):
             np.testing.assert_array_equal(
                 norm(g[c]), norm(w[c]), err_msg=f"{how}:{c}")
+
+
+def test_ngram_jaccard_matches_brute_force(ray_session):
+    """Default settings (no sampling, no df cap) must equal the exact
+    all-pairs n-gram Jaccard computed directly in numpy."""
+    import itertools
+    import ray.data as rd
+    from series_correction_project_updated_ray.functions.text import (
+        char_ngram_shingles, jaccard)
+    from series_correction_project_updated_ray.stages.dedup import (
+        ngram_jaccard_dedup, ngram_jaccard_pairs)
+    rng = np.random.default_rng(42)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    base_docs = [" ".join(rng.choice(words, size=40)) for _ in range(12)]
+    docs, ids = [], []
+    for i, b in enumerate(base_docs):
+        docs.append(b); ids.append(i * 10)
+        if i % 3 == 0:  # a near-duplicate: one word swapped
+            docs.append(b.replace("alpha", "omega", 1))
+            ids.append(i * 10 + 1)
+    df = pd.DataFrame({"doc_id": ids, "text": docs})
+
+    thr = 0.6
+    want = set()
+    sh = {d: char_ngram_shingles(t, 5) for d, t in zip(ids, docs)}
+    for a, b in itertools.combinations(sorted(ids), 2):
+        if jaccard(sh[a], sh[b]) >= thr:
+            want.add((a, b))
+    assert want  # the fixture must actually contain near-dups
+
+    got = ngram_jaccard_pairs(rd.from_pandas(df), threshold=thr) \
+        .to_pandas()
+    assert set(zip(got["id_a"], got["id_b"])) == want
+    assert (got["id_a"] < got["id_b"]).all()
+    # similarity values match the direct computation at 6dp
+    for _, r in got.iterrows():
+        direct = jaccard(sh[r["id_a"]], sh[r["id_b"]])
+        assert abs(r["jaccard"] - direct) < 1e-6
+
+    # clustering contract mirrors minhash_lsh_dedup (singletons omitted)
+    clusters = ngram_jaccard_dedup(rd.from_pandas(df), threshold=thr)
+    in_pairs = {d for p in want for d in p}
+    assert set(clusters["doc_id"]) == in_pairs
+    dist = ngram_jaccard_dedup(rd.from_pandas(df), threshold=thr,
+                               distributed_cc=True)
+    pd.testing.assert_frame_equal(clusters.reset_index(drop=True),
+                                  dist.reset_index(drop=True))
+
+
+def test_ngram_jaccard_sampling_and_df_cap(ray_session):
+    """sample_mod keeps true near-dup recall (shared shingles are kept or
+    dropped together); max_df only suppresses hot-bucket candidates."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.dedup import (
+        ngram_jaccard_pairs)
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest to hide from hunters") * 3
+    near = base.replace("lazy", "sleepy")
+    other = ("completely different content about spark and ray data engines "
+             "processing large parquet tables with shuffles") * 3
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, other]})
+    sampled = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.7,
+                                  sample_mod=4).to_pandas()
+    assert set(zip(sampled["id_a"], sampled["id_b"])) == {(1, 2)}
+    # a df cap below the pair's shared-shingle count kills the candidate:
+    # every shared shingle of (1,2) sits in a bucket of exactly 2 docs,
+    # so max_df=1 suppresses all of them
+    capped = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.7,
+                                 max_df=1).to_pandas()
+    assert len(capped) == 0
