@@ -251,6 +251,14 @@ def _q_minhash_dedup(sf_dir: str):
     return minhash_lsh_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_redact_pii(sf_dir: str):
+    """URL/email/IPv4 scrub with per-doc match counts — patterns chosen
+    for bit-identical Python-re/RE2 semantics (see RedactPII)."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        redact_pii)
+    return redact_pii(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_ngram_jaccard(sf_dir: str):
     """Exact n-gram-Jaccard near-dup pairs (shingle inverted index →
     bucketed candidates → hash-join text co-location → exact verify);
@@ -1160,6 +1168,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "token_counts": _q_token_counts,
         "quality_features": _q_quality,
+        # privacy scrub (URL/email/IP redaction) — oracle-checked
+        "redact_pii": _q_redact_pii,
         "knn_topk": _q_knn,
         # approximate / signature operators — rows-only
         "lang_id": _q_lang,
@@ -1434,6 +1444,31 @@ SELECT doc_id, n_chars, len(words) AS n_words, n_punct,
 FROM f
 """,
         "join_lineitem_orders": _JOIN_LI_ORDERS_SQL,
+        "redact_pii": r"""
+WITH r1 AS (
+  SELECT doc_id,
+         regexp_replace(coalesce(text, ''),
+                        'https?://[^\t\n\f\r ]+', '<URL>', 'g') AS t1,
+         len(regexp_extract_all(coalesce(text, ''),
+                                'https?://[^\t\n\f\r ]+')) AS n_url
+  FROM documents
+), r2 AS (
+  SELECT doc_id, n_url,
+         regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t2,
+         len(regexp_extract_all(
+             t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           AS n_email
+  FROM r1
+)
+SELECT doc_id,
+       regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                      '<IP>', 'g') AS text_redacted,
+       n_url, n_email,
+       len(regexp_extract_all(
+           t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip
+FROM r2
+""",
         "ngram_jaccard_pairs": """
 WITH pos AS (
   SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i

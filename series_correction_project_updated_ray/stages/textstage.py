@@ -185,3 +185,53 @@ def contamination_scan(docs, probes: list[str] | None = None, **kwargs):
     ref = ray.put(list(probes))
     return docs.map_batches(ContaminationScan, batch_format="pyarrow",
                             concurrency=2, fn_constructor_args=(ref,))
+
+
+class RedactPII:
+    """Actor-pool scrub stage: replace URLs, emails and IPv4 addresses
+    with placeholder tokens — the standard pre-training privacy pass.
+
+    Patterns are compiled ONCE per actor (``__init__``) with ASCII-only
+    classes chosen for bit-identical semantics between Python ``re`` and
+    DuckDB's RE2 ``regexp_replace`` (the oracle): RE2's ``\\s`` excludes
+    ``\\v``, so the URL pattern spells its whitespace class explicitly.
+    Stages apply in a fixed order (URL → email → IP), each counting
+    matches on the PREVIOUS stage's output, exactly as the nested SQL
+    does."""
+
+    URL = r"https?://[^\t\n\f\r ]+"
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        import re
+        self.text_col, self.id_col = text_col, id_col
+        self.stages = [(re.compile(self.URL, re.ASCII), "<URL>", "n_url"),
+                       (re.compile(self.EMAIL, re.ASCII), "<EMAIL>",
+                        "n_email"),
+                       (re.compile(self.IPV4, re.ASCII), "<IP>", "n_ip")]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pandas()
+        out = {name: np.zeros(len(texts), dtype=np.int64)
+               for _, _, name in self.stages}
+        redacted = []
+        for i, t in enumerate(texts):
+            s = t or ""
+            for rx, repl, name in self.stages:
+                s, n = rx.subn(repl, s)
+                out[name][i] = n
+            redacted.append(s)
+        cols = {self.id_col: batch[self.id_col],
+                "text_redacted": pa.array(redacted, pa.string())}
+        cols.update({k: pa.array(v) for k, v in out.items()})
+        return pa.table(cols)
+
+
+def redact_pii(docs, *, text_col: str = "text", id_col: str = "doc_id",
+               concurrency: int = 2):
+    """documents → (id, text_redacted, n_url, n_email, n_ip)."""
+    return docs.map_batches(RedactPII, batch_format="pyarrow",
+                            concurrency=concurrency,
+                            fn_constructor_kwargs={"text_col": text_col,
+                                                   "id_col": id_col})
