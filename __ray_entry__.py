@@ -251,6 +251,15 @@ def _q_minhash_dedup(sf_dir: str):
     return minhash_lsh_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (top-word / top-bigram
+    share, duplicate-trigram fraction) per document."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        repetition_features)
+    return repetition_features(_read(sf_dir, "documents",
+                                     ["doc_id", "text"]))
+
+
 def _q_redact_pii(sf_dir: str):
     """URL/email/IPv4 scrub with per-doc match counts — patterns chosen
     for bit-identical Python-re/RE2 semantics (see RedactPII)."""
@@ -1170,6 +1179,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "quality_features": _q_quality,
         # privacy scrub (URL/email/IP redaction) — oracle-checked
         "redact_pii": _q_redact_pii,
+        # repetition quality signals (Gopher-style) — oracle-checked
+        "repetition_features": _q_repetition,
         "knn_topk": _q_knn,
         # approximate / signature operators — rows-only
         "lang_id": _q_lang,
@@ -1444,6 +1455,42 @@ SELECT doc_id, n_chars, len(words) AS n_words, n_punct,
 FROM f
 """,
         "join_lineitem_orders": _JOIN_LI_ORDERS_SQL,
+        "repetition_features": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(coalesce(text, ''), '\s+') AS arr
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(arr) AS w,
+         unnest(generate_series(1, len(arr))) AS i, len(arr) AS n
+  FROM toks
+), grams AS (
+  SELECT doc_id, n, w,
+         w || ' ' || lead(w, 1) OVER win AS bg,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS tg
+  FROM pos WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+), wstat AS (
+  SELECT doc_id, max(c) AS top_w, sum(c) AS n_w
+  FROM (SELECT doc_id, w, count(*) AS c FROM grams GROUP BY 1, 2)
+  GROUP BY 1
+), bstat AS (
+  SELECT doc_id, max(c) AS top_b, sum(c) AS n_b
+  FROM (SELECT doc_id, bg, count(*) AS c FROM grams
+        WHERE bg IS NOT NULL GROUP BY 1, 2)
+  GROUP BY 1
+), tstat AS (
+  SELECT doc_id, count(DISTINCT tg) AS d_t, count(*) AS n_t
+  FROM grams WHERE tg IS NOT NULL GROUP BY 1
+)
+SELECT w.doc_id, w.n_w AS n_words,
+       round(CAST(w.top_w AS DOUBLE) / w.n_w, 6) AS top_word_frac,
+       coalesce(round(CAST(b.top_b AS DOUBLE) / b.n_b, 6), 0.0)
+         AS top_bigram_frac,
+       coalesce(round(1.0 - CAST(t.d_t AS DOUBLE) / t.n_t, 6), 0.0)
+         AS dup_trigram_frac
+FROM wstat w
+LEFT JOIN bstat b ON b.doc_id = w.doc_id
+LEFT JOIN tstat t ON t.doc_id = w.doc_id
+""",
         "redact_pii": r"""
 WITH r1 AS (
   SELECT doc_id,

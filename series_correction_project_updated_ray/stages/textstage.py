@@ -235,3 +235,45 @@ def redact_pii(docs, *, text_col: str = "text", id_col: str = "doc_id",
                             concurrency=concurrency,
                             fn_constructor_kwargs={"text_col": text_col,
                                                    "id_col": id_col})
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals per document: most-frequent-word
+    share, most-frequent-bigram share, duplicate-trigram fraction.  Word
+    split follows ``regexp_split_to_array(text, '\\s+')`` exactly (the
+    oracle); fractions are half-away-rounded to 6dp like every compared
+    float."""
+    from collections import Counter
+
+    from ..functions.rounding import round_half_away
+    texts = batch["text"].to_pandas()
+    n_words = np.zeros(len(texts), dtype=np.int64)
+    top_word = np.zeros(len(texts), dtype=np.float64)
+    top_bigram = np.zeros(len(texts), dtype=np.float64)
+    dup_trigram = np.zeros(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        # regexp_split_to_array semantics: splitting '' yields [''] (n=1)
+        toks = T.WS_RE.split(t or "")
+        n = len(toks)
+        n_words[i] = n
+        if n:
+            top_word[i] = Counter(toks).most_common(1)[0][1] / n
+        if n >= 2:
+            bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            top_bigram[i] = (Counter(bigrams).most_common(1)[0][1]
+                             / len(bigrams))
+        if n >= 3:
+            tri = [f"{a} {b} {c}"
+                   for a, b, c in zip(toks, toks[1:], toks[2:])]
+            dup_trigram[i] = 1.0 - len(set(tri)) / len(tri)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_words": pa.array(n_words),
+        "top_word_frac": pa.array(round_half_away(top_word, 6)),
+        "top_bigram_frac": pa.array(round_half_away(top_bigram, 6)),
+        "dup_trigram_frac": pa.array(round_half_away(dup_trigram, 6)),
+    })
+
+
+def repetition_features(docs):
+    return docs.map_batches(repetition_batch, batch_format="pyarrow")

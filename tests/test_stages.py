@@ -870,3 +870,26 @@ def test_redact_pii_matches_duckdb(ray_session):
     for c in ["text_redacted", "n_url", "n_email", "n_ip"]:
         np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(),
                                       err_msg=c)
+
+
+def test_repetition_features_edges(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.textstage import (
+        repetition_features)
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "text": ["", "word", "a b a b a b",
+                                "x y z x y z x y z end"]})
+    got = repetition_features(rd.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # '' splits to [''] (regexp_split_to_array semantics) -> 1 "word"
+    assert got.loc[0, "n_words"] == 1 and got.loc[0, "top_word_frac"] == 1.0
+    assert got.loc[1, ["top_bigram_frac", "dup_trigram_frac"]].tolist() \
+        == [0.0, 0.0]
+    # "a b a b a b": bigrams [ab,ba,ab,ba,ab] -> top 3/5; trigrams
+    # [aba,bab,aba,bab] -> 2 distinct of 4 -> dup 0.5
+    assert got.loc[2, "top_bigram_frac"] == 0.6
+    assert got.loc[2, "dup_trigram_frac"] == 0.5
+    # 10 words: top word 3/10; 8 trigrams, distinct {xyz,yzx,zxy,"y z end"}
+    # = 4 -> dup = 1 - 4/8
+    assert got.loc[3, "top_word_frac"] == 0.3
+    assert got.loc[3, "dup_trigram_frac"] == 0.5
