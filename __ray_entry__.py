@@ -77,6 +77,16 @@ def _q_corrected_events(sf_dir: str):
                                   ["user_id", "event_id", "ts", "value"]))
 
 
+def _q_gap_filled(sf_dir: str):
+    """Gap insertion + positional linear interpolation in isolation
+    (reference C1): oracle replicates the banker's-rounded missing
+    count, linspace truncation/endpoint and positional interp in SQL."""
+    from series_correction_project_updated_ray.stages.events_series import (
+        gap_filled_series)
+    return gap_filled_series(_read(sf_dir, "events",
+                                   ["user_id", "event_id", "ts", "value"]))
+
+
 def _q_tail_avg(sf_dir: str):
     from series_correction_project_updated_ray.stages.events_series import (
         tail_nonzero_avgs)
@@ -1142,6 +1152,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "rollup_1d": _q_rollup(86400),
         # per-series detection operators (reference §2.3) — oracle-checked
         "gap_counts": _q_gap_counts,
+        # gap insertion + interpolation (C1) — oracle-checked
+        "gap_filled_events": _q_gap_filled,
         "global_mad_outliers": _q_global_mad,
         "hampel_flags": _q_hampel,
         # order-dependent operators — rows-only (CUSUM/fold not in SQL)
@@ -1328,6 +1340,83 @@ SELECT user_id, event_id, epoch_us(ts) AS t,
        COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS UNBOUNDED PRECEDING) AS running_count
 FROM events
+""",
+        # C1 in isolation.  Mirrors the kernel exactly: step = previous
+        # diff (or next, for a gap at the second row); missing count =
+        # round_even(span/step)-1 (Python round is banker's); inserted
+        # times = linspace with trunc-toward-zero int cast and an EXACT
+        # endpoint for the last point; then POSITIONAL linear interp
+        # (np.interp over row indices) with edge clamping.
+        "gap_filled_events": f"""
+WITH ordered AS (
+  SELECT user_id, {EPOCH_S} AS t, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+), d AS (
+  SELECT user_id, rn, t,
+         t - lag(t) OVER w AS dt,
+         lag(t) OVER w AS t_m1,
+         lag(t, 2) OVER w AS t_m2,
+         lead(t) OVER w - t AS dt_next
+  FROM ordered WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+), med AS (
+  SELECT user_id, median(dt) AS m FROM d WHERE dt IS NOT NULL GROUP BY 1
+), gaps AS (
+  SELECT d.user_id, d.t AS t_after, d.t_m1 AS t_before,
+         CASE WHEN d.rn > 2 THEN d.t_m1 - d.t_m2 ELSE d.dt_next END AS step
+  FROM d JOIN med USING (user_id)
+  WHERE d.dt IS NOT NULL AND med.m > 0 AND d.dt > 3.0 * med.m
+), fill AS (
+  SELECT user_id, t_before, t_after, step,
+         CAST(round_even(CAST(t_after - t_before AS DOUBLE) / step, 0)
+              AS BIGINT) - 1 AS k
+  FROM gaps WHERE step IS NOT NULL AND step > 0
+), ins AS (
+  SELECT user_id, t_before, t_after, step, k,
+         unnest(generate_series(1, k)) AS j
+  FROM fill WHERE k >= 1
+), ins_t AS (
+  SELECT user_id,
+         CASE WHEN k = 1 THEN t_before + step
+              WHEN j = k THEN t_after - step
+              ELSE CAST(trunc(
+                     (j - 1) * ((CAST(t_after - step AS DOUBLE)
+                                 - (t_before + step)) / (k - 1))
+                     + (t_before + step)) AS BIGINT)
+         END AS t, j
+  FROM ins
+), allr AS (
+  SELECT user_id, t, value AS v, FALSE AS inserted,
+         CAST(0 AS BIGINT) AS j
+  FROM ordered
+  UNION ALL
+  SELECT user_id, t, NULL, TRUE, j FROM ins_t
+), pos AS (
+  SELECT *, row_number() OVER
+        (PARTITION BY user_id ORDER BY t, inserted, j) AS p
+  FROM allr
+), nb AS (
+  SELECT user_id, t, v, inserted, p,
+         max(CASE WHEN v IS NOT NULL THEN p END) OVER
+           (PARTITION BY user_id ORDER BY p
+            ROWS UNBOUNDED PRECEDING) AS p0,
+         min(CASE WHEN v IS NOT NULL THEN p END) OVER
+           (PARTITION BY user_id ORDER BY p
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p1
+  FROM pos
+)
+SELECT nb.user_id, nb.t,
+       round(CASE WHEN nb.v IS NOT NULL THEN nb.v
+                  WHEN nb.p0 IS NULL THEN v1.v
+                  WHEN nb.p1 IS NULL THEN v0.v
+                  ELSE ((v1.v - v0.v) / (nb.p1 - nb.p0))
+                       * (nb.p - nb.p0) + v0.v
+             END, 6) AS value_filled,
+       nb.inserted
+FROM nb
+LEFT JOIN pos v0 ON v0.user_id = nb.user_id AND v0.p = nb.p0
+LEFT JOIN pos v1 ON v1.user_id = nb.user_id AND v1.p = nb.p1
 """,
         "gap_counts": f"""
 WITH ordered AS (

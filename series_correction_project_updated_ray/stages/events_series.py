@@ -132,6 +132,30 @@ def level_shift_group(g: pd.DataFrame, segment_col="day", n=5,
     })
 
 
+def gap_fill_group(g: pd.DataFrame, key_col="user_id") -> pd.DataFrame:
+    """Gap step in ISOLATION (detect_gaps → insert → positional linear
+    interpolation, reference C1 without the jump/outlier passes) so the
+    insertion arithmetic — banker's-rounded missing count, linspace
+    truncation, exact endpoint, positional interp — is SQL-checkable.
+    Returns (user_id, t, value_filled, inserted)."""
+    g, t, v = _series_sorted(g)
+    gaps = K.detect_gaps(t)
+    new_times = K.gap_fill_times(t, gaps)
+    t_all = np.concatenate([t, new_times])
+    flag = np.concatenate([np.zeros(len(t), dtype=bool),
+                           np.ones(len(new_times), dtype=bool)])
+    v_all = np.concatenate([v, np.full(len(new_times), np.nan)])
+    order = np.argsort(t_all, kind="stable")
+    t_all, v_all, flag = t_all[order], v_all[order], flag[order]
+    v_out = K.interp_positional(v_all, "linear")
+    return pd.DataFrame({
+        key_col: np.full(len(t_all), g[key_col].iloc[0]),
+        "t": t_all.astype(np.int64),
+        "value_filled": round_half_away(v_out, 6),
+        "inserted": flag,
+    })
+
+
 def _grouped(events, fn, n_parts: int = 64, **kwargs):
     """Run a per-series kernel over every series of a partition group.
 
@@ -181,6 +205,10 @@ def hampel_flags(events, window_size=5, threshold=3.0):
 def cusum_flags(events, window_size=5, threshold=3.0):
     return _grouped(events, cusum_flags_group, window_size=window_size,
                     threshold=threshold)
+
+
+def gap_filled_series(events):
+    return _grouped(events, gap_fill_group)
 
 
 def corrected_series(events, config=None):

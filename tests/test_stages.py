@@ -893,3 +893,29 @@ def test_repetition_features_edges(ray_session):
     # = 4 -> dup = 1 - 4/8
     assert got.loc[3, "top_word_frac"] == 0.3
     assert got.loc[3, "dup_trigram_frac"] == 0.5
+
+
+def test_gap_fill_group_flags_and_values(ray_session):
+    """gap_filled_series inserts linspace times with NaN->positional
+    interp; flags mark exactly the synthesized rows."""
+    import ray.data as rd
+    from series_correction_project_updated_ray import kernels as K
+    from series_correction_project_updated_ray.stages.events_series import (
+        gap_filled_series)
+    # step 10, one gap of 40 (3 missing), one non-gap jitter
+    t = np.array([0, 10, 20, 60, 70], dtype=np.int64)
+    v = np.array([1.0, 2.0, 3.0, 7.0, 8.0])
+    df = pd.DataFrame({"user_id": ["u"] * 5, "event_id": np.arange(5),
+                       "ts": t, "value": v})
+    out = gap_filled_series(rd.from_pandas(df)).to_pandas() \
+        .sort_values("t").reset_index(drop=True)
+    gaps = K.detect_gaps(t)
+    t2, v2 = K.correct_gaps(t, v, gaps)
+    np.testing.assert_array_equal(out["t"].to_numpy(), t2)
+    np.testing.assert_allclose(out["value_filled"].to_numpy(), v2,
+                               atol=5e-7)
+    assert out["inserted"].tolist() == [False, False, False, True, True,
+                                        True, False, False]
+    # interpolated values sit on the line between 3.0 and 7.0
+    np.testing.assert_allclose(
+        out.loc[out["inserted"], "value_filled"], [4.0, 5.0, 6.0])
