@@ -1200,6 +1200,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash_dedup,
         # exact n-gram Jaccard pairs — oracle-checked (DuckDB all-pairs)
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        # 64-bit SimHash — oracle-checked bit-exact (polynomial token hash)
         "simhash_signatures": _q_simhash,
         "embedding_near_dup": _q_embedding_near_dup,
         "knn_ivf": _q_knn_ivf,
@@ -1314,6 +1315,51 @@ SELECT event_type,
        round(round(sum(value), 6) / count(*), 6) AS vmean
 FROM events
 GROUP BY 1, 2
+"""
+
+
+def _simhash_sql() -> str:
+    """64-bit SimHash in SQL: per-token polynomial hash (HUGEINT
+    list_reduce, the doc_fingerprints construction), then one ±1 vote sum
+    per bit position and a sign-threshold recombination — bit-exact vs
+    the engine's SimHashStage on ASCII text."""
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (v // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64))
+    recomb = "\n           + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS HUGEINT) "
+        f"ELSE CAST(0 AS HUGEINT) END" for b in range(64))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(coalesce(text, ''),
+                                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         list_reduce(
+           list_reverse(list_transform(string_split(tok, ''),
+                                       c -> CAST(unicode(c) AS HUGEINT))),
+           (acc, c) ->
+             (((acc % 4294967296) * 1099511628211
+               + (acc // 4294967296) * 435 * 4294967296)
+              % 18446744073709551616 + c) % 18446744073709551616) AS v
+  FROM toks
+), bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM th GROUP BY doc_id
+), hug AS (
+  SELECT doc_id,
+         ({recomb}) AS v
+  FROM bits
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN h.v IS NULL THEN 0
+                 WHEN h.v >= 9223372036854775808
+                 THEN h.v - 18446744073709551616
+                 ELSE h.v END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN hug h ON h.doc_id = d.doc_id
 """
 
 
@@ -1605,6 +1651,7 @@ SELECT doc_id,
            t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip
 FROM r2
 """,
+        "simhash_signatures": _simhash_sql(),
         "ngram_jaccard_pairs": """
 WITH pos AS (
   SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i

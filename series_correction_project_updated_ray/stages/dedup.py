@@ -508,7 +508,14 @@ def ngram_jaccard_dedup(docs, *, text_col="text", id_col="doc_id", ngram=5,
 # --- SimHash ---------------------------------------------------------------
 
 class SimHashStage:
-    """map_batches: append a 64-bit SimHash of the BPE-ish token multiset."""
+    """map_batches: append a 64-bit SimHash of the BPE-ish token multiset.
+
+    Token hash = the repo's polynomial rolling hash (sum byte_i·base^i
+    mod 2^64, functions/text.rolling_fingerprint) rather than an opaque
+    process hash, so the signature is bit-replicable in the DuckDB
+    oracle (HUGEINT list_reduce — same construction as the
+    doc_fingerprints oracle; parity assumes ASCII text, where UTF-8
+    bytes == codepoints)."""
 
     def __init__(self, text_col="text"):
         from ..functions.text import BPE_RE
@@ -516,11 +523,15 @@ class SimHashStage:
         self.re = BPE_RE
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.text import rolling_fingerprint
         texts = batch[self.text_col].to_pandas()
-        tok_hashes = [
-            stable_hash_array(np.asarray(ts, dtype=object))
-            if (ts := self.re.findall(t or "")) else np.empty(0, np.uint64)
-            for t in texts]
+        tok_lists = [self.re.findall(t or "") for t in texts]
+        flat = pd.Series([tok for ts in tok_lists for tok in ts],
+                         dtype=object)
+        hashes = rolling_fingerprint(flat) if len(flat) else \
+            np.empty(0, np.uint64)
+        bounds = np.cumsum([0] + [len(ts) for ts in tok_lists])
+        tok_hashes = [hashes[s:e] for s, e in zip(bounds, bounds[1:])]
         sh = simhash64(tok_hashes)
         return batch.append_column("simhash", pa.array(sh.astype(np.int64)))
 

@@ -919,3 +919,31 @@ def test_gap_fill_group_flags_and_values(ray_session):
     # interpolated values sit on the line between 3.0 and 7.0
     np.testing.assert_allclose(
         out.loc[out["inserted"], "value_filled"], [4.0, 5.0, 6.0])
+
+
+def test_simhash_near_dup_small_hamming(ray_session):
+    """Near-duplicate texts land within a small hamming distance; an
+    unrelated text doesn't. Signature is deterministic across runs."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.functions.hashing import (
+        hamming_distance64)
+    from series_correction_project_updated_ray.stages.dedup import (
+        SimHashStage)
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest to hide from hunters") * 3
+    near = base.replace("lazy", "sleepy")
+    other = ("completely different content about spark and ray data engines "
+             "processing large parquet tables with shuffles") * 3
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, other]})
+
+    def run():
+        out = rd.from_pandas(df).map_batches(
+            SimHashStage, batch_format="pyarrow",
+            concurrency=1).to_pandas().sort_values("doc_id")
+        return out["simhash"].to_numpy().astype(np.uint64)
+
+    a = run()
+    np.testing.assert_array_equal(a, run())
+    d_near = hamming_distance64(a[:1], a[1:2])[0]
+    d_far = hamming_distance64(a[:1], a[2:3])[0]
+    assert d_near <= 12 and d_far > d_near
