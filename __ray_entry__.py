@@ -948,6 +948,17 @@ def _q_hash_sample(sf_dir: str):
     return hash_sample(ev, "user_id", 0.10)
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Source-mix rebalancing sample: per-source keep rates over one
+    stable doc_id hash (no shuffle; nested across rates)."""
+    from series_correction_project_updated_ray.stages.relational import (
+        stratified_hash_sample)
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return stratified_hash_sample(
+        docs, "doc_id", "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_rate=0.1)
+
+
 def _q_hash_split(sf_dir: str):
     """Deterministic train/val/test split of documents (per-split counts;
     no-leakage property is asserted in tests/test_stages.py)."""
@@ -1250,6 +1261,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "packed_sequences": _q_packed_sequences,
         # deterministic hash sampling / splits — rows-only (engine hash)
         "sample_users_10pct": _q_hash_sample,
+        # per-source keep rates over one stable hash — oracle-checked
+        "stratified_sample_docs": _q_stratified_sample,
         "split_documents": _q_hash_split,
         # multi-hop join aggregate (Q5-lite) — oracle-checked
         "revenue_by_nation": _q_revenue_by_nation,
@@ -1893,6 +1906,14 @@ FROM tok GROUP BY bucket
         "sample_users_10pct": f"""
 SELECT event_id, user_id, value FROM events
 WHERE {_splitmix_sql("user_id")} <= 1844674407370955264
+""",
+        "stratified_sample_docs": f"""
+SELECT doc_id, source, n_chars FROM documents
+WHERE {_splitmix_sql("doc_id")} <= CASE source
+  WHEN 'src0' THEN 18446744073709551615
+  WHEN 'src1' THEN 9223372036854775808
+  WHEN 'src2' THEN 4611686018427387904
+  ELSE 1844674407370955264 END
 """,
         "split_documents": f"""
 WITH h AS (SELECT {_splitmix_sql("doc_id")} AS hv FROM documents)

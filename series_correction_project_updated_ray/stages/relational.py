@@ -375,6 +375,37 @@ def hash_sample(ds, key_col: str, rate: float, *, salt: int = 0):
     return ds.map_batches(_keep, batch_format="pyarrow")
 
 
+def stratified_hash_sample(ds, key_col: str, group_col: str,
+                           rates: dict[str, float], *,
+                           default_rate: float = 0.0, salt: int = 0):
+    """Per-group deterministic sample: like :func:`hash_sample` but the
+    keep-threshold varies by ``group_col`` (the standard source-mix
+    rebalancing pass of a training-data pipeline — e.g. keep all of a
+    scarce source, 5% of crawl).  Same stable-hash properties: no
+    shuffle, no RNG state, reproducible at any cluster size, and a row
+    kept at rate r stays kept at any rate ≥ r (nested samples)."""
+    import pandas as pd
+
+    from ..functions.hashing import stable_hash_array
+    thresholds = {g: _hash_threshold(r) for g, r in rates.items()}
+    default_thr = _hash_threshold(default_rate)
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        h = stable_hash_array(batch[key_col].to_pandas())
+        if salt:
+            with np.errstate(over="ignore"):
+                h = (h + np.uint64(salt)) * np.uint64(0x9E3779B97F4A7C15)
+        # uint64 lookup table via factorize — NEVER pandas .map, which
+        # floatifies uint64 (2^64-1 → 2^64 → wraps to 0 on the cast back)
+        codes, uniq = pd.factorize(batch[group_col].to_pandas())
+        lut = np.array([thresholds.get(g, default_thr) for g in uniq],
+                       dtype=np.uint64)
+        thr = lut[codes]
+        return batch.filter(pa.array(h <= thr))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")
+
+
 def hash_split(ds, key_col: str, fractions: dict[str, float], *,
                salt: int = 0):
     """Deterministic train/val/test split: appends a ``split`` column by

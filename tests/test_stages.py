@@ -947,3 +947,26 @@ def test_simhash_near_dup_small_hamming(ray_session):
     d_near = hamming_distance64(a[:1], a[1:2])[0]
     d_far = hamming_distance64(a[:1], a[2:3])[0]
     assert d_near <= 12 and d_far > d_near
+
+
+def test_stratified_hash_sample_rates_and_nesting(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        hash_sample, stratified_hash_sample)
+    n = 4000
+    df = pd.DataFrame({"k": np.arange(n),
+                       "g": np.where(np.arange(n) % 2 == 0, "keep_all",
+                                     "keep_some")})
+    ds = rd.from_pandas(df)
+    out = stratified_hash_sample(ds, "k", "g",
+                                 {"keep_all": 1.0, "keep_some": 0.2}) \
+        .to_pandas()
+    full = out[out["g"] == "keep_all"]
+    some = out[out["g"] == "keep_some"]
+    assert len(full) == n // 2                  # rate 1.0 keeps everything
+    assert 0.1 * n / 2 < len(some) < 0.3 * n / 2
+    # unseen groups fall back to default_rate=0.0 -> dropped entirely
+    assert set(out["g"]) == {"keep_all", "keep_some"}
+    # nesting: a row kept at 0.2 is kept at any higher rate (same hash)
+    flat20 = hash_sample(ds, "k", 0.2).to_pandas()
+    assert set(some["k"]).issubset(set(flat20["k"]))
