@@ -144,6 +144,31 @@ def run_bench() -> dict:
         f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])).count()
     timings["dedup_exact"] = round(time.time() - t0, 3)
 
+    # LLM-pipeline operators (skipped in scaling children: the scaling
+    # criterion measures the headline rollup, and 12 child runs would
+    # pay these timings for nothing)
+    if os.environ.get("GRAFT_BENCH_SCALING_CHILD") != "1":
+        from series_correction_project_updated_ray.stages.dedup import (
+            minhash_lsh_dedup, ngram_jaccard_pairs)
+        from series_correction_project_updated_ray.stages.textstage import (
+            redact_pii)
+
+        docs_path = f"{SF_DIR}/documents.parquet"
+        t0 = time.time()
+        minhash_lsh_dedup(rd.read_parquet(
+            docs_path, columns=["doc_id", "text"]))
+        timings["minhash_dedup"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        ngram_jaccard_pairs(rd.read_parquet(
+            docs_path, columns=["doc_id", "text"])).count()
+        timings["ngram_jaccard_pairs"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        redact_pii(rd.read_parquet(
+            docs_path, columns=["doc_id", "text"])).count()
+        timings["redact_pii"] = round(time.time() - t0, 3)
+
     headline = timings["rollup_sequences_synth"]
     result = {
         "metric": METRIC,
@@ -171,7 +196,8 @@ def run_scaling() -> dict:
     already reach it), which a real multi-node cluster does not share —
     each added node brings its own memory channels."""
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_SCALING_CHILD="1")
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
