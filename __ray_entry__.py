@@ -1447,13 +1447,15 @@ WITH ordered AS (
   FROM ins
 ), allr AS (
   SELECT user_id, t, value AS v, FALSE AS inserted,
-         CAST(0 AS BIGINT) AS j
+         CAST(0 AS BIGINT) AS j, rn
   FROM ordered
   UNION ALL
-  SELECT user_id, t, NULL, TRUE, j FROM ins_t
+  SELECT user_id, t, NULL, TRUE, j, NULL FROM ins_t
 ), pos AS (
+  -- rn as the final key: duplicate-timestamp ORIGINALS must keep the
+  -- kernel's (ts, event_id) order or the interp anchors are arbitrary
   SELECT *, row_number() OVER
-        (PARTITION BY user_id ORDER BY t, inserted, j) AS p
+        (PARTITION BY user_id ORDER BY t, inserted, j, rn) AS p
   FROM allr
 ), nb AS (
   SELECT user_id, t, v, inserted, p,

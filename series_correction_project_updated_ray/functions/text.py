@@ -18,9 +18,16 @@ from .hashing import TOKEN_VOCAB, stable_hash_array
 # whitespace tokenizer used for token counting — must match the SQL
 # regexp_split_to_array(text, '\s+') semantics (empty string → [''] → 1)
 WS_RE = re.compile(r"\s+")
+# RE2's \s is exactly [\t\n\f\r ] — NO \v, no Unicode whitespace — while
+# Python's \s (Unicode mode) matches both; operators whose oracle splits
+# with RE2 '\s+' must use this class for any-input parity
+RE2_WS_RE = re.compile(r"[\t\n\f\r ]+")
 
 # BPE-ish word/punct splitter (GPT-2-style coarse pattern, public knowledge)
-BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\f\r ]")
+# ^ whitespace spelled as RE2's \s ([\t\n\f\r ] — no \v, no Unicode ws)
+# so token_counts / simhash oracles that use RE2 '[^A-Za-z0-9\s]' agree
+# on ANY input, not just the \v-free ASCII corpus
 
 STOPWORDS = frozenset(
     "the and of a to in is it that for on as with was at by an be this are "

@@ -181,11 +181,19 @@ class VerifyJaccard:
     ``__text_a`` / ``__text_b``) — no driver materialization, no corpus
     broadcast; only candidate-pair rows (pair ids + their two texts) ever
     move.  A per-actor id→shingles cache amortizes re-shingling when the
-    same document appears in many pairs of one batch stream."""
+    same document appears in many pairs of one batch stream.
+
+    Recall is set by the CALLER's candidate generation; this stage always
+    recomputes the full shingle sets, so it never affects precision.
+    Convention matches the DuckDB oracles: threshold the RAW similarity,
+    emit half-away-rounded values (SQL ``WHERE`` on the raw double +
+    ``round()``)."""
 
     def __init__(self, ngram=5, threshold=0.8, max_cache=65536):
+        from ..functions.rounding import round_half_away
         self.ngram, self.threshold = ngram, threshold
         self.max_cache = max_cache
+        self._round = round_half_away
         self._cache: dict = {}
 
     def _sh(self, doc_id, text):
@@ -203,8 +211,9 @@ class VerifyJaccard:
                              batch["id_a"], batch["id_b"],
                              batch["__text_a"], batch["__text_b"])])
         out = batch[["id_a", "id_b"]].copy()
-        out["jaccard"] = np.round(sims, 6)
-        return out[out["jaccard"] >= self.threshold]
+        keep = sims >= self.threshold
+        out["jaccard"] = self._round(sims, 6)
+        return out[keep]
 
 
 def connected_components_distributed(pairs, *, max_rounds: int = 16,
@@ -302,6 +311,11 @@ def connected_components_distributed(pairs, *, max_rounds: int = 16,
 
 def connected_components(pairs_df: pd.DataFrame) -> pd.DataFrame:
     """Union-find over verified pairs → (doc_id, cluster_id=min member)."""
+    if len(pairs_df) == 0:
+        # a no-duplicates corpus yields ZERO pair rows, and Ray drops
+        # all-empty blocks — the frame may arrive without columns at all
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "cluster_id": pd.Series([], dtype=np.int64)})
     parent: dict = {}
 
     def find(x):
@@ -412,9 +426,15 @@ class ShingleRows:
             if self.sample_mod > 1:
                 sh = sh[sh % np.uint64(self.sample_mod) == 0]
             if self.prefix_t is not None and len(sh):
-                # sh is sorted ascending (np.unique) = the global order
+                # sh is sorted ascending (np.unique) = the global order.
+                # ceil over a FLOAT product over-ceils when t·n is a real
+                # integer (0.56*25 → 14.000000000000002 → 15), silently
+                # shortening the prefix below the recall-exact length;
+                # nudge down by an epsilon — an occasional one-longer
+                # prefix only costs a few extra candidates.
                 n = len(sh)
-                sh = sh[:n - int(np.ceil(self.prefix_t * n)) + 1]
+                keep = n - int(np.ceil(self.prefix_t * n - 1e-9)) + 1
+                sh = sh[:max(keep, 1)]
             sh_out.append(sh.astype(np.int64))
             id_out.append(np.full(len(sh), ids[i],
                                   dtype=None if ids.dtype == object
@@ -427,40 +447,6 @@ class ShingleRows:
             self.id_col: pa.array(np.concatenate(id_out)
                                   if id_out else ids[:0]),
         })
-
-
-class ExactJaccardVerify:
-    """Actor-pool verifier for n-gram-Jaccard pairs: recomputes the FULL
-    shingle sets from the co-located texts (so candidate sampling never
-    affects precision), thresholds on the unrounded similarity and emits
-    half-away-rounded values — both conventions match the DuckDB oracle
-    (WHERE on the raw double, round() half-away on output)."""
-
-    def __init__(self, ngram=5, threshold=0.8, max_cache=65536):
-        from ..functions.rounding import round_half_away
-        self.ngram, self.threshold = ngram, threshold
-        self.max_cache = max_cache
-        self._round = round_half_away
-        self._cache: dict = {}
-
-    def _sh(self, doc_id, text):
-        got = self._cache.get(doc_id)
-        if got is None:
-            got = char_ngram_shingles(text or "", self.ngram)
-            if len(self._cache) >= self.max_cache:
-                self._cache.clear()
-            self._cache[doc_id] = got
-        return got
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sims = np.array([jaccard(self._sh(a, ta), self._sh(b, tb))
-                         for a, b, ta, tb in zip(
-                             batch["id_a"], batch["id_b"],
-                             batch["__text_a"], batch["__text_b"])])
-        out = batch[["id_a", "id_b"]].copy()
-        keep = sims >= self.threshold
-        out["jaccard"] = self._round(sims, 6)
-        return out[keep]
 
 
 def ngram_jaccard_pairs(docs, *, text_col="text", id_col="doc_id", ngram=5,
@@ -485,7 +471,7 @@ def ngram_jaccard_pairs(docs, *, text_col="text", id_col="doc_id", ngram=5,
     with_texts = join_pair_texts(cands, docs, text_col=text_col,
                                  id_col=id_col)
     return with_texts.map_batches(
-        ExactJaccardVerify, batch_format="pandas", concurrency=2,
+        VerifyJaccard, batch_format="pandas", concurrency=2,
         fn_constructor_args=(ngram, threshold))
 
 
@@ -638,25 +624,9 @@ def embedding_near_dup(embeddings, *, vec_col="embedding", id_col="vec_id",
         return _cosine_pairs_in_partition(g, id_col, vec_col, threshold)
     _pairs.__name__ = "_cosine_pairs_in_partition"
 
-    pairs = bucketed.map_batches(_part, batch_format="pyarrow") \
+    # no cross-partition dedup needed, unlike the multi-band MinHash
+    # path: every vector has exactly ONE hyperplane bucket, so a pair can
+    # only arise in the single partition owning that bucket — the pair
+    # set is unique by construction
+    return bucketed.map_batches(_part, batch_format="pyarrow") \
         .groupby("__part").map_groups(_pairs, batch_format="pandas")
-
-    # cross-partition dedup via single-int-key partition groups over
-    # arrow blocks (see candidate_pairs — a groupby directly over the
-    # pandas map_groups output sorts 15× slower); the same pair carries
-    # the identical exact cosine wherever it was scored, so keep-first
-    def _pair_part(t: pa.Table) -> pa.Table:
-        ha = stable_hash_array(t["id_a"])
-        hb = stable_hash_array(t["id_b"])
-        with np.errstate(over="ignore"):
-            mixed = ha * np.uint64(0x9E3779B97F4A7C15) + hb
-        part = (mixed % np.uint64(n_parts)).astype(np.int64)
-        return t.append_column("__ppart", pa.array(part))
-
-    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["id_a", "id_b"])[
-            ["id_a", "id_b", "cosine"]]
-    _dedup.__name__ = "_pair_dedup"
-
-    return pairs.map_batches(_pair_part, batch_format="pyarrow") \
-        .groupby("__ppart").map_groups(_dedup, batch_format="pandas")

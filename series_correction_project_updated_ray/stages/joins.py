@@ -336,22 +336,32 @@ def _shuffle_semi_join(left, distinct, key_col: str, rk: str, anti: bool,
 
 
 def _join_field_plan(l_sch, r_sch, left_key, right_key, suffixes):
-    """(l_fields, r_fields, clash, union_fields) — the shared column plan
-    of every join flavor: shared non-key names get pandas-style suffixes,
-    then both sides' fields merge into one union schema."""
+    """(l_fields, r_fields, clash, union_fields, l_keys, r_keys) — the
+    shared column plan of every join flavor: shared names get
+    pandas-style suffixes, then both sides' fields merge into one union
+    schema.  Only a key pair with the SAME name at the SAME position is
+    exempt from suffixing (pandas collapses those into one output
+    column); a name shared any other way — keys paired at different
+    positions, or a key name doubling as the other side's non-key column
+    — MUST be suffixed, or the union dict would keep just one side's
+    type and silently cast the other side's column to it.  The returned
+    l_keys/r_keys carry the post-suffix key names."""
     l_keys = [left_key] if isinstance(left_key, str) else list(left_key)
     r_keys = [right_key] if isinstance(right_key, str) else list(right_key)
+    collapsed = {l for l, r in zip(l_keys, r_keys) if l == r}
     l_fields = list(zip(l_sch.names, l_sch.types))
     r_fields = list(zip(r_sch.names, r_sch.types))
     clash = ({n for n, _ in l_fields} & {n for n, _ in r_fields}) \
-        - set(l_keys) - set(r_keys)
+        - collapsed
     if clash:
         l_fields = [(n + suffixes[0] if n in clash else n, t)
                     for n, t in l_fields]
         r_fields = [(n + suffixes[1] if n in clash else n, t)
                     for n, t in r_fields]
+        l_keys = [k + suffixes[0] if k in clash else k for k in l_keys]
+        r_keys = [k + suffixes[1] if k in clash else k for k in r_keys]
     union_fields = list(dict(l_fields + r_fields).items())
-    return l_fields, r_fields, clash, union_fields
+    return l_fields, r_fields, clash, union_fields, l_keys, r_keys
 
 
 def hash_join(left, right, left_key, right_key,
@@ -404,20 +414,20 @@ def hash_join(left, right, left_key, right_key,
             "hash_join(how=%r) with a schema-less empty input: the empty "
             "side's columns are unknowable (Ray dropped its blocks); seed "
             "it with a typed empty block if this shape is intended" % how)
-    l_fields, r_fields, clash, union_fields = _join_field_plan(
-        l_sch, r_sch, left_key, right_key, suffixes)
+    l_fields, r_fields, clash, union_fields, l_keys, r_keys = \
+        _join_field_plan(l_sch, r_sch, left_key, right_key, suffixes)
     if clash:
         left = _rename_stage(left, {c: c + suffixes[0] for c in clash})
         right = _rename_stage(right, {c: c + suffixes[1] for c in clash})
     l_tagged = left.map_batches(
-        _TagPad(left_key, n_buckets, "l", union_fields),
+        _TagPad(l_keys, n_buckets, "l", union_fields),
         batch_format="pyarrow")
     r_tagged = right.map_batches(
-        _TagPad(right_key, n_buckets, "r", union_fields),
+        _TagPad(r_keys, n_buckets, "r", union_fields),
         batch_format="pyarrow")
     both = l_tagged.union(r_tagged)
     return both.groupby("__bucket").map_groups(
-        BucketJoin(left_key, right_key,
+        BucketJoin(l_keys, r_keys,
                    [n for n, _ in l_fields], [n for n, _ in r_fields],
                    dict(union_fields), how),
         batch_format="pyarrow")
@@ -637,8 +647,8 @@ def skew_join(left, right, left_key: str, right_key: str, *,
     # the (small) tagged right table broadcast once instead of exchanged
     hot_l, l_sch = _known_schema(hot_l)
     r_sch = hot_r.schema()
-    l_fields, r_fields, clash, union_fields = _join_field_plan(
-        l_sch, r_sch, left_key, right_key, suffixes)
+    l_fields, r_fields, clash, union_fields, l_keys, r_keys = \
+        _join_field_plan(l_sch, r_sch, left_key, right_key, suffixes)
     if clash:
         hot_l = _rename_stage(hot_l, {c: c + suffixes[0] for c in clash})
     r_tbl = pa.Table.from_pandas(hot_r.to_pandas(), preserve_index=False)
@@ -648,7 +658,7 @@ def skew_join(left, right, left_key: str, right_key: str, *,
              for c in r_tbl.column_names])
     # cast right columns to the declared union types (to_pandas round-
     # trips can widen/narrow)
-    r_tagged = _TagPad(right_key, 1, "r", union_fields)(r_tbl)
+    r_tagged = _TagPad(r_keys, 1, "r", union_fields)(r_tbl)
     r_ref = ray.put(r_tagged)
 
     class _HotJoin:
@@ -665,7 +675,7 @@ def skew_join(left, right, left_key: str, right_key: str, *,
 
     hot_join = hot_l.map_batches(
         _HotJoin, batch_format="pyarrow", concurrency=2,
-        fn_constructor_args=(r_ref, left_key, right_key,
+        fn_constructor_args=(r_ref, l_keys, r_keys,
                              [n for n, _ in l_fields],
                              [n for n, _ in r_fields],
                              dict(union_fields)))

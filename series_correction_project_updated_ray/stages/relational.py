@@ -396,11 +396,14 @@ def stratified_hash_sample(ds, key_col: str, group_col: str,
             with np.errstate(over="ignore"):
                 h = (h + np.uint64(salt)) * np.uint64(0x9E3779B97F4A7C15)
         # uint64 lookup table via factorize — NEVER pandas .map, which
-        # floatifies uint64 (2^64-1 → 2^64 → wraps to 0 on the cast back)
+        # floatifies uint64 (2^64-1 → 2^64 → wraps to 0 on the cast back).
+        # factorize codes NULL groups as -1, which would index the LAST
+        # lut entry (or crash on an all-null batch) — route them to the
+        # default rate explicitly, matching the oracle's CASE ELSE.
         codes, uniq = pd.factorize(batch[group_col].to_pandas())
-        lut = np.array([thresholds.get(g, default_thr) for g in uniq],
-                       dtype=np.uint64)
-        thr = lut[codes]
+        lut = np.array([thresholds.get(g, default_thr) for g in uniq]
+                       + [default_thr], dtype=np.uint64)
+        thr = lut[codes]  # code -1 → the appended default slot
         return batch.filter(pa.array(h <= thr))
 
     return ds.map_batches(_keep, batch_format="pyarrow")

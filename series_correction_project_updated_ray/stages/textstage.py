@@ -240,9 +240,10 @@ def redact_pii(docs, *, text_col: str = "text", id_col: str = "doc_id",
 def repetition_batch(batch: pa.Table) -> pa.Table:
     """Gopher-style repetition signals per document: most-frequent-word
     share, most-frequent-bigram share, duplicate-trigram fraction.  Word
-    split follows ``regexp_split_to_array(text, '\\s+')`` exactly (the
-    oracle); fractions are half-away-rounded to 6dp like every compared
-    float."""
+    split follows ``regexp_split_to_array(text, '\\s+')`` exactly — RE2's
+    ``\\s`` is ``[\\t\\n\\f\\r ]`` (no ``\\v``, no Unicode whitespace),
+    hence the explicit class; fractions are half-away-rounded to 6dp like
+    every compared float."""
     from collections import Counter
 
     from ..functions.rounding import round_half_away
@@ -253,7 +254,7 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
     dup_trigram = np.zeros(len(texts), dtype=np.float64)
     for i, t in enumerate(texts):
         # regexp_split_to_array semantics: splitting '' yields [''] (n=1)
-        toks = T.WS_RE.split(t or "")
+        toks = T.RE2_WS_RE.split(t or "")
         n = len(toks)
         n_words[i] = n
         if n:

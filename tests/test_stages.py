@@ -970,3 +970,68 @@ def test_stratified_hash_sample_rates_and_nesting(ray_session):
     # nesting: a row kept at 0.2 is kept at any higher rate (same hash)
     flat20 = hash_sample(ds, "k", 0.2).to_pandas()
     assert set(some["k"]).issubset(set(flat20["k"]))
+
+
+def test_stratified_sample_null_groups_get_default(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        stratified_hash_sample)
+    t = pa.table({"k": pa.array(range(200), pa.int64()),
+                  "g": pa.array((["a", None] * 100))})
+    out = stratified_hash_sample(rd.from_arrow(t), "k", "g",
+                                 {"a": 1.0}, default_rate=0.0).to_pandas()
+    assert len(out) == 100 and out["g"].notna().all()
+    # an ALL-null group batch must not crash (factorize codes -1 only);
+    # keys start at 1 — stable_hash(0) is 0, and the keep rule is the
+    # inclusive h <= threshold the SQL oracle uses, so rate 0.0 would
+    # legitimately keep the zero-hash key
+    t2 = pa.table({"k": pa.array(range(1, 51), pa.int64()),
+                   "g": pa.array([None] * 50, pa.string())})
+    out2 = stratified_hash_sample(rd.from_arrow(t2), "k", "g",
+                                  {"a": 1.0}, default_rate=0.0).to_pandas()
+    assert len(out2) == 0
+
+
+def test_dedup_wrappers_handle_zero_pairs(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.dedup import (
+        minhash_lsh_dedup, ngram_jaccard_dedup)
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["alpha beta gamma " * 5,
+                                "delta epsilon zeta " * 5,
+                                "eta theta iota " * 5]})
+    got = ngram_jaccard_dedup(rd.from_pandas(df), max_df=1)
+    assert len(got) == 0 and list(got.columns) == ["doc_id", "cluster_id"]
+    got2 = minhash_lsh_dedup(rd.from_pandas(df), threshold=0.99)
+    assert len(got2) == 0
+
+
+def test_hash_join_same_name_cross_position_keys(ray_session):
+    """Key names shared at DIFFERENT positions (or doubling as the other
+    side's non-key column) must be suffixed, not silently union-typed."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.joins import hash_join
+    left_t = pa.table({"a": pa.array([1, 2], pa.int64()),
+                       "b": pa.array(["x", "y"])})
+    right_t = pa.table({"b": pa.array([1, 2, 3], pa.int64()),
+                        "a": pa.array(["p", "q", "r"]),
+                        "rv": pa.array([10, 20, 30], pa.int64())})
+    out_ds = hash_join(rd.from_arrow(left_t), rd.from_arrow(right_t),
+                       ["a", "b"], ["b", "a"], how="inner",
+                       n_buckets=4).materialize()
+    # match requires left.a == right.b AND left.b == right.a: none here
+    # (schema asserted on the Dataset — to_pandas of an all-empty
+    # dataset loses columns)
+    assert out_ds.count() == 0
+    assert sorted(out_ds.schema().names) == ["a_l", "a_r", "b_l", "b_r",
+                                             "rv"]
+    # and a case with real matches
+    right2 = pa.table({"b": pa.array([1, 2], pa.int64()),
+                       "a": pa.array(["x", "zz"]),
+                       "rv": pa.array([10, 20], pa.int64())})
+    out2 = hash_join(rd.from_arrow(left_t), rd.from_arrow(right2),
+                     ["a", "b"], ["b", "a"], how="inner",
+                     n_buckets=4).to_pandas()
+    assert len(out2) == 1
+    assert out2.iloc[0]["a_l"] == 1 and out2.iloc[0]["b_l"] == "x" \
+        and out2.iloc[0]["rv"] == 10
