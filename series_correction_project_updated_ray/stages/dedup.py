@@ -95,18 +95,40 @@ class MinHashBands:
 
 
 def _partition_pairs(g: pd.DataFrame, id_col: str,
-                     max_run: int | None = None) -> pd.DataFrame:
+                     max_run: int | None = None,
+                     threshold: float | None = None) -> pd.DataFrame:
     """Pairs for EVERY bucket co-located in one partition group: lexsort
     by (band_id, band_hash), run-length scan, emit triu pairs only for
     multi-member runs (vectorized per run; runs are overwhelmingly
     singletons at scale).  ``max_run`` skips buckets with more members —
     a hot-bucket bound: an m-member bucket emits m²/2 pairs, so one
-    ubiquitous key would otherwise dominate the pair set."""
+    ubiquitous key would otherwise dominate the pair set.
+
+    When ``threshold`` is given AND the rows carry set-size / prefix-
+    position metadata (``__n`` / ``__pos`` from :class:`ShingleRows`),
+    two recall-EXACT PPJoin filters (Xiao et al. 2008) prune pairs that
+    provably cannot reach Jaccard ``t`` — essential on low-entropy
+    corpora where every document shares some prefix shingle and the
+    bucket pair count would otherwise approach all-pairs:
+
+    * length filter: J(x,y) ≤ min(n_x,n_y)/max(n_x,n_y), so prune when
+      min < t·max.
+    * positional filter: a shared shingle at full-sorted-order positions
+      (p_x, p_y) bounds the overlap by
+      ``1 + min(p_x,p_y) + min(n_x-p_x-1, n_y-p_y-1)``; J ≥ t needs
+      overlap ≥ t·(n_x+n_y)/(1+t).  A qualifying pair is re-emitted by
+      EVERY shared prefix shingle, so pruning one occurrence never loses
+      the pair (some occurrence passes).
+    """
     ids = g[id_col].to_numpy()
     bi = g["band_id"].to_numpy()
     bh = g["band_hash"].to_numpy()
     order = np.lexsort((ids, bh, bi))
     bi, bh, ids = bi[order], bh[order], ids[order]
+    filt = threshold is not None and "__n" in g and "__pos" in g
+    if filt:
+        nn = g["__n"].to_numpy()[order].astype(np.int64)
+        pp = g["__pos"].to_numpy()[order].astype(np.int64)
     change = np.ones(len(ids), dtype=bool)
     if len(ids) > 1:
         change[1:] = (bi[1:] != bi[:-1]) | (bh[1:] != bh[:-1])
@@ -118,6 +140,20 @@ def _partition_pairs(g: pd.DataFrame, id_col: str,
     a_out, b_out = [], []
     for s, e in zip(starts[keep], ends[keep]):
         a, b = np.triu_indices(e - s, k=1)
+        if filt:
+            na, nb = nn[s + a], nn[s + b]
+            lo, hi = np.minimum(na, nb), np.maximum(na, nb)
+            ok = lo >= threshold * hi - 1e-9  # length filter
+            if not ok.all():
+                a, b = a[ok], b[ok]
+                na, nb = na[ok], nb[ok]
+            pa_, pb_ = pp[s + a], pp[s + b]
+            ub = 1 + np.minimum(pa_, pb_) \
+                + np.minimum(na - pa_ - 1, nb - pb_ - 1)
+            need = threshold / (1.0 + threshold) * (na + nb)
+            ok = ub >= need - 1e-9  # positional filter
+            if not ok.all():
+                a, b = a[ok], b[ok]
         a_out.append(ids[s + a])
         b_out.append(ids[s + b])
     if not a_out:
@@ -128,7 +164,8 @@ def _partition_pairs(g: pd.DataFrame, id_col: str,
 
 
 def candidate_pairs(band_rows, id_col: str = "doc_id", *, n_parts: int = 32,
-                    max_run: int | None = None):
+                    max_run: int | None = None,
+                    threshold: float | None = None):
     """groupby LSH bucket → unordered candidate pairs (deduplicated).
 
     The shuffle groups by a DETERMINISTIC PARTITION of the bucket key
@@ -146,7 +183,7 @@ def candidate_pairs(band_rows, id_col: str = "doc_id", *, n_parts: int = 32,
         return t.append_column("__part", pa.array(part))
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return _partition_pairs(g, id_col, max_run)
+        return _partition_pairs(g, id_col, max_run, threshold)
     _pairs.__name__ = "_partition_pairs"
 
     pairs = band_rows.map_batches(_part, batch_format="pyarrow") \
@@ -355,6 +392,124 @@ def join_pair_texts(cands, docs, *, text_col="text", id_col="doc_id"):
         "id_b", "id_b", how="inner")
 
 
+def doc_shingle_arrays(docs, *, text_col="text", id_col="doc_id", ngram=5):
+    """Dataset of (id, ``__sh`` list<int64>): each document's full sorted
+    unique shingle-hash set, computed ONCE — pair verification then ships
+    these arrays (≈ the text's own size) instead of re-shingling text per
+    pair in Python."""
+    def _arrays(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas()
+        shs = [char_ngram_shingles(t or "", ngram).astype(np.int64)
+               for t in texts]
+        return pa.table({
+            id_col: batch[id_col],
+            "__sh": pa.array(shs, pa.list_(pa.int64())),
+        })
+    return docs.map_batches(_arrays, batch_format="pyarrow")
+
+
+def join_pair_shingles(cands, docs, *, text_col="text", id_col="doc_id",
+                       ngram=5):
+    """Co-locate each candidate pair with its two pre-computed shingle
+    arrays (``__sh_a`` / ``__sh_b``) via two Arrow-native gather joins
+    (:func:`~.joins.gather_join` — the list payloads never round-trip
+    through pandas) — same streaming shape as :func:`join_pair_texts`
+    but the verify downstream is a pure sorted-array intersection, no
+    re-shingling."""
+    from .joins import gather_join
+
+    arrays = doc_shingle_arrays(docs, text_col=text_col, id_col=id_col,
+                                ngram=ngram).materialize()
+
+    def _as(side: str):
+        names = {"__sh": f"__sh_{side}"}
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([names.get(c, c) for c in t.column_names])
+        return fn
+
+    with_a = gather_join(
+        cands, arrays.map_batches(_as("a"), batch_format="pyarrow"),
+        "id_a", id_col, ["__sh_a"])
+    return gather_join(
+        with_a, arrays.map_batches(_as("b"), batch_format="pyarrow"),
+        "id_b", id_col, ["__sh_b"])
+
+
+class VerifyJaccardBroadcast:
+    """Actor-pool verifier over BROADCAST shingle arrays: each actor
+    ``ray.get``s the shared array blocks once in ``__init__`` (object
+    refs travel in the constructor args — the map never touches the
+    driver) and verifies candidate pairs with C-speed sorted-set
+    intersections.  Used when the candidate-involved documents' arrays
+    fit the broadcast cap; past it, :func:`ngram_jaccard_pairs` falls
+    back to the gather-join plan."""
+
+    def __init__(self, refs, id_col="doc_id", threshold=0.8):
+        import ray
+
+        from ..functions.rounding import round_half_away
+        self.threshold = threshold
+        self._round = round_half_away
+        self._sh: dict = {}
+        for tbl in ray.get(list(refs)):
+            ids = tbl[id_col].to_pandas().to_numpy()
+            col = tbl["__sh"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals = col.values.to_numpy(zero_copy_only=False)
+            offs = col.offsets.to_numpy()
+            for i, d in enumerate(ids):
+                self._sh[d] = vals[offs[i]:offs[i + 1]]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ia = t["id_a"].to_pandas().to_numpy()
+        ib = t["id_b"].to_pandas().to_numpy()
+        sims = np.empty(len(t), dtype=np.float64)
+        sh = self._sh
+        for i in range(len(t)):
+            a, b = sh[ia[i]], sh[ib[i]]
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = a.size + b.size - inter
+            sims[i] = (inter / union) if union else 1.0
+        keep = sims >= self.threshold
+        out = t.select(["id_a", "id_b"]).filter(pa.array(keep))
+        return out.append_column(
+            "jaccard", pa.array(self._round(sims[keep], 6)))
+
+
+def verify_jaccard_arrays(with_sh, *, threshold=0.8):
+    """Task-parallel exact-Jaccard verify over co-located shingle arrays:
+    per pair, one C-speed ``np.intersect1d`` over the two sorted unique
+    int64 sets read zero-copy from the Arrow list buffers.  Same output
+    contract as :class:`VerifyJaccard` (threshold the raw similarity,
+    emit half-away-rounded values)."""
+    from ..functions.rounding import round_half_away
+
+    def _verify(t: pa.Table) -> pa.Table:
+        sims = np.empty(len(t), dtype=np.float64)
+        la = t["__sh_a"].combine_chunks() if isinstance(
+            t["__sh_a"], pa.ChunkedArray) else t["__sh_a"]
+        lb = t["__sh_b"].combine_chunks() if isinstance(
+            t["__sh_b"], pa.ChunkedArray) else t["__sh_b"]
+        va = la.values.to_numpy(zero_copy_only=False)
+        vb = lb.values.to_numpy(zero_copy_only=False)
+        oa = la.offsets.to_numpy()
+        ob = lb.offsets.to_numpy()
+        for i in range(len(t)):
+            a = va[oa[i]:oa[i + 1]]
+            b = vb[ob[i]:ob[i + 1]]
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = a.size + b.size - inter
+            sims[i] = (inter / union) if union else 1.0
+        keep = sims >= threshold
+        out = t.select(["id_a", "id_b"]).filter(pa.array(keep))
+        return out.append_column(
+            "jaccard", pa.array(round_half_away(sims[keep], 6)))
+    _verify.__name__ = "verify_jaccard_arrays"
+
+    return with_sh.map_batches(_verify, batch_format="pyarrow")
+
+
 def minhash_lsh_dedup(docs, *, text_col="text", id_col="doc_id",
                       num_perm=128, bands=16, ngram=5, threshold=0.8,
                       distributed_cc: bool = False):
@@ -420,59 +575,101 @@ class ShingleRows:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pandas()
         ids = batch[self.id_col].to_pandas().to_numpy()
-        sh_out, id_out = [], []
+        sh_out, id_out, n_out, pos_out = [], [], [], []
         for i, t in enumerate(texts):
             sh = char_ngram_shingles(t or "", self.ngram)
             if self.sample_mod > 1:
                 sh = sh[sh % np.uint64(self.sample_mod) == 0]
-            if self.prefix_t is not None and len(sh):
+            n = len(sh)
+            if self.prefix_t is not None and n:
                 # sh is sorted ascending (np.unique) = the global order.
                 # ceil over a FLOAT product over-ceils when t·n is a real
                 # integer (0.56*25 → 14.000000000000002 → 15), silently
                 # shortening the prefix below the recall-exact length;
                 # nudge down by an epsilon — an occasional one-longer
                 # prefix only costs a few extra candidates.
-                n = len(sh)
                 keep = n - int(np.ceil(self.prefix_t * n - 1e-9)) + 1
                 sh = sh[:max(keep, 1)]
             sh_out.append(sh.astype(np.int64))
             id_out.append(np.full(len(sh), ids[i],
                                   dtype=None if ids.dtype == object
                                   else ids.dtype))
-        n = sum(len(s) for s in sh_out)
-        return pa.table({
-            "band_id": pa.array(np.zeros(n, dtype=np.int32)),
+            if self.prefix_t is not None:
+                # PPJoin metadata: full set size + position of each
+                # prefix shingle in the full sorted order (= its index,
+                # since the prefix is the head of that order)
+                n_out.append(np.full(len(sh), n, dtype=np.int32))
+                pos_out.append(np.arange(len(sh), dtype=np.int32))
+        total = sum(len(s) for s in sh_out)
+        cols = {
+            "band_id": pa.array(np.zeros(total, dtype=np.int32)),
             "band_hash": pa.array(np.concatenate(sh_out)
                                   if sh_out else np.empty(0, np.int64)),
             self.id_col: pa.array(np.concatenate(id_out)
                                   if id_out else ids[:0]),
-        })
+        }
+        if self.prefix_t is not None:
+            cols["__n"] = pa.array(np.concatenate(n_out)
+                                   if n_out else np.empty(0, np.int32))
+            cols["__pos"] = pa.array(np.concatenate(pos_out)
+                                     if pos_out else np.empty(0, np.int32))
+        return pa.table(cols)
 
 
 def ngram_jaccard_pairs(docs, *, text_col="text", id_col="doc_id", ngram=5,
                         threshold=0.8, sample_mod=1, max_df=None,
-                        prefix_filter=True):
+                        prefix_filter=True,
+                        broadcast_limit_bytes: int = 512 << 20):
     """Exact character-n-gram Jaccard near-dup pairs — Dataset of
     (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
 
     Pipeline: prefix-filtered shingle inverted index (one row per
     indexed n-gram; the prefix filter preserves EXACT recall at
     ``threshold`` — see :class:`ShingleRows`) → partition-grouped
-    candidate pairs (one keyed shuffle; ``max_df`` bounds hot-shingle
-    buckets, ``sample_mod`` sketches the index, both lossy) → texts
-    co-located onto pairs by two hash joins → exact re-verification
-    from the full shingle sets.  With the defaults the result is
-    exactly the brute-force all-pairs answer."""
+    candidate pairs with recall-exact PPJoin length + positional
+    pruning (one keyed shuffle; ``max_df`` bounds hot-shingle buckets,
+    ``sample_mod`` sketches the index, both lossy) → full shingle
+    arrays co-located onto pairs by two hash joins → exact
+    re-verification by sorted-set intersection.  With the defaults the
+    result is exactly the brute-force all-pairs answer."""
     rows = docs.map_batches(
         ShingleRows(text_col, id_col, ngram, sample_mod,
                     threshold if prefix_filter else None),
         batch_format="pyarrow")
-    cands = candidate_pairs(rows, id_col, max_run=max_df)
-    with_texts = join_pair_texts(cands, docs, text_col=text_col,
-                                 id_col=id_col)
-    return with_texts.map_batches(
-        VerifyJaccard, batch_format="pandas", concurrency=2,
-        fn_constructor_args=(ngram, threshold))
+    cands = candidate_pairs(rows, id_col, max_run=max_df,
+                            threshold=threshold if prefix_filter else None) \
+        .materialize()
+
+    # verify plan choice: the arrays of the candidate-INVOLVED documents
+    # (not the corpus — a semi-join prunes the rest) are usually tiny
+    # relative to |pairs| × array payload, so broadcast them through the
+    # object store (block refs into each verify actor — the driver never
+    # materializes a row) and keep the pair stream array-free.  Past the
+    # cap, fall back to co-locating arrays onto pairs with two gather
+    # joins — fully streaming, but each pair then carries ~2 array
+    # payloads through a shuffle.
+    from .joins import semi_join
+
+    def _pair_ids(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in (t["id_a"], t["id_b"])])})
+
+    involved = cands.map_batches(_pair_ids, batch_format="pyarrow")
+    arrays = semi_join(
+        doc_shingle_arrays(docs, text_col=text_col, id_col=id_col,
+                           ngram=ngram),
+        involved, id_col).materialize()
+    if arrays.size_bytes() <= broadcast_limit_bytes:
+        import ray
+        refs = arrays.to_arrow_refs()
+        return cands.map_batches(
+            VerifyJaccardBroadcast, batch_format="pyarrow",
+            concurrency=(1, 16),
+            fn_constructor_args=(refs, id_col, threshold))
+    with_sh = join_pair_shingles(cands, docs, text_col=text_col,
+                                 id_col=id_col, ngram=ngram)
+    return verify_jaccard_arrays(with_sh, threshold=threshold)
 
 
 def ngram_jaccard_dedup(docs, *, text_col="text", id_col="doc_id", ngram=5,

@@ -680,3 +680,98 @@ def skew_join(left, right, left_key: str, right_key: str, *,
                              [n for n, _ in r_fields],
                              dict(union_fields)))
     return cold_join.union(hot_join)
+
+
+class _GatherKernel:
+    """map_groups kernel for :func:`gather_join` — one bucket of the
+    tagged union.  Splits sides in Arrow, probes the (unique) source key
+    with a pandas hash index (C-speed for int and string keys alike) and
+    attaches payload columns via ``pyarrow.compute.take`` — payloads
+    (texts, list/tensor columns) NEVER convert to pandas, which is the
+    whole point vs :class:`BucketJoin`."""
+
+    def __init__(self, target_key: str, out_fields: list, attach: list):
+        self.target_key = target_key
+        self.out_fields = out_fields      # [(name, type)] target-first
+        self.attach = attach              # attach col names
+        self.__name__ = type(self).__name__
+
+    def _empty(self) -> pa.Table:
+        return pa.table({n: pa.nulls(0, t) for n, t in self.out_fields})
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        is_src = side == "s"
+        src = g.filter(pa.array(is_src))
+        tgt = g.filter(pa.array(~is_src))
+        if len(src) == 0 or len(tgt) == 0:
+            return self._empty()
+        # NULL keys never match (SQL semantics) — and must not reach the
+        # pandas index, which WOULD match None to None
+        src = src.filter(pc.is_valid(src["__gkey"]))
+        tgt = tgt.filter(pc.is_valid(tgt[self.target_key]))
+        if len(src) == 0 or len(tgt) == 0:
+            return self._empty()
+        src_idx = pd.Index(src["__gkey"].to_pandas())  # raises if dup keys
+        idx = src_idx.get_indexer(tgt[self.target_key].to_pandas())
+        keep = idx >= 0
+        if not keep.all():
+            tgt = tgt.filter(pa.array(keep))
+            idx = idx[keep]
+        take = pa.array(idx, pa.int64())
+        cols = {}
+        for n, t in self.out_fields:
+            if n in self.attach:
+                col = src[n]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                cols[n] = pc.take(col, take)
+            else:
+                cols[n] = tgt[n]
+        return pa.table(cols)
+
+
+def gather_join(target, source, target_key: str, source_key: str,
+                attach_cols: list[str] | None = None, *,
+                n_buckets: int | None = None):
+    """Distributed lookup join (inner): attach ``attach_cols`` from
+    ``source`` — whose ``source_key`` must be UNIQUE, enforced per
+    bucket — onto every matching ``target`` row.
+
+    Same one-shuffle tagged-union plan as :func:`hash_join`, but the
+    bucket kernel is Arrow-native end to end: built for wide payloads
+    (document texts, shingle/embedding list columns) where the pandas
+    merge in :class:`BucketJoin` dominates wall time.  Target rows with
+    keys absent from ``source`` are dropped (inner); NULL keys never
+    match."""
+    target, t_sch = _known_schema(target)
+    source, s_sch = _known_schema(source)
+    attach = [c for c in s_sch.names if c != source_key] \
+        if attach_cols is None else list(attach_cols)
+    clash = set(attach) & set(t_sch.names)
+    if clash:
+        raise ValueError(f"gather_join attach columns {sorted(clash)} "
+                         "already exist on the target; rename first")
+    if n_buckets is None:
+        n_buckets = _derive_buckets(target, source)
+    t_fields = list(zip(t_sch.names, t_sch.types))
+    s_types = dict(zip(s_sch.names, s_sch.types))
+    key_t = s_types[source_key]
+    out_fields = t_fields + [(c, s_types[c]) for c in attach]
+    union_fields = t_fields + [("__gkey", key_t)] \
+        + [(c, s_types[c]) for c in attach]
+
+    def _as_src(t: pa.Table) -> pa.Table:
+        keep = [source_key] + attach
+        t = t.select(keep)
+        return t.rename_columns(["__gkey"] + attach)
+    t_tagged = target.map_batches(
+        _TagPad([target_key], n_buckets, "t", union_fields),
+        batch_format="pyarrow")
+    s_tagged = source.map_batches(_as_src, batch_format="pyarrow") \
+        .map_batches(_TagPad(["__gkey"], n_buckets, "s", union_fields),
+                     batch_format="pyarrow")
+    return t_tagged.union(s_tagged).groupby("__bucket").map_groups(
+        _GatherKernel(target_key, out_fields, attach),
+        batch_format="pyarrow")

@@ -1035,3 +1035,54 @@ def test_hash_join_same_name_cross_position_keys(ray_session):
     assert len(out2) == 1
     assert out2.iloc[0]["a_l"] == 1 and out2.iloc[0]["b_l"] == "x" \
         and out2.iloc[0]["rv"] == 10
+
+
+def test_gather_join_semantics(ray_session):
+    import pytest
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.joins import gather_join
+    tgt = pa.table({"k": pa.array([1, 2, None, 4, 2], pa.int64()),
+                    "v": pa.array(["a", "b", "c", "d", "e"])})
+    src = pa.table({"id": pa.array([1, 2, None], pa.int64()),
+                    "payload": pa.array([[10, 11], [20], [99]],
+                                        pa.list_(pa.int64()))})
+    out = gather_join(rd.from_arrow(tgt), rd.from_arrow(src),
+                      "k", "id", ["payload"], n_buckets=4).to_pandas()
+    # inner: k=4 unmatched dropped; NULL keys never match (neither side)
+    out = out.sort_values(["k", "v"]).reset_index(drop=True)
+    assert list(out["k"]) == [1, 2, 2]
+    assert [list(p) for p in out["payload"]] == [[10, 11], [20], [20]]
+    # attach-name clash raises
+    with pytest.raises(ValueError):
+        gather_join(rd.from_arrow(tgt), rd.from_arrow(
+            pa.table({"id": pa.array([1], pa.int64()),
+                      "v": pa.array(["x"])})), "k", "id")
+    # duplicate source keys violate the unique-key contract loudly
+    dup = pa.table({"id": pa.array([1, 1], pa.int64()),
+                    "payload": pa.array([[1], [2]], pa.list_(pa.int64()))})
+    with pytest.raises(Exception):
+        gather_join(rd.from_arrow(tgt), rd.from_arrow(dup),
+                    "k", "id", n_buckets=1).materialize()
+
+
+def test_ngram_jaccard_gather_fallback_matches_broadcast(ray_session):
+    """Past the broadcast cap the gather-join verify plan must produce
+    the identical pair set and similarities."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.dedup import (
+        ngram_jaccard_pairs)
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    docs, ids = [], []
+    for i in range(10):
+        t = " ".join(rng.choice(words, size=30))
+        docs.append(t); ids.append(i)
+        docs.append(t.replace("alpha", "omega", 1)); ids.append(100 + i)
+    df = pd.DataFrame({"doc_id": ids, "text": docs})
+    via_bcast = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.6) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    via_gather = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.6,
+                                     broadcast_limit_bytes=0) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(via_bcast) > 0
+    pd.testing.assert_frame_equal(via_bcast, via_gather)
