@@ -139,23 +139,48 @@ def _partition_pairs(g: pd.DataFrame, id_col: str,
         keep &= ends - starts <= max_run
     a_out, b_out = [], []
     for s, e in zip(starts[keep], ends[keep]):
-        a, b = np.triu_indices(e - s, k=1)
         if filt:
-            na, nb = nn[s + a], nn[s + b]
-            lo, hi = np.minimum(na, nb), np.maximum(na, nb)
-            ok = lo >= threshold * hi - 1e-9  # length filter
-            if not ok.all():
-                a, b = a[ok], b[ok]
-                na, nb = na[ok], nb[ok]
-            pa_, pb_ = pp[s + a], pp[s + b]
+            # size-ordered window emission: with run members ascending in
+            # set size, the length filter's survivors of member i are a
+            # CONTIGUOUS range (i, hi_i) — build exactly those pairs
+            # instead of materializing the full m²/2 triu and filtering
+            # (a 5000-member hot run would otherwise allocate 12.5M-pair
+            # index arrays to keep a fraction)
+            m = e - s
+            sub = np.argsort(nn[s:e], kind="stable")
+            ns = nn[s:e][sub]
+            ps = pp[s:e][sub]
+            rids = ids[s:e][sub]
+            iidx = np.arange(m)
+            hi = np.searchsorted(ns, ns / threshold + 1e-9, side="right")
+            counts = hi - iidx - 1
+            counts[counts < 0] = 0
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            a = np.repeat(iidx, counts)
+            csum = np.concatenate([[0], np.cumsum(counts)])
+            b = np.arange(total) - csum[a] + a + 1
+            na, nb = ns[a], ns[b]
+            pa_, pb_ = ps[a], ps[b]
             ub = 1 + np.minimum(pa_, pb_) \
                 + np.minimum(na - pa_ - 1, nb - pb_ - 1)
             need = threshold / (1.0 + threshold) * (na + nb)
             ok = ub >= need - 1e-9  # positional filter
             if not ok.all():
                 a, b = a[ok], b[ok]
-        a_out.append(ids[s + a])
-        b_out.append(ids[s + b])
+            # canonical unordered-pair form (id_a < id_b): the size sort
+            # broke the id order the triu path emits naturally
+            ia, ib = rids[a], rids[b]
+            flip = ia > ib
+            if flip.any():
+                ia, ib = np.where(flip, ib, ia), np.where(flip, ia, ib)
+            a_out.append(ia)
+            b_out.append(ib)
+        else:
+            a, b = np.triu_indices(e - s, k=1)
+            a_out.append(ids[s + a])
+            b_out.append(ids[s + b])
     if not a_out:
         empty = ids[:0]
         return pd.DataFrame({"id_a": empty, "id_b": empty})
@@ -663,9 +688,18 @@ def ngram_jaccard_pairs(docs, *, text_col="text", id_col="doc_id", ngram=5,
     if arrays.size_bytes() <= broadcast_limit_bytes:
         import ray
         refs = arrays.to_arrow_refs()
+        # fixed pool sized to the cluster (a (1, N) autoscaling pool
+        # ramps from ONE actor and leaves most cores idle for the first
+        # half of the stage) with whole-block batches (per-batch
+        # slice/emit overhead dominates 1024-row batches; measured
+        # 20 s → 12 s).  Keep one CPU free of the pool: a pool that
+        # reserves EVERY core deadlocks the executor if any lazy stage
+        # still needs a task slot.
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        pool = max(2, min(16, ncpu - 1))
         return cands.map_batches(
             VerifyJaccardBroadcast, batch_format="pyarrow",
-            concurrency=(1, 16),
+            batch_size=None, concurrency=pool,
             fn_constructor_args=(refs, id_col, threshold))
     with_sh = join_pair_shingles(cands, docs, text_col=text_col,
                                  id_col=id_col, ngram=ngram)
