@@ -397,24 +397,25 @@ def connected_components(pairs_df: pd.DataFrame) -> pd.DataFrame:
 
 def join_pair_texts(cands, docs, *, text_col="text", id_col="doc_id"):
     """Co-locate each candidate pair with its two texts (``__text_a`` /
-    ``__text_b``) via two partitioned hash joins — ships each text once
-    per pair it appears in, never the corpus; streams at any size."""
-    from .joins import hash_join
+    ``__text_b``) via two Arrow-native gather joins — ships each text
+    once per pair it appears in, never the corpus; streams at any size
+    and the text payloads skip the pandas merge entirely."""
+    from .joins import gather_join
 
-    texts_slim = docs.select_columns([id_col, text_col])
+    texts_slim = docs.select_columns([id_col, text_col]).materialize()
 
     def _as(side: str):
-        names = {id_col: f"id_{side}", text_col: f"__text_{side}"}
+        names = {text_col: f"__text_{side}"}
         def fn(t: pa.Table) -> pa.Table:
             return t.rename_columns([names.get(c, c) for c in t.column_names])
         return fn
 
-    with_a = hash_join(
+    with_a = gather_join(
         cands, texts_slim.map_batches(_as("a"), batch_format="pyarrow"),
-        "id_a", "id_a", how="inner")
-    return hash_join(
+        "id_a", id_col, ["__text_a"])
+    return gather_join(
         with_a, texts_slim.map_batches(_as("b"), batch_format="pyarrow"),
-        "id_b", "id_b", how="inner")
+        "id_b", id_col, ["__text_b"])
 
 
 def doc_shingle_arrays(docs, *, text_col="text", id_col="doc_id", ngram=5):
