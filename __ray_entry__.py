@@ -881,6 +881,45 @@ def _q_running_sum(sf_dir: str):
     return running_sum(ev)
 
 
+def _q_tfidf(sf_dir: str):
+    """Per-doc top TF-IDF term: DF shuffle + broadcast scoring pass."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        tfidf_top_term)
+    return tfidf_top_term(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_remove_common_ngrams(sf_dir: str):
+    """C4-style boilerplate removal (common word-3-grams dropped)."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        remove_common_ngrams)
+    return remove_common_ngrams(
+        _read(sf_dir, "documents", ["doc_id", "text"]), n=3, min_df=5)
+
+
+def _q_lag_deltas(sf_dir: str):
+    """LAG window shape: per-user consecutive value/time deltas."""
+    from series_correction_project_updated_ray.stages.windows import (
+        lag_deltas)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return lag_deltas(ev)
+
+
+def _q_value_histogram(sf_dir: str):
+    """Fixed-width exact histogram per event type (partial-first)."""
+    from series_correction_project_updated_ray.stages.relational import (
+        value_histogram)
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return value_histogram(ev, width_cents=5000)
+
+
+def _q_zscore_events(sf_dir: str):
+    """Group-wise z-score normalization from integer moment sums."""
+    from series_correction_project_updated_ray.stages.relational import (
+        zscore_events)
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return zscore_events(ev)
+
+
 def _q_incremental_rollup(sf_dir: str):
     """Incremental continuous-aggregate ingest: the events table arrives
     as 3 waves into a delta store; reading the store must equal the batch
@@ -1273,6 +1312,15 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "incremental_rollup_1h": _q_incremental_rollup,
         # cumulative window frame (SUM OVER ... ROWS UNBOUNDED PRECEDING)
         "running_sum_per_user": _q_running_sum,
+        # LAG window shape (per-user deltas) — oracle-checked
+        "lag_deltas_per_user": _q_lag_deltas,
+        # per-doc top TF-IDF term / boilerplate n-gram removal —
+        # oracle-checked
+        "tfidf_top_term": _q_tfidf,
+        "remove_common_ngrams": _q_remove_common_ngrams,
+        # exact fixed-width histogram / group-wise z-score — oracle-checked
+        "value_histogram": _q_value_histogram,
+        "zscore_events": _q_zscore_events,
         # set op (INTERSECT) via distinct + broadcast semi-join
         "users_click_and_purchase": _q_users_intersect,
         # distributed iterative k-means — rows-only (iterative algorithm)
@@ -1399,6 +1447,93 @@ SELECT user_id, event_id, epoch_us(ts) AS t,
        COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS UNBOUNDED PRECEDING) AS running_count
 FROM events
+""",
+        # top TF-IDF term per doc: raw-count tf, ln(N/df) idf, top-1 by
+        # (unrounded score DESC, term ASC) — identical op order both sides
+        "tfidf_top_term": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       FROM toks GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * ln((SELECT COUNT(*) FROM documents) / df.df) AS s
+  FROM tf JOIN df USING (term))
+SELECT doc_id, term, tf, df, round(s, 6) AS score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) = 1
+""",
+        # boilerplate removal: word 3-grams (RE2 \s+ tokens, empties
+        # kept) in >= 5 distinct docs are common; a token is dropped iff
+        # a common 3-gram STARTS within 2 positions before it
+        "remove_common_ngrams": r"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS l
+        FROM documents)),
+g AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN lead(tok, 2) OVER w IS NOT NULL
+              THEN tok || ' ' || lead(tok, 1) OVER w
+                       || ' ' || lead(tok, 2) OVER w END AS g3
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+common AS (
+  SELECT g3 FROM g WHERE g3 IS NOT NULL
+  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 5),
+marked AS (
+  SELECT doc_id, pos, tok,
+         max(CASE WHEN g3 IN (SELECT g3 FROM common) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS covered
+  FROM g)
+SELECT doc_id,
+       coalesce(string_agg(tok, ' ' ORDER BY pos)
+                  FILTER (covered = 0), '') AS clean_text,
+       CAST(coalesce(SUM(covered), 0) AS BIGINT) AS n_removed
+FROM marked GROUP BY 1
+""",
+        # LAG deltas: cents-exact value diff, micros time diff; first row
+        # of each user NULL (LAG default) on both sides
+        "lag_deltas_per_user": """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events)
+SELECT user_id, event_id, t,
+       CAST(cents - lag(cents) OVER w AS DOUBLE) / 100.0 AS dv,
+       CAST(t - lag(t) OVER w AS DOUBLE) AS dt_us
+FROM c WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+""",
+        # integer-exact fixed-width histogram: bin = floor(cents/width)
+        # through the identical double division on both sides
+        "value_histogram": """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(CAST(round(value*100) AS BIGINT) / 5000.0) AS BIGINT)
+           AS bin
+  FROM events)
+SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n,
+       bin * 50.0 AS bin_lo
+FROM b GROUP BY 1, 2
+""",
+        # z-score from integer moments; the engine replays the identical
+        # double arithmetic (sc/n, sq/n - mean², sqrt, divide, round)
+        "zscore_events": """
+WITH c AS (
+  SELECT event_id, event_type, CAST(round(value*100) AS BIGINT) AS cents
+  FROM events),
+s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(cents) AS DOUBLE) AS sc,
+         CAST(SUM(cents*cents) AS DOUBLE) AS sq
+  FROM c GROUP BY 1)
+SELECT c.event_id, c.event_type,
+       round((CAST(c.cents AS DOUBLE) - sc/n)
+             / sqrt(sq/n - (sc/n)*(sc/n)), 6) AS z
+FROM c JOIN s USING (event_type)
 """,
         # C1 in isolation.  Mirrors the kernel exactly: step = previous
         # diff (or next, for a gap at the second row); missing count =

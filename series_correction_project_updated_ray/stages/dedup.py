@@ -698,10 +698,14 @@ def ngram_jaccard_pairs(docs, *, text_col="text", id_col="doc_id", ngram=5,
         # still needs a task slot.
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         pool = max(2, min(16, ncpu - 1))
-        return cands.map_batches(
+        out = cands.map_batches(
             VerifyJaccardBroadcast, batch_format="pyarrow",
             batch_size=None, concurrency=pool,
             fn_constructor_args=(refs, id_col, threshold))
+        # pin the broadcast blocks to the lazy pipeline (ray#53727: an
+        # actor restart must still find its constructor-arg refs)
+        out._graft_pin = arrays
+        return out
     with_sh = join_pair_shingles(cands, docs, text_col=text_col,
                                  id_col=id_col, ngram=ngram)
     return verify_jaccard_arrays(with_sh, threshold=threshold)

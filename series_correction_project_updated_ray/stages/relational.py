@@ -503,3 +503,103 @@ def revenue_by_nation(lineitem, orders, customer, nation):
                 / 10000.0)})
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def value_histogram(events, *, width_cents: int = 5000):
+    """Fixed-width value histogram per event type — exact bin counts.
+
+    Partial-first: every batch collapses to its distinct (event_type,
+    bin) cells before the only shuffle (tiny: |types| × |bins| rows per
+    block).  Binning is integer-exact: cents = round(value·100) as
+    int64, bin = floor(cents / width) via the identical double division
+    the SQL oracle runs."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        from ..functions.rounding import scaled_int
+        cents = scaled_int(batch["value"].to_numpy(zero_copy_only=False))
+        bins = np.floor(cents / float(width_cents)).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas().to_numpy(),
+            "bin": bins})
+        cnt = df.groupby(["event_type", "bin"], sort=False, dropna=False) \
+            .size().reset_index(name="n")
+        return pa.table({
+            "event_type": pa.array(cnt["event_type"], pa.string()),
+            "bin": pa.array(cnt["bin"].to_numpy(np.int64)),
+            "n": pa.array(cnt["n"].to_numpy(np.int64)),
+        })
+
+    totals = events.map_batches(_partial, batch_format="pyarrow") \
+        .groupby(["event_type", "bin"]).aggregate(Sum("n", alias_name="n"))
+
+    def _lo(t: pa.Table) -> pa.Table:
+        lo = t["bin"].to_numpy(zero_copy_only=False) * (width_cents / 100.0)
+        return t.append_column("bin_lo", pa.array(lo))
+    return totals.map_batches(_lo, batch_format="pyarrow")
+
+
+def zscore_events(events):
+    """Per-event z-score against its event type's population mean/std —
+    the group-wise feature-normalization shape.
+
+    Two passes: (1) mergeable integer moments per batch → one tiny
+    groupby (n, Σcents, Σcents²  per type); (2) the stats broadcast into
+    a vectorized scoring pass.  All float arithmetic (mean, variance,
+    z) runs the IDENTICAL operation sequence as the SQL oracle, so the
+    comparison is exact at atol=0.  Σcents² stays inside int64 up to
+    ~10¹⁶ value-cents² per type; the partial combiner guards the bound
+    explicitly rather than silently wrapping."""
+    from ray.data.aggregate import Sum
+
+    def _moments(batch: pa.Table) -> pa.Table:
+        from ..functions.rounding import scaled_int
+        cents = scaled_int(batch["value"].to_numpy(zero_copy_only=False))
+        # overflow guard BEFORE the int64 multiply/sum can wrap: bound
+        # both the per-element square and this batch's square-sum (a
+        # float estimate is exact enough for a 2^62 safety line)
+        cf = cents.astype(np.float64)
+        if len(cents) and (np.abs(cents).max() > 3_000_000_000
+                           or float((cf * cf).sum()) > 2**62):
+            raise OverflowError(
+                "zscore_events: cents² magnitude approaching int64 — "
+                "switch the moment sums to (hi, lo) limb accumulation")
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas().to_numpy(),
+            "c": cents, "c2": cents * cents})
+        agg = df.groupby("event_type", sort=False).agg(
+            n=("c", "size"), sc=("c", "sum"), sq=("c2", "sum")) \
+            .reset_index()
+        return pa.table({
+            "event_type": pa.array(agg["event_type"], pa.string()),
+            "n": pa.array(agg["n"].to_numpy(np.int64)),
+            "sc": pa.array(agg["sc"].to_numpy(np.int64)),
+            "sq": pa.array(agg["sq"].to_numpy(np.int64)),
+        })
+
+    stats = events.map_batches(_moments, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"), Sum("sc", alias_name="sc"),
+            Sum("sq", alias_name="sq")).to_pandas()
+    # |event types| rows — driver-sized by construction
+    lut = {r["event_type"]: (float(r["n"]), float(r["sc"]), float(r["sq"]))
+           for _, r in stats.iterrows()}
+
+    def _score(batch: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away, scaled_int
+        cents = scaled_int(batch["value"].to_numpy(zero_copy_only=False))
+        types = batch["event_type"].to_pandas()
+        codes, uniq = pd.factorize(types)
+        n_ = np.array([lut[u][0] for u in uniq])[codes]
+        sc = np.array([lut[u][1] for u in uniq])[codes]
+        sq = np.array([lut[u][2] for u in uniq])[codes]
+        mean = sc / n_
+        std = np.sqrt(sq / n_ - mean * mean)
+        z = (cents.astype(np.float64) - mean) / std
+        return pa.table({
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "z": pa.array(round_half_away(z, 6)),
+        })
+
+    return events.map_batches(_score, batch_format="pyarrow")

@@ -278,3 +278,211 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
 
 def repetition_features(docs):
     return docs.map_batches(repetition_batch, batch_format="pyarrow")
+
+
+class _TfIdfScore:
+    """Actor-pool TF-IDF scoring stage: the (term → document frequency)
+    table ships ONCE per actor as object-store block refs (the driver
+    never materializes it); each batch re-tokenizes its documents and
+    emits the top-scoring term per document."""
+
+    def __init__(self, df_refs, n_docs: int):
+        import re
+
+        import ray
+        self.re = re.compile(r"[a-z]+")
+        self.n_docs = n_docs
+        self.df: dict[str, int] = {}
+        for tbl in ray.get(list(df_refs)):
+            terms = tbl["term"].to_pylist()
+            dfs = tbl["df"].to_numpy(zero_copy_only=False)
+            self.df.update(zip(terms, dfs.tolist()))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..functions.rounding import round_half_away
+        texts = batch["text"].to_pandas()
+        ids = batch["doc_id"].to_pandas().to_numpy()
+        out_id, out_term, out_tf, out_df, out_score = [], [], [], [], []
+        for d, txt in zip(ids, texts):
+            counts = Counter(self.re.findall((txt or "").lower()))
+            if not counts:
+                continue
+            best = None
+            for term, tf in counts.items():
+                df = self.df[term]
+                # identical op order as the oracle: ln(N/df) with the
+                # int/int division already double, times the int tf
+                score = tf * np.log(self.n_docs / df)
+                # rank by (score DESC, term ASC) — same tie rule as the
+                # oracle's row_number()
+                if best is None or score > best[3] \
+                        or (score == best[3] and term < best[0]):
+                    best = (term, tf, df, score)
+            out_id.append(d)
+            out_term.append(best[0])
+            out_tf.append(best[1])
+            out_df.append(best[2])
+            out_score.append(best[3])
+        return pa.table({
+            "doc_id": pa.array(out_id,
+                               batch.schema.field("doc_id").type),
+            "term": pa.array(out_term, pa.string()),
+            "tf": pa.array(np.asarray(out_tf, dtype=np.int64)),
+            "df": pa.array(np.asarray(out_df, dtype=np.int64)),
+            "score": pa.array(round_half_away(
+                np.asarray(out_score, dtype=np.float64), 6)),
+        })
+
+
+def tfidf_top_term(docs, *, n_docs: int | None = None):
+    """Per-document top TF-IDF term — the classic two-pass shape:
+
+    1. document frequencies: each batch emits its docs' DISTINCT terms,
+       one keyed groupby counts docs per term (the shuffle carries
+       |batch vocab| rows per block, never the token stream);
+    2. the DF table broadcasts once per scoring actor (object refs, no
+       driver round-trip) and a vectorized pass scores every document.
+
+    Scoring convention mirrors the SQL oracle exactly: score = tf ·
+    ln(N/df) with raw term counts, top-1 by (score DESC, term ASC)."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    word_re = re.compile(r"[a-z]+")
+
+    def _doc_terms(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pandas()
+        terms: dict[str, int] = {}
+        for txt in texts:
+            for t in set(word_re.findall((txt or "").lower())):
+                terms[t] = terms.get(t, 0) + 1
+        return pa.table({
+            "term": pa.array(list(terms.keys()), pa.string()),
+            "df": pa.array(np.fromiter(terms.values(), dtype=np.int64,
+                                       count=len(terms))),
+        })
+
+    docs = docs.materialize()
+    if n_docs is None:
+        n_docs = docs.count()
+    df_tbl = docs.map_batches(_doc_terms, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df", alias_name="df")) \
+        .materialize()
+    refs = df_tbl.to_arrow_refs()
+    out = docs.map_batches(
+        _TfIdfScore, batch_format="pyarrow", concurrency=2,
+        fn_constructor_args=(refs, n_docs))
+    # pin the DF blocks to the returned (lazy) pipeline: if the
+    # materialized dataset is GC'd before execution, an actor restart
+    # could find its constructor-arg refs freed (ray#53727)
+    out._graft_pin = df_tbl
+    return out
+
+
+class _MarkCommonNgrams:
+    """Actor-pool boilerplate-removal stage: the common-n-gram hash set
+    ships once per actor (object refs); each batch tokenizes, hashes
+    every n-gram start position vectorized, marks tokens covered by any
+    common n-gram occurrence, and rebuilds the cleaned text."""
+
+    def __init__(self, common_refs, n: int = 3):
+        import ray
+
+        from ..functions.hashing import stable_hash_array
+        self.n = n
+        self._hash = stable_hash_array
+        parts = [t["gh"].to_numpy(zero_copy_only=False)
+                 for t in ray.get(list(common_refs))]
+        self.common = np.sort(np.concatenate(parts).astype(np.int64)) \
+            if parts else np.empty(0, np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions import text as T
+        texts = batch["text"].to_pandas()
+        n = self.n
+        clean, removed = [], []
+        for txt in texts:
+            toks = T.RE2_WS_RE.split(txt or "")
+            m = len(toks)
+            if m < n:
+                clean.append(txt or "")
+                removed.append(0)
+                continue
+            grams = np.asarray(
+                [" ".join(toks[i:i + n]) for i in range(m - n + 1)],
+                dtype=object)
+            gh = self._hash(grams).view(np.int64)
+            pos = np.searchsorted(self.common, gh)
+            pos[pos == self.common.size] = 0
+            hit = np.flatnonzero(
+                self.common.size and (self.common[pos] == gh))
+            covered = np.zeros(m, dtype=bool)
+            for off in range(n):
+                covered[hit + off] = True
+            kept = [t for t, c in zip(toks, covered) if not c]
+            clean.append(" ".join(kept))
+            removed.append(int(covered.sum()))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "clean_text": pa.array(clean, pa.string()),
+            "n_removed": pa.array(np.asarray(removed, dtype=np.int64)),
+        })
+
+
+def remove_common_ngrams(docs, *, n: int = 3, min_df: int = 50):
+    """C4-style boilerplate removal at n-gram granularity: any word
+    n-gram appearing in ≥ ``min_df`` DISTINCT documents is boilerplate;
+    every token covered by an occurrence of a common n-gram is dropped
+    and the document re-joined with single spaces.
+
+    Two passes: per-doc distinct n-gram hashes → one keyed count
+    groupby → the (filtered) common-hash set broadcasts to the marking
+    actors.  Tokens follow the oracle's ``regexp_split_to_array(text,
+    '\\s+')`` (RE2 semantics, empty tokens kept).  At a 100 TB corpus
+    the common set of a min_df this high stays small (boilerplate is by
+    definition rare in TYPE count, huge in token count); were it not, a
+    Bloom filter over the hashes ships instead — same plan shape."""
+    from ray.data.aggregate import Sum
+
+    from ..functions import text as T
+    from ..functions.hashing import stable_hash_array
+
+    def _doc_grams(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pandas()
+        out: dict[np.uint64, int] = {}
+        for txt in texts:
+            toks = T.RE2_WS_RE.split(txt or "")
+            if len(toks) < n:
+                continue
+            grams = np.asarray(
+                [" ".join(toks[i:i + n])
+                 for i in range(len(toks) - n + 1)], dtype=object)
+            # int64 VIEW of the uint64 hash: Ray's groupby boundary
+            # sampling mangles uint64 keys past 2^63 (observed pickled-
+            # object blocks); the reinterpret keeps identity
+            for h in np.unique(stable_hash_array(grams)).view(np.int64):
+                out[h] = out.get(h, 0) + 1
+        return pa.table({
+            "gh": pa.array(np.fromiter(out.keys(), dtype=np.int64,
+                                       count=len(out))),
+            "df": pa.array(np.fromiter(out.values(), dtype=np.int64,
+                                       count=len(out))),
+        })
+
+    def _common_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater_equal(t["df"], min_df)).select(["gh"])
+
+    docs = docs.materialize()
+    common = docs.map_batches(_doc_grams, batch_format="pyarrow") \
+        .groupby("gh").aggregate(Sum("df", alias_name="df")) \
+        .map_batches(_common_only, batch_format="pyarrow").materialize()
+    refs = common.to_arrow_refs()
+    out = docs.map_batches(
+        _MarkCommonNgrams, batch_format="pyarrow", concurrency=2,
+        fn_constructor_args=(refs, n))
+    out._graft_pin = common  # keep the blocks alive until execution
+    return out

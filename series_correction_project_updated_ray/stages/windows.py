@@ -499,3 +499,57 @@ def running_sum(events, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(RunningSumGroup(),
                                       batch_format="pandas")
+
+
+class LagDeltaGroup:
+    """Per-partition kernel: SQL LAG diffs over each key's event-time
+    order — ``dv`` = value - lag(value) (cents-exact arithmetic, one
+    float division on output) and ``dt_us`` = t - lag(t); the first row
+    of every key emits NULL for both, matching LAG's default."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        g = g.iloc[order]
+        v100 = scaled_int(g["value"].to_numpy(np.float64))
+        n = len(codes)
+        first = np.r_[True, codes[1:] != codes[:-1]] if n \
+            else np.array([], dtype=bool)
+        dv = np.full(n, np.nan)
+        dt = np.full(n, np.nan)
+        if n > 1:
+            dv[1:] = (v100[1:] - v100[:-1]) / 100.0
+            dt[1:] = (t[1:] - t[:-1]).astype(np.float64)
+        dv[first] = np.nan
+        dt[first] = np.nan
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "event_id": g["event_id"].to_numpy(),
+            "t": t,
+            "dv": dv,
+            "dt_us": dt,
+        })
+
+
+def lag_deltas(events, n_parts: int = 64):
+    """Per-user consecutive-event deltas (the LAG window-function shape):
+    value and time diffs in (ts, event_id) order — one partition-group
+    shuffle, segmented vectorized diffs for all co-located keys."""
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        t = _epoch_micros(batch["ts"])
+        return pa.table({"user_id": batch["user_id"],
+                         "event_id": batch["event_id"],
+                         "t": pa.array(t),
+                         "value": batch["value"]})
+
+    prepped = events.map_batches(_prep, batch_format="pyarrow")
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(LagDeltaGroup(),
+                                      batch_format="pandas")

@@ -1086,3 +1086,87 @@ def test_ngram_jaccard_gather_fallback_matches_broadcast(ray_session):
         .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
     assert len(via_bcast) > 0
     pd.testing.assert_frame_equal(via_bcast, via_gather)
+
+
+def test_lag_deltas_small(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.windows import lag_deltas
+    ts = pd.to_datetime([1, 2, 5, 3, 7], unit="s")
+    df = pd.DataFrame({"user_id": ["u1", "u1", "u1", "u2", "u2"],
+                       "event_id": [1, 2, 3, 4, 5],
+                       "ts": ts,
+                       "value": [1.00, 2.50, 2.00, 10.00, 9.25]})
+    out = lag_deltas(rd.from_pandas(df)).to_pandas() \
+        .sort_values(["user_id", "t"]).reset_index(drop=True)
+    assert out["dv"].isna().tolist() == [True, False, False, True, False]
+    assert out["dv"].dropna().tolist() == [1.5, -0.5, -0.75]
+    assert out["dt_us"].dropna().tolist() == [1e6, 3e6, 4e6]
+
+
+def test_value_histogram_and_zscore(ray_session):
+    import duckdb
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        value_histogram, zscore_events)
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "event_id": np.arange(1000, dtype=np.int64),
+        "event_type": rng.choice(["a", "b", "c"], 1000),
+        "value": np.round(rng.uniform(0, 300, 1000), 2)})
+    con = duckdb.connect()
+    con.register("events_df", df)
+
+    hist = value_histogram(rd.from_pandas(df), width_cents=5000) \
+        .to_pandas().sort_values(["event_type", "bin"]).reset_index(drop=True)
+    want = con.execute("""
+        WITH b AS (SELECT event_type,
+          CAST(floor(CAST(round(value*100) AS BIGINT)/5000.0) AS BIGINT) AS bin
+          FROM events_df)
+        SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n, bin*50.0 AS bin_lo
+        FROM b GROUP BY 1,2 ORDER BY 1,2""").df()
+    pd.testing.assert_frame_equal(hist, want)
+
+    z = zscore_events(rd.from_pandas(df)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    wantz = con.execute("""
+        WITH c AS (SELECT event_id, event_type,
+                          CAST(round(value*100) AS BIGINT) AS cents FROM events_df),
+        s AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(cents) AS DOUBLE) AS sc,
+                     CAST(SUM(cents*cents) AS DOUBLE) AS sq FROM c GROUP BY 1)
+        SELECT c.event_id, c.event_type,
+               round((CAST(c.cents AS DOUBLE)-sc/n)/sqrt(sq/n-(sc/n)*(sc/n)),6) AS z
+        FROM c JOIN s USING (event_type) ORDER BY event_id""").df()
+    assert (z["z"] == wantz["z"]).all()
+
+
+def test_tfidf_and_common_ngram_removal(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.textstage import (
+        remove_common_ngrams, tfidf_top_term)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["the cat sat on the mat",
+                 "the cat sat on a hat",
+                 "the cat sat quietly here",
+                 "dogs bark loudly at night",
+                 "birds sing the cat sat songs",
+                 ""]})
+    tf = tfidf_top_term(rd.from_pandas(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # empty doc emits no row
+    assert set(tf["doc_id"]) == {0, 1, 2, 3, 4}
+    # doc 3 shares no term with others: every term df=1, tf=1 ->
+    # identical scores, tie broken by term asc -> 'at'
+    assert tf.loc[tf["doc_id"] == 3, "term"].iloc[0] == "at"
+
+    # 'the cat sat' appears in 4 distinct docs -> common at min_df=4;
+    # covered tokens drop, others survive
+    out = remove_common_ngrams(rd.from_pandas(docs), n=3, min_df=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "clean_text"] == "on the mat"
+    assert out.loc[0, "n_removed"] == 3
+    assert out.loc[3, "clean_text"] == "dogs bark loudly at night"
+    assert out.loc[3, "n_removed"] == 0
+    # doc 4: gram starts at position 2 -> covers tokens 2,3,4
+    assert out.loc[4, "clean_text"] == "birds sing songs"
+    assert out.loc[5, "clean_text"] == "" and out.loc[5, "n_removed"] == 0
