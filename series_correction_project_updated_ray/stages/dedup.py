@@ -555,7 +555,12 @@ def minhash_lsh_dedup(docs, *, text_col="text", id_col="doc_id",
     bands_ds = docs.map_batches(
         MinHashBands(text_col, id_col, num_perm, bands, ngram),
         batch_format="pyarrow")
-    cands = candidate_pairs(bands_ds, id_col)
+    cands = candidate_pairs(bands_ds, id_col).materialize()
+    if cands.count() == 0:
+        # zero candidates: Ray drops all-empty blocks and the text join
+        # would see a schema-less input — the cluster frame is empty
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "cluster_id": pd.Series([], dtype=np.int64)})
     with_b = join_pair_texts(cands, docs, text_col=text_col, id_col=id_col)
     verified = with_b.map_batches(
         VerifyJaccard, batch_format="pandas", concurrency=2,
@@ -665,6 +670,22 @@ def ngram_jaccard_pairs(docs, *, text_col="text", id_col="doc_id", ngram=5,
     cands = candidate_pairs(rows, id_col, max_run=max_df,
                             threshold=threshold if prefix_filter else None) \
         .materialize()
+    if cands.count() == 0:
+        # no candidates at all: Ray drops all-empty blocks, so the
+        # downstream joins would see a SCHEMA-LESS input — emit a typed
+        # empty result instead
+        import ray.data as rd
+        sch = docs.schema()
+        id_t = dict(zip(sch.names, sch.types))[id_col]
+        if not isinstance(id_t, pa.DataType):
+            # pandas-backed inputs report numpy dtypes / Python classes
+            try:
+                id_t = pa.from_numpy_dtype(np.dtype(id_t))
+            except Exception:
+                id_t = pa.string()
+        return rd.from_arrow(pa.table({
+            "id_a": pa.nulls(0, id_t), "id_b": pa.nulls(0, id_t),
+            "jaccard": pa.nulls(0, pa.float64())}))
 
     # verify plan choice: the arrays of the candidate-INVOLVED documents
     # (not the corpus — a semi-join prunes the rest) are usually tiny
