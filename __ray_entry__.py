@@ -881,6 +881,23 @@ def _q_running_sum(sf_dir: str):
     return running_sum(ev)
 
 
+def _q_user_sequences(sf_dir: str):
+    """string_agg ORDER BY shape: per-user behavioral event sequences."""
+    from series_correction_project_updated_ray.stages.windows import (
+        user_event_sequences)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "event_type",
+                                  "ts"])
+    return user_event_sequences(ev)
+
+
+def _q_value_quartiles(sf_dir: str):
+    """Exact NTILE(4) without a global sort (bounded-domain rank)."""
+    from series_correction_project_updated_ray.stages.relational import (
+        value_quartiles)
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    return value_quartiles(ev, k=4)
+
+
 def _q_tfidf(sf_dir: str):
     """Per-doc top TF-IDF term: DF shuffle + broadcast scoring pass."""
     from series_correction_project_updated_ray.stages.textstage import (
@@ -1318,6 +1335,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # oracle-checked
         "tfidf_top_term": _q_tfidf,
         "remove_common_ngrams": _q_remove_common_ngrams,
+        # string_agg sequences / exact NTILE rank — oracle-checked
+        "user_event_sequences": _q_user_sequences,
+        "value_quartiles": _q_value_quartiles,
         # exact fixed-width histogram / group-wise z-score — oracle-checked
         "value_histogram": _q_value_histogram,
         "zscore_events": _q_zscore_events,
@@ -1494,6 +1514,25 @@ SELECT doc_id,
                   FILTER (covered = 0), '') AS clean_text,
        CAST(coalesce(SUM(covered), 0) AS BIGINT) AS n_removed
 FROM marked GROUP BY 1
+""",
+        # per-user ordered event-type sequences (string_agg ORDER BY)
+        "user_event_sequences": """
+SELECT user_id,
+       string_agg(event_type, '->' ORDER BY ts, event_id) AS seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+""",
+        # exact NTILE(4) + 0-based global rank over (value, event_id);
+        # the engine computes the identical rank from bounded-domain
+        # cents counts instead of a global sort
+        "value_quartiles": """
+SELECT event_id,
+       CAST(CAST(round(value*100) AS BIGINT) AS DOUBLE) / 100.0 AS value,
+       row_number() OVER (ORDER BY round(value*100), event_id) - 1
+         AS rnk,
+       CAST(ntile(4) OVER (ORDER BY round(value*100), event_id)
+            AS BIGINT) AS quartile
+FROM events
 """,
         # LAG deltas: cents-exact value diff, micros time diff; first row
         # of each user NULL (LAG default) on both sides

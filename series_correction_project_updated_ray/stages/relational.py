@@ -603,3 +603,68 @@ def zscore_events(events):
         })
 
     return events.map_batches(_score, batch_format="pyarrow")
+
+
+def value_quartiles(events, *, k: int = 4):
+    """Exact NTILE(k) OVER (ORDER BY value, event_id) — WITHOUT a global
+    sort.
+
+    The global rank decomposes over the bounded value domain (2-decimal
+    values → integer cents): rank(row) = (# rows with smaller cents) +
+    (# same-cents rows with smaller id).  Pass 1 aggregates per-cents
+    counts (|distinct cents| rows — bounded by the value domain, NOT the
+    data size) and broadcasts the exclusive cumulative counts; pass 2
+    ranks same-cents rows locally inside one partition-group shuffle.
+    Bucket sizes replicate SQL NTILE exactly: the first n % k buckets
+    get ⌈n/k⌉ rows."""
+    from ray.data.aggregate import Count
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        from ..functions.rounding import scaled_int
+        c = scaled_int(batch["value"].to_numpy(zero_copy_only=False))
+        return pa.table({"event_id": batch["event_id"],
+                         "cents": pa.array(c)})
+
+    with_c = events.map_batches(_cents, batch_format="pyarrow") \
+        .materialize()
+    counts = with_c.groupby("cents").aggregate(
+        Count(alias_name="cnt")).to_pandas().sort_values("cents")
+    # |distinct cents| ≤ value-domain width — driver-sized by construction
+    cents_sorted = counts["cents"].to_numpy(np.int64)
+    below = np.concatenate([[0], np.cumsum(
+        counts["cnt"].to_numpy(np.int64))])[:-1]
+    n_total = int(counts["cnt"].sum())
+    base, extra = divmod(n_total, k)
+
+    def _rank_part(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import stable_hash_array
+        part = (stable_hash_array(t["cents"])
+                % np.uint64(64)).astype(np.int64)
+        return t.append_column("__part", pa.array(part))
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["cents"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, c))
+        c, ids = c[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]]) \
+            if len(c) else np.array([], dtype=np.int64)
+        lens = np.diff(np.r_[starts, len(c)])
+        local = np.arange(len(c), dtype=np.int64) \
+            - np.repeat(starts, lens)
+        rnk = below[np.searchsorted(cents_sorted, c)] + local
+        # NTILE: first `extra` buckets hold base+1 rows
+        cut = extra * (base + 1)
+        q = np.where(rnk < cut,
+                     rnk // max(base + 1, 1),
+                     extra + (rnk - cut) // max(base, 1)) + 1
+        return pd.DataFrame({
+            "event_id": ids,
+            "value": c / 100.0,
+            "rnk": rnk,
+            "quartile": q.astype(np.int64),
+        })
+    _rank.__name__ = "_ntile_rank"
+
+    return with_c.map_batches(_rank_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(_rank, batch_format="pandas")

@@ -553,3 +553,48 @@ def lag_deltas(events, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(LagDeltaGroup(),
                                       batch_format="pandas")
+
+
+class EventSequenceGroup:
+    """Per-partition kernel: each user's event-type sequence joined in
+    (ts, event_id) order — the string_agg / collect_list shape that
+    builds behavioral sequences for sequence-model training."""
+
+    def __init__(self, sep: str = "->"):
+        self.sep = sep
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        codes, uniq = pd.factorize(g["user_id"], sort=False)
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes = codes[order]
+        types = g["event_type"].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]) \
+            if len(codes) else np.array([], dtype=np.int64)
+        ends = np.r_[starts[1:], len(codes)]
+        seqs = [self.sep.join(types[s:e]) for s, e in zip(starts, ends)]
+        return pd.DataFrame({
+            "user_id": np.asarray(uniq)[codes[starts]],
+            "seq": seqs,
+            "n_events": (ends - starts).astype(np.int64),
+        })
+
+
+def user_event_sequences(events, *, sep: str = "->", n_parts: int = 64):
+    """Per-user ordered event-type sequences (string_agg ORDER BY shape)
+    — one partition-group shuffle; only (user, type, ts, id) rows move,
+    and each key's sequence is assembled exactly once."""
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        t = _epoch_micros(batch["ts"])
+        return pa.table({"user_id": batch["user_id"],
+                         "event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "t": pa.array(t)})
+
+    prepped = events.map_batches(_prep, batch_format="pyarrow")
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(EventSequenceGroup(sep),
+                                      batch_format="pandas")

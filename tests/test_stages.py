@@ -1170,3 +1170,51 @@ def test_tfidf_and_common_ngram_removal(ray_session):
     # doc 4: gram starts at position 2 -> covers tokens 2,3,4
     assert out.loc[4, "clean_text"] == "birds sing songs"
     assert out.loc[5, "clean_text"] == "" and out.loc[5, "n_removed"] == 0
+
+
+def test_user_event_sequences_and_quartiles(ray_session):
+    import duckdb
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        value_quartiles)
+    from series_correction_project_updated_ray.stages.windows import (
+        user_event_sequences)
+    rng = np.random.default_rng(11)
+    n = 500
+    df = pd.DataFrame({
+        "user_id": rng.choice(["u1", "u2", "u3"], n),
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(["click", "view", "purchase"], n),
+        "ts": pd.to_datetime(rng.integers(0, 10000, n), unit="s"),
+        # duplicate cents values on purpose: tie-breaks must match SQL
+        "value": np.round(rng.integers(0, 50, n) / 4.0, 2)})
+    con = duckdb.connect()
+    con.register("ev", df)
+
+    seq = user_event_sequences(rd.from_pandas(df)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    want = con.execute("""
+        SELECT user_id, string_agg(event_type, '->' ORDER BY ts, event_id)
+                 AS seq,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM ev GROUP BY 1 ORDER BY 1""").df()
+    pd.testing.assert_frame_equal(seq, want)
+
+    q = value_quartiles(rd.from_pandas(df), k=4).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    wantq = con.execute("""
+        SELECT event_id,
+               CAST(CAST(round(value*100) AS BIGINT) AS DOUBLE)/100.0
+                 AS value,
+               row_number() OVER (ORDER BY round(value*100), event_id) - 1
+                 AS rnk,
+               CAST(ntile(4) OVER (ORDER BY round(value*100), event_id)
+                    AS BIGINT) AS quartile
+        FROM ev ORDER BY event_id""").df()
+    pd.testing.assert_frame_equal(q, wantq)
+    # n % k != 0 path: 7 rows into 4 buckets -> sizes 2,2,2,1
+    small = df.head(7)
+    con.register("ev7", small)
+    q7 = value_quartiles(rd.from_pandas(small.copy()), k=4).to_pandas()
+    sizes = q7["quartile"].value_counts().sort_index().tolist()
+    assert sizes == [2, 2, 2, 1]
