@@ -881,6 +881,22 @@ def _q_running_sum(sf_dir: str):
     return running_sum(ev)
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Overlapping token-window chunking (RAG / context-window prep)."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        chunk_documents)
+    return chunk_documents(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           chunk_tokens=64, stride=48)
+
+
+def _q_centroid_dist(sf_dir: str):
+    """Per-vector L2 distance to its label's exact centroid."""
+    from series_correction_project_updated_ray.stages.similarity import (
+        embedding_centroid_dist)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return embedding_centroid_dist(emb)
+
+
 def _q_user_sequences(sf_dir: str):
     """string_agg ORDER BY shape: per-user behavioral event sequences."""
     from series_correction_project_updated_ray.stages.windows import (
@@ -1338,6 +1354,11 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # string_agg sequences / exact NTILE rank — oracle-checked
         "user_event_sequences": _q_user_sequences,
         "value_quartiles": _q_value_quartiles,
+        # per-label exact centroid distance (embedding outliers) —
+        # oracle-checked (scaled-int centroids, list_distance parity)
+        "embedding_centroid_dist": _q_centroid_dist,
+        # overlapping token-window chunking — oracle-checked
+        "chunk_documents": _q_chunk_documents,
         # exact fixed-width histogram / group-wise z-score — oracle-checked
         "value_histogram": _q_value_histogram,
         "zscore_events": _q_zscore_events,
@@ -1514,6 +1535,48 @@ SELECT doc_id,
                   FILTER (covered = 0), '') AS clean_text,
        CAST(coalesce(SUM(covered), 0) AS BIGINT) AS n_removed
 FROM marked GROUP BY 1
+""",
+        # per-label centroid distance: centroids from EXACT 2^20-scaled
+        # integer per-dim sums (power-of-two scale — float32 elements
+        # scale exactly); per-row distance via list_distance, whose
+        # sequential reduction the engine replays with np.cumsum
+        "embedding_centroid_dist": """
+WITH ex AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+s AS (
+  SELECT label, dim,
+         SUM(CAST(round(x * 1048576.0) AS BIGINT)) AS ssum,
+         COUNT(*) AS n
+  FROM ex GROUP BY 1, 2),
+c AS (
+  SELECT label,
+         list((CAST(ssum AS DOUBLE) / 1048576.0) / n ORDER BY dim)
+           AS cvec
+  FROM s GROUP BY 1)
+SELECT e.vec_id, e.label,
+       round(list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec), 6)
+         AS dist
+FROM embeddings e JOIN c USING (label)
+""",
+        # overlapping 64-token windows every 48 tokens; final window is
+        # the first to reach the end; 1-based inclusive list slices
+        "chunk_documents": r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS l,
+         len(regexp_split_to_array(text, '\s+')) AS n
+  FROM documents),
+k AS (
+  SELECT doc_id, l, n,
+         unnest(generate_series(0,
+           CAST(greatest(ceil((n - 64) / 48.0), 0) AS BIGINT))) AS ci
+  FROM t)
+SELECT doc_id, ci AS chunk_idx,
+       CAST(len(l[ci*48 + 1 : least(ci*48 + 64, n)]) AS BIGINT) AS n_tok,
+       array_to_string(l[ci*48 + 1 : least(ci*48 + 64, n)], ' ')
+         AS chunk_text
+FROM k
 """,
         # per-user ordered event-type sequences (string_agg ORDER BY)
         "user_event_sequences": """

@@ -234,3 +234,71 @@ def kmeans_distributed(embeddings, n_clusters=8, iters=10, seed=7,
     assignments = embeddings.map_batches(_Assign, batch_format="pyarrow",
                                          concurrency=2)
     return C, assignments
+
+
+def embedding_centroid_dist(embeddings, *, label_col: str = "label",
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id"):
+    """Per-vector L2 distance to its own label's centroid — the
+    "embedding outlier" signal (vectors far from their cluster center).
+
+    Centroids are EXACT: per-dim sums run on 2^20-scaled int64 (a
+    power-of-two scale, so the float32→double element values scale
+    exactly), one (label, dim) groupby of ≤ |labels|·dims partial rows
+    per block, and the tiny centroid table broadcasts into the distance
+    pass.  Per-row reductions replay DuckDB's sequential element order
+    (np.cumsum, verified bit-identical to ``list_distance``)."""
+    from ray.data.aggregate import Sum
+
+    SCALE = float(1 << 20)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        m = _vec_matrix(batch[vec_col])
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        scaled = np.copysign(np.floor(np.abs(m) * SCALE + 0.5), m) \
+            .astype(np.int64)
+        codes, uniq = pd.factorize(labels)
+        dims = m.shape[1]
+        sums = np.zeros((len(uniq), dims), dtype=np.int64)
+        np.add.at(sums, codes, scaled)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        lab = np.repeat(uniq, dims)
+        dim = np.tile(np.arange(dims, dtype=np.int64), len(uniq))
+        return pa.table({
+            label_col: pa.array(lab),
+            "dim": pa.array(dim),
+            "ssum": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(counts, dims)),
+        })
+
+    stats = embeddings.map_batches(_partial, batch_format="pyarrow") \
+        .groupby([label_col, "dim"]).aggregate(
+            Sum("ssum", alias_name="ssum"), Sum("n", alias_name="n")) \
+        .to_pandas()
+    # |labels| × dims rows — driver-sized by construction
+    cents: dict = {}
+    for lab, grp in stats.groupby(label_col):
+        grp = grp.sort_values("dim")
+        # identical op order as the oracle: (double(ssum)/SCALE)/n —
+        # each (label, dim) row's n is that label's vector count
+        cents[lab] = (grp["ssum"].to_numpy(np.int64).astype(np.float64)
+                      / SCALE) / grp["n"].to_numpy(np.int64) \
+            .astype(np.float64)
+
+    def _dist(batch: pa.Table) -> pa.Table:
+        m = _vec_matrix(batch[vec_col])
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(labels)
+        cmat = np.stack([cents[u] for u in uniq]) if len(uniq) \
+            else np.zeros((0, m.shape[1] if m.ndim == 2 else 0))
+        diff = m - cmat[codes]
+        # sequential per-row reduction == DuckDB list_distance
+        d = np.sqrt(np.cumsum(diff * diff, axis=1)[:, -1]) if m.size \
+            else np.empty(0)
+        return pa.table({
+            id_col: batch[id_col],
+            label_col: batch[label_col],
+            "dist": pa.array(round_half_away(d, 6)),
+        })
+
+    return embeddings.map_batches(_dist, batch_format="pyarrow")

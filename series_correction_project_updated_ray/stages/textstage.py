@@ -486,3 +486,44 @@ def remove_common_ngrams(docs, *, n: int = 3, min_df: int = 50):
         fn_constructor_args=(refs, n))
     out._graft_pin = common  # keep the blocks alive until execution
     return out
+
+
+def chunk_documents(docs, *, chunk_tokens: int = 64, stride: int = 48,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Overlapping token-window chunking (the RAG / context-window prep
+    op): document → chunks of ``chunk_tokens`` whitespace tokens starting
+    every ``stride`` tokens, re-joined with single spaces.
+
+    Pure per-document map (flat_map shape, no shuffle); chunk rows carry
+    (doc_id, chunk_idx, n_tok, chunk_text).  The final window is the
+    one that first reaches the end of the document; shorter documents
+    emit exactly one (possibly short) chunk.  Tokens follow the oracle's
+    ``regexp_split_to_array(text, '\\s+')`` (RE2 semantics, empties
+    kept)."""
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pandas()
+        ids = batch[id_col].to_pandas().to_numpy()
+        out_id, out_idx, out_n, out_text = [], [], [], []
+        for d, txt in zip(ids, texts):
+            toks = T.RE2_WS_RE.split(txt or "")
+            n = len(toks)
+            start, idx = 0, 0
+            while True:
+                window = toks[start:start + chunk_tokens]
+                out_id.append(d)
+                out_idx.append(idx)
+                out_n.append(len(window))
+                out_text.append(" ".join(window))
+                if start + chunk_tokens >= n:
+                    break
+                start += stride
+                idx += 1
+        return pa.table({
+            id_col: pa.array(out_id, batch.schema.field(id_col).type),
+            "chunk_idx": pa.array(np.asarray(out_idx, dtype=np.int64)),
+            "n_tok": pa.array(np.asarray(out_n, dtype=np.int64)),
+            "chunk_text": pa.array(out_text, pa.string()),
+        })
+
+    return docs.map_batches(_chunks, batch_format="pyarrow")

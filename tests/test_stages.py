@@ -1218,3 +1218,33 @@ def test_user_event_sequences_and_quartiles(ray_session):
     q7 = value_quartiles(rd.from_pandas(small.copy()), k=4).to_pandas()
     sizes = q7["quartile"].value_counts().sort_index().tolist()
     assert sizes == [2, 2, 2, 1]
+
+
+def test_embedding_centroid_dist_exact(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.similarity import (
+        embedding_centroid_dist)
+    rng = np.random.default_rng(5)
+    n, d = 200, 16
+    m = (rng.standard_normal((n, d)) * 0.3).astype(np.float32)
+    labels = rng.integers(0, 3, n).astype(np.int32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(m), pa.list_(pa.float32())),
+        "label": pa.array(labels)})
+    out = embedding_centroid_dist(rd.from_arrow(t)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    # direct replication: scaled-int centroid, sequential reduction
+    SCALE = float(1 << 20)
+    md = m.astype(np.float64)
+    scaled = np.copysign(np.floor(np.abs(md) * SCALE + 0.5), md) \
+        .astype(np.int64)
+    for lab in np.unique(labels):
+        rows = np.flatnonzero(labels == lab)
+        cent = (scaled[rows].sum(axis=0).astype(np.float64) / SCALE) \
+            / float(len(rows))
+        diff = md[rows] - cent
+        want = np.sqrt(np.cumsum(diff * diff, axis=1)[:, -1])
+        from series_correction_project_updated_ray.functions.rounding import round_half_away
+        got = out.set_index("vec_id").loc[rows, "dist"].to_numpy()
+        assert (got == round_half_away(want, 6)).all()
