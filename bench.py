@@ -169,6 +169,24 @@ def run_bench() -> dict:
             docs_path, columns=["doc_id", "text"])).count()
         timings["redact_pii"] = round(time.time() - t0, 3)
 
+        from series_correction_project_updated_ray.stages.textstage import (
+            chunk_documents, remove_common_ngrams, tfidf_top_term)
+
+        t0 = time.time()
+        tfidf_top_term(rd.read_parquet(
+            docs_path, columns=["doc_id", "text"])).count()
+        timings["tfidf_top_term"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        remove_common_ngrams(rd.read_parquet(
+            docs_path, columns=["doc_id", "text"]), n=3, min_df=5).count()
+        timings["remove_common_ngrams"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        chunk_documents(rd.read_parquet(
+            docs_path, columns=["doc_id", "text"])).count()
+        timings["chunk_documents"] = round(time.time() - t0, 3)
+
     headline = timings["rollup_sequences_synth"]
     result = {
         "metric": METRIC,
