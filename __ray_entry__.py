@@ -1633,8 +1633,10 @@ s AS (
          CAST(SUM(cents*cents) AS DOUBLE) AS sq
   FROM c GROUP BY 1)
 SELECT c.event_id, c.event_type,
-       round((CAST(c.cents AS DOUBLE) - sc/n)
-             / sqrt(sq/n - (sc/n)*(sc/n)), 6) AS z
+       CASE WHEN sq/n - (sc/n)*(sc/n) > 0.0
+            THEN round((CAST(c.cents AS DOUBLE) - sc/n)
+                       / sqrt(sq/n - (sc/n)*(sc/n)), 6)
+            END AS z
 FROM c JOIN s USING (event_type)
 """,
         # C1 in isolation.  Mirrors the kernel exactly: step = previous

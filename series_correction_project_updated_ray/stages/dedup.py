@@ -403,19 +403,10 @@ def join_pair_texts(cands, docs, *, text_col="text", id_col="doc_id"):
     from .joins import gather_join
 
     texts_slim = docs.select_columns([id_col, text_col]).materialize()
-
-    def _as(side: str):
-        names = {text_col: f"__text_{side}"}
-        def fn(t: pa.Table) -> pa.Table:
-            return t.rename_columns([names.get(c, c) for c in t.column_names])
-        return fn
-
-    with_a = gather_join(
-        cands, texts_slim.map_batches(_as("a"), batch_format="pyarrow"),
-        "id_a", id_col, ["__text_a"])
-    return gather_join(
-        with_a, texts_slim.map_batches(_as("b"), batch_format="pyarrow"),
-        "id_b", id_col, ["__text_b"])
+    with_a = gather_join(cands, texts_slim, "id_a", id_col, [text_col],
+                         attach_as={text_col: "__text_a"})
+    return gather_join(with_a, texts_slim, "id_b", id_col, [text_col],
+                       attach_as={text_col: "__text_b"})
 
 
 def doc_shingle_arrays(docs, *, text_col="text", id_col="doc_id", ngram=5):
@@ -435,30 +426,25 @@ def doc_shingle_arrays(docs, *, text_col="text", id_col="doc_id", ngram=5):
 
 
 def join_pair_shingles(cands, docs, *, text_col="text", id_col="doc_id",
-                       ngram=5):
+                       ngram=5, arrays=None):
     """Co-locate each candidate pair with its two pre-computed shingle
     arrays (``__sh_a`` / ``__sh_b``) via two Arrow-native gather joins
     (:func:`~.joins.gather_join` — the list payloads never round-trip
     through pandas) — same streaming shape as :func:`join_pair_texts`
     but the verify downstream is a pure sorted-array intersection, no
-    re-shingling."""
+    re-shingling.  Pass ``arrays`` (a materialized (id, __sh) dataset,
+    e.g. the pair-involved subset) to reuse already-computed shingles
+    instead of re-shingling the corpus."""
     from .joins import gather_join
 
-    arrays = doc_shingle_arrays(docs, text_col=text_col, id_col=id_col,
-                                ngram=ngram).materialize()
-
-    def _as(side: str):
-        names = {"__sh": f"__sh_{side}"}
-        def fn(t: pa.Table) -> pa.Table:
-            return t.rename_columns([names.get(c, c) for c in t.column_names])
-        return fn
-
-    with_a = gather_join(
-        cands, arrays.map_batches(_as("a"), batch_format="pyarrow"),
-        "id_a", id_col, ["__sh_a"])
-    return gather_join(
-        with_a, arrays.map_batches(_as("b"), batch_format="pyarrow"),
-        "id_b", id_col, ["__sh_b"])
+    if arrays is None:
+        arrays = doc_shingle_arrays(docs, text_col=text_col,
+                                    id_col=id_col, ngram=ngram) \
+            .materialize()
+    with_a = gather_join(cands, arrays, "id_a", id_col, ["__sh"],
+                         attach_as={"__sh": "__sh_a"})
+    return gather_join(with_a, arrays, "id_b", id_col, ["__sh"],
+                       attach_as={"__sh": "__sh_b"})
 
 
 class VerifyJaccardBroadcast:
@@ -718,7 +704,9 @@ def ngram_jaccard_pairs(docs, *, text_col="text", id_col="doc_id", ngram=5,
         # reserves EVERY core deadlocks the executor if any lazy stage
         # still needs a task slot.
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        pool = max(2, min(16, ncpu - 1))
+        # never let the floor re-reserve every core on tiny machines —
+        # the keep-one-free rule is the deadlock guard
+        pool = max(1, min(16, ncpu - 1))
         out = cands.map_batches(
             VerifyJaccardBroadcast, batch_format="pyarrow",
             batch_size=None, concurrency=pool,
@@ -727,8 +715,11 @@ def ngram_jaccard_pairs(docs, *, text_col="text", id_col="doc_id", ngram=5,
         # actor restart must still find its constructor-arg refs)
         out._graft_pin = arrays
         return out
+    # past the cap: co-locate the ALREADY-COMPUTED pair-involved arrays
+    # onto the pairs (never re-shingle the corpus for the fallback)
     with_sh = join_pair_shingles(cands, docs, text_col=text_col,
-                                 id_col=id_col, ngram=ngram)
+                                 id_col=id_col, ngram=ngram,
+                                 arrays=arrays)
     return verify_jaccard_arrays(with_sh, threshold=threshold)
 
 

@@ -209,6 +209,25 @@ def _known_schema(ds):
     return ds, sch
 
 
+def _arrow_backed(ds):
+    """(ds, schema) with REAL arrow types, coercing if needed.
+
+    The union machinery needs the input schema up front; see
+    _known_schema for why lazy inputs are materialized rather than
+    schema()-probed (a probe executes and discards — measured 3x wall
+    on chained joins).  A pandas-backed dataset reports PYTHON classes
+    (object) in schema().types for string columns; the tag/pad/cast
+    machinery needs real arrow types, so coerce such inputs through one
+    arrow map_batches (cheap: a streaming identity map, not an
+    all-to-all)."""
+    ds, sch = _known_schema(ds)
+    if sch is not None and any(not isinstance(t, pa.DataType)
+                               for t in sch.types):
+        ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+        ds, sch = _known_schema(ds)
+    return ds, sch
+
+
 def _estimate_size_bytes(ds) -> int | None:
     """Best-effort byte estimate WITHOUT executing the plan: sums the
     metadata estimates of the plan's source operators (parquet reads and
@@ -385,23 +404,6 @@ def hash_join(left, right, left_key, right_key,
                          f"{n_r} right")
     if n_buckets is None:
         n_buckets = _derive_buckets(left, right)
-
-    def _arrow_backed(ds):
-        # the union machinery needs the input schema up front; see
-        # _known_schema for why lazy inputs are materialized rather than
-        # schema()-probed (a probe executes and discards — measured 3x
-        # wall on chained joins).  A pandas-backed dataset reports PYTHON
-        # classes (object) in schema().types for string columns; the
-        # tag/pad/cast machinery needs real arrow types, so coerce such
-        # inputs through one arrow map_batches and take the schema from
-        # a one-row sample of the coerced stage (cheap: the coercion is
-        # a streaming identity map, not an all-to-all).
-        ds, sch = _known_schema(ds)
-        if sch is not None and any(not isinstance(t, pa.DataType)
-                                   for t in sch.types):
-            ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
-            ds, sch = _known_schema(ds)
-        return ds, sch
 
     (left, l_sch), (right, r_sch) = _arrow_backed(left), _arrow_backed(right)
     if l_sch is None or r_sch is None:
@@ -734,10 +736,14 @@ class _GatherKernel:
 
 def gather_join(target, source, target_key: str, source_key: str,
                 attach_cols: list[str] | None = None, *,
+                attach_as: dict[str, str] | None = None,
                 n_buckets: int | None = None):
     """Distributed lookup join (inner): attach ``attach_cols`` from
     ``source`` — whose ``source_key`` must be UNIQUE, enforced per
-    bucket — onto every matching ``target`` row.
+    bucket — onto every matching ``target`` row.  ``attach_as`` renames
+    attached columns on output ({source_name: output_name}), so callers
+    never need a renaming map_batches in front (which would discard the
+    source's metadata schema and force an extra materialization).
 
     Same one-shuffle tagged-union plan as :func:`hash_join`, but the
     bucket kernel is Arrow-native end to end: built for wide payloads
@@ -745,10 +751,12 @@ def gather_join(target, source, target_key: str, source_key: str,
     merge in :class:`BucketJoin` dominates wall time.  Target rows with
     keys absent from ``source`` are dropped (inner); NULL keys never
     match."""
-    target, t_sch = _known_schema(target)
-    source, s_sch = _known_schema(source)
-    attach = [c for c in s_sch.names if c != source_key] \
+    target, t_sch = _arrow_backed(target)
+    source, s_sch = _arrow_backed(source)
+    attach_src = [c for c in s_sch.names if c != source_key] \
         if attach_cols is None else list(attach_cols)
+    ren = attach_as or {}
+    attach = [ren.get(c, c) for c in attach_src]
     clash = set(attach) & set(t_sch.names)
     if clash:
         raise ValueError(f"gather_join attach columns {sorted(clash)} "
@@ -758,12 +766,13 @@ def gather_join(target, source, target_key: str, source_key: str,
     t_fields = list(zip(t_sch.names, t_sch.types))
     s_types = dict(zip(s_sch.names, s_sch.types))
     key_t = s_types[source_key]
-    out_fields = t_fields + [(c, s_types[c]) for c in attach]
+    out_fields = t_fields + [(ren.get(c, c), s_types[c])
+                             for c in attach_src]
     union_fields = t_fields + [("__gkey", key_t)] \
-        + [(c, s_types[c]) for c in attach]
+        + [(ren.get(c, c), s_types[c]) for c in attach_src]
 
     def _as_src(t: pa.Table) -> pa.Table:
-        keep = [source_key] + attach
+        keep = [source_key] + attach_src
         t = t.select(keep)
         return t.rename_columns(["__gkey"] + attach)
     t_tagged = target.map_batches(

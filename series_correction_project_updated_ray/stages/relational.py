@@ -544,46 +544,61 @@ def zscore_events(events):
     the group-wise feature-normalization shape.
 
     Two passes: (1) mergeable integer moments per batch → one tiny
-    groupby (n, Σcents, Σcents²  per type); (2) the stats broadcast into
-    a vectorized scoring pass.  All float arithmetic (mean, variance,
-    z) runs the IDENTICAL operation sequence as the SQL oracle, so the
-    comparison is exact at atol=0.  Σcents² stays inside int64 up to
-    ~10¹⁶ value-cents² per type; the partial combiner guards the bound
-    explicitly rather than silently wrapping."""
+    groupby (n, Σcents, Σcents² per type, each square-sum carried as
+    (hi, lo) base-1e9 limbs so the CROSS-BATCH global Sum stays far
+    inside int64 at any row count — a single-limb Σcents² wraps around
+    ~9·10⁴ rows of $100k values); (2) the stats broadcast into a
+    vectorized scoring pass.  All float arithmetic (mean, variance, z)
+    runs the IDENTICAL operation sequence as the SQL oracle, so the
+    comparison is exact at atol=0.  Zero-variance groups (constant or
+    singleton types) emit NULL on both sides — DuckDB would otherwise
+    error on sqrt of a float-rounding-negative variance."""
     from ray.data.aggregate import Sum
 
     def _moments(batch: pa.Table) -> pa.Table:
         from ..functions.rounding import scaled_int
         cents = scaled_int(batch["value"].to_numpy(zero_copy_only=False))
-        # overflow guard BEFORE the int64 multiply/sum can wrap: bound
-        # both the per-element square and this batch's square-sum (a
-        # float estimate is exact enough for a 2^62 safety line)
+        # per-BATCH overflow guard (the cross-batch hole is closed by the
+        # limb split below): raise loudly before an int64 sum can wrap
         cf = cents.astype(np.float64)
         if len(cents) and (np.abs(cents).max() > 3_000_000_000
-                           or float((cf * cf).sum()) > 2**62):
+                           or float((cf * cf).sum()) > 2**62
+                           or float(np.abs(cf).sum()) > 2**62):
             raise OverflowError(
-                "zscore_events: cents² magnitude approaching int64 — "
-                "switch the moment sums to (hi, lo) limb accumulation")
+                "zscore_events: a single batch's cents moments approach "
+                "int64 — shrink the block size for this value range")
         df = pd.DataFrame({
             "event_type": batch["event_type"].to_pandas().to_numpy(),
             "c": cents, "c2": cents * cents})
         agg = df.groupby("event_type", sort=False).agg(
             n=("c", "size"), sc=("c", "sum"), sq=("c2", "sum")) \
             .reset_index()
+        sc = agg["sc"].to_numpy(np.int64)
+        sq = agg["sq"].to_numpy(np.int64)
+        sc_hi, sc_lo = _split_hi_lo(sc)
+        sq_hi, sq_lo = _split_hi_lo(sq)
         return pa.table({
             "event_type": pa.array(agg["event_type"], pa.string()),
             "n": pa.array(agg["n"].to_numpy(np.int64)),
-            "sc": pa.array(agg["sc"].to_numpy(np.int64)),
-            "sq": pa.array(agg["sq"].to_numpy(np.int64)),
+            "sc_hi": pa.array(sc_hi), "sc_lo": pa.array(sc_lo),
+            "sq_hi": pa.array(sq_hi), "sq_lo": pa.array(sq_lo),
         })
 
     stats = events.map_batches(_moments, batch_format="pyarrow") \
         .groupby("event_type").aggregate(
-            Sum("n", alias_name="n"), Sum("sc", alias_name="sc"),
-            Sum("sq", alias_name="sq")).to_pandas()
-    # |event types| rows — driver-sized by construction
-    lut = {r["event_type"]: (float(r["n"]), float(r["sc"]), float(r["sq"]))
-           for _, r in stats.iterrows()}
+            Sum("n", alias_name="n"),
+            Sum("sc_hi", alias_name="sc_hi"),
+            Sum("sc_lo", alias_name="sc_lo"),
+            Sum("sq_hi", alias_name="sq_hi"),
+            Sum("sq_lo", alias_name="sq_lo")).to_pandas()
+    # |event types| rows — driver-sized by construction; limb
+    # recombination in exact Python ints, ONE float conversion each
+    # (identical to the oracle's CAST(HUGEINT SUM AS DOUBLE))
+    lut = {}
+    for _, r in stats.iterrows():
+        sc = int(r["sc_hi"]) * _HI_LO + int(r["sc_lo"])
+        sq = int(r["sq_hi"]) * _HI_LO + int(r["sq_lo"])
+        lut[r["event_type"]] = (float(r["n"]), float(sc), float(sq))
 
     def _score(batch: pa.Table) -> pa.Table:
         from ..functions.rounding import round_half_away, scaled_int
@@ -594,12 +609,19 @@ def zscore_events(events):
         sc = np.array([lut[u][1] for u in uniq])[codes]
         sq = np.array([lut[u][2] for u in uniq])[codes]
         mean = sc / n_
-        std = np.sqrt(sq / n_ - mean * mean)
-        z = (cents.astype(np.float64) - mean) / std
+        var = sq / n_ - mean * mean
+        ok = var > 0.0
+        z = np.full(len(cents), np.nan)
+        with np.errstate(invalid="ignore"):
+            z[ok] = (cents.astype(np.float64)[ok] - mean[ok]) \
+                / np.sqrt(var[ok])
+        zr = round_half_away(z, 6)
         return pa.table({
             "event_id": batch["event_id"],
             "event_type": batch["event_type"],
-            "z": pa.array(round_half_away(z, 6)),
+            # NaN → NULL (zero-variance groups), matching the oracle
+            "z": pa.array(np.where(ok, zr, np.nan), pa.float64(),
+                          mask=~ok),
         })
 
     return events.map_batches(_score, batch_format="pyarrow")

@@ -394,8 +394,12 @@ class _MarkCommonNgrams:
         from ..functions.hashing import stable_hash_array
         self.n = n
         self._hash = stable_hash_array
+        # a corpus with NO n-grams at all (every doc shorter than n)
+        # yields zero gram rows, and Ray's empty blocks lose their
+        # columns — treat column-less blocks as an empty common set
         parts = [t["gh"].to_numpy(zero_copy_only=False)
-                 for t in ray.get(list(common_refs))]
+                 for t in ray.get(list(common_refs))
+                 if "gh" in getattr(t, "column_names", ())]
         self.common = np.sort(np.concatenate(parts).astype(np.int64)) \
             if parts else np.empty(0, np.int64)
 
@@ -408,7 +412,10 @@ class _MarkCommonNgrams:
             toks = T.RE2_WS_RE.split(txt or "")
             m = len(toks)
             if m < n:
-                clean.append(txt or "")
+                # too short for any n-gram, but STILL re-join with single
+                # spaces — the oracle's string_agg normalizes whitespace
+                # for every document, not only the markable ones
+                clean.append(" ".join(toks))
                 removed.append(0)
                 continue
             grams = np.asarray(

@@ -1248,3 +1248,32 @@ def test_embedding_centroid_dist_exact(ray_session):
         from series_correction_project_updated_ray.functions.rounding import round_half_away
         got = out.set_index("vec_id").loc[rows, "dist"].to_numpy()
         assert (got == round_half_away(want, 6)).all()
+
+
+def test_zscore_zero_variance_groups_null(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        zscore_events)
+    df = pd.DataFrame({
+        "event_id": np.arange(5, dtype=np.int64),
+        "event_type": ["solo", "const", "const", "ok", "ok"],
+        "value": [5.00, 2.00, 2.00, 1.00, 3.00]})
+    z = zscore_events(rd.from_pandas(df)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    # singleton and constant groups -> NULL (oracle CASE WHEN var > 0)
+    assert z["z"].isna().tolist() == [True, True, True, False, False]
+    assert z.loc[3, "z"] == -1.0 and z.loc[4, "z"] == 1.0
+
+
+def test_remove_common_ngrams_normalizes_short_docs(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.textstage import (
+        remove_common_ngrams)
+    docs = pd.DataFrame({"doc_id": np.arange(2, dtype=np.int64),
+                         "text": ["a\tb", "x  y"]})
+    out = remove_common_ngrams(rd.from_pandas(docs), n=3, min_df=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # short docs (< n tokens) still re-join with single spaces, like
+    # the oracle's string_agg
+    assert out["clean_text"].tolist() == ["a b", "x y"]
+    assert out["n_removed"].tolist() == [0, 0]
