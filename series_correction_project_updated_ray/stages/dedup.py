@@ -237,47 +237,6 @@ def candidate_pairs(band_rows, id_col: str = "doc_id", *, n_parts: int = 32,
         .groupby("__ppart").map_groups(_dedup, batch_format="pandas")
 
 
-class VerifyJaccard:
-    """Actor-pool verifier: exact n-gram Jaccard for candidate pairs whose
-    texts were CO-LOCATED onto the pair rows by two hash joins (columns
-    ``__text_a`` / ``__text_b``) — no driver materialization, no corpus
-    broadcast; only candidate-pair rows (pair ids + their two texts) ever
-    move.  A per-actor id→shingles cache amortizes re-shingling when the
-    same document appears in many pairs of one batch stream.
-
-    Recall is set by the CALLER's candidate generation; this stage always
-    recomputes the full shingle sets, so it never affects precision.
-    Convention matches the DuckDB oracles: threshold the RAW similarity,
-    emit half-away-rounded values (SQL ``WHERE`` on the raw double +
-    ``round()``)."""
-
-    def __init__(self, ngram=5, threshold=0.8, max_cache=65536):
-        from ..functions.rounding import round_half_away
-        self.ngram, self.threshold = ngram, threshold
-        self.max_cache = max_cache
-        self._round = round_half_away
-        self._cache: dict = {}
-
-    def _sh(self, doc_id, text):
-        got = self._cache.get(doc_id)
-        if got is None:
-            got = char_ngram_shingles(text or "", self.ngram)
-            if len(self._cache) >= self.max_cache:
-                self._cache.clear()
-            self._cache[doc_id] = got
-        return got
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sims = np.array([jaccard(self._sh(a, ta), self._sh(b, tb))
-                         for a, b, ta, tb in zip(
-                             batch["id_a"], batch["id_b"],
-                             batch["__text_a"], batch["__text_b"])])
-        out = batch[["id_a", "id_b"]].copy()
-        keep = sims >= self.threshold
-        out["jaccard"] = self._round(sims, 6)
-        return out[keep]
-
-
 def connected_components_distributed(pairs, *, max_rounds: int = 16,
                                      n_blocks: int = 8):
     """Min-label propagation over a verified-pair Dataset — the scale path
@@ -395,20 +354,6 @@ def connected_components(pairs_df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
 
 
-def join_pair_texts(cands, docs, *, text_col="text", id_col="doc_id"):
-    """Co-locate each candidate pair with its two texts (``__text_a`` /
-    ``__text_b``) via two Arrow-native gather joins — ships each text
-    once per pair it appears in, never the corpus; streams at any size
-    and the text payloads skip the pandas merge entirely."""
-    from .joins import gather_join
-
-    texts_slim = docs.select_columns([id_col, text_col]).materialize()
-    with_a = gather_join(cands, texts_slim, "id_a", id_col, [text_col],
-                         attach_as={text_col: "__text_a"})
-    return gather_join(with_a, texts_slim, "id_b", id_col, [text_col],
-                       attach_as={text_col: "__text_b"})
-
-
 def doc_shingle_arrays(docs, *, text_col="text", id_col="doc_id", ngram=5):
     """Dataset of (id, ``__sh`` list<int64>): each document's full sorted
     unique shingle-hash set, computed ONCE — pair verification then ships
@@ -430,9 +375,8 @@ def join_pair_shingles(cands, docs, *, text_col="text", id_col="doc_id",
     """Co-locate each candidate pair with its two pre-computed shingle
     arrays (``__sh_a`` / ``__sh_b``) via two Arrow-native gather joins
     (:func:`~.joins.gather_join` — the list payloads never round-trip
-    through pandas) — same streaming shape as :func:`join_pair_texts`
-    but the verify downstream is a pure sorted-array intersection, no
-    re-shingling.  Pass ``arrays`` (a materialized (id, __sh) dataset,
+    through pandas) — the verify downstream is a pure sorted-array
+    intersection, no re-shingling.  Pass ``arrays`` (a materialized (id, __sh) dataset,
     e.g. the pair-involved subset) to reuse already-computed shingles
     instead of re-shingling the corpus."""
     from .joins import gather_join
@@ -493,7 +437,7 @@ def verify_jaccard_arrays(with_sh, *, threshold=0.8):
     """Task-parallel exact-Jaccard verify over co-located shingle arrays:
     per pair, one C-speed ``np.intersect1d`` over the two sorted unique
     int64 sets read zero-copy from the Arrow list buffers.  Same output
-    contract as :class:`VerifyJaccard` (threshold the raw similarity,
+    contract as :class:`VerifyJaccardBroadcast` (threshold the raw similarity,
     emit half-away-rounded values)."""
     from ..functions.rounding import round_half_away
 
@@ -547,10 +491,9 @@ def minhash_lsh_dedup(docs, *, text_col="text", id_col="doc_id",
         # would see a schema-less input — the cluster frame is empty
         return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
                              "cluster_id": pd.Series([], dtype=np.int64)})
-    with_b = join_pair_texts(cands, docs, text_col=text_col, id_col=id_col)
-    verified = with_b.map_batches(
-        VerifyJaccard, batch_format="pandas", concurrency=2,
-        fn_constructor_args=(ngram, threshold))
+    verified = exact_jaccard_verify(cands, docs, ngram=ngram,
+                                    threshold=threshold, text_col=text_col,
+                                    id_col=id_col)
     if distributed_cc:
         return connected_components_distributed(
             verified.map_batches(
@@ -633,6 +576,61 @@ class ShingleRows:
         return pa.table(cols)
 
 
+def exact_jaccard_verify(cands, docs, *, ngram=5, threshold=0.8,
+                         text_col="text", id_col="doc_id",
+                         broadcast_limit_bytes: int = 512 << 20):
+    """Exact-Jaccard verification of a candidate-pair Dataset, shared by
+    the prefix-filtered exact pipeline and MinHash-LSH.
+
+    Verify plan choice: the shingle arrays of the candidate-INVOLVED
+    documents (not the corpus — a semi-join prunes the rest) are usually
+    tiny relative to |pairs| × array payload, so broadcast them through
+    the object store (block refs into each verify actor — the driver
+    never materializes a row) and keep the pair stream array-free.  Past
+    the cap, fall back to co-locating arrays onto pairs with two gather
+    joins — fully streaming, but each pair then carries ~2 array
+    payloads through a shuffle.  Both plans are equality-tested."""
+    from .joins import semi_join
+
+    def _pair_ids(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in (t["id_a"], t["id_b"])])})
+
+    involved = cands.map_batches(_pair_ids, batch_format="pyarrow")
+    arrays = semi_join(
+        doc_shingle_arrays(docs, text_col=text_col, id_col=id_col,
+                           ngram=ngram),
+        involved, id_col).materialize()
+    if arrays.size_bytes() <= broadcast_limit_bytes:
+        import ray
+        refs = arrays.to_arrow_refs()
+        # fixed pool sized to the cluster (a (1, N) autoscaling pool
+        # ramps from ONE actor and leaves most cores idle for the first
+        # half of the stage) with whole-block batches (per-batch
+        # slice/emit overhead dominates 1024-row batches; measured
+        # 20 s → 12 s).  Keep one CPU free of the pool: a pool that
+        # reserves EVERY core deadlocks the executor if any lazy stage
+        # still needs a task slot; the max(1, ...) keeps the floor from
+        # re-reserving every core on tiny machines.
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        pool = max(1, min(16, ncpu - 1))
+        out = cands.map_batches(
+            VerifyJaccardBroadcast, batch_format="pyarrow",
+            batch_size=None, concurrency=pool,
+            fn_constructor_args=(refs, id_col, threshold))
+        # pin the broadcast blocks to the lazy pipeline (ray#53727: an
+        # actor restart must still find its constructor-arg refs)
+        out._graft_pin = arrays
+        return out
+    # past the cap: co-locate the ALREADY-COMPUTED pair-involved arrays
+    # onto the pairs (never re-shingle the corpus for the fallback)
+    with_sh = join_pair_shingles(cands, docs, text_col=text_col,
+                                 id_col=id_col, ngram=ngram,
+                                 arrays=arrays)
+    return verify_jaccard_arrays(with_sh, threshold=threshold)
+
+
 def ngram_jaccard_pairs(docs, *, text_col="text", id_col="doc_id", ngram=5,
                         threshold=0.8, sample_mod=1, max_df=None,
                         prefix_filter=True,
@@ -673,54 +671,9 @@ def ngram_jaccard_pairs(docs, *, text_col="text", id_col="doc_id", ngram=5,
             "id_a": pa.nulls(0, id_t), "id_b": pa.nulls(0, id_t),
             "jaccard": pa.nulls(0, pa.float64())}))
 
-    # verify plan choice: the arrays of the candidate-INVOLVED documents
-    # (not the corpus — a semi-join prunes the rest) are usually tiny
-    # relative to |pairs| × array payload, so broadcast them through the
-    # object store (block refs into each verify actor — the driver never
-    # materializes a row) and keep the pair stream array-free.  Past the
-    # cap, fall back to co-locating arrays onto pairs with two gather
-    # joins — fully streaming, but each pair then carries ~2 array
-    # payloads through a shuffle.
-    from .joins import semi_join
-
-    def _pair_ids(t: pa.Table) -> pa.Table:
-        return pa.table({id_col: pa.concat_arrays(
-            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-             for c in (t["id_a"], t["id_b"])])})
-
-    involved = cands.map_batches(_pair_ids, batch_format="pyarrow")
-    arrays = semi_join(
-        doc_shingle_arrays(docs, text_col=text_col, id_col=id_col,
-                           ngram=ngram),
-        involved, id_col).materialize()
-    if arrays.size_bytes() <= broadcast_limit_bytes:
-        import ray
-        refs = arrays.to_arrow_refs()
-        # fixed pool sized to the cluster (a (1, N) autoscaling pool
-        # ramps from ONE actor and leaves most cores idle for the first
-        # half of the stage) with whole-block batches (per-batch
-        # slice/emit overhead dominates 1024-row batches; measured
-        # 20 s → 12 s).  Keep one CPU free of the pool: a pool that
-        # reserves EVERY core deadlocks the executor if any lazy stage
-        # still needs a task slot.
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        # never let the floor re-reserve every core on tiny machines —
-        # the keep-one-free rule is the deadlock guard
-        pool = max(1, min(16, ncpu - 1))
-        out = cands.map_batches(
-            VerifyJaccardBroadcast, batch_format="pyarrow",
-            batch_size=None, concurrency=pool,
-            fn_constructor_args=(refs, id_col, threshold))
-        # pin the broadcast blocks to the lazy pipeline (ray#53727: an
-        # actor restart must still find its constructor-arg refs)
-        out._graft_pin = arrays
-        return out
-    # past the cap: co-locate the ALREADY-COMPUTED pair-involved arrays
-    # onto the pairs (never re-shingle the corpus for the fallback)
-    with_sh = join_pair_shingles(cands, docs, text_col=text_col,
-                                 id_col=id_col, ngram=ngram,
-                                 arrays=arrays)
-    return verify_jaccard_arrays(with_sh, threshold=threshold)
+    return exact_jaccard_verify(
+        cands, docs, ngram=ngram, threshold=threshold, text_col=text_col,
+        id_col=id_col, broadcast_limit_bytes=broadcast_limit_bytes)
 
 
 def ngram_jaccard_dedup(docs, *, text_col="text", id_col="doc_id", ngram=5,
