@@ -881,6 +881,13 @@ def _q_running_sum(sf_dir: str):
     return running_sum(ev)
 
 
+def _q_ohlc(sf_dir: str):
+    """Hourly OHLC bars per user (partial-first, anchored open/close)."""
+    from series_correction_project_updated_ray.stages.rollup import ohlc_bars
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return ohlc_bars(ev, width=3600)
+
+
 def _q_chunk_documents(sf_dir: str):
     """Overlapping token-window chunking (RAG / context-window prep)."""
     from series_correction_project_updated_ray.stages.textstage import (
@@ -1359,6 +1366,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroid_dist": _q_centroid_dist,
         # overlapping token-window chunking — oracle-checked
         "chunk_documents": _q_chunk_documents,
+        # hourly OHLC bars (anchored open/close, exact cents) —
+        # oracle-checked
+        "ohlc_user_1h": _q_ohlc,
         # exact fixed-width histogram / group-wise z-score — oracle-checked
         "value_histogram": _q_value_histogram,
         "zscore_events": _q_zscore_events,
@@ -1559,6 +1569,32 @@ SELECT e.vec_id, e.label,
        round(list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec), 6)
          AS dist
 FROM embeddings e JOIN c USING (label)
+""",
+        # OHLC: open/close anchored at the (ts, event_id) order extremes
+        # inside each (user, hour) cell; exact integer cents throughout
+        "ohlc_user_1h": """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         (epoch_us(ts) // 1000000) - (epoch_us(ts) // 1000000) % 3600
+           AS window_start,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, window_start
+                            ORDER BY t, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, window_start
+                            ORDER BY t DESC, event_id DESC) AS rn_d
+  FROM c)
+SELECT user_id, window_start,
+       CAST(MAX(CASE WHEN rn_a = 1 THEN cents END) AS DOUBLE) / 100.0
+         AS open,
+       CAST(MAX(cents) AS DOUBLE) / 100.0 AS high,
+       CAST(MIN(cents) AS DOUBLE) / 100.0 AS low,
+       CAST(MAX(CASE WHEN rn_d = 1 THEN cents END) AS DOUBLE) / 100.0
+         AS close,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM r GROUP BY 1, 2
 """,
         # overlapping 64-token windows every 48 tokens; final window is
         # the first to reach the end; 1-based inclusive list slices

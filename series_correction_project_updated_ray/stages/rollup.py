@@ -377,3 +377,124 @@ def grouped_quantiles(events, key_col="event_type", value_col="value",
     proj = events.map_batches(_proj, batch_format="pyarrow")
     return proj.groupby("__part").map_groups(
         GroupedQuantiles(key_col, probs), batch_format="pandas")
+
+
+class PartialOHLC:
+    """Per-batch combiner for OHLC bars: one partial row per (key,
+    window) carrying the batch-local open/close anchors ((t, id, cents)
+    of the first and last point) plus min/max cents and count — a
+    mergeable summary, so the only shuffle moves ≤ |keys×windows| rows
+    per block."""
+
+    def __init__(self, key_col: str, ts_col: str, value_col: str,
+                 id_col: str, width: int):
+        self.key_col, self.ts_col = key_col, ts_col
+        self.value_col, self.id_col = value_col, id_col
+        self.width = width
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.rounding import scaled_int
+        key_type = batch[self.key_col].type
+        keys = batch[self.key_col].to_pandas().to_numpy()
+        from .windows import _epoch_micros
+        secs = _epoch_seconds(batch[self.ts_col])
+        t_us = _epoch_micros(batch[self.ts_col])
+        ids = batch[self.id_col].to_pandas().to_numpy()
+        cents = scaled_int(batch[self.value_col].to_numpy(
+            zero_copy_only=False))
+        win = secs - secs % self.width
+        codes, uniq = pd.factorize(keys)
+        order = np.lexsort((ids, t_us, win, codes))
+        codes, win = codes[order], win[order]
+        t_us, ids, cents = t_us[order], ids[order], cents[order]
+        starts, ends = _segment_starts(codes, win)
+        lasts = ends - 1
+        lens = ends - starts
+        lo = np.minimum.reduceat(cents, starts)
+        hi = np.maximum.reduceat(cents, starts)
+        return pa.table({
+            self.key_col: pa.array(
+                np.asarray(uniq)[codes[starts]]).cast(key_type),
+            "window_start": pa.array(win[starts]),
+            "o_t": pa.array(t_us[starts]),
+            "o_id": pa.array(ids[starts]),
+            "o_c": pa.array(cents[starts]),
+            "c_t": pa.array(t_us[lasts]),
+            "c_id": pa.array(ids[lasts]),
+            "c_c": pa.array(cents[lasts]),
+            "lo": pa.array(lo),
+            "hi": pa.array(hi),
+            "n": pa.array(lens.astype(np.int64)),
+        })
+
+
+def ohlc_bars(events, *, key_col: str = "user_id", ts_col: str = "ts",
+              value_col: str = "value", id_col: str = "event_id",
+              width: int = 3600):
+    """OHLC bars per (key, window): open/close anchored at the (ts, id)
+    order extremes, high/low/count — the canonical financial-timeseries
+    downsample, exact in integer cents.
+
+    Partial-first: batch partials carry the (t, id, cents) anchors, so
+    merging picks the global first/last without ever co-locating raw
+    points; the finalize group sees one row per BLOCK per cell."""
+
+    partials = events.map_batches(
+        PartialOHLC(key_col, ts_col, value_col, id_col, width),
+        batch_format="pyarrow")
+
+    def _finalize_cells(g: pd.DataFrame) -> pd.DataFrame:
+        # all partials of MANY (key, window) cells arrive in one group
+        # (partition-grouped, not per-cell map_groups); segment and
+        # reduce vectorized
+        codes, uniq = pd.factorize(
+            g[key_col].astype(object) if g[key_col].dtype == object
+            else g[key_col], sort=False)
+        w = g["window_start"].to_numpy(np.int64)
+        order = np.lexsort((w, codes))
+        g = g.iloc[order]
+        codes, w = codes[order], w[order]
+        starts = np.flatnonzero(np.r_[True, (codes[1:] != codes[:-1])
+                                      | (w[1:] != w[:-1])]) \
+            if len(codes) else np.array([], dtype=np.int64)
+        ends = np.r_[starts[1:], len(codes)]
+        o_t = g["o_t"].to_numpy(np.int64)
+        o_id = g["o_id"].to_numpy()
+        o_c = g["o_c"].to_numpy(np.int64)
+        c_t = g["c_t"].to_numpy(np.int64)
+        c_id = g["c_id"].to_numpy()
+        c_c = g["c_c"].to_numpy(np.int64)
+        lo = g["lo"].to_numpy(np.int64)
+        hi = g["hi"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        opens = np.empty(len(starts), dtype=np.int64)
+        closes = np.empty(len(starts), dtype=np.int64)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            seg = slice(s, e)
+            oj = np.lexsort((o_id[seg], o_t[seg]))[0]
+            cj = np.lexsort((c_id[seg], c_t[seg]))[-1]
+            opens[i] = o_c[s + oj]
+            closes[i] = c_c[s + cj]
+        lo_m = np.minimum.reduceat(lo, starts)
+        hi_m = np.maximum.reduceat(hi, starts)
+        n_m = np.add.reduceat(n, starts)
+        return pd.DataFrame({
+            key_col: g[key_col].to_numpy()[starts],
+            "window_start": w[starts],
+            "open": opens.astype(np.float64) / 100.0,
+            "high": hi_m.astype(np.float64) / 100.0,
+            "low": lo_m.astype(np.float64) / 100.0,
+            "close": closes.astype(np.float64) / 100.0,
+            "n": n_m,
+        })
+    _finalize_cells.__name__ = "_ohlc_finalize"
+
+    def _part(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import stable_hash_array
+        part = (stable_hash_array(t[key_col])
+                % np.uint64(64)).astype(np.int64)
+        return t.append_column("__part", pa.array(part))
+
+    return partials.map_batches(_part, batch_format="pyarrow") \
+        .groupby("__part").map_groups(_finalize_cells,
+                                      batch_format="pandas")

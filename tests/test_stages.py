@@ -1277,3 +1277,29 @@ def test_remove_common_ngrams_normalizes_short_docs(ray_session):
     # the oracle's string_agg
     assert out["clean_text"].tolist() == ["a b", "x y"]
     assert out["n_removed"].tolist() == [0, 0]
+
+
+def test_ohlc_bars_anchors_across_blocks(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.rollup import ohlc_bars
+    # two blocks; the TRUE open of the window lives in block 2 (earlier
+    # ts), so the merge must pick anchors across partials, not per block
+    b1 = pd.DataFrame({"user_id": ["u"] * 3, "event_id": [10, 11, 12],
+                       "ts": pd.to_datetime([200, 300, 400], unit="s"),
+                       "value": [5.00, 9.00, 2.00]})
+    b2 = pd.DataFrame({"user_id": ["u"] * 2, "event_id": [1, 2],
+                       "ts": pd.to_datetime([100, 3500], unit="s"),
+                       "value": [7.00, 4.00]})
+    ds = rd.from_pandas(b1).union(rd.from_pandas(b2))
+    out = ohlc_bars(ds, width=3600).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["open"] == 7.00    # ts=100 from block 2
+    assert r["close"] == 4.00   # ts=3500 from block 2
+    assert r["high"] == 9.00 and r["low"] == 2.00 and r["n"] == 5
+    # tie on ts: event_id breaks it
+    tie = pd.DataFrame({"user_id": ["u", "u"], "event_id": [2, 1],
+                        "ts": pd.to_datetime([50, 50], unit="s"),
+                        "value": [1.00, 3.00]})
+    out2 = ohlc_bars(rd.from_pandas(tie), width=3600).to_pandas()
+    assert out2.iloc[0]["open"] == 3.00 and out2.iloc[0]["close"] == 1.00
