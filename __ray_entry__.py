@@ -881,6 +881,14 @@ def _q_running_sum(sf_dir: str):
     return running_sum(ev)
 
 
+def _q_twa(sf_dir: str):
+    """Trapezoidal time-weighted average per (user, hour)."""
+    from series_correction_project_updated_ray.stages.windows import (
+        time_weighted_avg)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return time_weighted_avg(ev, width_s=3600)
+
+
 def _q_ohlc(sf_dir: str):
     """Hourly OHLC bars per user (partial-first, anchored open/close)."""
     from series_correction_project_updated_ray.stages.rollup import ohlc_bars
@@ -1369,6 +1377,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # hourly OHLC bars (anchored open/close, exact cents) —
         # oracle-checked
         "ohlc_user_1h": _q_ohlc,
+        # trapezoidal time-weighted average — oracle-checked
+        "twa_user_1h": _q_twa,
         # exact fixed-width histogram / group-wise z-score — oracle-checked
         "value_histogram": _q_value_histogram,
         "zscore_events": _q_zscore_events,
@@ -1569,6 +1579,35 @@ SELECT e.vec_id, e.label,
        round(list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec), 6)
          AS dist
 FROM embeddings e JOIN c USING (label)
+""",
+        # trapezoidal TWA: integer numerator Σ dt_us·(c_i + c_{i+1})
+        # over (t, event_id)-ordered consecutive pairs inside the cell,
+        # one identical float division sequence on both sides; <2-point
+        # or zero-span cells are NULL
+        "twa_user_1h": """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         (epoch_us(ts) // 1000000) - (epoch_us(ts) // 1000000) % 3600
+           AS w,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events),
+p AS (
+  SELECT user_id, w, t, cents,
+         lead(t) OVER win AS t2, lead(cents) OVER win AS c2
+  FROM c WINDOW win AS (PARTITION BY user_id, w ORDER BY t, event_id)),
+s AS (
+  SELECT user_id, w AS window_start,
+         SUM(CASE WHEN t2 IS NOT NULL
+                  THEN (t2 - t) * (cents + c2) END) AS num,
+         MAX(t) - MIN(t) AS span,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM p GROUP BY 1, 2)
+SELECT user_id, window_start,
+       CASE WHEN n >= 2 AND span > 0
+            THEN round(CAST(num AS DOUBLE) / CAST(span AS DOUBLE)
+                       / 200.0, 6) END AS twa,
+       n
+FROM s
 """,
         # OHLC: open/close anchored at the (ts, event_id) order extremes
         # inside each (user, hour) cell; exact integer cents throughout

@@ -598,3 +598,83 @@ def user_event_sequences(events, *, sep: str = "->", n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(EventSequenceGroup(sep),
                                       batch_format="pandas")
+
+
+class TimeWeightedAvgGroup:
+    """Per-partition kernel: trapezoidal time-weighted average of every
+    (key, window) cell — Σ dt·(c_i + c_{i+1}) over consecutive points in
+    (t, id) order, divided by 2·span.  Integer-exact numerator (cents ×
+    micros in int64, overflow-guarded), one float division sequence on
+    output identical to the oracle.  Cells with <2 points or zero span
+    emit NULL (undefined integral)."""
+
+    def __init__(self, width_s: int):
+        self.width_us = width_s * 1_000_000
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        ucodes, uniq = pd.factorize(g["user_id"], sort=False)
+        t = g["t"].to_numpy(np.int64)
+        w = t // self.width_us * self.width_us
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, w, ucodes))
+        ucodes, t, w = ucodes[order], t[order], w[order]
+        g = g.iloc[order]
+        c = scaled_int(g["value"].to_numpy(np.float64))
+        n = len(t)
+        starts = np.flatnonzero(np.r_[True, (ucodes[1:] != ucodes[:-1])
+                                      | (w[1:] != w[:-1])]) \
+            if n else np.array([], dtype=np.int64)
+        ends = np.r_[starts[1:], n]
+        if n > 1:
+            dt = t[1:] - t[:-1]
+            cs = c[1:] + c[:-1]
+            if float((dt.astype(np.float64)
+                      * np.abs(cs).astype(np.float64)).sum()) > 2**62:
+                raise OverflowError(
+                    "time_weighted_avg: trapezoid numerator approaching "
+                    "int64 — use narrower windows or limb accumulation")
+            term = dt * cs
+            # zero out the pair that BRIDGES two cells
+            bridge = np.zeros(n - 1, dtype=bool)
+            bridge[starts[1:] - 1] = True
+            term[bridge] = 0
+            tsum = np.concatenate([[0], np.cumsum(term)])
+            segsum = tsum[ends - 1] - tsum[starts]
+        else:
+            segsum = np.zeros(len(starts), dtype=np.int64)
+        span = t[ends - 1] - t[starts]
+        cnt = (ends - starts).astype(np.int64)
+        ok = (cnt >= 2) & (span > 0)
+        twa = np.full(len(starts), np.nan)
+        with np.errstate(invalid="ignore"):
+            twa[ok] = segsum[ok].astype(np.float64) \
+                / span[ok].astype(np.float64) / 200.0
+        from ..functions.rounding import round_half_away
+        twr = round_half_away(twa, 6)
+        out = pd.DataFrame({
+            "user_id": g["user_id"].to_numpy()[starts],
+            "window_start": (w[starts] // 1_000_000),
+            "twa": np.where(ok, twr, np.nan),
+            "n": cnt,
+        })
+        return out
+
+
+def time_weighted_avg(events, *, width_s: int = 3600, n_parts: int = 64):
+    """Trapezoidal time-weighted average per (user, window) — the
+    irregular-sampling analogue of the plain window mean.  One
+    partition-group shuffle of (user, t, id, cents) rows; every cell's
+    integral is computed segment-vectorized."""
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        t = _epoch_micros(batch["ts"])
+        return pa.table({"user_id": batch["user_id"],
+                         "event_id": batch["event_id"],
+                         "t": pa.array(t),
+                         "value": batch["value"]})
+
+    prepped = events.map_batches(_prep, batch_format="pyarrow")
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(TimeWeightedAvgGroup(width_s),
+                                      batch_format="pandas")

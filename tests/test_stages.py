@@ -1303,3 +1303,23 @@ def test_ohlc_bars_anchors_across_blocks(ray_session):
                         "value": [1.00, 3.00]})
     out2 = ohlc_bars(rd.from_pandas(tie), width=3600).to_pandas()
     assert out2.iloc[0]["open"] == 3.00 and out2.iloc[0]["close"] == 1.00
+
+
+def test_time_weighted_avg_edges(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.windows import (
+        time_weighted_avg)
+    df = pd.DataFrame({
+        "user_id": ["a", "a", "a", "b", "c", "c"],
+        "event_id": [1, 2, 3, 4, 5, 6],
+        # a: 3 points in one hour; b: single point; c: two points at the
+        # SAME instant (zero span)
+        "ts": pd.to_datetime([0, 100, 200, 50, 70, 70], unit="s"),
+        "value": [1.00, 3.00, 5.00, 9.00, 2.00, 4.00]})
+    out = time_weighted_avg(rd.from_pandas(df), width_s=3600) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    # a: trapezoid of (1,3) over 100s + (3,5) over 100s = (100*4 +
+    # 100*8)/2 / 200 = 3.0
+    assert out.loc[0, "twa"] == 3.0 and out.loc[0, "n"] == 3
+    assert np.isnan(out.loc[1, "twa"]) and out.loc[1, "n"] == 1
+    assert np.isnan(out.loc[2, "twa"]) and out.loc[2, "n"] == 2
