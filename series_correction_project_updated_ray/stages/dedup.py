@@ -408,6 +408,8 @@ class VerifyJaccardBroadcast:
         self._round = round_half_away
         self._sh: dict = {}
         for tbl in ray.get(list(refs)):
+            if id_col not in getattr(tbl, "column_names", ()):
+                continue  # Ray's empty blocks lose their columns
             ids = tbl[id_col].to_pandas().to_numpy()
             col = tbl["__sh"]
             if isinstance(col, pa.ChunkedArray):

@@ -294,6 +294,8 @@ class _TfIdfScore:
         self.n_docs = n_docs
         self.df: dict[str, int] = {}
         for tbl in ray.get(list(df_refs)):
+            if "term" not in getattr(tbl, "column_names", ()):
+                continue  # Ray's empty blocks lose their columns
             terms = tbl["term"].to_pylist()
             dfs = tbl["df"].to_numpy(zero_copy_only=False)
             self.df.update(zip(terms, dfs.tolist()))
