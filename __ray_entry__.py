@@ -881,6 +881,14 @@ def _q_running_sum(sf_dir: str):
     return running_sum(ev)
 
 
+def _q_trend(sf_dir: str):
+    """Least-squares value-vs-time trend per (user, hour)."""
+    from series_correction_project_updated_ray.stages.windows import (
+        window_trend)
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return window_trend(ev, width_s=3600)
+
+
 def _q_twa(sf_dir: str):
     """Trapezoidal time-weighted average per (user, hour)."""
     from series_correction_project_updated_ray.stages.windows import (
@@ -1379,6 +1387,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "ohlc_user_1h": _q_ohlc,
         # trapezoidal time-weighted average — oracle-checked
         "twa_user_1h": _q_twa,
+        # least-squares per-window trend — oracle-checked
+        "trend_user_1h": _q_trend,
         # exact fixed-width histogram / group-wise z-score — oracle-checked
         "value_histogram": _q_value_histogram,
         "zscore_events": _q_zscore_events,
@@ -1579,6 +1589,40 @@ SELECT e.vec_id, e.label,
        round(list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec), 6)
          AS dist
 FROM embeddings e JOIN c USING (label)
+""",
+        # least-squares trend: all sufficient statistics exact integers
+        # (t = seconds relative to the window start, v = cents); the
+        # HUGEINT numerator/denominator get ONE cast to double each,
+        # mirrored by exact Python-int arithmetic in the engine
+        "trend_user_1h": """
+WITH c AS (
+  SELECT user_id,
+         (epoch_us(ts) // 1000000) AS ts_s,
+         (epoch_us(ts) // 1000000)
+           - (epoch_us(ts) // 1000000) % 3600 AS window_start,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events),
+s AS (
+  SELECT user_id, window_start,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(ts_s - window_start) AS st,
+         SUM(cents) AS sv,
+         SUM((ts_s - window_start) * cents) AS stv,
+         SUM((ts_s - window_start) * (ts_s - window_start)) AS stt
+  FROM c GROUP BY 1, 2)
+SELECT user_id, window_start,
+       CASE WHEN n >= 2 AND n*stt - st*st > 0
+            THEN round(CAST(n*stv - st*sv AS DOUBLE)
+                       / CAST(n*stt - st*st AS DOUBLE) / 100.0, 6)
+            END AS slope,
+       CASE WHEN n >= 2 AND n*stt - st*st > 0
+            THEN round(CAST(sv AS DOUBLE) / n / 100.0
+                       - (CAST(n*stv - st*sv AS DOUBLE)
+                          / CAST(n*stt - st*st AS DOUBLE) / 100.0)
+                         * (CAST(st AS DOUBLE) / n), 6)
+            END AS intercept,
+       n
+FROM s
 """,
         # trapezoidal TWA: integer numerator Σ dt_us·(c_i + c_{i+1})
         # over (t, event_id)-ordered consecutive pairs inside the cell,

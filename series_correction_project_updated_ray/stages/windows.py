@@ -678,3 +678,83 @@ def time_weighted_avg(events, *, width_s: int = 3600, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(TimeWeightedAvgGroup(width_s),
                                       batch_format="pandas")
+
+
+class TrendGroup:
+    """Per-partition kernel: least-squares slope/intercept of value vs
+    time for every (key, window) cell.  All five sums (n, Σt, Σv, Σtv,
+    Σt²) are exact int64 — t is SECONDS relative to the window start
+    (≤ width, so t² stays tiny) and v is cents — and the closed-form
+    division runs the identical float op order as the oracle.  Cells
+    with <2 points or zero time variance emit NULL."""
+
+    def __init__(self, width_s: int):
+        self.width_s = width_s
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        ucodes, _ = pd.factorize(g["user_id"], sort=False)
+        ts = g["t"].to_numpy(np.int64) // 1_000_000  # epoch seconds
+        w = ts - ts % self.width_s
+        order = np.lexsort((ts, w, ucodes))
+        ucodes, ts, w = ucodes[order], ts[order], w[order]
+        g = g.iloc[order]
+        v = scaled_int(g["value"].to_numpy(np.float64))
+        t = ts - w  # 0 ≤ t < width
+        n = len(t)
+        starts = np.flatnonzero(np.r_[True, (ucodes[1:] != ucodes[:-1])
+                                      | (w[1:] != w[:-1])]) \
+            if n else np.array([], dtype=np.int64)
+        cnt = np.diff(np.r_[starts, n]).astype(np.int64)
+        st = np.add.reduceat(t, starts) if n else np.empty(0, np.int64)
+        sv = np.add.reduceat(v, starts) if n else np.empty(0, np.int64)
+        stv = np.add.reduceat(t * v, starts) if n \
+            else np.empty(0, np.int64)
+        stt = np.add.reduceat(t * t, starts) if n \
+            else np.empty(0, np.int64)
+        # numerator/denominator in EXACT integer arithmetic (object
+        # arrays = arbitrary-precision Python ints): n·Σtv can exceed
+        # 2^53, and the oracle computes the HUGEINT product exactly
+        # before its single CAST to double
+        num_i = (cnt.astype(object) * stv.astype(object)
+                 - st.astype(object) * sv.astype(object))
+        den_i = (cnt.astype(object) * stt.astype(object)
+                 - st.astype(object) * st.astype(object))
+        denom = np.array([float(x) for x in den_i], dtype=np.float64)
+        numf = np.array([float(x) for x in num_i], dtype=np.float64)
+        nf = cnt.astype(np.float64)
+        stf, svf = st.astype(np.float64), sv.astype(np.float64)
+        ok = (cnt >= 2) & (denom > 0.0)
+        slope = np.full(len(starts), np.nan)
+        intercept = np.full(len(starts), np.nan)
+        with np.errstate(invalid="ignore"):
+            slope[ok] = numf[ok] / denom[ok] / 100.0
+            intercept[ok] = (svf[ok] / nf[ok] / 100.0
+                             - slope[ok] * (stf[ok] / nf[ok]))
+        from ..functions.rounding import round_half_away
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy()[starts],
+            "window_start": w[starts],
+            "slope": np.where(ok, round_half_away(slope, 6), np.nan),
+            "intercept": np.where(ok, round_half_away(intercept, 6),
+                                  np.nan),
+            "n": cnt,
+        })
+
+
+def window_trend(events, *, width_s: int = 3600, n_parts: int = 64):
+    """Per-(user, window) least-squares trend (slope in value/second,
+    intercept at the window start) — detection of drifting series, the
+    regression analogue of the window mean.  One partition-group
+    shuffle; integer-exact sufficient statistics."""
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        t = _epoch_micros(batch["ts"])
+        return pa.table({"user_id": batch["user_id"],
+                         "t": pa.array(t),
+                         "value": batch["value"]})
+
+    prepped = events.map_batches(_prep, batch_format="pyarrow")
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(TrendGroup(width_s),
+                                      batch_format="pandas")

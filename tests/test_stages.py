@@ -1323,3 +1323,24 @@ def test_time_weighted_avg_edges(ray_session):
     assert out.loc[0, "twa"] == 3.0 and out.loc[0, "n"] == 3
     assert np.isnan(out.loc[1, "twa"]) and out.loc[1, "n"] == 1
     assert np.isnan(out.loc[2, "twa"]) and out.loc[2, "n"] == 2
+
+
+def test_window_trend_known_slope(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.windows import (
+        window_trend)
+    # perfect line: v = 2 + 0.5*t -> slope 0.5/s, intercept 2.0
+    t = np.array([0, 10, 20, 30], dtype=np.int64)
+    df = pd.DataFrame({"user_id": ["u"] * 4,
+                       "ts": pd.to_datetime(t, unit="s"),
+                       "value": 2.0 + 0.5 * t})
+    out = window_trend(rd.from_pandas(df), width_s=3600).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "slope"] == 0.5 and out.loc[0, "intercept"] == 2.0
+    # single point and zero-time-variance cells -> NULL
+    df2 = pd.DataFrame({"user_id": ["x", "y", "y"],
+                        "ts": pd.to_datetime([5, 7, 7], unit="s"),
+                        "value": [1.0, 2.0, 4.0]})
+    out2 = window_trend(rd.from_pandas(df2), width_s=3600).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert out2["slope"].isna().all()
