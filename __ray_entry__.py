@@ -881,6 +881,14 @@ def _q_running_sum(sf_dir: str):
     return running_sum(ev)
 
 
+def _q_winsorize(sf_dir: str):
+    """Per-type winsorization into the exact [p1, p99] band."""
+    from series_correction_project_updated_ray.stages.relational import (
+        winsorize_events)
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return winsorize_events(ev)
+
+
 def _q_trend(sf_dir: str):
     """Least-squares value-vs-time trend per (user, hour)."""
     from series_correction_project_updated_ray.stages.windows import (
@@ -1389,6 +1397,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "twa_user_1h": _q_twa,
         # least-squares per-window trend — oracle-checked
         "trend_user_1h": _q_trend,
+        # per-type percentile winsorization — oracle-checked
+        "winsorize_events": _q_winsorize,
         # exact fixed-width histogram / group-wise z-score — oracle-checked
         "value_histogram": _q_value_histogram,
         "zscore_events": _q_zscore_events,
@@ -1589,6 +1599,20 @@ SELECT e.vec_id, e.label,
        round(list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec), 6)
          AS dist
 FROM embeddings e JOIN c USING (label)
+""",
+        # winsorization: clip into the 6dp-rounded exact [p1, p99] band
+        # (quantile_cont == the engine's calibrated np-lerp quantiles)
+        "winsorize_events": """
+WITH thr AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.01), 6) AS lo,
+         round(quantile_cont(value, 0.99), 6) AS hi
+  FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type,
+       round(least(greatest(e.value, thr.lo), thr.hi), 6) AS v_wins,
+       least(greatest(e.value, thr.lo), thr.hi) != e.value
+         AS was_clipped
+FROM events e JOIN thr USING (event_type)
 """,
         # least-squares trend: all sufficient statistics exact integers
         # (t = seconds relative to the window start, v = cents); the

@@ -690,3 +690,43 @@ def value_quartiles(events, *, k: int = 4):
 
     return with_c.map_batches(_rank_part, batch_format="pyarrow") \
         .groupby("__part").map_groups(_rank, batch_format="pandas")
+
+
+def winsorize_events(events, *, lo_p: float = 0.01, hi_p: float = 0.99):
+    """Per-type winsorization: clip every value into its event type's
+    exact [p_lo, p_hi] percentile band — the standard outlier-robust
+    normalization pass before model features.
+
+    Pass 1 computes the exact per-type quantiles (the calibrated
+    ``grouped_quantiles`` kernel — bit-identical to SQL quantile_cont,
+    thresholds rounded to 6dp on BOTH sides); the tiny threshold table
+    broadcasts into a vectorized clip pass.  Emits the clipped value and
+    whether the row was clipped."""
+    from .rollup import grouped_quantiles
+
+    thr = grouped_quantiles(events, key_col="event_type",
+                            value_col="value",
+                            probs=(lo_p, hi_p)).to_pandas()
+    lo_name = f"p{int(lo_p * 100)}"
+    hi_name = f"p{int(hi_p * 100)}"
+    # |event types| rows — driver-sized by construction
+    lut = {r["event_type"]: (float(r[lo_name]), float(r[hi_name]))
+           for _, r in thr.iterrows()}
+
+    def _clip(batch: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+        v = batch["value"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        types = batch["event_type"].to_pandas()
+        codes, uniq = pd.factorize(types)
+        lo = np.array([lut[u][0] for u in uniq])[codes]
+        hi = np.array([lut[u][1] for u in uniq])[codes]
+        clipped = np.minimum(np.maximum(v, lo), hi)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "v_wins": pa.array(round_half_away(clipped, 6)),
+            "was_clipped": pa.array(clipped != v),
+        })
+
+    return events.map_batches(_clip, batch_format="pyarrow")
