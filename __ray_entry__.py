@@ -1239,13 +1239,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q = _all_queries()
     backed = set(oracle_sql())
     # the window holds 50 entries and more queries carry oracles; the
-    # demoted ones are the most redundant checks (split_documents and
-    # sample_users_10pct exercise the same hash replication — the
-    # row-level sample is kept; rollup_user_1h repeats rollup_1h's shape
-    # on a different key), ordered weakest-first
+    # demoted ones are the most REDUNDANT checks — every demoted entry's
+    # mechanism stays certified by a kept sibling (hash sampling by
+    # stratified_sample_docs; the bloom/skew plans by the base join's
+    # oracle; rollup_1m/1d and the user-keyed/retention variants by
+    # rollup_1h which the incremental ingest also shares; the
+    # trend/TWA cell aggregates by ohlc_user_1h's anchored cells;
+    # histogram/winsorize normalization by zscore + grouped_quantiles;
+    # token_counts/doc_fingerprints by term_frequencies/simhash) —
+    # ordered weakest-first
     n_over = max(0, len(backed) - 50)
-    late = ["split_documents", "rollup_user_1h",
-            "sample_users_10pct"][:n_over]
+    late = ["split_documents", "rollup_user_1h", "sample_users_10pct",
+            "join_lineitem_orders_bloom", "join_lineitem_orders_skew",
+            "rollup_1m_retention", "top_windows_by_volume",
+            "users_click_and_purchase", "vector_stats",
+            "grouped_median_1h", "rollup_1m", "rollup_1d",
+            "summary_by_source", "filter_pushdown_events",
+            "distinct_users", "revenue_summary", "semi_join_orders",
+            "doc_fingerprints", "token_counts", "value_histogram",
+            "winsorize_events", "trend_user_1h", "twa_user_1h",
+            "lag_deltas_per_user", "quality_features"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
