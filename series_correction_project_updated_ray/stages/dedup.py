@@ -480,10 +480,11 @@ def minhash_lsh_dedup(docs, *, text_col="text", id_col="doc_id",
     union-find is faster whenever the pairs fit, and both paths are
     equivalence-tested.
 
-    The verify stage never materializes the corpus: candidate pairs are
-    joined back to their two texts with two partitioned ``hash_join``s
-    (ships each text once per pair it appears in, never the dataset), so
-    the whole pipeline streams at any corpus size."""
+    The verify stage never materializes anything on the driver: the
+    pair-involved documents' shingle arrays either broadcast through the
+    object store under a byte cap or co-locate onto the pairs with two
+    gather joins (see :func:`exact_jaccard_verify`), so the pipeline
+    streams at any corpus size."""
     bands_ds = docs.map_batches(
         MinHashBands(text_col, id_col, num_perm, bands, ngram),
         batch_format="pyarrow")
@@ -600,10 +601,12 @@ def exact_jaccard_verify(cands, docs, *, ngram=5, threshold=0.8,
              for c in (t["id_a"], t["id_b"])])})
 
     involved = cands.map_batches(_pair_ids, batch_format="pyarrow")
-    arrays = semi_join(
-        doc_shingle_arrays(docs, text_col=text_col, id_col=id_col,
-                           ngram=ngram),
-        involved, id_col).materialize()
+    # prune the DOCUMENTS first, then shingle: shingling is the
+    # expensive step, and candidates may involve a tiny fraction of the
+    # corpus (O(involved) shingling, not O(corpus))
+    docs_involved = semi_join(docs, involved, id_col)
+    arrays = doc_shingle_arrays(docs_involved, text_col=text_col,
+                                id_col=id_col, ngram=ngram).materialize()
     if arrays.size_bytes() <= broadcast_limit_bytes:
         import ray
         refs = arrays.to_arrow_refs()

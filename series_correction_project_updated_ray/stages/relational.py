@@ -719,6 +719,20 @@ def winsorize_events(events, *, lo_p: float = 0.01, hi_p: float = 0.99):
             .astype(np.float64)
         types = batch["event_type"].to_pandas()
         codes, uniq = pd.factorize(types)
+        # NULL event_type rows never match the oracle's JOIN — drop them
+        # (factorize codes them -1, which would otherwise wrap to the
+        # LAST unique's band; an all-null batch has an empty uniq)
+        valid = codes >= 0
+        if not valid.all():
+            batch = batch.filter(pa.array(valid))
+            v, codes = v[valid], codes[valid]
+        if len(uniq) == 0:
+            return pa.table({
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "v_wins": pa.nulls(0, pa.float64()),
+                "was_clipped": pa.nulls(0, pa.bool_()),
+            })
         lo = np.array([lut[u][0] for u in uniq])[codes]
         hi = np.array([lut[u][1] for u in uniq])[codes]
         clipped = np.minimum(np.maximum(v, lo), hi)

@@ -394,18 +394,18 @@ class PartialOHLC:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.rounding import scaled_int
+        from .windows import _epoch_micros
         key_type = batch[self.key_col].type
         keys = batch[self.key_col].to_pandas().to_numpy()
-        from .windows import _epoch_micros
-        secs = _epoch_seconds(batch[self.ts_col])
         t_us = _epoch_micros(batch[self.ts_col])
+        secs = t_us // 1_000_000  # == the oracle's epoch_us // 1000000
         ids = batch[self.id_col].to_pandas().to_numpy()
         cents = scaled_int(batch[self.value_col].to_numpy(
             zero_copy_only=False))
         win = secs - secs % self.width
-        codes, uniq = pd.factorize(keys)
+        codes, _ = pd.factorize(keys)
         order = np.lexsort((ids, t_us, win, codes))
-        codes, win = codes[order], win[order]
+        codes, win, keys = codes[order], win[order], keys[order]
         t_us, ids, cents = t_us[order], ids[order], cents[order]
         starts, ends = _segment_starts(codes, win)
         lasts = ends - 1
@@ -413,8 +413,10 @@ class PartialOHLC:
         lo = np.minimum.reduceat(cents, starts)
         hi = np.maximum.reduceat(cents, starts)
         return pa.table({
-            self.key_col: pa.array(
-                np.asarray(uniq)[codes[starts]]).cast(key_type),
+            # keys from the SORTED ORIGINAL column, never uniques.take:
+            # factorize codes null keys as -1, which would wrap to the
+            # LAST unique and attribute null-key rows to a real key
+            self.key_col: pa.array(keys[starts]).cast(key_type),
             "window_start": pa.array(win[starts]),
             "o_t": pa.array(t_us[starts]),
             "o_id": pa.array(ids[starts]),
@@ -430,7 +432,7 @@ class PartialOHLC:
 
 def ohlc_bars(events, *, key_col: str = "user_id", ts_col: str = "ts",
               value_col: str = "value", id_col: str = "event_id",
-              width: int = 3600):
+              width: int = 3600, n_parts: int = 64):
     """OHLC bars per (key, window): open/close anchored at the (ts, id)
     order extremes, high/low/count — the canonical financial-timeseries
     downsample, exact in integer cents.
@@ -447,6 +449,15 @@ def ohlc_bars(events, *, key_col: str = "user_id", ts_col: str = "ts",
         # all partials of MANY (key, window) cells arrive in one group
         # (partition-grouped, not per-cell map_groups); segment and
         # reduce vectorized
+        if len(g) == 0:
+            return pd.DataFrame({
+                key_col: g[key_col],
+                "window_start": pd.Series([], dtype=np.int64),
+                "open": pd.Series([], dtype=np.float64),
+                "high": pd.Series([], dtype=np.float64),
+                "low": pd.Series([], dtype=np.float64),
+                "close": pd.Series([], dtype=np.float64),
+                "n": pd.Series([], dtype=np.int64)})
         codes, uniq = pd.factorize(
             g[key_col].astype(object) if g[key_col].dtype == object
             else g[key_col], sort=False)
@@ -489,12 +500,7 @@ def ohlc_bars(events, *, key_col: str = "user_id", ts_col: str = "ts",
         })
     _finalize_cells.__name__ = "_ohlc_finalize"
 
-    def _part(t: pa.Table) -> pa.Table:
-        from ..functions.hashing import stable_hash_array
-        part = (stable_hash_array(t[key_col])
-                % np.uint64(64)).astype(np.int64)
-        return t.append_column("__part", pa.array(part))
-
-    return partials.map_batches(_part, batch_format="pyarrow") \
+    from .windows import _add_key_partition
+    return _add_key_partition(partials, key_col, n_parts) \
         .groupby("__part").map_groups(_finalize_cells,
                                       batch_format="pandas")

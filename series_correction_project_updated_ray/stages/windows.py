@@ -613,7 +613,14 @@ class TimeWeightedAvgGroup:
         self.__name__ = type(self).__name__
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        ucodes, uniq = pd.factorize(g["user_id"], sort=False)
+        from .rollup import _segment_starts
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": g["user_id"],
+                "window_start": pd.Series([], dtype=np.int64),
+                "twa": pd.Series([], dtype=np.float64),
+                "n": pd.Series([], dtype=np.int64)})
+        ucodes, _ = pd.factorize(g["user_id"], sort=False)
         t = g["t"].to_numpy(np.int64)
         w = t // self.width_us * self.width_us
         ids = g["event_id"].to_numpy()
@@ -622,23 +629,22 @@ class TimeWeightedAvgGroup:
         g = g.iloc[order]
         c = scaled_int(g["value"].to_numpy(np.float64))
         n = len(t)
-        starts = np.flatnonzero(np.r_[True, (ucodes[1:] != ucodes[:-1])
-                                      | (w[1:] != w[:-1])]) \
-            if n else np.array([], dtype=np.int64)
-        ends = np.r_[starts[1:], n]
+        starts, ends = _segment_starts(ucodes, w)
         if n > 1:
             dt = t[1:] - t[:-1]
             cs = c[1:] + c[:-1]
-            if float((dt.astype(np.float64)
-                      * np.abs(cs).astype(np.float64)).sum()) > 2**62:
+            # the pair that BRIDGES two cells never contributes (and its
+            # epoch-scale dt would both wrap the int64 product and trip
+            # the guard) — mask it BEFORE guarding and multiplying
+            bridge = np.zeros(n - 1, dtype=bool)
+            bridge[starts[1:] - 1] = True
+            fdt = np.where(bridge, 0.0, dt.astype(np.float64))
+            fcs = np.abs(cs).astype(np.float64)
+            if float((fdt * fcs).sum()) > 2**62:
                 raise OverflowError(
                     "time_weighted_avg: trapezoid numerator approaching "
                     "int64 — use narrower windows or limb accumulation")
-            term = dt * cs
-            # zero out the pair that BRIDGES two cells
-            bridge = np.zeros(n - 1, dtype=bool)
-            bridge[starts[1:] - 1] = True
-            term[bridge] = 0
+            term = np.where(bridge, np.int64(0), dt) * cs
             tsum = np.concatenate([[0], np.cumsum(term)])
             segsum = tsum[ends - 1] - tsum[starts]
         else:

@@ -1344,3 +1344,36 @@ def test_window_trend_known_slope(ray_session):
     out2 = window_trend(rd.from_pandas(df2), width_s=3600).to_pandas() \
         .sort_values("user_id").reset_index(drop=True)
     assert out2["slope"].isna().all()
+
+
+def test_winsorize_events_matches_duckdb_and_drops_null_types(ray_session):
+    import duckdb
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        winsorize_events)
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "event_id": np.arange(400, dtype=np.int64),
+        "event_type": rng.choice(["a", "b"], 400),
+        "value": np.round(rng.uniform(0, 100, 400), 2)})
+    # null-type rows must be DROPPED (the oracle's JOIN never matches)
+    df.loc[df.index[:5], "event_type"] = None
+    out = winsorize_events(rd.from_pandas(df)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("events_df", df)
+    want = con.execute("""
+        WITH thr AS (
+          SELECT event_type, round(quantile_cont(value, 0.01), 6) AS lo,
+                 round(quantile_cont(value, 0.99), 6) AS hi
+          FROM events_df GROUP BY 1)
+        SELECT e.event_id, e.event_type,
+               round(least(greatest(e.value, thr.lo), thr.hi), 6) AS v_wins,
+               least(greatest(e.value, thr.lo), thr.hi) != e.value
+                 AS was_clipped
+        FROM events_df e JOIN thr USING (event_type)
+        ORDER BY event_id""").df()
+    assert len(out) == 395
+    assert (out["v_wins"] == want["v_wins"]).all()
+    assert (out["was_clipped"] == want["was_clipped"]).all()
+    assert out["was_clipped"].any()
