@@ -881,6 +881,23 @@ def _q_running_sum(sf_dir: str):
     return running_sum(ev)
 
 
+def _q_quality_gate(sf_dir: str):
+    """Cleaning-funnel verdict counts per source."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        quality_gate_summary)
+    return quality_gate_summary(
+        _read(sf_dir, "documents", ["doc_id", "source", "text"]))
+
+
+def _q_token_budget(sf_dir: str):
+    """Token-budgeted per-source subsampling in stable-hash order."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        token_budget_sample)
+    return token_budget_sample(
+        _read(sf_dir, "documents", ["doc_id", "source", "text"]),
+        budget_tokens=1000)
+
+
 def _q_winsorize(sf_dir: str):
     """Per-type winsorization into the exact [p1, p99] band."""
     from series_correction_project_updated_ray.stages.relational import (
@@ -1412,6 +1429,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "trend_user_1h": _q_trend,
         # per-type percentile winsorization — oracle-checked
         "winsorize_events": _q_winsorize,
+        # cleaning-funnel verdict counts / token-budget mixing —
+        # oracle-checked
+        "quality_gate_summary": _q_quality_gate,
+        "token_budget_sample": _q_token_budget,
         # exact fixed-width histogram / group-wise z-score — oracle-checked
         "value_histogram": _q_value_histogram,
         "zscore_events": _q_zscore_events,
@@ -1612,6 +1633,50 @@ SELECT e.vec_id, e.label,
        round(list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec), 6)
          AS dist
 FROM embeddings e JOIN c USING (label)
+""",
+        # cleaning funnel: first-failing verdict per doc, counted per
+        # source — raw integer-ratio thresholds, identical comparisons
+        "quality_gate_summary": r"""
+WITH f AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(coalesce(text, ''), '\s+') AS toks,
+         regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents),
+tw AS (
+  SELECT doc_id, max(c) AS top_c
+  FROM (SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM f) GROUP BY 1, 2)
+  GROUP BY 1),
+v AS (
+  SELECT f.source,
+         CASE WHEN len(f.toks) < 20 THEN 'too_short'
+              WHEN CAST(tw.top_c AS DOUBLE) / len(f.toks) > 0.15
+                THEN 'repetitive'
+              WHEN len(f.words) = 0 OR
+                   CAST(len(list_filter(f.words, w -> w IN ('a', 'all', 'an', 'and', 'are', 'as', 'at', 'be', 'but', 'by', 'can', 'for', 'from', 'had', 'in', 'is', 'it', 'not', 'of', 'on', 'or', 'that', 'the', 'there', 'this', 'to', 'was', 'we', 'were', 'what', 'when', 'with')))
+                        AS DOUBLE) / len(f.words) < 0.03
+                THEN 'low_stopwords'
+              ELSE 'pass' END AS verdict
+  FROM f JOIN tw USING (doc_id))
+SELECT source, verdict, CAST(COUNT(*) AS BIGINT) AS n
+FROM v GROUP BY 1, 2
+""",
+        # token-budget mixing: cumulative BPE token counts in stable-
+        # hash order per source, kept while <= budget
+        "token_budget_sample": f"""
+WITH h AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok,
+         {_splitmix_sql("doc_id")} AS hh
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY hh, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM h)
+SELECT doc_id, source, n_tok, CAST(cum AS BIGINT) AS cum_tok
+FROM c WHERE cum <= 1000
 """,
         # winsorization: clip into the 6dp-rounded exact [p1, p99] band
         # (quantile_cont == the engine's calibrated np-lerp quantiles)

@@ -29,6 +29,11 @@ BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\f\r ]")
 # so token_counts / simhash oracles that use RE2 '[^A-Za-z0-9\s]' agree
 # on ANY input, not just the \v-free ASCII corpus
 
+# lowercase ASCII word extractor shared by quality features and the
+# cleaning gate — mirrors the oracle's regexp_extract_all(lower(text),
+# '[a-z]+')
+WORD_RE = re.compile(r"[a-z]+")
+
 STOPWORDS = frozenset(
     "the and of a to in is it that for on as with was at by an be this are "
     "or from had not but what all were when we there can".split())
@@ -75,7 +80,7 @@ def quality_features(texts: pd.Series) -> dict[str, np.ndarray]:
     stop_ratio = stopwords / words (lowercased word match).
     """
     n_chars = texts.str.len().fillna(0).to_numpy(np.int64)
-    words = texts.str.lower().str.findall(re.compile(r"[a-z]+"))
+    words = texts.str.lower().str.findall(WORD_RE)
     n_words = words.str.len().fillna(0).to_numpy(np.int64)
     # explicit ASCII punctuation class: Python counts characters while
     # RE2 (the DuckDB oracle) scans UTF-8 bytes, so a [^\w\s] class would

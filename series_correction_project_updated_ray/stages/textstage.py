@@ -536,3 +536,90 @@ def chunk_documents(docs, *, chunk_tokens: int = 64, stride: int = 48,
         })
 
     return docs.map_batches(_chunks, batch_format="pyarrow")
+
+
+def quality_gate_summary(docs, *, min_tokens: int = 20,
+                         max_top_word_frac: float = 0.15,
+                         min_stop_ratio: float = 0.03):
+    """Cleaning-funnel accounting: every document gets the FIRST verdict
+    that fails it (too_short → repetitive → low_stopwords → pass) and
+    the output is the per-(source, verdict) count table — the standard
+    corpus-cleaning report.  All features are raw exact ratios of
+    integer counts (no rounding), so the threshold comparisons are
+    bit-identical to the SQL oracle.  Partial-first: each batch emits
+    ≤ |sources|×4 count rows."""
+    from ray.data.aggregate import Sum
+
+    def _verdicts(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pandas()
+        sources = batch["source"].to_pandas().to_numpy()
+        out: dict[tuple, int] = {}
+        for src, txt in zip(sources, texts):
+            toks = T.RE2_WS_RE.split(txt or "")
+            n = len(toks)
+            if n < min_tokens:
+                v = "too_short"
+            else:
+                from collections import Counter
+                top = Counter(toks).most_common(1)[0][1]
+                if top / n > max_top_word_frac:
+                    v = "repetitive"
+                else:
+                    words = T.WORD_RE.findall((txt or "").lower())
+                    nw = len(words)
+                    stops = sum(w in T.STOPWORDS for w in words)
+                    if nw == 0 or stops / nw < min_stop_ratio:
+                        v = "low_stopwords"
+                    else:
+                        v = "pass"
+            out[(src, v)] = out.get((src, v), 0) + 1
+        srcs = [k[0] for k in out]
+        verds = [k[1] for k in out]
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "verdict": pa.array(verds, pa.string()),
+            "n": pa.array(np.fromiter(out.values(), dtype=np.int64,
+                                      count=len(out))),
+        })
+
+    return docs.map_batches(_verdicts, batch_format="pyarrow") \
+        .groupby(["source", "verdict"]).aggregate(Sum("n", alias_name="n"))
+
+
+def token_budget_sample(docs, *, budget_tokens: int = 50_000):
+    """Token-budgeted per-source subsampling (the data-mixing step):
+    documents are taken in stable-hash order until each source's
+    cumulative BPE-ish token count reaches the budget — deterministic,
+    reproducible at any cluster size, no RNG state.
+
+    One co-location shuffle per source (sources are few by construction;
+    a skewed source still holds only ITS documents); the kernel sorts by
+    (hash, doc_id) and prefix-sums exact int64 token counts."""
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import stable_hash_array
+        texts = batch["text"].to_pandas()
+        n_tok = T.bpe_ish_token_count(texts)
+        hh = stable_hash_array(batch["doc_id"])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "n_tok": pa.array(n_tok),
+            # int64 VIEW of the uint64 hash for Ray's groupby machinery;
+            # order must follow the UNSIGNED value like the SQL HUGEINT,
+            # so flip the sign bit to make int64 order == uint64 order
+            "__h": pa.array((hh ^ np.uint64(1 << 63)).view(np.int64)),
+        })
+
+    def _take(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["doc_id"].to_numpy(), g["__h"].to_numpy()))
+        g = g.iloc[order]
+        cum = np.cumsum(g["n_tok"].to_numpy(np.int64))
+        keep = cum <= budget_tokens
+        out = g.loc[keep, ["doc_id", "source", "n_tok"]].copy()
+        out["cum_tok"] = cum[keep]
+        return out
+    _take.__name__ = "_token_budget_take"
+
+    return docs.map_batches(_prep, batch_format="pyarrow") \
+        .groupby("source").map_groups(_take, batch_format="pandas")
