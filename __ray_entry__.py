@@ -1130,12 +1130,37 @@ def _tokenized_docs(sf_dir: str):
 
 
 def _q_packed_sequences(sf_dir: str):
-    """Fixed-length training-sequence packing (scalar projection: token
-    checksum per packed row so the result hashes cleanly)."""
+    """Fixed-length training-sequence packing, FULLY oracle-checked:
+    token ids here derive from the repo's polynomial rolling hash
+    (SQL-replicable, like SimHash/doc_fingerprints) so every packed
+    row's (bucket, seq_idx, n_tok, is_full, token checksum) is verified
+    value-exact — bucketing, doc_id ordering, cutting and conservation
+    all certified.  The flagship sequences pipelines keep the pd-hash
+    tokenizer (same packing operator either way)."""
     import pyarrow as pa
+    from series_correction_project_updated_ray.functions.hashing import (
+        TOKEN_VOCAB)
+    from series_correction_project_updated_ray.functions.text import (
+        BPE_RE, rolling_fingerprint)
     from series_correction_project_updated_ray.stages.packing import (
         pack_token_sequences)
-    packed = pack_token_sequences(_tokenized_docs(sf_dir), PACK_SEQ_LEN,
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pandas()
+        tok_lists = [BPE_RE.findall(t or "") for t in texts]
+        flat = pd.Series([tok for ts in tok_lists for tok in ts],
+                         dtype=object)
+        hashes = rolling_fingerprint(flat) if len(flat) else \
+            np.empty(0, np.uint64)
+        ids = (hashes % np.uint64(TOKEN_VOCAB)).astype(np.int32)
+        bounds = np.cumsum([0] + [len(ts) for ts in tok_lists])
+        toks = pa.ListArray.from_arrays(
+            pa.array(bounds, pa.int32()), pa.array(ids, pa.int32()))
+        return pa.table({"doc_id": batch["doc_id"], "tokens": toks})
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    tokenized = docs.map_batches(_tok, batch_format="pyarrow")
+    packed = pack_token_sequences(tokenized, PACK_SEQ_LEN,
                                   n_buckets=PACK_BUCKETS)
 
     def _project(batch: pa.Table) -> pa.Table:
@@ -1386,10 +1411,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "term_frequencies": _q_term_frequencies,
         # benchmark decontamination (probe-substring scan) — oracle-checked
         "contamination_scan": _q_contamination,
-        # fixed-length training-sequence packing: accounting summary is
-        # oracle-checked (hash + token counts replicated in SQL); the
-        # packed rows themselves are rows-only (token conservation is
-        # pinned by tests)
+        # fixed-length training-sequence packing: BOTH the accounting
+        # summary and every packed row are oracle-checked (bucket hash,
+        # token counts and polynomial token ids replicated in SQL)
         "packing_summary": _q_packing_summary,
         "packed_sequences": _q_packed_sequences,
         # deterministic hash sampling / splits — rows-only (engine hash)
@@ -1491,6 +1515,62 @@ SELECT event_type,
        round(round(sum(value), 6) / count(*), 6) AS vmean
 FROM events
 GROUP BY 1, 2
+"""
+
+
+def _packed_sequences_sql() -> str:
+    """Packed-sequence oracle: polynomial token ids (the SimHash /
+    doc_fingerprints construction), per-bucket doc_id-ordered global
+    token positions, cut every PACK_SEQ_LEN — replicates bucketing,
+    ordering, cutting and the per-chunk checksum exactly.  All-empty
+    buckets emit the engine's explicit zero remainder row."""
+    from series_correction_project_updated_ray.functions.hashing import (
+        TOKEN_VOCAB)
+    poly = """list_reduce(
+           list_reverse(list_transform(string_split(tok, ''),
+                                       c -> CAST(unicode(c) AS HUGEINT))),
+           (acc, c) ->
+             (((acc % 4294967296) * 1099511628211
+               + (acc // 4294967296) * 435 * 4294967296)
+              % 18446744073709551616 + c) % 18446744073709551616)"""
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         CAST({_splitmix_sql("doc_id")} % {PACK_BUCKETS} AS BIGINT)
+           AS bucket,
+         regexp_extract_all(coalesce(text, ''),
+                            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS arr
+  FROM documents),
+doc_off AS (
+  SELECT doc_id, bucket, len(arr) AS n,
+         SUM(len(arr)) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - len(arr)
+           AS start
+  FROM base),
+pos AS (
+  SELECT doc_id, unnest(arr) AS tok,
+         unnest(generate_series(1, len(arr))) AS i
+  FROM base),
+ids AS (
+  SELECT doc_id, i, CAST({poly} % {TOKEN_VOCAB} AS BIGINT) AS tid
+  FROM pos),
+g AS (
+  SELECT o.bucket,
+         CAST((o.start + ids.i - 1) // {PACK_SEQ_LEN} AS BIGINT)
+           AS seq_idx,
+         ids.tid
+  FROM ids JOIN doc_off o USING (doc_id)),
+packed AS (
+  SELECT bucket, seq_idx, CAST(COUNT(*) AS INTEGER) AS n_tok,
+         COUNT(*) = {PACK_SEQ_LEN} AS is_full,
+         CAST(SUM(tid) AS BIGINT) AS tok_checksum
+  FROM g GROUP BY 1, 2),
+empty_b AS (
+  SELECT bucket FROM doc_off GROUP BY bucket HAVING SUM(n) = 0)
+SELECT * FROM packed
+UNION ALL
+SELECT bucket, CAST(0 AS BIGINT), CAST(0 AS INTEGER), FALSE,
+       CAST(0 AS BIGINT) FROM empty_b
 """
 
 
@@ -2127,6 +2207,9 @@ SELECT doc_id,
 FROM r2
 """,
         "simhash_signatures": _simhash_sql(),
+        # packed sequences: every row (bucket, seq_idx, n_tok, is_full,
+        # checksum) value-checked — polynomial ids make it replicable
+        "packed_sequences": _packed_sequences_sql(),
         "ngram_jaccard_pairs": """
 WITH pos AS (
   SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i

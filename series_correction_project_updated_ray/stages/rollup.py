@@ -108,6 +108,11 @@ def rollup_events(events, key_col: str = "event_type", ts_col: str = "ts",
 def _segment_starts(*sort_cols: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(starts, ends) of equal-key runs in already-sorted parallel arrays."""
     n = len(sort_cols[0])
+    if n == 0:
+        # np.append(starts[1:], 0) would yield a 1-long ends for a
+        # 0-long starts — keep the pair consistently empty
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty.copy()
     change = np.ones(n, dtype=bool)
     if n > 1:
         acc = np.zeros(n - 1, dtype=bool)
