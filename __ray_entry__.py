@@ -77,6 +77,15 @@ def _q_corrected_events(sf_dir: str):
                                   ["user_id", "event_id", "ts", "value"]))
 
 
+def _q_corrected_nojump(sf_dir: str):
+    """Composed gap-fill + Hampel-correct (jumps excluded) — the
+    2-step correction pipeline certified END TO END by one oracle."""
+    from series_correction_project_updated_ray.stages.events_series import (
+        corrected_series_nojump)
+    return corrected_series_nojump(
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"]))
+
+
 def _q_gap_filled(sf_dir: str):
     """Gap insertion + positional linear interpolation in isolation
     (reference C1): oracle replicates the banker's-rounded missing
@@ -1323,6 +1332,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "gap_counts": _q_gap_counts,
         # gap insertion + interpolation (C1) — oracle-checked
         "gap_filled_events": _q_gap_filled,
+        # composed 2-step correction (C1 → D3/C3, jumps excluded) —
+        # oracle-checked end to end
+        "corrected_events_nojump": _q_corrected_nojump,
         "global_mad_outliers": _q_global_mad,
         "hampel_flags": _q_hampel,
         # order-dependent operators — rows-only (CUSUM/fold not in SQL)
@@ -1939,6 +1951,120 @@ SELECT c.event_id, c.event_type,
                        / sqrt(sq/n - (sc/n)*(sc/n)), 6)
             END AS z
 FROM c JOIN s USING (event_type)
+""",
+        # the 2-step composition: the gap CTE chain (identical to
+        # gap_filled_events) feeds Hampel flags + masked rolling-median
+        # replacement computed on the 6dp-QUANTIZED filled series — the
+        # engine rounds between steps too, so both sides run the Hampel
+        # arithmetic on identical doubles
+        "corrected_events_nojump": f"""
+WITH ordered AS (
+  SELECT user_id, (epoch_us(ts) // 1000000) AS t, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+), d AS (
+  SELECT user_id, rn, t,
+         t - lag(t) OVER w AS dt,
+         lag(t) OVER w AS t_m1,
+         lag(t, 2) OVER w AS t_m2,
+         lead(t) OVER w - t AS dt_next
+  FROM ordered WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+), med AS (
+  SELECT user_id, median(dt) AS m FROM d WHERE dt IS NOT NULL GROUP BY 1
+), gaps AS (
+  SELECT d.user_id, d.t AS t_after, d.t_m1 AS t_before,
+         CASE WHEN d.rn > 2 THEN d.t_m1 - d.t_m2 ELSE d.dt_next END AS step
+  FROM d JOIN med USING (user_id)
+  WHERE d.dt IS NOT NULL AND med.m > 0 AND d.dt > 3.0 * med.m
+), fill AS (
+  SELECT user_id, t_before, t_after, step,
+         CAST(round_even(CAST(t_after - t_before AS DOUBLE) / step, 0)
+              AS BIGINT) - 1 AS k
+  FROM gaps WHERE step IS NOT NULL AND step > 0
+), ins AS (
+  SELECT user_id, t_before, t_after, step, k,
+         unnest(generate_series(1, k)) AS j
+  FROM fill WHERE k >= 1
+), ins_t AS (
+  SELECT user_id,
+         CASE WHEN k = 1 THEN t_before + step
+              WHEN j = k THEN t_after - step
+              ELSE CAST(trunc(
+                     (j - 1) * ((CAST(t_after - step AS DOUBLE)
+                                 - (t_before + step)) / (k - 1))
+                     + (t_before + step)) AS BIGINT)
+         END AS t, j
+  FROM ins
+), allr AS (
+  SELECT user_id, t, value AS v, FALSE AS inserted,
+         CAST(0 AS BIGINT) AS j, rn
+  FROM ordered
+  UNION ALL
+  SELECT user_id, t, NULL, TRUE, j, NULL FROM ins_t
+), pos AS (
+  -- rn as the final key: duplicate-timestamp ORIGINALS must keep the
+  -- kernel's (ts, event_id) order or the interp anchors are arbitrary
+  SELECT *, row_number() OVER
+        (PARTITION BY user_id ORDER BY t, inserted, j, rn) AS p
+  FROM allr
+), nb AS (
+  SELECT user_id, t, v, inserted, p,
+         max(CASE WHEN v IS NOT NULL THEN p END) OVER
+           (PARTITION BY user_id ORDER BY p
+            ROWS UNBOUNDED PRECEDING) AS p0,
+         min(CASE WHEN v IS NOT NULL THEN p END) OVER
+           (PARTITION BY user_id ORDER BY p
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p1
+  FROM pos
+), filled AS (
+SELECT nb.user_id, nb.t, nb.p AS rn,
+       round(CASE WHEN nb.v IS NOT NULL THEN nb.v
+                  WHEN nb.p0 IS NULL THEN v1.v
+                  WHEN nb.p1 IS NULL THEN v0.v
+                  ELSE ((v1.v - v0.v) / (nb.p1 - nb.p0))
+                       * (nb.p - nb.p0) + v0.v
+             END, 6) AS v,
+       nb.inserted
+FROM nb
+LEFT JOIN pos v0 ON v0.user_id = nb.user_id AND v0.p = nb.p0
+LEFT JOIN pos v1 ON v1.user_id = nb.user_id AND v1.p = nb.p1
+), hmed AS (
+  SELECT a.user_id, a.rn, a.v, median(b.v) AS rmed, count(*) AS wcount
+  FROM filled a JOIN filled b
+    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 2 AND a.rn + 2
+  GROUP BY a.user_id, a.rn, a.v
+), hmad AS (
+  SELECT m.user_id, m.rn, m.v, m.rmed, m.wcount,
+         median(abs(b.v - m.rmed)) AS rmad
+  FROM hmed m JOIN filled b
+    ON m.user_id = b.user_id AND b.rn BETWEEN m.rn - 2 AND m.rn + 2
+  GROUP BY m.user_id, m.rn, m.v, m.rmed, m.wcount
+), flags AS (
+  SELECT user_id, rn FROM hmad
+  WHERE wcount = 5
+    AND (CASE WHEN rmad * 1.4826 < 1e-6
+              THEN (CASE WHEN abs(v - rmed) > 1e-6
+                         THEN (CASE WHEN abs(v - rmed) > 3.0 * 1e-6
+                                    THEN CAST('inf' AS DOUBLE)
+                                    ELSE 0.0 END)
+                         ELSE 0.0 END)
+              ELSE abs(v - rmed) / (rmad * 1.4826) END) > 3.0
+), repl AS (
+  SELECT fl.user_id, fl.rn, median(b.v) AS rv
+  FROM flags fl JOIN filled b
+    ON b.user_id = fl.user_id AND b.rn BETWEEN fl.rn - 2 AND fl.rn + 2
+  LEFT JOIN flags fb ON fb.user_id = b.user_id AND fb.rn = b.rn
+  WHERE fb.rn IS NULL
+  GROUP BY fl.user_id, fl.rn
+)
+SELECT f.user_id, f.t,
+       round(CASE WHEN fl.rn IS NOT NULL THEN r.rv ELSE f.v END, 6)
+         AS value_corrected,
+       f.inserted
+FROM filled f
+LEFT JOIN flags fl ON fl.user_id = f.user_id AND fl.rn = f.rn
+LEFT JOIN repl r ON r.user_id = f.user_id AND r.rn = f.rn
 """,
         # C1 in isolation.  Mirrors the kernel exactly: step = previous
         # diff (or next, for a gap at the second row); missing count =

@@ -221,3 +221,38 @@ def tail_nonzero_avgs(events, n=5):
 
 def level_shifts(events, n=5):
     return _grouped(events, level_shift_group, n=n)
+
+
+def corrected_nojump_group(g: pd.DataFrame, key_col="user_id"
+                           ) -> pd.DataFrame:
+    """Two-step composed correction, fully SQL-checkable: gap insertion +
+    positional interpolation (C1), then Hampel detection with masked
+    rolling-median replacement (D3+C3) on the QUANTIZED filled series —
+    the 6dp rounding between steps makes both engines see identical
+    doubles at the Hampel input, so the composition (not just each step
+    in isolation) is oracle-exact.  The CUSUM jump step is excluded: its
+    sequential reset cascade is the one reference kernel that is not
+    SQL-expressible.  Returns (user_id, t, value_corrected, inserted)."""
+    g, t, v = _series_sorted(g)
+    gaps = K.detect_gaps(t)
+    new_times = K.gap_fill_times(t, gaps)
+    t_all = np.concatenate([t, new_times])
+    flag = np.concatenate([np.zeros(len(t), dtype=bool),
+                           np.ones(len(new_times), dtype=bool)])
+    v_all = np.concatenate([v, np.full(len(new_times), np.nan)])
+    order = np.argsort(t_all, kind="stable")
+    t_all, v_all, flag = t_all[order], v_all[order], flag[order]
+    v_filled = round_half_away(K.interp_positional(v_all, "linear"), 6)
+    idx = K.hampel_outliers(v_filled, 5, 3.0, variant="processor")
+    v_out = K.correct_outliers(v_filled, idx, 5, "median") \
+        if len(idx) else v_filled
+    return pd.DataFrame({
+        key_col: np.full(len(t_all), g[key_col].iloc[0]),
+        "t": t_all.astype(np.int64),
+        "value_corrected": round_half_away(v_out, 6),
+        "inserted": flag,
+    })
+
+
+def corrected_series_nojump(events):
+    return _grouped(events, corrected_nojump_group)
