@@ -890,6 +890,14 @@ def _q_running_sum(sf_dir: str):
     return running_sum(ev)
 
 
+def _q_interarrival(sf_dir: str):
+    """Per-user inter-event-time mean + CV (burstiness)."""
+    from series_correction_project_updated_ray.stages.windows import (
+        interarrival_stats)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return interarrival_stats(ev)
+
+
 def _q_quality_gate(sf_dir: str):
     """Cleaning-funnel verdict counts per source."""
     from series_correction_project_updated_ray.stages.textstage import (
@@ -1469,6 +1477,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # oracle-checked
         "quality_gate_summary": _q_quality_gate,
         "token_budget_sample": _q_token_budget,
+        # inter-event-time burstiness stats — oracle-checked
+        "interarrival_stats": _q_interarrival,
         # exact fixed-width histogram / group-wise z-score — oracle-checked
         "value_histogram": _q_value_histogram,
         "zscore_events": _q_zscore_events,
@@ -1725,6 +1735,33 @@ SELECT e.vec_id, e.label,
        round(list_distance(CAST(e.embedding AS DOUBLE[]), c.cvec), 6)
          AS dist
 FROM embeddings e JOIN c USING (label)
+""",
+        # burstiness: epoch-second gap moments per user — Σdt telescopes
+        # (max-min), Σdt² exact integer; identical float formula
+        "interarrival_stats": f"""
+WITH c AS (
+  SELECT user_id, {EPOCH_S} AS ts_s,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events),
+d AS (
+  SELECT user_id,
+         ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY rn) AS dt
+  FROM c),
+s AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(dt) AS DOUBLE) AS span,
+         CAST(SUM(dt*dt) AS DOUBLE) AS sq,
+         CAST(COUNT(dt) AS BIGINT) AS m
+  FROM d GROUP BY 1)
+SELECT user_id, n_events,
+       CASE WHEN m >= 2 AND span / m > 0
+            THEN round(span / m, 6) END AS mean_dt_s,
+       CASE WHEN m >= 2 AND span / m > 0
+            THEN round(sqrt(greatest(sq / m - (span/m)*(span/m), 0.0))
+                       / (span / m), 6) END AS cv_dt
+FROM s
 """,
         # cleaning funnel: first-failing verdict per doc, counted per
         # source — raw integer-ratio thresholds, identical comparisons

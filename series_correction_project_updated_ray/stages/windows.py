@@ -764,3 +764,83 @@ def window_trend(events, *, width_s: int = 3600, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(TrendGroup(width_s),
                                       batch_format="pandas")
+
+
+class InterarrivalGroup:
+    """Per-partition kernel: inter-event-time statistics per key — count,
+    mean gap, and coefficient of variation (the burstiness signal: CV≈1
+    Poisson, >1 bursty, <1 regular).  Gaps are EPOCH-SECOND diffs in the
+    (ts, event_id) order, so Σdt telescopes to an exact span and Σdt² is
+    an exact (guarded) int64 sum; the float formula runs in oracle op
+    order.  Keys with <2 gaps or zero mean emit NULL stats."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        from .rollup import _segment_starts
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": g["user_id"],
+                "n_events": pd.Series([], dtype=np.int64),
+                "mean_dt_s": pd.Series([], dtype=np.float64),
+                "cv_dt": pd.Series([], dtype=np.float64)})
+        ucodes, _ = pd.factorize(g["user_id"], sort=False)
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, ucodes))
+        ucodes, t = ucodes[order], t[order]
+        g = g.iloc[order]
+        ts = t // 1_000_000  # epoch seconds (flooring preserves order)
+        starts, ends = _segment_starts(ucodes)
+        cnt = (ends - starts).astype(np.int64)
+        n = len(ts)
+        if n > 1:
+            dt = ts[1:] - ts[:-1]
+            bridge = np.zeros(n - 1, dtype=bool)
+            bridge[starts[1:] - 1] = True
+            dt = np.where(bridge, np.int64(0), dt)
+            fdt = dt.astype(np.float64)
+            if float((fdt * fdt).sum()) > 2**62:
+                raise OverflowError(
+                    "interarrival_stats: Σdt² approaching int64 — "
+                    "accumulate in (hi, lo) limbs")
+            c2 = np.concatenate([[0], np.cumsum(dt * dt)])
+            sq = (c2[ends - 1] - c2[starts]).astype(np.float64)
+        else:
+            sq = np.zeros(len(starts))
+        span = (ts[ends - 1] - ts[starts]).astype(np.float64)  # Σdt exact
+        m = cnt - 1  # gap count per key
+        ok = m >= 2
+        mean_dt = np.full(len(starts), np.nan)
+        cv = np.full(len(starts), np.nan)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mf = m.astype(np.float64)
+            mean_dt[ok] = span[ok] / mf[ok]
+            var = sq[ok] / mf[ok] - mean_dt[ok] * mean_dt[ok]
+            cv[ok] = np.sqrt(np.maximum(var, 0.0)) / mean_dt[ok]
+        good = ok & (mean_dt > 0)
+        from ..functions.rounding import round_half_away
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy()[starts],
+            "n_events": cnt,
+            "mean_dt_s": np.where(good, round_half_away(mean_dt, 6),
+                                  np.nan),
+            "cv_dt": np.where(good, round_half_away(cv, 6), np.nan),
+        })
+
+
+def interarrival_stats(events, n_parts: int = 64):
+    """Per-user inter-event-time mean and coefficient of variation —
+    one partition-group shuffle; exact integer micros moments."""
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        t = _epoch_micros(batch["ts"])
+        return pa.table({"user_id": batch["user_id"],
+                         "event_id": batch["event_id"],
+                         "t": pa.array(t)})
+
+    prepped = events.map_batches(_prep, batch_format="pyarrow")
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(InterarrivalGroup(),
+                                      batch_format="pandas")
