@@ -1182,11 +1182,20 @@ def _q_packed_sequences(sf_dir: str):
 
     def _project(batch: pa.Table) -> pa.Table:
         toks = batch["tokens"].combine_chunks()
-        off, val = np.asarray(toks.offsets), np.asarray(toks.values,
-                                                        dtype=np.int64)
-        sums = np.add.reduceat(val, off[:-1]) if len(val) else \
-            np.zeros(len(batch), np.int64)
-        sums[off[:-1] == off[1:]] = 0  # ragged-reduceat empty-row artifact
+        off = np.asarray(toks.offsets)
+        # trim to off[-1]: a sliced ListArray's values buffer can extend
+        # past the last list's end, and reduceat's final segment would
+        # otherwise sweep those stray values in
+        val = np.asarray(toks.values, dtype=np.int64)[:off[-1]] \
+            if len(off) else np.empty(0, np.int64)
+        # reduceat only over NON-EMPTY segments: a trailing empty row's
+        # start offset equals len(val), which reduceat rejects as out of
+        # bounds (the interior-empty fixup alone can't reach it)
+        nonempty = off[:-1] < off[1:]
+        sums = np.zeros(len(batch), np.int64)
+        if nonempty.any():
+            sums[nonempty] = np.add.reduceat(
+                val, np.asarray(off[:-1])[nonempty])
         return pa.table({
             "bucket": batch["bucket"], "seq_idx": batch["seq_idx"],
             "n_tok": batch["n_tok"], "is_full": batch["is_full"],
@@ -2334,7 +2343,7 @@ WITH toks AS (
   SELECT doc_id, count(DISTINCT tg) AS d_t, count(*) AS n_t
   FROM grams WHERE tg IS NOT NULL GROUP BY 1
 )
-SELECT w.doc_id, w.n_w AS n_words,
+SELECT w.doc_id, CAST(w.n_w AS BIGINT) AS n_words,
        round(CAST(w.top_w AS DOUBLE) / w.n_w, 6) AS top_word_frac,
        coalesce(round(CAST(b.top_b AS DOUBLE) / b.n_b, 6), 0.0)
          AS top_bigram_frac,

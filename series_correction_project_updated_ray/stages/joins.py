@@ -565,7 +565,10 @@ def _global_heavy_keys(ds, key_col: str, *, mg_k: int = 256
         col = col.filter(pa.compute.is_valid(col))
         d = mg_build(col.to_pandas().to_numpy(), mg_k)
         keys = list(d) + [None]
-        ests = list(d.values()) + [len(t)]
+        # total marker = VALID (non-null) rows, matching the counters —
+        # len(t) would inflate the denominator on null-heavy data and
+        # under-detect hot keys
+        ests = list(d.values()) + [len(col)]
         is_total = [False] * len(d) + [True]
         return pa.table({
             "key": pa.array(keys, t[key_col].type),

@@ -605,6 +605,19 @@ def zscore_events(events):
         cents = scaled_int(batch["value"].to_numpy(zero_copy_only=False))
         types = batch["event_type"].to_pandas()
         codes, uniq = pd.factorize(types)
+        # NULL event_type rows never match the oracle's JOIN — drop them
+        # (factorize codes them -1, which would otherwise wrap to the
+        # LAST unique's moments; an all-null batch has an empty uniq)
+        valid = codes >= 0
+        if not valid.all():
+            batch = batch.filter(pa.array(valid))
+            cents, codes = cents[valid], codes[valid]
+        if len(uniq) == 0:
+            return pa.table({
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "z": pa.nulls(0, pa.float64()),
+            })
         n_ = np.array([lut[u][0] for u in uniq])[codes]
         sc = np.array([lut[u][1] for u in uniq])[codes]
         sq = np.array([lut[u][2] for u in uniq])[codes]

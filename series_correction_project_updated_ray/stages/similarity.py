@@ -258,6 +258,13 @@ def embedding_centroid_dist(embeddings, *, label_col: str = "label",
         scaled = np.copysign(np.floor(np.abs(m) * SCALE + 0.5), m) \
             .astype(np.int64)
         codes, uniq = pd.factorize(labels)
+        # NULL labels never match the oracle's JOIN USING (label) — drop
+        # them (factorize codes them -1, which would otherwise add their
+        # vectors into the LAST label's centroid sums, and bincount
+        # raises on negative codes)
+        valid = codes >= 0
+        if not valid.all():
+            scaled, codes = scaled[valid], codes[valid]
         dims = m.shape[1]
         sums = np.zeros((len(uniq), dims), dtype=np.int64)
         np.add.at(sums, codes, scaled)
@@ -289,6 +296,12 @@ def embedding_centroid_dist(embeddings, *, label_col: str = "label",
         m = _vec_matrix(batch[vec_col])
         labels = batch[label_col].to_numpy(zero_copy_only=False)
         codes, uniq = pd.factorize(labels)
+        # NULL-label rows are dropped (inner-join oracle semantics; see
+        # the matching guard in _partial)
+        valid = codes >= 0
+        if not valid.all():
+            batch = batch.filter(pa.array(valid))
+            m, codes = m[valid], codes[valid]
         cmat = np.stack([cents[u] for u in uniq]) if len(uniq) \
             else np.zeros((0, m.shape[1] if m.ndim == 2 else 0))
         diff = m - cmat[codes]

@@ -574,9 +574,19 @@ class EventSequenceGroup:
         starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]) \
             if len(codes) else np.array([], dtype=np.int64)
         ends = np.r_[starts[1:], len(codes)]
-        seqs = [self.sep.join(types[s:e]) for s, e in zip(starts, ends)]
+        # string_agg semantics: NULL event_types are skipped inside the
+        # join (an all-NULL group emits NULL seq) while COUNT(*) keeps
+        # every row; key values come from the SORTED ORIGINAL column so a
+        # NULL user_id stays its own group (factorize codes it -1, which
+        # would otherwise wrap onto the LAST real user's slot)
+        keys = g["user_id"].to_numpy()[order]
+        seqs = []
+        for s, e in zip(starts, ends):
+            ts_ = [x for x in types[s:e] if x is not None
+                   and not (isinstance(x, float) and np.isnan(x))]
+            seqs.append(self.sep.join(ts_) if ts_ else None)
         return pd.DataFrame({
-            "user_id": np.asarray(uniq)[codes[starts]],
+            "user_id": keys[starts] if len(starts) else keys[:0],
             "seq": seqs,
             "n_events": (ends - starts).astype(np.int64),
         })

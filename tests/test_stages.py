@@ -1377,3 +1377,114 @@ def test_winsorize_events_matches_duckdb_and_drops_null_types(ray_session):
     assert (out["v_wins"] == want["v_wins"]).all()
     assert (out["was_clipped"] == want["was_clipped"]).all()
     assert out["was_clipped"].any()
+
+
+def test_zscore_drops_null_event_types(ray_session):
+    import duckdb
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        zscore_events)
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "event_id": np.arange(300, dtype=np.int64),
+        "event_type": rng.choice(["a", "b", "c"], 300),
+        "value": np.round(rng.uniform(0, 100, 300), 2)})
+    # null-type rows must be DROPPED (oracle JOIN never matches); before
+    # the fix factorize's -1 code wrapped them onto the LAST unique type
+    df.loc[df.index[:7], "event_type"] = None
+    out = zscore_events(rd.from_pandas(df)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert len(out) == 293
+    con = duckdb.connect()
+    con.register("ev", df)
+    want = con.execute("""
+        WITH s AS (
+          SELECT event_type, count(*) AS n,
+                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+                   AS sc,
+                 CAST(sum(CAST(round(value*100) AS BIGINT)
+                          * CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+                   AS sq
+          FROM ev GROUP BY 1)
+        SELECT e.event_id,
+               round((CAST(round(e.value*100) AS BIGINT) - s.sc/s.n)
+                     / sqrt(s.sq/s.n - (s.sc/s.n)*(s.sc/s.n)), 6) AS z
+        FROM ev e JOIN s USING (event_type)
+        ORDER BY e.event_id""").df()
+    assert np.allclose(out["z"].to_numpy(np.float64),
+                       want["z"].to_numpy(np.float64),
+                       rtol=0, atol=0, equal_nan=True)
+
+    # all-null batch must not raise (empty lut indexing)
+    df2 = pd.DataFrame({
+        "event_id": np.arange(4, dtype=np.int64),
+        "event_type": pd.Series([None] * 4, dtype=object),
+        "value": [1.0, 2.0, 3.0, 4.0]})
+    out2 = zscore_events(rd.from_pandas(df2)).to_pandas()
+    assert len(out2) == 0
+
+
+def test_user_event_sequences_null_groups(ray_session):
+    import duckdb
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.windows import (
+        user_event_sequences)
+    rng = np.random.default_rng(17)
+    n = 200
+    df = pd.DataFrame({
+        "user_id": pd.Series(rng.choice(["u1", "u2"], n), dtype=object),
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": pd.Series(rng.choice(["click", "view"], n),
+                                dtype=object),
+        "ts": pd.to_datetime(rng.integers(0, 5000, n), unit="s")})
+    # a NULL user group (must stay its OWN group, not merge into the
+    # last real user) and NULL event_types (string_agg skips them;
+    # COUNT(*) keeps them)
+    df.loc[df.index[:6], "user_id"] = None
+    df.loc[df.index[10:13], "event_type"] = None
+    out = user_event_sequences(rd.from_pandas(df)).to_pandas() \
+        .sort_values("user_id", na_position="last") \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("ev", df)
+    want = con.execute("""
+        SELECT user_id, string_agg(event_type, '->' ORDER BY ts, event_id)
+                 AS seq,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM ev GROUP BY 1 ORDER BY 1 NULLS LAST""").df()
+    assert len(out) == 3
+    pd.testing.assert_frame_equal(out, want)
+
+    # an ALL-null-type group emits NULL seq (string_agg of nothing)
+    df3 = pd.DataFrame({
+        "user_id": ["x", "x"], "event_id": [0, 1],
+        "event_type": pd.Series([None, None], dtype=object),
+        "ts": pd.to_datetime([1, 2], unit="s")})
+    out3 = user_event_sequences(rd.from_pandas(df3)).to_pandas()
+    assert len(out3) == 1
+    assert out3["seq"].isna().all()
+    assert out3["n_events"].tolist() == [2]
+
+
+def test_embedding_centroid_dist_drops_null_labels(ray_session):
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.similarity import (
+        embedding_centroid_dist)
+    rng = np.random.default_rng(7)
+    n, d = 120, 8
+    m = (rng.standard_normal((n, d)) * 0.5).astype(np.float32)
+    labels = rng.integers(0, 2, n).astype(np.int32).astype(object)
+    labels[:5] = None  # must be DROPPED, not folded into a centroid
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(m), pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32())})
+    out = embedding_centroid_dist(rd.from_arrow(t)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == n - 5
+    assert not set(range(5)) & set(out["vec_id"])
+    # centroids must equal the null-free reference computation
+    t_clean = t.filter(pa.compute.is_valid(t["label"]))
+    want = embedding_centroid_dist(rd.from_arrow(t_clean)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert (out["dist"].to_numpy() == want["dist"].to_numpy()).all()
