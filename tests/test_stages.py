@@ -1488,3 +1488,87 @@ def test_embedding_centroid_dist_drops_null_labels(ray_session):
     want = embedding_centroid_dist(rd.from_arrow(t_clean)).to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
     assert (out["dist"].to_numpy() == want["dist"].to_numpy()).all()
+
+
+def test_hash_join_outer_right_and_collapsed_keys(ray_session):
+    """Arrow-probe BucketJoin vs the pandas reference on the flavors the
+    old whole-frame merge handled implicitly: right/outer padding, the
+    collapsed same-name key's coalesce, and >2^53 int keys through a
+    LEFT join with null-bearing left keys (the float-degrade case)."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.joins import hash_join
+
+    left_t = pa.table({"k": pa.array([1, 2, 2, None, 5], pa.int64()),
+                       "lv": pa.array([10, 20, 21, 30, 50], pa.int64())})
+    right_t = pa.table({"k2": pa.array([2, 2, 5, None, 7], pa.int64()),
+                        "rv": pa.array([200, 201, 500, 900, 700],
+                                       pa.int64())})
+    left, right = left_t.to_pandas(), right_t.to_pandas()
+
+    def ref(how):
+        l, r = left.copy(), right[right["k2"].notna()]
+        if how in ("inner", "right"):
+            l = l[l["k"].notna()]
+        return l.merge(r, left_on="k", right_on="k2", how=how)
+
+    for how in ("right", "outer"):
+        got = hash_join(rd.from_arrow(left_t), rd.from_arrow(right_t),
+                        "k", "k2", how=how, n_buckets=4).to_pandas()
+        want = ref(how)
+        assert len(got) == len(want), how
+        g = got.sort_values(["lv", "rv"], na_position="last") \
+            .reset_index(drop=True).astype("float64")
+        w = want.sort_values(["lv", "rv"], na_position="last") \
+            .reset_index(drop=True).astype("float64")
+        pd.testing.assert_frame_equal(g[sorted(g.columns)],
+                                      w[sorted(w.columns)])
+
+    # collapsed same-name key: outer join must coalesce left/right key
+    # values into the single output column
+    lc = pa.table({"k": pa.array([1, 2], pa.int64()),
+                   "lv": pa.array([10, 20], pa.int64())})
+    rc = pa.table({"k": pa.array([2, 3], pa.int64()),
+                   "rv": pa.array([200, 300], pa.int64())})
+    out = hash_join(rd.from_arrow(lc), rd.from_arrow(rc), "k", "k",
+                    how="outer", n_buckets=2).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2, 3]
+    assert str(out["k"].dtype) == "int64"  # never floatified
+    assert out["lv"].fillna(-1).tolist() == [10, 20, -1]
+    assert out["rv"].fillna(-1).tolist() == [-1, 200, 300]
+
+    # >2^53 keys + null-bearing LEFT side through a LEFT join: the old
+    # whole-frame to_pandas degraded the key column to float64 and two
+    # adjacent huge keys became equal
+    big = (1 << 60) + 12345
+    lb = pa.table({"k": pa.array([big, big + 1, None], pa.int64()),
+                   "lv": pa.array([1, 2, 3], pa.int64())})
+    rb = pa.table({"k2": pa.array([big], pa.int64()),
+                   "rv": pa.array([10], pa.int64())})
+    obd = hash_join(rd.from_arrow(lb), rd.from_arrow(rb), "k", "k2",
+                    how="left", n_buckets=2)
+    # ARROW schema stays int64 (pandas renders the null-bearing column
+    # as float64, but the engine never degrades the stored values)
+    osch = dict(zip(obd.schema().names, obd.schema().types))
+    assert str(osch["k"]) == "int64"
+    ob = obd.to_pandas().sort_values("lv").reset_index(drop=True)
+    assert len(ob) == 3
+    # ONLY the exact key matches; big+1 must NOT match through a float
+    assert ob["rv"].fillna(-1).tolist() == [10, -1, -1]
+    # the huge keys round-trip exactly (nullable Int64 read, not float)
+    kvals = pa.Table.from_pandas(ob)["k"]
+    assert kvals.is_valid().to_pylist() == [True, True, False] or \
+        ob["k"].notna().tolist() == [True, True, False]
+
+    # composite-key left join with a null in ONE of the key columns
+    l2 = pa.table({"a": pa.array([1, 1, None], pa.int64()),
+                   "b": pa.array(["x", "y", "x"]),
+                   "lv": pa.array([1, 2, 3], pa.int64())})
+    r2 = pa.table({"a": pa.array([1], pa.int64()),
+                   "b": pa.array(["x"]),
+                   "rv": pa.array([10], pa.int64())})
+    o2 = hash_join(rd.from_arrow(l2), rd.from_arrow(r2),
+                   ["a", "b"], ["a", "b"], how="left",
+                   n_buckets=2).to_pandas() \
+        .sort_values("lv").reset_index(drop=True)
+    assert o2["rv"].fillna(-1).tolist() == [10, -1, -1]
