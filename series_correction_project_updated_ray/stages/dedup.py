@@ -468,17 +468,41 @@ def verify_jaccard_arrays(with_sh, *, threshold=0.8):
     return with_sh.map_batches(_verify, batch_format="pyarrow")
 
 
+# verified-pair count past which the final labeling auto-routes to the
+# distributed log-round propagation instead of driver-side union-find:
+# 20M pairs ≈ 320 MB of id pairs on the driver — comfortable; past that
+# the driver copy becomes the scale hazard the distributed path exists for
+_CC_DRIVER_PAIR_BUDGET = 20_000_000
+
+
+def _cluster_pairs(verified, distributed_cc: bool | None) -> pd.DataFrame:
+    """Label verified pair Dataset → (doc_id, cluster_id) pandas frame,
+    auto-routing on pair count: ``distributed_cc=None`` (default) picks
+    the distributed log-round propagation when the verified-pair count
+    exceeds ``_CC_DRIVER_PAIR_BUDGET``, else the faster driver-side
+    union-find; True/False force a path.  Both paths are
+    equivalence-tested."""
+    verified = verified.materialize()
+    if distributed_cc is None:
+        distributed_cc = verified.count() > _CC_DRIVER_PAIR_BUDGET
+    if distributed_cc:
+        return connected_components_distributed(
+            verified.map_batches(
+                lambda t: t.select(["id_a", "id_b"]),
+                batch_format="pyarrow"))
+    return connected_components(verified.to_pandas())
+
+
 def minhash_lsh_dedup(docs, *, text_col="text", id_col="doc_id",
                       num_perm=128, bands=16, ngram=5, threshold=0.8,
-                      distributed_cc: bool = False):
+                      distributed_cc: bool | None = None):
     """Full near-dup pipeline → pandas (doc_id, cluster_id) for docs that
     belong to a near-duplicate cluster (singletons omitted).
 
-    ``distributed_cc=True`` runs the final labeling as log-round min-label
-    propagation over the pair Dataset (the 100 TB path, where even the
-    verified-pair set exceeds driver memory); the default driver-side
-    union-find is faster whenever the pairs fit, and both paths are
-    equivalence-tested.
+    The final labeling auto-routes (see :func:`_cluster_pairs`):
+    driver-side union-find while the verified pairs fit a driver budget,
+    log-round min-label propagation over the pair Dataset past it (the
+    100 TB path); ``distributed_cc`` forces a path.
 
     The verify stage never materializes anything on the driver: the
     pair-involved documents' shingle arrays either broadcast through the
@@ -497,12 +521,7 @@ def minhash_lsh_dedup(docs, *, text_col="text", id_col="doc_id",
     verified = exact_jaccard_verify(cands, docs, ngram=ngram,
                                     threshold=threshold, text_col=text_col,
                                     id_col=id_col)
-    if distributed_cc:
-        return connected_components_distributed(
-            verified.map_batches(
-                lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"))
-    vdf = verified.to_pandas()
-    return connected_components(vdf)
+    return _cluster_pairs(verified, distributed_cc)
 
 
 # --- exact n-gram Jaccard --------------------------------------------------
@@ -683,18 +702,16 @@ def ngram_jaccard_pairs(docs, *, text_col="text", id_col="doc_id", ngram=5,
 
 def ngram_jaccard_dedup(docs, *, text_col="text", id_col="doc_id", ngram=5,
                         threshold=0.8, sample_mod=1, max_df=None,
-                        prefix_filter=True, distributed_cc: bool = False):
+                        prefix_filter=True,
+                        distributed_cc: bool | None = None):
     """n-gram-Jaccard near-dup clusters → pandas (doc_id, cluster_id),
-    singletons omitted — same labeling contract as minhash_lsh_dedup."""
+    singletons omitted — same labeling contract (and the same auto-routed
+    connected-components, :func:`_cluster_pairs`) as minhash_lsh_dedup."""
     verified = ngram_jaccard_pairs(
         docs, text_col=text_col, id_col=id_col, ngram=ngram,
         threshold=threshold, sample_mod=sample_mod, max_df=max_df,
         prefix_filter=prefix_filter)
-    if distributed_cc:
-        return connected_components_distributed(
-            verified.map_batches(
-                lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"))
-    return connected_components(verified.to_pandas())
+    return _cluster_pairs(verified, distributed_cc)
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -774,39 +791,54 @@ class HyperplaneLSH:
         })
 
 
-def _cosine_pairs_in_partition(g: pd.DataFrame, id_col, vec_col, threshold
-                               ) -> pd.DataFrame:
+def _cosine_pairs_in_partition(g: pa.Table, id_col, vec_col, threshold
+                               ) -> pa.Table:
     """Cosine pairs for every bucket co-located in one partition group:
     sort by bucket, run-length scan, score only multi-member runs (the
-    same per-partition-not-per-bucket shape as ``candidate_pairs``)."""
-    buckets = g["bucket"].to_numpy()
+    same per-partition-not-per-bucket shape as ``candidate_pairs``).
+    The vector matrix reads straight from the Arrow list buffers
+    (similarity._vec_matrix) — the rows never round-trip through pandas
+    object cells."""
+    from .similarity import _vec_matrix
+    id_type = g[id_col].type
+    if len(g) < 2:
+        return pa.table({"id_a": pa.nulls(0, id_type),
+                         "id_b": pa.nulls(0, id_type),
+                         "cosine": pa.nulls(0, pa.float64())})
+    buckets = g["bucket"].to_numpy(zero_copy_only=False)
+    ids = g[id_col].to_numpy(zero_copy_only=False)
     order = np.argsort(buckets, kind="stable")
-    g = g.iloc[order]
     buckets = buckets[order]
-    ids = g[id_col].to_numpy()
+    ids = ids[order]
+    M_all = _vec_matrix(g[vec_col])
     change = np.ones(len(ids), dtype=bool)
     if len(ids) > 1:
         change[1:] = buckets[1:] != buckets[:-1]
     starts = np.flatnonzero(change)
     ends = np.append(starts[1:], len(ids))
-    frames = []
+    out_a, out_b, out_c = [], [], []
     for s, e in zip(starts[ends - starts >= 2], ends[ends - starts >= 2]):
-        sub = g.iloc[s:e]
         sids = ids[s:e]
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in sub[vec_col]])
-        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        M = M_all[order[s:e]]
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         S = M @ M.T
         a, b = np.triu_indices(len(sids), k=1)
         keep = S[a, b] >= threshold
+        if not keep.any():
+            continue
         ia, ib = sids[a[keep]], sids[b[keep]]
-        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-        frames.append(pd.DataFrame({"id_a": lo, "id_b": hi,
-                                    "cosine": np.round(S[a, b][keep], 6)}))
-    if not frames:
-        e = ids[:0]
-        return pd.DataFrame({"id_a": e, "id_b": e,
-                             "cosine": np.empty(0, np.float64)})
-    return pd.concat(frames, ignore_index=True)
+        out_a.append(np.minimum(ia, ib))
+        out_b.append(np.maximum(ia, ib))
+        out_c.append(np.round(S[a, b][keep], 6))
+    if not out_a:
+        return pa.table({"id_a": pa.nulls(0, id_type),
+                         "id_b": pa.nulls(0, id_type),
+                         "cosine": pa.nulls(0, pa.float64())})
+    return pa.table({
+        "id_a": pa.array(np.concatenate(out_a)).cast(id_type),
+        "id_b": pa.array(np.concatenate(out_b)).cast(id_type),
+        "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+    })
 
 
 def embedding_near_dup(embeddings, *, vec_col="embedding", id_col="vec_id",
@@ -826,7 +858,7 @@ def embedding_near_dup(embeddings, *, vec_col="embedding", id_col="vec_id",
         return t.append_column(
             "__part", pa.array((mixed % n_parts + n_parts) % n_parts))
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def _pairs(g: pa.Table) -> pa.Table:
         return _cosine_pairs_in_partition(g, id_col, vec_col, threshold)
     _pairs.__name__ = "_cosine_pairs_in_partition"
 
@@ -835,4 +867,4 @@ def embedding_near_dup(embeddings, *, vec_col="embedding", id_col="vec_id",
     # only arise in the single partition owning that bucket — the pair
     # set is unique by construction
     return bucketed.map_batches(_part, batch_format="pyarrow") \
-        .groupby("__part").map_groups(_pairs, batch_format="pandas")
+        .groupby("__part").map_groups(_pairs, batch_format="pyarrow")

@@ -137,6 +137,27 @@ def test_minhash_lsh_finds_near_duplicates(ray_session):
                                   dist.reset_index(drop=True))
 
 
+def test_dedup_cc_auto_routes_on_pair_count(ray_session, monkeypatch):
+    """distributed_cc=None (the default) must pick the driver union-find
+    under the pair budget and the distributed propagation past it, with
+    identical labels either way."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages import dedup
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest to hide from hunters") * 3
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [base, base.replace("lazy", "sleepy"),
+                 base.replace("quick", "rapid"), "unrelated text " * 20]})
+    via_driver = dedup.minhash_lsh_dedup(rd.from_pandas(df), threshold=0.6)
+    # shrink the budget to 0 so the SAME call auto-routes distributed
+    monkeypatch.setattr(dedup, "_CC_DRIVER_PAIR_BUDGET", 0)
+    via_dist = dedup.minhash_lsh_dedup(rd.from_pandas(df), threshold=0.6)
+    assert len(via_driver) >= 2
+    pd.testing.assert_frame_equal(via_driver.reset_index(drop=True),
+                                  via_dist.reset_index(drop=True))
+
+
 def test_knn_brute_force_matches_full_numpy(sf_dir):
     import ray.data as rd
     import pyarrow.parquet as pq
@@ -1572,3 +1593,35 @@ def test_hash_join_outer_right_and_collapsed_keys(ray_session):
                    n_buckets=2).to_pandas() \
         .sort_values("lv").reset_index(drop=True)
     assert o2["rv"].fillna(-1).tolist() == [10, -1, -1]
+
+
+def test_embedding_near_dup_finds_planted_pairs(ray_session):
+    """Planted near-identical vectors must pair up with exact cosine; the
+    arrow-native kernel must agree with a direct numpy computation."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.dedup import (
+        embedding_near_dup)
+    rng = np.random.default_rng(3)
+    n, d = 300, 64
+    M = rng.standard_normal((n, d))
+    # plant 5 near-dup pairs: tiny perturbations of the same vector
+    for i in range(5):
+        M[2 * i + 1] = M[2 * i] + rng.standard_normal(d) * 0.01
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(M.astype(np.float32)),
+                              pa.list_(pa.float32()))})
+    out = embedding_near_dup(rd.from_arrow(t), threshold=0.95, dim=d) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    planted = {(2 * i, 2 * i + 1) for i in range(5)}
+    got = set(zip(out["id_a"], out["id_b"]))
+    # hyperplane LSH is recall-bounded; planted pairs are nearly
+    # identical so almost all land in the same bucket — require >= 4/5
+    assert len(planted & got) >= 4
+    # cosine values match the direct computation for the found pairs
+    Mf = M.astype(np.float32).astype(np.float64)
+    Mn = Mf / np.maximum(np.linalg.norm(Mf, axis=1, keepdims=True), 1e-12)
+    for a, b, c in zip(out["id_a"], out["id_b"], out["cosine"]):
+        assert c == np.round(Mn[a] @ Mn[b], 6)
+    # output ids keep the input's integer type
+    assert str(out["id_a"].dtype) == "int64"
