@@ -90,9 +90,33 @@ def cmd_seatek_correct(args) -> int:
         keep = requested
 
     y0, y1 = sorted(args.years) if args.years else (1, 99)
+    year_range = (y0 - 1994 if y0 > 1900 else y0,
+                  y1 - 1994 if y1 > 1900 else y1)
+    if not discover_files(args.data_dir, keep, year_range):
+        # reference batch_process fallback branch
+        # (batch_correction.py:505-509): no matching files -> process the
+        # configured raw_data lists instead
+        from .pipelines.seatek_compat import process_fallback
+        from .sources.config import load_config
+        config_data = load_config(args.config) if args.config else {}
+        sel = [int(s) for s in keep if s.isdigit()] if keep else None
+        if not args.dry_run:
+            import os
+            os.makedirs(args.output, exist_ok=True)
+        summary = process_fallback(config_data, args.output, sel,
+                                   args.dry_run)
+        if summary.empty:
+            print("no matching files and no fallback raw_data configured")
+            return 0
+        if not args.dry_run:
+            import os
+            write_csv_safely(summary,
+                             os.path.join(args.output, "summary.csv"),
+                             index=False)
+        print(summary.to_string(index=False))
+        return 0
     corrected = batch_correct(args.data_dir, series=keep,
-                              year_range=(y0 - 1994 if y0 > 1900 else y0,
-                                          y1 - 1994 if y1 > 1900 else y1))
+                              year_range=year_range)
     corrected = corrected.materialize()
     summary = summarize(corrected)
     if args.dry_run:
@@ -167,6 +191,9 @@ def main(argv=None) -> int:
     ps.add_argument("--series", default="all")
     ps.add_argument("--river-miles", nargs=2, type=float, default=None)
     ps.add_argument("--river-mile-map", default=None)
+    ps.add_argument("--config", default=None,
+                    help="JSON config with series raw_data lists "
+                         "(fallback mode when discovery finds no files)")
     ps.add_argument("--years", nargs=2, type=int, default=None)
     ps.add_argument("--dry-run", action="store_true")
     ps.add_argument("--num-cpus", type=int, default=None)

@@ -43,23 +43,31 @@ def process_frame(df: pd.DataFrame, config: dict | None = None,
             raise ValueError("No numeric value columns found in the data")
         value_col = numeric[0]
 
-    out = out.sort_values(by=time_col, kind="stable").reset_index(drop=True)
+    # every sort uses the pandas DEFAULT kind (quicksort), NOT a stable
+    # sort: the reference never passes `kind`, and the real corpus ties
+    # thousands of rows at 0.00 in the sensor-1-as-time column — parity
+    # on tied rows requires numpy quicksort's exact tie permutation
+    # (processor.py:565; SURVEY §1.2 tied-zeros quirk)
+    out = out.sort_values(by=time_col).reset_index(drop=True)
 
     # Step 1: gaps
     t = out[time_col].to_numpy()
     gaps = K.detect_gaps(t, cfg["gap_threshold_factor"])
     if len(gaps):
-        new_times = K.gap_fill_times(t, gaps)
+        # the reference re-sorts INSIDE correct_gaps before building gap
+        # rows (processor.py:322) — on tied data quicksort is not
+        # idempotent, so this extra sort is load-bearing for parity
+        out = out.sort_values(by=time_col).reset_index(drop=True)
+        new_times = K.gap_fill_times(out[time_col].to_numpy(), gaps)
         if len(new_times):
             gap_rows = pd.DataFrame(np.nan, index=range(len(new_times)),
                                     columns=out.columns)
             gap_rows[time_col] = new_times
             out = pd.concat([out, gap_rows], ignore_index=True)
-            out = out.sort_values(by=time_col, kind="stable") \
-                     .reset_index(drop=True)
+            out = out.sort_values(by=time_col).reset_index(drop=True)
         out[value_col] = K.interp_positional(out[value_col].to_numpy(float),
                                              cfg["gap_method"])
-        out = out.sort_values(by=time_col, kind="stable").reset_index(drop=True)
+        out = out.sort_values(by=time_col).reset_index(drop=True)
 
     # Step 2: outliers
     v = out[value_col].to_numpy(float)
@@ -109,6 +117,122 @@ def batch_correct(data_dir: str, config: dict | None = None,
                      year_range=year_range)
     return ds.groupby(["series", "year_idx"]).map_groups(
         CompatFileKernel(config), batch_format="pandas")
+
+
+_FALLBACK_COLUMNS = ["Series", "Year", "Y-Index", "Filename", "Status",
+                     "Records"]
+
+
+class _FallbackFileKernel:
+    """map_batches kernel over fallback work items ``(series_id, file_idx,
+    path)``: load → process_frame → optional K5-named output → one summary
+    row (reference ``_process_fallback_mode``,
+    batch_correction.py:519-581).  Empty inputs yield NO row (the
+    reference's ``if not df.empty`` guard); per-file errors downgrade to a
+    ``Failed (Processing Error)`` row."""
+
+    def __init__(self, config: dict | None, output_dir: str | None,
+                 dry_run: bool):
+        self.config, self.output_dir, self.dry_run = config, output_dir, dry_run
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import os
+        from ..sources.seatek import load_raw_frame
+        rows = []
+        for sid, fidx, path in zip(batch["series_id"], batch["file_idx"],
+                                   batch["path"]):
+            fname = os.path.basename(path)
+            try:
+                df = load_raw_frame(path)
+                if df.empty:
+                    continue
+                processed = process_frame(df, self.config)
+                if not self.dry_run and self.output_dir:
+                    from ..pipelines.reports import (write_csv_safely,
+                                                     write_excel_safely)
+                    out_name = f"Series{sid}_File{int(fidx):02d}_Processed"
+                    try:
+                        write_excel_safely(
+                            processed,
+                            os.path.join(self.output_dir, out_name + ".xlsx"))
+                    except ImportError:
+                        # no xlsx engine in this environment: same
+                        # sanitizer gateway, CSV container
+                        write_csv_safely(
+                            processed,
+                            os.path.join(self.output_dir, out_name + ".csv"),
+                            index=False)
+                rows.append({"Series": int(sid), "Y-Index": int(fidx),
+                             "Filename": fname,
+                             "Status": "Fallback Processed",
+                             "Records": len(processed)})
+            except Exception:
+                rows.append({"Series": int(sid), "Y-Index": int(fidx),
+                             "Filename": fname,
+                             "Status": "Failed (Processing Error)",
+                             "Records": 0})
+        return pd.DataFrame(
+            rows, columns=["Series", "Y-Index", "Filename", "Status",
+                           "Records"])
+
+
+def process_fallback(config_data: dict, output_dir: str | None = None,
+                     series: list[int] | None = None,
+                     dry_run: bool = True) -> pd.DataFrame:
+    """Fallback processing mode (batch_correction.py:519-581): when
+    discovery finds no files, process each configured
+    ``config["series"][id]["raw_data"]`` list instead.  Returns the
+    summary frame ``[Series, Year(None), Y-Index, Filename, Status,
+    Records]``; files fan out over Ray (one tiny frame per task)."""
+    import ray.data as rd
+
+    series_cfg = config_data.get("series", {})
+    wanted = ([int(s) for s in series] if series is not None
+              else sorted(int(s) for s in series_cfg))
+    items = []
+    for sid in wanted:
+        cfg = series_cfg.get(str(sid))
+        if cfg is None:
+            continue
+        for i, path in enumerate(cfg.get("raw_data", []), start=1):
+            items.append({"series_id": sid, "file_idx": i, "path": path})
+    if not items:
+        return pd.DataFrame()
+
+    processor_config = {**config_data.get("defaults", {}),
+                        **config_data.get("processor_config", {})}
+    out = rd.from_items(items).map_batches(
+        _FallbackFileKernel(processor_config, output_dir, dry_run),
+        batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame()
+    # Year is always unknown in fallback mode (reference emits None)
+    out.insert(1, "Year", None)
+    return out[_FALLBACK_COLUMNS].sort_values(["Series", "Y-Index"]) \
+        .reset_index(drop=True)
+
+
+def batch_process(data_dir: str, config_data: dict | None = None,
+                  series: list[str] | None = None,
+                  year_range: tuple[int, int] | None = None,
+                  output_dir: str | None = None, dry_run: bool = True):
+    """Reference ``batch_process`` decision (batch_correction.py:485-516):
+    discovery-driven main mode when files exist, else fallback mode over
+    the configured raw_data lists.  Main mode returns the per-file
+    summary frame (via :func:`batch_correct` + :func:`summarize`);
+    fallback returns its own summary frame."""
+    from ..sources.seatek import discover_files
+    files = discover_files(data_dir, series, year_range)
+    if files:
+        cfg = None
+        if config_data:
+            cfg = {**config_data.get("defaults", {}),
+                   **config_data.get("processor_config", {})}
+        corrected = batch_correct(data_dir, cfg, series, year_range)
+        return summarize(corrected)
+    sel = ([int(s) for s in series if str(s).isdigit()]
+           if series is not None else None)
+    return process_fallback(config_data or {}, output_dir, sel, dry_run)
 
 
 class LongSeriesKernel:

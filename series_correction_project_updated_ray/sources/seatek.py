@@ -151,6 +151,32 @@ class SeatekParser:
                                     preserve_index=False)
 
 
+def load_raw_frame(path: str) -> pd.DataFrame:
+    """Reference ``_load_raw_data`` semantics for fallback-mode inputs
+    (batch_correction.py:362-405): whitespace text, no header, ``#``
+    comments and blank lines skipped; per-column ALL-or-nothing numeric
+    conversion (a single bad token keeps the whole column as strings —
+    unlike :func:`parse_seatek_text`'s coerce-to-NaN, this preserves the
+    reference's "non-numeric column is not a value candidate" behavior);
+    columns named ``Time (Seconds)``, ``Value2``..``ValueN``.  Empty files
+    return an empty frame."""
+    with open(path, "rb") as f:
+        text = f.read().decode("utf-8", "replace")
+    rows = [s.split() for s in (ln.strip() for ln in text.splitlines())
+            if s and not s.startswith("#")]
+    if not rows:
+        return pd.DataFrame()
+    df = pd.DataFrame(rows)
+    for c in df.columns:
+        try:
+            df[c] = pd.to_numeric(df[c])
+        except (ValueError, TypeError):
+            pass
+    df.columns = ["Time (Seconds)",
+                  *[f"Value{i}" for i in range(2, len(df.columns) + 1)]]
+    return df
+
+
 def read_seatek(data_dir: str, mode: str = "long",
                 series: list[str] | None = None,
                 year_range: tuple[int, int] | None = None):

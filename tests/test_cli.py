@@ -85,3 +85,23 @@ def test_cli_ingest_incremental(cli_dirs, tmp_path_factory):
     assert out2["new_files"] == 1
     assert out2["total_files"] == 2
     assert out2["live_deltas"] == 1  # compacted
+
+
+def test_cli_seatek_fallback_mode(cli_dirs, tmp_path_factory):
+    """No discoverable files + --config raw_data lists -> fallback rows."""
+    root = tmp_path_factory.mktemp("fb")
+    raw = root / "raw1.txt"
+    with open(raw, "w") as f:
+        for i in range(30):
+            f.write(f"{1.0 + i * 0.13:.2f} {5.0 + (i % 3) * 0.2:.2f} "
+                    f"{i * 13090}\n")
+    cfg = root / "cfg.json"
+    cfg.write_text(json.dumps(
+        {"series": {"26": {"raw_data": [str(raw)]}}}))
+    empty = root / "nofiles"
+    empty.mkdir()
+    r = _run("seatek-correct", "--data-dir", str(empty),
+             "--config", str(cfg), "--dry-run", "--num-cpus", "4")
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "Fallback Processed" in r.stdout
+    assert "raw1.txt" in r.stdout

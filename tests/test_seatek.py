@@ -64,10 +64,9 @@ def test_batch_correct_and_summary(ray_session, seatek_dir):
     assert summary["Filename"].iloc[0] == "Year_1995 (Y01)_Data.xlsx"
 
 
-@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference absent")
-def test_process_frame_parity_with_reference(seatek_dir):
-    """Our compat frame kernel vs the reference process_data, point for
-    point, on every fixture file (the reference acts as oracle only)."""
+def _assert_process_frame_parity(files):
+    """Point-for-point process_frame vs reference process_data over the
+    given [(sid, yidx, path)] list (the reference acts as oracle only)."""
     import logging
     logging.disable(logging.CRITICAL)
     sys.path.insert(0, REFERENCE)
@@ -75,9 +74,9 @@ def test_process_frame_parity_with_reference(seatek_dir):
     from series_correction_project_updated_ray.pipelines.seatek_compat import (
         process_frame)
     from series_correction_project_updated_ray.sources.seatek import (
-        discover_files, parse_seatek_text)
+        parse_seatek_text)
 
-    for sid, yidx, path in discover_files(seatek_dir):
+    for sid, yidx, path in files:
         with open(path, "rb") as f:
             arr = parse_seatek_text(f.read())
         cols = {"Time (Seconds)": arr[:, 0]}
@@ -91,6 +90,29 @@ def test_process_frame_parity_with_reference(seatek_dir):
             np.testing.assert_allclose(
                 want[c].to_numpy(float), got[c].to_numpy(float),
                 equal_nan=True, err_msg=f"{sid}/{yidx}/{c}")
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference absent")
+def test_process_frame_parity_with_reference(seatek_dir):
+    """Our compat frame kernel vs the reference process_data, point for
+    point, on every fixture file."""
+    from series_correction_project_updated_ray.sources.seatek import (
+        discover_files)
+    _assert_process_frame_parity(discover_files(seatek_dir))
+
+
+@pytest.mark.skipif(not os.path.isdir(os.path.join(REFERENCE, "data")),
+                    reason="reference corpus absent")
+def test_process_frame_parity_real_corpus():
+    """Same point-for-point parity over the reference's REAL shipped
+    corpus (38 S*_Y*.txt files, ~10k rows) — covers the tied-zeros sort
+    quirk and the Value2-only correction path on production-shaped
+    data."""
+    from series_correction_project_updated_ray.sources.seatek import (
+        discover_files)
+    files = discover_files(os.path.join(REFERENCE, "data"))
+    assert len(files) >= 38, "expected the full real corpus"
+    _assert_process_frame_parity(files)
 
 
 def test_level_shift_workflow(ray_session, seatek_dir):
@@ -174,3 +196,75 @@ def test_correct_all_sensors_long(ray_session, seatek_dir):
     s3 = out[(out["series"] == "26") & (out["year_idx"] == 1)
              & (out["sensor_id"] == 2)].sort_values("t")
     assert s3["value_corrected"].max() < 20.0  # the +25 spike is gone
+
+
+def test_fallback_processing_mode(ray_session, tmp_path, seatek_dir):
+    """Reference _process_fallback_mode (batch_correction.py:519-581):
+    no discoverable files -> process config raw_data lists, K5 output
+    names, summary rows with Year=None; empty files skipped; bad files
+    downgrade to Failed rows; parity of Records vs process_frame."""
+    from series_correction_project_updated_ray.pipelines.seatek_compat import (
+        batch_process, process_frame)
+    from series_correction_project_updated_ray.sources.seatek import (
+        load_raw_frame)
+
+    raw1 = str(tmp_path / "raw1.txt")
+    raw2 = str(tmp_path / "raw2.txt")
+    empty = str(tmp_path / "empty.txt")
+    rng = np.random.default_rng(7)
+    for p, n in [(raw1, 40), (raw2, 25)]:
+        with open(p, "w") as f:
+            f.write("# comment line\n\n")
+            for i in range(n):
+                f.write(f"{1.0 + i * 0.13:.2f} {rng.normal(5, 0.5):.2f} "
+                        f"{i * 13090}\n")
+    open(empty, "w").close()
+
+    cfg = {"series": {"26": {"raw_data": [raw1, empty]},
+                      "27": {"raw_data": [raw2]},
+                      "28": {"raw_data": [str(tmp_path / "missing.txt")]}}}
+    nofiles = str(tmp_path / "nofiles")
+    os.makedirs(nofiles)
+    outdir = str(tmp_path / "out")
+    os.makedirs(outdir)
+
+    summary = batch_process(nofiles, cfg, output_dir=outdir, dry_run=False)
+    assert list(summary.columns) == ["Series", "Year", "Y-Index", "Filename",
+                                     "Status", "Records"]
+    assert summary["Year"].isna().all()
+    # empty file yields NO row (reference's `if not df.empty` guard)
+    assert len(summary) == 3
+    ok = summary[summary["Status"] == "Fallback Processed"]
+    assert set(zip(ok["Series"], ok["Y-Index"])) == {(26, 1), (27, 1)}
+    bad = summary[summary["Status"] == "Failed (Processing Error)"]
+    assert list(bad["Series"]) == [28] and list(bad["Records"]) == [0]
+    # Records parity with the (reference-parity-certified) frame kernel
+    for sid, path in [(26, raw1), (27, raw2)]:
+        expect = len(process_frame(load_raw_frame(path)))
+        got = int(summary.loc[summary["Series"] == sid, "Records"].iloc[0])
+        assert got == expect
+    # K5 naming: Series{id}_File{i:02d}_Processed.{xlsx|csv}
+    names = sorted(os.listdir(outdir))
+    stems = {n.rsplit(".", 1)[0] for n in names}
+    assert stems == {"Series26_File01_Processed", "Series27_File01_Processed"}
+
+    # discovery NON-empty -> main mode wins (same decision as reference)
+    main = batch_process(seatek_dir, cfg)
+    assert (main["Status"] == "Processed").all() and len(main) == 6
+
+
+def test_load_raw_frame_semantics(tmp_path):
+    """All-or-nothing numeric conversion + naming, vs parse_seatek_text's
+    coerce (reference _load_raw_data keeps bad columns as strings)."""
+    from series_correction_project_updated_ray.sources.seatek import (
+        load_raw_frame)
+    p = str(tmp_path / "mixed.txt")
+    with open(p, "w") as f:
+        f.write("1.0 abc 100\n2.0 3.5 200\n")
+    df = load_raw_frame(p)
+    assert list(df.columns) == ["Time (Seconds)", "Value2", "Value3"]
+    assert df["Value2"].dtype == object          # poisoned column stays str
+    assert df["Value3"].dtype == np.int64
+    assert load_raw_frame(str(tmp_path / "mixed.txt")) is not None
+    open(str(tmp_path / "none.txt"), "w").close()
+    assert load_raw_frame(str(tmp_path / "none.txt")).empty
