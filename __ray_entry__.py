@@ -70,6 +70,27 @@ def _q_cusum(sf_dir: str):
                              ["user_id", "event_id", "ts", "value"]))
 
 
+def _q_cusum_quantized(sf_dir: str):
+    """D2's sequential reset fold made SQL-checkable: deviations quantized
+    to int64 micros so the oracle's recursive CTE compares bit-identical
+    integers (the raw float fold stays covered by cusum_flags rows-only +
+    literal-loop parity tests)."""
+    from series_correction_project_updated_ray.stages.events_series import (
+        cusum_flags_quantized)
+    return cusum_flags_quantized(_read(sf_dir, "events",
+                                       ["user_id", "event_id", "ts", "value"]))
+
+
+def _q_jump_corrected(sf_dir: str):
+    """Composed D2→C2 (quantized detect → median-offset correct) over every
+    event row — certifies correct_jumps' before/after medians and the
+    cumulative offset fold end to end."""
+    from series_correction_project_updated_ray.stages.events_series import (
+        jump_corrected_series)
+    return jump_corrected_series(_read(sf_dir, "events",
+                                       ["user_id", "event_id", "ts", "value"]))
+
+
 def _q_corrected_events(sf_dir: str):
     from series_correction_project_updated_ray.stages.events_series import (
         corrected_series)
@@ -1317,7 +1338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # token_counts/doc_fingerprints by term_frequencies/simhash) —
     # ordered weakest-first
     n_over = max(0, len(backed) - 50)
-    late = ["split_documents", "rollup_user_1h", "sample_users_10pct",
+    late = ["split_documents", "rollup_user_1h",
             "join_lineitem_orders_bloom", "join_lineitem_orders_skew",
             "rollup_1m_retention", "top_windows_by_volume",
             "users_click_and_purchase", "vector_stats",
@@ -1326,7 +1347,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "distinct_users", "revenue_summary", "semi_join_orders",
             "doc_fingerprints", "token_counts", "value_histogram",
             "winsorize_events", "trend_user_1h", "twa_user_1h",
-            "lag_deltas_per_user", "quality_features"][:n_over]
+            "lag_deltas_per_user", "quality_features",
+            # round-3 additions (cusum_flags_q / jump_corrected_events /
+            # sample_users_10pct enter the window): packing_summary is
+            # strictly subsumed by packed_sequences' per-row check;
+            # revenue_by_nation's multi-join agg by shipping_priority;
+            # top_users_by_value's distributed top-k by knn_topk;
+            # grouping sets by rollup_1h + pivot; the except set-op by
+            # the kept anti-join; budget sampling by stratified_sample;
+            # inter-arrival moments and zscore by ohlc/grouped_quantiles'
+            # exact-moment machinery
+            "packing_summary", "revenue_by_nation", "top_users_by_value",
+            "rollup_grouping_sets", "users_click_no_purchase",
+            "token_budget_sample", "interarrival_stats",
+            "zscore_events"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -1354,7 +1388,11 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "corrected_events_nojump": _q_corrected_nojump,
         "global_mad_outliers": _q_global_mad,
         "hampel_flags": _q_hampel,
-        # order-dependent operators — rows-only (CUSUM/fold not in SQL)
+        # quantized CUSUM + composed jump correction — oracle-checked
+        # (recursive-CTE reset scan over integer prefix sums)
+        "cusum_flags_q": _q_cusum_quantized,
+        "jump_corrected_events": _q_jump_corrected,
+        # order-dependent operators — rows-only (raw float CUSUM fold)
         "cusum_flags": _q_cusum,
         "corrected_events": _q_corrected_events,
         "level_shifts_events": _q_level_shifts,
@@ -2218,6 +2256,91 @@ SELECT d.user_id,
        round(any_value(d.med), 6) AS global_median
 FROM dev d JOIN mad m USING (user_id)
 GROUP BY d.user_id
+""",
+        # D2 quantized: trailing mean/std(ddof=1) deviations rounded
+        # half-even to micros (round_even == numpy banker's), integer
+        # prefix sum, then the sequential reset-on-detection fold as a
+        # recursive CTE (each iteration = next crossing per user via
+        # min/arg_min over the integer prefix — comparisons are exact)
+        "cusum_flags_q": """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+dv AS (
+  SELECT user_id, event_id, rn, n,
+         avg(value) OVER w AS mprev,
+         stddev_samp(value) OVER w AS sprev,
+         value
+  FROM ordered
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)),
+p AS (
+  SELECT user_id, event_id, rn,
+         sum(CAST(round_even(
+               (CASE WHEN sprev > 1e-6 THEN (value - mprev) / sprev
+                     ELSE 0.0 END) * 1000000, 0) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY rn) AS pfx
+  FROM dv WHERE n >= 10 AND rn > 5),
+j AS (
+  SELECT user_id, min(rn) AS rn, arg_min(pfx, rn) AS base
+  FROM p WHERE abs(pfx) > 3000000 GROUP BY user_id
+  UNION ALL
+  SELECT j.user_id, min(p.rn), arg_min(p.pfx, p.rn)
+  FROM j JOIN p ON p.user_id = j.user_id AND p.rn > j.rn
+               AND abs(p.pfx - j.base) > 3000000
+  GROUP BY j.user_id)
+SELECT p.user_id, p.event_id FROM j JOIN p USING (user_id, rn)
+""",
+        # composed D2 -> C2: same jump set, then offset = median(5 before)
+        # - median(5 after) from ORIGINAL values (odd-count median ==
+        # exact element selection), applied cumulatively in rn order
+        "jump_corrected_events": """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+dv AS (
+  SELECT user_id, event_id, rn, n,
+         avg(value) OVER w AS mprev,
+         stddev_samp(value) OVER w AS sprev,
+         value
+  FROM ordered
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)),
+p AS (
+  SELECT user_id, event_id, rn, n,
+         sum(CAST(round_even(
+               (CASE WHEN sprev > 1e-6 THEN (value - mprev) / sprev
+                     ELSE 0.0 END) * 1000000, 0) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY rn) AS pfx
+  FROM dv WHERE n >= 10 AND rn > 5),
+j AS (
+  SELECT user_id, min(rn) AS rn, arg_min(pfx, rn) AS base
+  FROM p WHERE abs(pfx) > 3000000 GROUP BY user_id
+  UNION ALL
+  SELECT j.user_id, min(p.rn), arg_min(p.pfx, p.rn)
+  FROM j JOIN p ON p.user_id = j.user_id AND p.rn > j.rn
+               AND abs(p.pfx - j.base) > 3000000
+  GROUP BY j.user_id),
+offs AS (
+  SELECT j.user_id, j.rn,
+    (SELECT median(b.value) FROM ordered b
+     WHERE b.user_id = j.user_id AND b.rn BETWEEN j.rn - 5 AND j.rn - 1)
+  - (SELECT median(a.value) FROM ordered a
+     WHERE a.user_id = j.user_id AND a.rn BETWEEN j.rn AND j.rn + 4) AS off
+  FROM j JOIN p USING (user_id, rn)
+  WHERE j.rn BETWEEN 6 AND p.n - 5),
+cum AS (
+  SELECT user_id, rn,
+         sum(off) OVER (PARTITION BY user_id ORDER BY rn) AS cumoff
+  FROM offs)
+SELECT o.user_id, o.event_id,
+       round(o.value + coalesce(c.cumoff, 0), 6) AS value_jumpcorr
+FROM ordered o ASOF LEFT JOIN cum c
+  ON o.user_id = c.user_id AND o.rn >= c.rn
 """,
         "hampel_flags": """
 WITH ordered AS (

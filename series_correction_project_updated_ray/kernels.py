@@ -313,6 +313,38 @@ def cusum_jumps(values: np.ndarray, window_size: int = 5,
     return np.asarray(jumps, dtype=np.int64)
 
 
+def cusum_jumps_quantized(values: np.ndarray, window_size: int = 5,
+                          threshold: float = 3.0,
+                          scale: int = 1_000_000) -> np.ndarray:
+    """CUSUM reset scan over MICRO-QUANTIZED deviations.
+
+    Same sequential reset-on-detection fold as :func:`cusum_jumps`
+    [processor.py:248-276], but each normalized deviation is rounded
+    half-even to ``1/scale`` and accumulated in int64, so every
+    threshold comparison is integer-exact — which makes the
+    order-dependent fold replicable bit-for-bit by a SQL recursive CTE
+    (the DuckDB oracle uses ``round_even(dev * scale)`` + an integer
+    prefix sum; ``round_even`` == numpy's banker's rounding).
+    """
+    values = np.asarray(values, dtype=np.float64)
+    n = len(values)
+    if n < window_size * 2:
+        return np.empty(0, dtype=np.int64)
+    dev = cusum_deviations(values, window_size)
+    q = np.round(dev[window_size:] * scale).astype(np.int64)
+    prefix = np.cumsum(q)
+    thr = int(round(threshold * scale))
+    jumps = []
+    base = 0
+    append = jumps.append
+    for i, p in enumerate(prefix.tolist()):
+        d = p - base
+        if d > thr or d < -thr:
+            append(i + window_size)
+            base = p
+    return np.asarray(jumps, dtype=np.int64)
+
+
 # ---------------------------------------------------------------------------
 # Corrections [processor.py:279-465, discontinuity_utils.py:28-163,206-258]
 # ---------------------------------------------------------------------------

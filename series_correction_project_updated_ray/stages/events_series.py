@@ -77,6 +77,35 @@ def cusum_flags_group(g: pd.DataFrame, window_size=5, threshold=3.0,
                          id_col: ids})
 
 
+def cusum_flags_q_group(g: pd.DataFrame, window_size=5, threshold=3.0,
+                        key_col="user_id", id_col="event_id") -> pd.DataFrame:
+    """Flagged jump rows under the micro-quantized CUSUM — unlike the raw
+    float fold this IS SQL-expressible (integer prefix sums + a recursive
+    CTE), certifying the D2 reset-scan semantics value-exactly."""
+    g, _, v = _series_sorted(g)
+    idx = K.cusum_jumps_quantized(v, window_size, threshold)
+    ids = g[id_col].to_numpy()[idx]
+    return pd.DataFrame({key_col: np.full(len(ids), g[key_col].iloc[0]),
+                         id_col: ids})
+
+
+def jump_corrected_group(g: pd.DataFrame, window_size=5, threshold=3.0,
+                         key_col="user_id", id_col="event_id"
+                         ) -> pd.DataFrame:
+    """Composed D2→C2 on the quantized jump set: detect (quantized CUSUM)
+    then offset-correct (median-of-w before/after from ORIGINAL values,
+    cumulative, processor.py:376-401).  Emits every row so the oracle
+    certifies the full corrected series, not just the jump rows."""
+    g, _, v = _series_sorted(g)
+    idx = K.cusum_jumps_quantized(v, window_size, threshold)
+    v2 = K.correct_jumps(v, idx, window_size)
+    return pd.DataFrame({
+        key_col: np.full(len(v2), g[key_col].iloc[0]),
+        id_col: g[id_col].to_numpy(),
+        "value_jumpcorr": round_half_away(v2, 6),
+    })
+
+
 def corrected_series_group(g: pd.DataFrame, config=None,
                            key_col="user_id", id_col="event_id"
                            ) -> pd.DataFrame:
@@ -204,6 +233,16 @@ def hampel_flags(events, window_size=5, threshold=3.0):
 
 def cusum_flags(events, window_size=5, threshold=3.0):
     return _grouped(events, cusum_flags_group, window_size=window_size,
+                    threshold=threshold)
+
+
+def cusum_flags_quantized(events, window_size=5, threshold=3.0):
+    return _grouped(events, cusum_flags_q_group, window_size=window_size,
+                    threshold=threshold)
+
+
+def jump_corrected_series(events, window_size=5, threshold=3.0):
+    return _grouped(events, jump_corrected_group, window_size=window_size,
                     threshold=threshold)
 
 

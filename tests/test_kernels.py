@@ -79,6 +79,41 @@ def test_jump_matches_python_loop_reference():
     assert K.cusum_jumps(v, w, thr).tolist() == jumps
 
 
+def test_jump_quantized_matches_literal_int_fold():
+    """Quantized CUSUM vs a literal integer-fold port (the exact contract
+    the DuckDB recursive-CTE oracle replicates)."""
+    rng = np.random.default_rng(11)
+    v = rng.normal(0, 1, 400)
+    v[150:] += 5.0
+    w, thr = 5, 3.0
+    dev = K.cusum_deviations(v, w)
+    q = np.round(dev[w:] * 1_000_000).astype(np.int64)
+    jumps, c = [], 0
+    for i, d in enumerate(q.tolist()):
+        c += d
+        if abs(c) > 3_000_000:
+            jumps.append(i + w)
+            c = 0
+    assert K.cusum_jumps_quantized(v, w, thr).tolist() == jumps
+    # micro-quantization does not move crossings on generic data
+    assert K.cusum_jumps_quantized(v, w, thr).tolist() == \
+        K.cusum_jumps(v, w, thr).tolist()
+
+
+def test_jump_quantized_small_and_compose():
+    assert K.cusum_jumps_quantized(np.array([1.0, 2.0]), 3, 2.0).tolist() == []
+    rng = np.random.default_rng(3)
+    v = rng.normal(0, 1, 120)
+    v[60:] += 30.0
+    jq = K.cusum_jumps_quantized(v, 5, 3.0)
+    assert 60 in jq.tolist()
+    out = K.correct_jumps(v, jq, 5)
+    assert len(out) == len(v)
+    # the +30 shelf is pulled back toward the base level
+    assert abs(np.median(out[70:]) - np.median(v[:50])) < \
+        abs(np.median(v[70:]) - np.median(v[:50]))
+
+
 # --- gap detection ---------------------------------------------------------
 
 def test_gap_basic():
