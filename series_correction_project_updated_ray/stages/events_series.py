@@ -295,3 +295,41 @@ def corrected_nojump_group(g: pd.DataFrame, key_col="user_id"
 
 def corrected_series_nojump(events):
     return _grouped(events, corrected_nojump_group)
+
+
+def corrected_full_group(g: pd.DataFrame, key_col="user_id"
+                         ) -> pd.DataFrame:
+    """The COMPLETE 3-step composed correction, fully SQL-checkable:
+    gap insertion + positional interpolation (C1), Hampel with masked
+    rolling-median replacement (D3+C3), then the QUANTIZED CUSUM jump
+    cascade + cumulative median-offset correction (D2+C2).  6dp rounding
+    between steps and int64-micro deviations make every stage's input
+    identical on both engines, so the full composition — all five
+    reference correction operators chained — is oracle-exact.
+    Returns (user_id, t, value_corrected, inserted)."""
+    g, t, v = _series_sorted(g)
+    gaps = K.detect_gaps(t)
+    new_times = K.gap_fill_times(t, gaps)
+    t_all = np.concatenate([t, new_times])
+    flag = np.concatenate([np.zeros(len(t), dtype=bool),
+                           np.ones(len(new_times), dtype=bool)])
+    v_all = np.concatenate([v, np.full(len(new_times), np.nan)])
+    order = np.argsort(t_all, kind="stable")
+    t_all, v_all, flag = t_all[order], v_all[order], flag[order]
+    v_filled = round_half_away(K.interp_positional(v_all, "linear"), 6)
+    idx = K.hampel_outliers(v_filled, 5, 3.0, variant="processor")
+    v_out = K.correct_outliers(v_filled, idx, 5, "median") \
+        if len(idx) else v_filled
+    v2 = round_half_away(v_out, 6)
+    jumps = K.cusum_jumps_quantized(v2, 5, 3.0)
+    v3 = K.correct_jumps(v2, jumps, 5) if len(jumps) else v2
+    return pd.DataFrame({
+        key_col: np.full(len(t_all), g[key_col].iloc[0]),
+        "t": t_all.astype(np.int64),
+        "value_corrected": round_half_away(v3, 6),
+        "inserted": flag,
+    })
+
+
+def corrected_series_full(events):
+    return _grouped(events, corrected_full_group)
