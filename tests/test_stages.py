@@ -821,6 +821,62 @@ def test_ngram_jaccard_matches_brute_force(ray_session):
                                   dist.reset_index(drop=True))
 
 
+def test_ngram_jaccard_df_order_and_bitmap_verify(ray_session):
+    """The df-ascending prefix order (rarest-first, from shingle_df_map)
+    must return exactly the hash-order result — any fixed global total
+    order preserves AllPairs recall — and the small-vocab bitmap verify
+    must produce bit-identical similarities to the intersect1d loop."""
+    import ray
+    import ray.data as rd
+    from series_correction_project_updated_ray.functions.text import (
+        char_ngram_shingles)
+    from series_correction_project_updated_ray.stages.dedup import (
+        VerifyJaccardBroadcast, doc_shingle_arrays, ngram_jaccard_pairs,
+        shingle_df_map)
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    base = [" ".join(rng.choice(words, size=30)) for _ in range(10)]
+    docs, ids = [], []
+    for i, b in enumerate(base):
+        docs.append(b); ids.append(i * 2)
+        docs.append(b.replace("alpha", "omega", 1)); ids.append(i * 2 + 1)
+    df = pd.DataFrame({"doc_id": ids, "text": docs})
+
+    a = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.5) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = ngram_jaccard_pairs(rd.from_pandas(df), threshold=0.5,
+                            df_order=False) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+    # df map: every df ≥ 2, hashes sorted, values equal the direct count
+    h, dfc = shingle_df_map(rd.from_pandas(df), text_col="text", ngram=5)
+    assert (dfc >= 2).all() and (np.diff(h.astype(np.uint64)) > 0).all()
+    per_doc = [char_ngram_shingles(t, 5) for t in docs]
+    allsh = np.concatenate(per_doc)
+    uniq, cnt = np.unique(allsh, return_counts=True)
+    direct = dict(zip(uniq.tolist(), cnt.tolist()))
+    for hh, cc in zip(h.tolist(), dfc.tolist()):
+        assert direct[hh] == cc
+
+    # bitmap verify == loop verify on the same candidate set
+    arrays = doc_shingle_arrays(rd.from_pandas(df), text_col="text",
+                                id_col="doc_id", ngram=5).materialize()
+    refs = arrays.to_arrow_refs()
+    ia, ib = np.meshgrid(ids, ids)
+    mask = ia < ib
+    pairs = pa.table({"id_a": pa.array(ia[mask]),
+                      "id_b": pa.array(ib[mask])})
+    fast = VerifyJaccardBroadcast(refs, "doc_id", 0.0)
+    assert fast._bm is not None
+    slow = VerifyJaccardBroadcast(refs, "doc_id", 0.0,
+                                  bitmap_vocab_cap=0)
+    assert slow._bm is None
+    pd.testing.assert_frame_equal(fast(pairs).to_pandas(),
+                                  slow(pairs).to_pandas())
+
+
 def test_ngram_jaccard_sampling_and_df_cap(ray_session):
     """sample_mod keeps true near-dup recall (shared shingles are kept or
     dropped together); max_df only suppresses hot-bucket candidates."""
