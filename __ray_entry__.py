@@ -1033,6 +1033,55 @@ def _q_lag_deltas(sf_dir: str):
     return lag_deltas(ev)
 
 
+def _q_rate_counter(sf_dir: str):
+    """PromQL increase/rate shape: reset-aware counter rate per
+    (user, 1h window) — integer-cents deltas, resets contribute the
+    post-reset level."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        rate_counter)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return rate_counter(ev, width_s=3600)
+
+
+def _q_interval_coverage(sf_dir: str):
+    """Gaps-and-islands: per-user union of fixed 300s event intervals →
+    merged count + covered span (integer µs)."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        interval_coverage)
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return interval_coverage(ev, width_s=300)
+
+
+def _q_resample_ffill(sf_dir: str):
+    """Regular-grid forward-fill resample (the upsample dual of the
+    rollups): one row per hourly boundary in each user's span, carrying
+    the latest prior-or-equal observation."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        resample_ffill)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return resample_ffill(ev, width_s=3600)
+
+
+def _q_ewma(sf_dir: str):
+    """Per-user EWMA (α=0.5) in event-time order — the float recursion
+    runs in the oracle's exact operand order, so a recursive CTE
+    certifies it bit-for-bit at 6dp."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        ewma_per_user)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return ewma_per_user(ev, alpha=0.5)
+
+
+def _q_lttb(sf_dir: str):
+    """LTTB visual downsample to 100 points per user (sequential by
+    nature — each bucket's pick feeds the next triangle — so rows-only;
+    invariants + known-case parity are pytest-checked)."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        lttb_downsample)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return lttb_downsample(ev, n_out=100)
+
+
 def _q_value_histogram(sf_dir: str):
     """Fixed-width exact histogram per event type (partial-first)."""
     from series_correction_project_updated_ray.stages.relational import (
@@ -1375,7 +1424,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # operators composed) strictly subsumes the 2-step nojump
             # certification; gap_filled_events/hampel_flags still cover
             # those stages in isolation
-            "corrected_events_nojump"][:n_over]
+            "corrected_events_nojump",
+            # round-3 additions (rate_counter_1h / interval_coverage /
+            # resample_ffill_1h / ewma_per_user enter the window):
+            # strided decimation is covered by resample_ffill's grid
+            # selection; gap-split islands by interval_coverage's
+            # overlap-merge (same boundary-scan mechanism, stronger
+            # aggregate); latest-prior-or-equal asof semantics by
+            # resample_ffill's grid ASOF; the cumulative-fold frame by
+            # ewma's bit-exact recursive fold (strictly harder: float
+            # recursion vs integer prefix sum)
+            "downsample_stride", "session_windows",
+            "asof_join_purchases", "running_sum_per_user"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -1515,6 +1575,21 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "running_sum_per_user": _q_running_sum,
         # LAG window shape (per-user deltas) — oracle-checked
         "lag_deltas_per_user": _q_lag_deltas,
+        # reset-aware counter rate (PromQL increase/rate shape) —
+        # oracle-checked
+        "rate_counter_1h": _q_rate_counter,
+        # gaps-and-islands interval union per user — oracle-checked
+        "interval_coverage": _q_interval_coverage,
+        # regular-grid forward-fill resample (upsample dual) —
+        # oracle-checked (ASOF-join grid semantics)
+        "resample_ffill_1h": _q_resample_ffill,
+        # EWMA float recursion — oracle-checked bit-exactly via a
+        # recursive CTE running the identical operand order
+        "ewma_per_user": _q_ewma,
+        # LTTB visual downsample — rows-only (sequential pick chain);
+        # pytest certifies invariants + parity with a direct
+        # single-process implementation
+        "lttb_downsample": _q_lttb,
         # per-doc top TF-IDF term / boilerplate n-gram removal —
         # oracle-checked
         "tfidf_top_term": _q_tfidf,
@@ -2021,6 +2096,89 @@ SELECT user_id, event_id, t,
        CAST(cents - lag(cents) OVER w AS DOUBLE) / 100.0 AS dv,
        CAST(t - lag(t) OVER w AS DOUBLE) AS dt_us
 FROM c WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+""",
+        # PromQL-style reset-aware counter rate: lag deltas in integer
+        # cents; a negative delta (reset) contributes the post-reset
+        # level; a window whose every event is lag-less sums to NULL.
+        # The engine runs the identical /100.0 then /3600.0 divisions.
+        "rate_counter_1h": """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events),
+d AS (
+  SELECT user_id, t, cents,
+         cents - lag(cents) OVER (PARTITION BY user_id
+                                  ORDER BY t, event_id) AS dc
+  FROM c)
+SELECT user_id, (t // 1000000) // 3600 * 3600 AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN dc IS NULL THEN NULL
+                     WHEN dc >= 0 THEN dc ELSE cents END) AS DOUBLE)
+         / 100.0 AS increase,
+       round((CAST(SUM(CASE WHEN dc IS NULL THEN NULL
+                            WHEN dc >= 0 THEN dc ELSE cents END)
+              AS DOUBLE) / 100.0) / 3600.0, 6) AS rate_per_s
+FROM d GROUP BY 1, 2
+""",
+        # gaps-and-islands: fixed 300s intervals merge where the start
+        # is at or before the running max end; integer-µs coverage
+        "interval_coverage": """
+WITH c AS (SELECT user_id, epoch_us(ts) AS s,
+                  epoch_us(ts) + 300000000 AS e
+           FROM events),
+m AS (SELECT user_id, s, e,
+        CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS ni
+      FROM c),
+i AS (SELECT user_id, s, e,
+        SUM(ni) OVER (PARTITION BY user_id ORDER BY s, e) AS island
+      FROM m),
+x AS (SELECT user_id, island, max(e) - min(s) AS len
+      FROM i GROUP BY 1, 2)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(len) AS BIGINT) AS covered_us
+FROM x GROUP BY 1
+""",
+        # hourly forward-fill grid: one row per boundary inside each
+        # user's observed span; ASOF join = latest prior-or-equal
+        # observation, microsecond ties to the highest event_id (the
+        # rn=1 dedup) — the engine's union-ffill kernel convention
+        "resample_ffill_1h": """
+WITH c0 AS (
+  SELECT user_id, epoch_us(ts) AS t, value,
+         row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                            ORDER BY event_id DESC) AS rn
+  FROM events),
+cd AS (SELECT user_id, t, value FROM c0 WHERE rn = 1),
+b AS (SELECT user_id, min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+      FROM events GROUP BY 1),
+g AS (SELECT user_id,
+        unnest(generate_series(
+          CAST(((lo + 3599999999) // 3600000000) * 3600 AS BIGINT),
+          CAST((hi // 3600000000) * 3600 AS BIGINT),
+          3600)) AS window_start
+      FROM b)
+SELECT g.user_id, g.window_start, cd.value
+FROM g ASOF JOIN cd
+  ON g.user_id = cd.user_id AND g.window_start * 1000000 >= cd.t
+""",
+        # EWMA recursion — the CTE folds 0.5*x + 0.5*y in the engine
+        # kernel's exact operand order, so the doubles are bit-identical
+        # before the shared 6dp round
+        "ewma_per_user": """
+WITH RECURSIVE c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL),
+r AS (
+  SELECT user_id, event_id, t, rn, value AS y FROM c WHERE rn = 1
+  UNION ALL
+  SELECT c.user_id, c.event_id, c.t, c.rn, 0.5 * c.value + 0.5 * r.y
+  FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
+SELECT user_id, event_id, t, round(y, 6) AS ewma FROM r
 """,
         # integer-exact fixed-width histogram: bin = floor(cents/width)
         # through the identical double division on both sides

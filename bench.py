@@ -17,6 +17,11 @@ The headline is the flagship rollup (tokenized sequences → per-series
 synthetic sequences table large enough to exercise real parallelism
 (~40M points by default), generated ONCE under /tmp and reused, plus the
 sf-dir operator pipelines.
+
+Every timing is a best-of-N (N=3 for the headline, 2 elsewhere; 1 for
+non-headline entries inside scaling children): single runs on this shared
+box swing ±20-30% with ambient load, and the recorded artifact is what
+future rounds are compared against.
 """
 
 from __future__ import annotations
@@ -75,7 +80,22 @@ def run_bench() -> dict:
     from series_correction_project_updated_ray.sources.sequences import (
         read_sequences)
 
+    scaling_child = os.environ.get("GRAFT_BENCH_SCALING_CHILD") == "1"
     timings: dict[str, float] = {}
+
+    def timed(name: str, fn, reps: int = 2) -> None:
+        """Record best-of-``reps`` wall time of ``fn()`` (each rep runs the
+        full lazy pipeline; noise on this box is one-sided, so min is the
+        engine signal)."""
+        if scaling_child and name != "rollup_sequences_synth":
+            reps = 1
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # warm-up (untimed): page cache AND worker-process imports — the first
     # task on each fresh Ray worker pays the numpy/pandas/package import,
@@ -89,23 +109,21 @@ def run_bench() -> dict:
 
     # HEADLINE: zero-shuffle plan over the bucket-partitioned layout (the
     # 100 TB ingest layout).  Partitioning is pinned independent of
-    # NUM_CPUS so scaling runs execute the IDENTICAL job.  Best-of-2:
-    # single runs on this shared box vary ±20%.
-    best = None
-    for _ in range(2):
-        t0 = time.time()
+    # NUM_CPUS so scaling runs execute the IDENTICAL job.
+    n_rollup_rows = 0
+
+    def _headline():
+        nonlocal n_rollup_rows
         roll = correct_and_rollup_local(SYNTH_DIR, buckets_per_source=128,
                                         step_seconds=1)
         n_rollup_rows = roll.count()
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    timings["rollup_sequences_synth"] = round(best, 3)
+    timed("rollup_sequences_synth", _headline, reps=3)
 
     # general-input plan (one groupby shuffle) for comparison
-    t0 = time.time()
-    correct_and_rollup(read_sequences(SYNTH_DIR, num_blocks=64),
-                       buckets_per_source=128, step_seconds=1).count()
-    timings["rollup_sequences_shuffle"] = round(time.time() - t0, 3)
+    timed("rollup_sequences_shuffle",
+          lambda: correct_and_rollup(read_sequences(SYNTH_DIR, num_blocks=64),
+                                     buckets_per_source=128,
+                                     step_seconds=1).count())
 
     # headline plan consumed by a real parquet SINK (one file per block
     # under /tmp) — end-to-end including serialization + disk, the shape a
@@ -113,79 +131,71 @@ def run_bench() -> dict:
     # comparable across rounds
     import shutil
     sink_dir = "/tmp/graft_bench_rollup_out"
-    shutil.rmtree(sink_dir, ignore_errors=True)
-    t0 = time.time()
-    correct_and_rollup_local(SYNTH_DIR, buckets_per_source=128,
-                             step_seconds=1).write_parquet(sink_dir)
-    timings["rollup_write_parquet"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
-                         columns=["event_type", "ts", "value"])
-    tiers = rollup_tiers(ev)
-    for t in tiers.values():
-        t.count()
-    timings["rollup_events_tiers"] = round(time.time() - t0, 3)
+    def _write():
+        shutil.rmtree(sink_dir, ignore_errors=True)
+        correct_and_rollup_local(SYNTH_DIR, buckets_per_source=128,
+                                 step_seconds=1).write_parquet(sink_dir)
+    timed("rollup_write_parquet", _write)
 
-    t0 = time.time()
-    corrected_series(rd.read_parquet(
-        f"{SF_DIR}/events.parquet",
-        columns=["user_id", "event_id", "ts", "value"])).count()
-    timings["corrected_events"] = round(time.time() - t0, 3)
+    def _tiers():
+        ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                             columns=["event_type", "ts", "value"])
+        for t in rollup_tiers(ev).values():
+            t.count()
+    timed("rollup_events_tiers", _tiers)
 
-    t0 = time.time()
-    hampel_flags(rd.read_parquet(
-        f"{SF_DIR}/events.parquet",
-        columns=["user_id", "event_id", "ts", "value"])).count()
-    timings["hampel_flags"] = round(time.time() - t0, 3)
+    timed("corrected_events",
+          lambda: corrected_series(rd.read_parquet(
+              f"{SF_DIR}/events.parquet",
+              columns=["user_id", "event_id", "ts", "value"])).count())
 
-    t0 = time.time()
-    exact_dedup_survivors(rd.read_parquet(
-        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])).count()
-    timings["dedup_exact"] = round(time.time() - t0, 3)
+    timed("hampel_flags",
+          lambda: hampel_flags(rd.read_parquet(
+              f"{SF_DIR}/events.parquet",
+              columns=["user_id", "event_id", "ts", "value"])).count())
+
+    timed("dedup_exact",
+          lambda: exact_dedup_survivors(rd.read_parquet(
+              f"{SF_DIR}/documents.parquet",
+              columns=["doc_id", "text"])).count())
 
     # LLM-pipeline operators (skipped in scaling children: the scaling
     # criterion measures the headline rollup, and 12 child runs would
     # pay these timings for nothing)
-    if os.environ.get("GRAFT_BENCH_SCALING_CHILD") != "1":
+    if not scaling_child:
         from series_correction_project_updated_ray.stages.dedup import (
             minhash_lsh_dedup, ngram_jaccard_pairs)
         from series_correction_project_updated_ray.stages.textstage import (
-            redact_pii)
+            chunk_documents, redact_pii, remove_common_ngrams,
+            tfidf_top_term)
 
         docs_path = f"{SF_DIR}/documents.parquet"
-        t0 = time.time()
-        minhash_lsh_dedup(rd.read_parquet(
-            docs_path, columns=["doc_id", "text"]))
-        timings["minhash_dedup"] = round(time.time() - t0, 3)
 
-        t0 = time.time()
-        ngram_jaccard_pairs(rd.read_parquet(
-            docs_path, columns=["doc_id", "text"])).count()
-        timings["ngram_jaccard_pairs"] = round(time.time() - t0, 3)
+        timed("minhash_dedup",
+              lambda: minhash_lsh_dedup(rd.read_parquet(
+                  docs_path, columns=["doc_id", "text"])))
 
-        t0 = time.time()
-        redact_pii(rd.read_parquet(
-            docs_path, columns=["doc_id", "text"])).count()
-        timings["redact_pii"] = round(time.time() - t0, 3)
+        timed("ngram_jaccard_pairs",
+              lambda: ngram_jaccard_pairs(rd.read_parquet(
+                  docs_path, columns=["doc_id", "text"])).count())
 
-        from series_correction_project_updated_ray.stages.textstage import (
-            chunk_documents, remove_common_ngrams, tfidf_top_term)
+        timed("redact_pii",
+              lambda: redact_pii(rd.read_parquet(
+                  docs_path, columns=["doc_id", "text"])).count())
 
-        t0 = time.time()
-        tfidf_top_term(rd.read_parquet(
-            docs_path, columns=["doc_id", "text"])).count()
-        timings["tfidf_top_term"] = round(time.time() - t0, 3)
+        timed("tfidf_top_term",
+              lambda: tfidf_top_term(rd.read_parquet(
+                  docs_path, columns=["doc_id", "text"])).count())
 
-        t0 = time.time()
-        remove_common_ngrams(rd.read_parquet(
-            docs_path, columns=["doc_id", "text"]), n=3, min_df=5).count()
-        timings["remove_common_ngrams"] = round(time.time() - t0, 3)
+        timed("remove_common_ngrams",
+              lambda: remove_common_ngrams(rd.read_parquet(
+                  docs_path, columns=["doc_id", "text"]),
+                  n=3, min_df=5).count())
 
-        t0 = time.time()
-        chunk_documents(rd.read_parquet(
-            docs_path, columns=["doc_id", "text"])).count()
-        timings["chunk_documents"] = round(time.time() - t0, 3)
+        timed("chunk_documents",
+              lambda: chunk_documents(rd.read_parquet(
+                  docs_path, columns=["doc_id", "text"])).count())
 
     headline = timings["rollup_sequences_synth"]
     result = {

@@ -1,0 +1,421 @@
+"""Time-series primitives beyond the tumbling rollups and windows.
+
+Rebuild-only components (the reference is pure batch — SURVEY.md §2.11)
+rounding out the north rule's "rollup + downsample + retention engine":
+
+* counter rate (PromQL ``increase``/``rate`` shape): reset-aware
+  per-key per-window sum of non-negative deltas;
+* grid resampling with forward fill (the UPSAMPLE/regularize dual of
+  the rollup downsample): per-key hourly grid joined to the latest
+  prior-or-equal observation;
+* interval coverage (gaps-and-islands): per-key union of fixed-width
+  event intervals → merged-interval count + covered span;
+* EWMA: the classic exponential smoothing recursion, run bit-exactly
+  in event order (certifiable against a recursive-CTE SQL oracle);
+* LTTB (largest-triangle-three-buckets, Steinarsson 2013): the
+  shape-preserving visual downsample; sequential by nature (each
+  bucket's pick feeds the next triangle), so per-key inside
+  partition groups.
+
+All use the one-shuffle partition-group pattern of
+:mod:`stages.windows`: ``stable_hash(key) % n_parts`` co-locates whole
+keys, each kernel handles every co-located key vectorized (boundary
+scans / reduceat), never one Python call per key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .windows import _add_key_partition, _epoch_micros
+from ..functions.rounding import round_half_away, scaled_int
+
+
+def _prep_events(events, cols=("user_id", "event_id", "value")):
+    """Project to (key cols..., t=epoch micros) — the shared prep map."""
+    def _prep(batch: pa.Table) -> pa.Table:
+        out = {c: batch[c] for c in cols if c in batch.column_names}
+        out["t"] = pa.array(_epoch_micros(batch["ts"]))
+        return pa.table(out)
+    return events.map_batches(_prep, batch_format="pyarrow")
+
+
+# --- counter rate (PromQL increase / rate) ---------------------------------
+
+class RateCounterGroup:
+    """Per-partition kernel: reset-aware counter increase per
+    (key, tumbling window).  In each key's (t, event_id) order,
+    ``dc = cents - lag(cents)``; a negative delta is a counter RESET and
+    contributes the post-reset level itself (the PromQL convention); the
+    key's first event has no lag and contributes nothing.  Window cells
+    whose every event is lag-less emit NULL increase/rate (SQL SUM over
+    all-NULL), all in integer cents with one float division sequence on
+    output."""
+
+    def __init__(self, width_s: int = 3600):
+        self.width_s = width_s
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": g["user_id"],
+                "window_start": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "increase": pd.Series([], dtype=np.float64),
+                "rate_per_s": pd.Series([], dtype=np.float64)})
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        keys = g["user_id"].to_numpy()[order]
+        cents = scaled_int(g["value"].to_numpy(np.float64))[order]
+        n = len(t)
+        first = np.r_[True, codes[1:] != codes[:-1]]
+        dc = np.empty(n, dtype=np.int64)
+        dc[0] = 0
+        dc[1:] = cents[1:] - cents[:-1]
+        inc = np.where(dc >= 0, dc, cents)     # reset → post-reset level
+        valid = ~first
+        w = t // 1_000_000 // self.width_s * self.width_s
+        seg = np.r_[True, (codes[1:] != codes[:-1]) | (w[1:] != w[:-1])]
+        starts = np.flatnonzero(seg)
+        ends = np.r_[starts[1:], n]
+        inc_sum = np.add.reduceat(np.where(valid, inc, 0), starts)
+        n_valid = np.add.reduceat(valid.astype(np.int64), starts)
+        increase = np.where(n_valid > 0, inc_sum / 100.0, np.nan)
+        rate = np.where(
+            n_valid > 0,
+            round_half_away(increase / float(self.width_s), 6), np.nan)
+        return pd.DataFrame({
+            "user_id": keys[starts],
+            "window_start": w[starts],
+            "n_events": (ends - starts).astype(np.int64),
+            "increase": increase,
+            "rate_per_s": rate,
+        })
+
+
+def rate_counter(events, *, width_s: int = 3600, n_parts: int = 64):
+    """Reset-aware counter rate per (user, tumbling window) — one
+    partition-group shuffle of (key, id, t, cents)-width rows."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(RateCounterGroup(width_s),
+                                      batch_format="pandas")
+
+
+# --- interval coverage (gaps and islands) ----------------------------------
+
+class IntervalCoverageGroup:
+    """Per-partition kernel: merge each key's overlapping-or-touching
+    ``[t, t + width]`` intervals (sorted by start; an interval starting
+    at or before the running max end extends the current island) and
+    emit per key the merged-interval count and the union's total length
+    in integer microseconds."""
+
+    def __init__(self, width_s: int = 300):
+        self.width_us = width_s * 1_000_000
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": g["user_id"],
+                "n_intervals": pd.Series([], dtype=np.int64),
+                "covered_us": pd.Series([], dtype=np.int64)})
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        s = g["t"].to_numpy(np.int64)
+        order = np.lexsort((s, codes))
+        codes, s = codes[order], s[order]
+        keys = g["user_id"].to_numpy()[order]
+        e = s + self.width_us
+        n = len(s)
+        first = np.r_[True, codes[1:] != codes[:-1]]
+        # FIXED-width intervals sorted by start have sorted ends, so the
+        # running max end within a key is simply the previous row's end
+        # (general widths would need a segmented cummax)
+        prev_e = np.empty(n, dtype=np.int64)
+        prev_e[0] = np.iinfo(np.int64).min
+        prev_e[1:] = e[:-1]
+        new_island = first | (s > prev_e)
+        istarts = np.flatnonzero(new_island)
+        iends = np.r_[istarts[1:], n]
+        island_max_e = np.maximum.reduceat(e, istarts)
+        island_len = island_max_e - s[istarts]
+        ikey_first = first[istarts]          # island starts a new key?
+        kstarts = np.flatnonzero(ikey_first)
+        kends = np.r_[kstarts[1:], len(istarts)]
+        return pd.DataFrame({
+            "user_id": keys[istarts][kstarts],
+            "n_intervals": (kends - kstarts).astype(np.int64),
+            "covered_us": np.add.reduceat(island_len, kstarts),
+        })
+
+
+def interval_coverage(events, *, width_s: int = 300, n_parts: int = 64):
+    """Per-user union of fixed-width event intervals: merged count +
+    covered span (integer µs) — one partition-group shuffle."""
+    prepped = _prep_events(events, cols=("user_id",))
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(IntervalCoverageGroup(width_s),
+                                      batch_format="pandas")
+
+
+# --- grid resample with forward fill ---------------------------------------
+
+class ResampleFfillGroup:
+    """Per-partition kernel: union of grid rows (side 1) and event rows
+    (side 0) in (key, t, side, event_id) order; each grid row takes the
+    value of the latest event at or before it (ties at the same
+    microsecond resolve to the highest event_id — the engine-wide
+    convention)."""
+
+    def __init__(self, width_s: int = 3600):
+        self.width_s = width_s
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": g["user_id"],
+                "window_start": pd.Series([], dtype=np.int64),
+                "value": pd.Series([], dtype=np.float64)})
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        t = g["t"].to_numpy(np.int64)
+        side = g["__side"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, side, t, codes))
+        codes, t, side = codes[order], t[order], side[order]
+        keys = g["user_id"].to_numpy()[order]
+        vals = g["value"].to_numpy(np.float64)[order]
+        n = len(t)
+        is_event = side == 0
+        # segmented forward-fill of the latest event row index: running
+        # max of (key code, event position) encoded in one int64 — a new
+        # key's rows always win on the code term, so the scan resets
+        # per key without a Python loop; code*(n+1) ≤ n(n+1) « 2^63
+        enc = codes.astype(np.int64) * np.int64(n + 1) \
+            + np.where(is_event, np.arange(n) + 1, 0)
+        last_evt = np.maximum.accumulate(enc) % np.int64(n + 1) - 1
+        grid = ~is_event
+        gsel = np.flatnonzero(grid & (last_evt >= 0))
+        return pd.DataFrame({
+            "user_id": keys[gsel],
+            "window_start": t[gsel] // 1_000_000,
+            "value": vals[last_evt[gsel]],
+        })
+
+
+def resample_ffill(events, *, width_s: int = 3600, n_parts: int = 64):
+    """Regular-grid forward-fill resample: per user, one row per
+    ``width_s`` boundary inside the user's observed span, carrying the
+    latest prior-or-equal observation.  Grid generation is an
+    aggregate + flat-map (tiny), the fill one partition-group shuffle
+    of the union — the UPSAMPLE dual of the rollup downsample."""
+    from ray.data.aggregate import Max, Min
+
+    prepped = _prep_events(events)
+
+    spans = prepped.groupby("user_id").aggregate(
+        Min("t", alias_name="lo"), Max("t", alias_name="hi"))
+
+    width_us = width_s * 1_000_000
+
+    def _grid(t: pa.Table) -> pa.Table:
+        if "user_id" not in t.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_id": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.float64()),
+                             "t": pa.array([], pa.int64()),
+                             "__side": pa.array([], pa.int64())})
+        import pyarrow.compute as pc
+        # a NULL key can never equal-join back to an event row (the
+        # oracle's ASOF equi-condition drops it too) — no grid for it
+        t = t.filter(pc.is_valid(t["user_id"]))
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        lo = t["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = t["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h0 = -(-lo // width_us)          # ceil to boundary ≥ first obs
+        h1 = hi // width_us              # floor to boundary ≤ last obs
+        counts = np.maximum(h1 - h0 + 1, 0)
+        total = int(counts.sum())
+        u_out = np.repeat(uid, counts)
+        csum = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        offs = np.arange(total) - np.repeat(csum, counts)
+        hs = (np.repeat(h0, counts) + offs) * width_us
+        return pa.table({
+            "user_id": pa.array(u_out),
+            "event_id": pa.array(np.zeros(total, dtype=np.int64)),
+            "value": pa.array(np.full(total, np.nan)),
+            "t": pa.array(hs),
+            "__side": pa.array(np.ones(total, dtype=np.int64)),
+        })
+
+    grid = spans.map_batches(_grid, batch_format="pyarrow")
+
+    def _tag(t: pa.Table) -> pa.Table:
+        # column order must match _grid's exactly: Dataset.union
+        # concatenates blocks positionally-schema-checked
+        t = t.select(["user_id", "event_id", "value", "t"])
+        return t.append_column(
+            "__side", pa.array(np.zeros(len(t), dtype=np.int64)))
+
+    both = prepped.map_batches(_tag, batch_format="pyarrow").union(grid)
+    return _add_key_partition(both, "user_id", n_parts) \
+        .groupby("__part").map_groups(ResampleFfillGroup(width_s),
+                                      batch_format="pandas")
+
+
+# --- EWMA ------------------------------------------------------------------
+
+class EwmaGroup:
+    """Per-partition kernel: the exponential-smoothing recursion
+    ``y_i = α·x_i + (1-α)·y_{i-1}`` (y_0 = x_0) per key in (t, event_id)
+    order — run with exactly that operand order so the doubles are
+    bit-identical to a recursive-CTE oracle, then rounded to 6dp.
+    Vectorized ACROSS keys: co-located series are packed into a
+    (keys × max_len) matrix and the recursion steps down the position
+    axis, so the Python loop is O(longest series), not O(rows)."""
+
+    def __init__(self, alpha: float = 0.5):
+        self.alpha = alpha
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": g["user_id"],
+                "event_id": pd.Series([], dtype=np.int64),
+                "t": pd.Series([], dtype=np.int64),
+                "ewma": pd.Series([], dtype=np.float64)})
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        # NULL keys cannot chain through the oracle's recursive equality
+        # join (only the anchor row would survive) — define the op over
+        # non-null keys, like SQL's inner joins everywhere else
+        if (codes < 0).any():
+            g = g.iloc[codes >= 0]
+            codes = codes[codes >= 0]
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": g["user_id"],
+                "event_id": pd.Series([], dtype=np.int64),
+                "t": pd.Series([], dtype=np.int64),
+                "ewma": pd.Series([], dtype=np.float64)})
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        keys = g["user_id"].to_numpy()[order]
+        x = g["value"].to_numpy(np.float64)[order]
+        n = len(t)
+        first = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.flatnonzero(first)
+        pos = np.arange(n) - np.repeat(starts, np.diff(np.r_[starts, n]))
+        row = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, n]))
+        max_len = int(pos.max()) + 1
+        M = np.full((len(starts), max_len), np.nan)
+        M[row, pos] = x
+        Y = np.empty_like(M)
+        a, b = self.alpha, 1.0 - self.alpha
+        Y[:, 0] = M[:, 0]
+        for k in range(1, max_len):
+            # same operand order as the SQL `a*x + b*y`: mult, mult, add
+            Y[:, k] = a * M[:, k] + b * Y[:, k - 1]
+        y = Y[row, pos]
+        return pd.DataFrame({
+            "user_id": keys,
+            "event_id": ids[order],
+            "t": t,
+            "ewma": round_half_away(y, 6),
+        })
+
+
+def ewma_per_user(events, *, alpha: float = 0.5, n_parts: int = 64):
+    """Per-user EWMA of value in event-time order — one partition-group
+    shuffle; the recursion is bit-exact against a recursive CTE."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(EwmaGroup(alpha),
+                                      batch_format="pandas")
+
+
+# --- LTTB downsample -------------------------------------------------------
+
+def lttb_select(t: np.ndarray, v: np.ndarray, n_out: int) -> np.ndarray:
+    """Indices of the LTTB-selected points of ONE series already sorted
+    by t.  First and last points always kept; each interior bucket keeps
+    the point maximizing the triangle area with the previous SELECTED
+    point and the next bucket's centroid (Steinarsson 2013, §4.2)."""
+    n = len(t)
+    if n_out >= n or n_out < 3:
+        return np.arange(n)
+    # n_out-2 interior buckets over points 1..n-2, equal float split
+    edges = 1 + (np.arange(n_out - 1) * (n - 2)) // (n_out - 2)
+    edges = np.r_[edges, n - 1]
+    out = np.empty(n_out, dtype=np.int64)
+    out[0] = 0
+    prev = 0
+    tf = t.astype(np.float64)
+    for i in range(n_out - 2):
+        s, e = edges[i], edges[i + 1]          # this bucket [s, e)
+        ns, ne = edges[i + 1], min(edges[i + 2] if i + 2 < len(edges)
+                                   else n, n)  # next bucket (or last pt)
+        cx = tf[ns:ne].mean() if ne > ns else tf[n - 1]
+        cy = v[ns:ne].mean() if ne > ns else v[n - 1]
+        area = np.abs(
+            (tf[prev] - cx) * (v[s:e] - v[prev])
+            - (tf[prev] - tf[s:e]) * (cy - v[prev]))
+        prev = s + int(np.argmax(area))
+        out[i + 1] = prev
+    out[n_out - 1] = n - 1
+    return out
+
+
+class LttbGroup:
+    """Per-partition kernel: LTTB-downsample every co-located key's
+    series to ``n_out`` points.  Sequential per key by nature (each
+    pick feeds the next triangle); the per-bucket argmax is numpy."""
+
+    def __init__(self, n_out: int = 100):
+        self.n_out = n_out
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": g["user_id"],
+                "event_id": pd.Series([], dtype=np.int64),
+                "t": pd.Series([], dtype=np.int64),
+                "value": pd.Series([], dtype=np.float64)})
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        keys = g["user_id"].to_numpy()[order]
+        ids = ids[order]
+        vals = g["value"].to_numpy(np.float64)[order]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], len(t)]
+        sel = [s + lttb_select(t[s:e], vals[s:e], self.n_out)
+               for s, e in zip(starts, ends)]
+        sel = np.concatenate(sel) if sel else np.empty(0, np.int64)
+        return pd.DataFrame({
+            "user_id": keys[sel],
+            "event_id": ids[sel],
+            "t": t[sel],
+            "value": vals[sel],
+        })
+
+
+def lttb_downsample(events, *, n_out: int = 100, n_parts: int = 64):
+    """Shape-preserving per-user downsample to ``n_out`` points
+    (largest-triangle-three-buckets) — one partition-group shuffle."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(LttbGroup(n_out),
+                                      batch_format="pandas")

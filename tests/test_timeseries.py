@@ -1,0 +1,194 @@
+"""Tests for stages/timeseries.py: counter rate, interval coverage,
+grid resample, EWMA, LTTB — kernel edge semantics plus Ray end-to-end."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from series_correction_project_updated_ray.stages.timeseries import (
+    EwmaGroup, IntervalCoverageGroup, LttbGroup, RateCounterGroup,
+    ResampleFfillGroup, ewma_per_user, interval_coverage, lttb_downsample,
+    lttb_select, rate_counter, resample_ffill)
+
+
+def _mk(n=200, seed=0, users=5, with_null=False):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, users, n).astype(np.float64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": np.sort(rng.integers(0, 50_000, n)).astype(np.int64)
+        * 1_000_000,
+        "value": np.round(rng.normal(50, 30, n), 2),
+    })
+    if with_null:
+        df.loc[df.index[:3], "user_id"] = np.nan
+    df["user_id"] = df["user_id"].astype("Int64")
+    return df
+
+
+def _duck(df, sql):
+    import duckdb
+    con = duckdb.connect()
+    con.register("ev", df)
+    return con.execute(sql).df()
+
+
+def _cmp(got: pd.DataFrame, want: pd.DataFrame):
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rate_counter_kernel_matches_sql():
+    """Resets (negative deltas) contribute the post-reset level;
+    lag-less-only windows emit NULL; null keys are their own group —
+    all per DuckDB on the same frame."""
+    df = _mk(with_null=True)
+    got = RateCounterGroup(3600)(df)
+    want = _duck(df, """
+WITH d AS (
+  SELECT user_id, t, CAST(round(value*100) AS BIGINT) AS cents,
+         CAST(round(value*100) AS BIGINT)
+           - lag(CAST(round(value*100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY t, event_id) AS dc
+  FROM ev)
+SELECT user_id, (t // 1000000) // 3600 * 3600 AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN dc IS NULL THEN NULL
+                     WHEN dc >= 0 THEN dc ELSE cents END) AS DOUBLE)
+         / 100.0 AS increase,
+       round((CAST(SUM(CASE WHEN dc IS NULL THEN NULL
+                            WHEN dc >= 0 THEN dc ELSE cents END)
+              AS DOUBLE) / 100.0) / 3600.0, 6) AS rate_per_s
+FROM d GROUP BY 1, 2""")
+    _cmp(got, want)
+    # a window holding only a user's first event must be NULL, not 0
+    one = pd.DataFrame({"user_id": pd.array([1, 1], dtype="Int64"),
+                        "event_id": np.array([0, 1], dtype=np.int64),
+                        "t": np.array([0, 7200 * 1_000_000], np.int64),
+                        "value": [5.0, 3.0]})
+    r = RateCounterGroup(3600)(one).sort_values("window_start")
+    assert np.isnan(r["increase"].iloc[0])
+    assert r["increase"].iloc[1] == 3.0  # reset: contributes the level
+
+
+def test_interval_coverage_kernel_matches_sql():
+    df = _mk(with_null=True)[["user_id", "t"]]
+    got = IntervalCoverageGroup(300)(df)
+    want = _duck(df, """
+WITH c AS (SELECT user_id, t AS s, t + 300000000 AS e FROM ev),
+m AS (SELECT user_id, s, e,
+        CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS ni FROM c),
+i AS (SELECT user_id, s, e,
+        SUM(ni) OVER (PARTITION BY user_id ORDER BY s, e) AS island
+      FROM m),
+x AS (SELECT user_id, island, max(e) - min(s) AS len
+      FROM i GROUP BY 1, 2)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(len) AS BIGINT) AS covered_us
+FROM x GROUP BY 1""")
+    _cmp(got, want)
+    # touching intervals merge (s == prev end): one island, exact span
+    touch = pd.DataFrame({
+        "user_id": pd.array([1, 1, 1], dtype="Int64"),
+        "t": np.array([0, 300_000_000, 800_000_000], np.int64)})
+    r = IntervalCoverageGroup(300)(touch)
+    assert r["n_intervals"].iloc[0] == 2
+    assert r["covered_us"].iloc[0] == 600_000_000 + 300_000_000
+
+
+def test_ewma_kernel_matches_recursive_sql():
+    df = _mk(with_null=True)
+    got = EwmaGroup(0.5)(df)
+    want = _duck(df, """
+WITH RECURSIVE c AS (
+  SELECT user_id, event_id, t, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+           AS rn
+  FROM ev WHERE user_id IS NOT NULL),
+r AS (
+  SELECT user_id, event_id, t, rn, value AS y FROM c WHERE rn = 1
+  UNION ALL
+  SELECT c.user_id, c.event_id, c.t, c.rn, 0.5 * c.value + 0.5 * r.y
+  FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
+SELECT user_id, event_id, t, round(y, 6) AS ewma FROM r""")
+    _cmp(got, want)
+
+
+def test_lttb_select_known_triangle():
+    """4 points → 3 buckets: the interior pick maximizes the triangle
+    with the first point and the last bucket's centroid — the spike
+    survives, the flat point doesn't."""
+    t = np.array([0, 1, 2, 3], dtype=np.int64)
+    v = np.array([0.0, 0.1, 5.0, 0.2])
+    sel = lttb_select(t, v, 3)
+    assert list(sel) == [0, 2, 3]
+    # short series pass through untouched
+    assert list(lttb_select(t, v, 10)) == [0, 1, 2, 3]
+
+
+def test_lttb_group_parity_with_direct():
+    """The distributed kernel must equal running lttb_select per user
+    directly on the sorted series."""
+    df = _mk(n=500, users=4)
+    got = LttbGroup(20)(df).sort_values(["user_id", "t", "event_id"]) \
+        .reset_index(drop=True)
+    outs = []
+    for uid, sub in df.groupby("user_id"):
+        sub = sub.sort_values(["t", "event_id"]).reset_index(drop=True)
+        sel = lttb_select(sub["t"].to_numpy(), sub["value"].to_numpy(), 20)
+        outs.append(sub.iloc[sel][["user_id", "event_id", "t", "value"]])
+    want = pd.concat(outs).sort_values(["user_id", "t", "event_id"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_timeseries_ray_end_to_end(ray_session):
+    """Each Dataset-level op over sf0.001 events equals its kernel run
+    directly on the whole frame (partitioning must not change results);
+    resample additionally checks grid bounds + ffill vs DuckDB ASOF."""
+    import ray.data as rd
+    sf = "/root/testdata/sf0.001/events.parquet"
+    ev = pd.read_parquet(sf, columns=["user_id", "event_id", "ts", "value"])
+    frame = ev.copy()
+    frame["t"] = frame.pop("ts").astype("datetime64[ns]") \
+        .astype(np.int64) // 1000
+
+    ds = rd.read_parquet(sf, columns=["user_id", "event_id", "ts", "value"])
+
+    got = rate_counter(ds).to_pandas()
+    _cmp(got, RateCounterGroup(3600)(frame))
+
+    got = interval_coverage(
+        rd.read_parquet(sf, columns=["user_id", "ts"])).to_pandas()
+    _cmp(got, IntervalCoverageGroup(300)(frame[["user_id", "t"]]))
+
+    got = ewma_per_user(ds).to_pandas()
+    _cmp(got, EwmaGroup(0.5)(frame))
+
+    got = lttb_downsample(ds, n_out=50).to_pandas()
+    _cmp(got, LttbGroup(50)(frame))
+
+    got = resample_ffill(ds).to_pandas()
+    want = _duck(frame, """
+WITH c0 AS (
+  SELECT user_id, t, value,
+         row_number() OVER (PARTITION BY user_id, t
+                            ORDER BY event_id DESC) AS rn
+  FROM ev),
+cd AS (SELECT user_id, t, value FROM c0 WHERE rn = 1),
+b AS (SELECT user_id, min(t) AS lo, max(t) AS hi FROM ev GROUP BY 1),
+g AS (SELECT user_id,
+        unnest(generate_series(
+          CAST(((lo + 3599999999) // 3600000000) * 3600 AS BIGINT),
+          CAST((hi // 3600000000) * 3600 AS BIGINT), 3600))
+          AS window_start
+      FROM b)
+SELECT g.user_id, g.window_start, cd.value
+FROM g ASOF JOIN cd
+  ON g.user_id = cd.user_id AND g.window_start * 1000000 >= cd.t""")
+    _cmp(got, want)
