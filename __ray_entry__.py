@@ -1226,21 +1226,17 @@ def _tokenized_docs(sf_dir: str):
         .map_batches(_tok, batch_format="pyarrow")
 
 
-def _q_packed_sequences(sf_dir: str):
-    """Fixed-length training-sequence packing, FULLY oracle-checked:
-    token ids here derive from the repo's polynomial rolling hash
-    (SQL-replicable, like SimHash/doc_fingerprints) so every packed
-    row's (bucket, seq_idx, n_tok, is_full, token checksum) is verified
-    value-exact — bucketing, doc_id ordering, cutting and conservation
-    all certified.  The flagship sequences pipelines keep the pd-hash
-    tokenizer (same packing operator either way)."""
+def _poly_tokenized(sf_dir: str):
+    """documents → (doc_id, tokens:list<int32>) with POLYNOMIAL token
+    ids (the SimHash / doc_fingerprints rolling hash % TOKEN_VOCAB) —
+    the SQL-replicable tokenizer shared by the packing, vocab-stats and
+    bigram oracles.  The flagship sequences pipelines keep the pd-hash
+    tokenizer (same downstream operators either way)."""
     import pyarrow as pa
     from series_correction_project_updated_ray.functions.hashing import (
         TOKEN_VOCAB)
     from series_correction_project_updated_ray.functions.text import (
         BPE_RE, rolling_fingerprint)
-    from series_correction_project_updated_ray.stages.packing import (
-        pack_token_sequences)
 
     def _tok(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pandas()
@@ -1256,8 +1252,38 @@ def _q_packed_sequences(sf_dir: str):
         return pa.table({"doc_id": batch["doc_id"], "tokens": toks})
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    tokenized = docs.map_batches(_tok, batch_format="pyarrow")
-    packed = pack_token_sequences(tokenized, PACK_SEQ_LEN,
+    return docs.map_batches(_tok, batch_format="pyarrow")
+
+
+def _q_token_vocab_stats(sf_dir: str):
+    """Vocabulary tf/df over polynomial-tokenized documents — per-block
+    zero-copy partial counts, one groupby-sum."""
+    from series_correction_project_updated_ray.stages.packing import (
+        token_vocab_stats)
+    return token_vocab_stats(_poly_tokenized(sf_dir))
+
+
+def _q_token_bigrams(sf_dir: str):
+    """Token-transition (bigram) counts ≥ 2 over polynomial-tokenized
+    documents — encoded-pair partials, one groupby-sum."""
+    from series_correction_project_updated_ray.stages.packing import (
+        token_bigrams)
+    return token_bigrams(_poly_tokenized(sf_dir), min_n=2)
+
+
+def _q_packed_sequences(sf_dir: str):
+    """Fixed-length training-sequence packing, FULLY oracle-checked:
+    token ids here derive from the repo's polynomial rolling hash
+    (SQL-replicable, like SimHash/doc_fingerprints) so every packed
+    row's (bucket, seq_idx, n_tok, is_full, token checksum) is verified
+    value-exact — bucketing, doc_id ordering, cutting and conservation
+    all certified.  The flagship sequences pipelines keep the pd-hash
+    tokenizer (same packing operator either way)."""
+    import pyarrow as pa
+    from series_correction_project_updated_ray.stages.packing import (
+        pack_token_sequences)
+
+    packed = pack_token_sequences(_poly_tokenized(sf_dir), PACK_SEQ_LEN,
                                   n_buckets=PACK_BUCKETS)
 
     def _project(batch: pa.Table) -> pa.Table:
@@ -1435,7 +1461,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # ewma's bit-exact recursive fold (strictly harder: float
             # recursion vs integer prefix sum)
             "downsample_stride", "session_windows",
-            "asof_join_purchases", "running_sum_per_user"][:n_over]
+            "asof_join_purchases", "running_sum_per_user",
+            # token_vocab_stats (tf+df over SQL-replicable token ids)
+            # strictly subsumes the word-count mechanism of
+            # term_frequencies; the pivot reshape's keyed partial
+            # aggregation is rollup_1h's mechanism and the melt
+            # direction (the one the reference actually has, S6) stays
+            # certified by unpivot_lineitem
+            "term_frequencies", "pivot_user_event_type"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -1590,6 +1623,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # pytest certifies invariants + parity with a direct
         # single-process implementation
         "lttb_downsample": _q_lttb,
+        # vocab tf/df + bigram transition counts over polynomial token
+        # ids — oracle-checked
+        "token_vocab_stats": _q_token_vocab_stats,
+        "token_bigrams": _q_token_bigrams,
         # per-doc top TF-IDF term / boilerplate n-gram removal —
         # oracle-checked
         "tfidf_top_term": _q_tfidf,
@@ -1675,6 +1712,60 @@ SELECT event_type,
        round(round(sum(value), 6) / count(*), 6) AS vmean
 FROM events
 GROUP BY 1, 2
+"""
+
+
+_POLY_SQL = """list_reduce(
+           list_reverse(list_transform(string_split(tok, ''),
+                                       c -> CAST(unicode(c) AS HUGEINT))),
+           (acc, c) ->
+             (((acc % 4294967296) * 1099511628211
+               + (acc // 4294967296) * 435 * 4294967296)
+              % 18446744073709551616 + c) % 18446744073709551616)"""
+
+
+def _token_vocab_sql() -> str:
+    """tf/df per polynomial token id — the packing oracle's ids CTE with
+    a plain GROUP BY."""
+    from series_correction_project_updated_ray.functions.hashing import (
+        TOKEN_VOCAB)
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_extract_all(coalesce(text, ''),
+                            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS arr
+  FROM documents),
+pos AS (
+  SELECT doc_id, unnest(arr) AS tok FROM base),
+ids AS (
+  SELECT doc_id, CAST({_POLY_SQL} % {TOKEN_VOCAB} AS BIGINT) AS tid
+  FROM pos)
+SELECT tid, CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM ids GROUP BY 1
+"""
+
+
+def _token_bigrams_sql() -> str:
+    """Consecutive in-document token-id pairs with count ≥ 2."""
+    from series_correction_project_updated_ray.functions.hashing import (
+        TOKEN_VOCAB)
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_extract_all(coalesce(text, ''),
+                            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS arr
+  FROM documents),
+pos AS (
+  SELECT doc_id, unnest(arr) AS tok,
+         unnest(generate_series(1, len(arr))) AS i
+  FROM base),
+ids AS (
+  SELECT doc_id, i, CAST({_POLY_SQL} % {TOKEN_VOCAB} AS BIGINT) AS tid
+  FROM pos)
+SELECT a.tid AS tid_a, b.tid AS tid_b, CAST(COUNT(*) AS BIGINT) AS n
+FROM ids a JOIN ids b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
 
 
@@ -2833,6 +2924,10 @@ FROM r2
         # packed sequences: every row (bucket, seq_idx, n_tok, is_full,
         # checksum) value-checked — polynomial ids make it replicable
         "packed_sequences": _packed_sequences_sql(),
+        # vocabulary tf/df + bigram transitions over the same
+        # SQL-replicable polynomial token ids
+        "token_vocab_stats": _token_vocab_sql(),
+        "token_bigrams": _token_bigrams_sql(),
         "ngram_jaccard_pairs": """
 WITH pos AS (
   SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i

@@ -117,3 +117,97 @@ def packing_summary(packed):
             Sum("full", alias_name="n_full_seqs"),
             Max("rem", alias_name="rem_tokens"),
             Sum("n_tok", alias_name="total_tokens"))
+
+
+def token_vocab_stats(seqs, *, tok_col: str = "tokens", n_parts: int = 64):
+    """Vocabulary statistics over a sequences table: per token id, the
+    corpus term frequency (``tf``) and document frequency (``df``) — the
+    vocab-coverage report every tokenizer/pre-training run needs.
+
+    Scale shape: per-BLOCK partial counts read zero-copy from the Arrow
+    list buffers (one np.unique over the block's flat values for tf, one
+    over per-row uniques for df), then ONE groupby-sum over partials —
+    the shuffle ships at most |block vocab| rows per block, never a row
+    per token."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        col = t[tok_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = col.offsets.to_numpy().astype(np.int64)
+        # a SLICED ListArray's values buffer extends beyond [first, last)
+        # offset — trim and rebase before any whole-buffer scan
+        vals = vals[offs[0]:offs[-1]]
+        offs = offs - offs[0]
+        u_tf, c_tf = np.unique(vals, return_counts=True)
+        # df: count each (row, tid) once — sort values within rows and
+        # drop within-row repeats via the (row boundary | value change)
+        # scan instead of per-row np.unique calls
+        row = np.repeat(np.arange(len(offs) - 1),
+                        np.diff(offs).astype(np.int64))
+        order = np.lexsort((vals, row))
+        rv, vv = row[order], vals[order]
+        keep = np.r_[True, (rv[1:] != rv[:-1]) | (vv[1:] != vv[:-1])] \
+            if len(vv) else np.array([], dtype=bool)
+        u_df, c_df = np.unique(vv[keep], return_counts=True)
+        tf_map = pd.Series(c_tf, index=u_tf)
+        df_map = pd.Series(c_df, index=u_df).reindex(u_tf, fill_value=0)
+        return pa.table({"tid": pa.array(u_tf),
+                         "tf": pa.array(tf_map.to_numpy(np.int64)),
+                         "df": pa.array(df_map.to_numpy(np.int64))})
+
+    from ray.data.aggregate import Sum
+    return seqs.map_batches(_partial, batch_format="pyarrow") \
+        .groupby("tid").aggregate(Sum("tf", alias_name="tf"),
+                                  Sum("df", alias_name="df"))
+
+
+def token_bigrams(seqs, *, tok_col: str = "tokens", min_n: int = 2,
+                  vocab: int | None = None):
+    """Token-transition counts over a sequences table: (tid_a, tid_b, n)
+    for consecutive in-document token pairs with n ≥ ``min_n`` — the
+    bigram statistics behind repetition analysis and simple LM scoring.
+
+    Per-block partials encode each pair as one int64
+    (``a * vocab + b``), count with np.unique, and ship (pair, n) rows
+    into ONE groupby-sum; ``min_n`` bounds the output (singleton pairs
+    dominate any natural corpus)."""
+    from ..functions.hashing import TOKEN_VOCAB
+    vocab = int(vocab or TOKEN_VOCAB)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        col = t[tok_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = col.offsets.to_numpy().astype(np.int64)
+        vals = vals[offs[0]:offs[-1]]  # sliced-ListArray trim + rebase
+        offs = offs - offs[0]
+        n = len(vals)
+        if n < 2:
+            e = np.empty(0, np.int64)
+            return pa.table({"pair": pa.array(e), "n": pa.array(e)})
+        a, b = vals[:-1], vals[1:]
+        # mask pairs that straddle a document boundary
+        cross = np.zeros(n - 1, dtype=bool)
+        inner = offs[1:-1]
+        cross[inner[(inner > 0) & (inner < n)] - 1] = True
+        enc = a[~cross] * np.int64(vocab) + b[~cross]
+        u, c = np.unique(enc, return_counts=True)
+        return pa.table({"pair": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    tot = seqs.map_batches(_partial, batch_format="pyarrow") \
+        .groupby("pair").aggregate(Sum("n", alias_name="n"))
+
+    def _decode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.greater_equal(t["n"], pa.scalar(min_n)))
+        pair = t["pair"].to_numpy(zero_copy_only=False)
+        return pa.table({"tid_a": pa.array(pair // vocab),
+                         "tid_b": pa.array(pair % vocab),
+                         "n": t["n"]})
+
+    return tot.map_batches(_decode, batch_format="pyarrow")

@@ -145,3 +145,50 @@ def test_distributed_distinct_matches_pandas(ray_session):
     want = df.drop_duplicates().sort_values(["a", "b"]) \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_token_vocab_stats_and_bigrams(ray_session):
+    """tf/df and bigram counts equal a brute-force pass over the same
+    token lists; sliced ListArray blocks (values buffer wider than the
+    slice) must not leak foreign tokens into the counts."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from series_correction_project_updated_ray.stages.packing import (
+        token_bigrams, token_vocab_stats)
+
+    rng = np.random.default_rng(11)
+    lists = [rng.integers(0, 9, rng.integers(0, 12)).tolist()
+             for _ in range(60)]
+    tf = Counter(t for l in lists for t in l)
+    df = Counter(t for l in lists for t in set(l))
+    bg = Counter((a, b) for l in lists for a, b in zip(l, l[1:]))
+
+    # build a SLICED list array block: the full array then .slice(10, 40)
+    full = pa.array(lists, type=pa.list_(pa.int32()))
+    sliced = full.slice(10, 40)
+    part = sliced.values.to_numpy(zero_copy_only=False)
+    assert len(part) != sum(len(l) for l in lists[10:50])  # really sliced
+
+    ds = rd.from_arrow(pa.table({"tokens": full}))
+    got = token_vocab_stats(ds).to_pandas().set_index("tid")
+    assert {int(k): int(v) for k, v in got["tf"].items()} == dict(tf)
+    assert {int(k): int(v) for k, v in got["df"].items()} == dict(df)
+
+    got_b = token_bigrams(ds, min_n=1, vocab=9).to_pandas()
+    got_map = {(int(r.tid_a), int(r.tid_b)): int(r.n)
+               for r in got_b.itertuples()}
+    assert got_map == dict(bg)
+
+    # sliced block path: counts must cover EXACTLY lists[10:50]
+    ds2 = rd.from_arrow(pa.table({"tokens": sliced}))
+    tf2 = Counter(t for l in lists[10:50] for t in l)
+    got2 = token_vocab_stats(ds2).to_pandas().set_index("tid")
+    assert {int(k): int(v) for k, v in got2["tf"].items()} == dict(tf2)
+    bg2 = Counter((a, b) for l in lists[10:50] for a, b in zip(l, l[1:]))
+    got2_b = token_bigrams(ds2, min_n=1, vocab=9).to_pandas()
+    got2_map = {(int(r.tid_a), int(r.tid_b)): int(r.n)
+                for r in got2_b.itertuples()}
+    assert got2_map == dict(bg2)
