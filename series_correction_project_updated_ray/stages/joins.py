@@ -403,9 +403,9 @@ def semi_join(left, right_keys, key_col: str, *, right_key: str | None = None,
     else:
         keys = [k for k in right_keys if k is not None]
     ref = ray.put(set(keys))
-    return left.map_batches(KeySetFilter, batch_format="pyarrow",
-                            concurrency=2,
-                            fn_constructor_args=(ref, key_col, anti))
+    from .taskcache import class_task
+    return left.map_batches(class_task(KeySetFilter, ref, key_col, anti),
+                            batch_format="pyarrow")
 
 
 def _shuffle_semi_join(left, distinct, key_col: str, rk: str, anti: bool,
@@ -606,10 +606,10 @@ def bloom_prefilter(left, right, left_key: str, right_key: str, *,
     import ray
     words = build_bloom(right, right_key, bits_log2=bits_log2, k=k)
     ref = ray.put(words)
-    return left.map_batches(BloomProbe, batch_format="pyarrow",
-                            concurrency=2,
-                            fn_constructor_args=(ref, left_key,
-                                                 bits_log2, k))
+    from .taskcache import class_task
+    return left.map_batches(
+        class_task(BloomProbe, ref, left_key, bits_log2, k),
+        batch_format="pyarrow")
 
 
 def hash_join_bloom(left, right, left_key: str, right_key: str, *,
@@ -707,19 +707,19 @@ def skew_join(left, right, left_key: str, right_key: str, *,
                          n_buckets=n_buckets, suffixes=suffixes)
 
     hot_ref = ray.put(set(hot))
-    cold_l = left.map_batches(KeySetFilter, batch_format="pyarrow",
-                              concurrency=2,
-                              fn_constructor_args=(hot_ref, left_key, True))
-    hot_l = left.map_batches(KeySetFilter, batch_format="pyarrow",
-                             concurrency=2,
-                             fn_constructor_args=(hot_ref, left_key, False))
-    cold_r = right.map_batches(KeySetFilter, batch_format="pyarrow",
-                               concurrency=2,
-                               fn_constructor_args=(hot_ref, right_key, True))
-    hot_r = right.map_batches(KeySetFilter, batch_format="pyarrow",
-                              concurrency=2,
-                              fn_constructor_args=(hot_ref, right_key, False)
-                              ).materialize()
+    from .taskcache import class_task
+    cold_l = left.map_batches(
+        class_task(KeySetFilter, hot_ref, left_key, True),
+        batch_format="pyarrow")
+    hot_l = left.map_batches(
+        class_task(KeySetFilter, hot_ref, left_key, False),
+        batch_format="pyarrow")
+    cold_r = right.map_batches(
+        class_task(KeySetFilter, hot_ref, right_key, True),
+        batch_format="pyarrow")
+    hot_r = right.map_batches(
+        class_task(KeySetFilter, hot_ref, right_key, False),
+        batch_format="pyarrow").materialize()
     n_hot_r = hot_r.count()
     if n_hot_r > max_hot_right_rows:
         raise ValueError(
@@ -760,12 +760,13 @@ def skew_join(left, right, left_key: str, right_key: str, *,
             tagged = pa.concat_tables([self.tag(t), self.r_tagged])
             return self.kernel(tagged)
 
+    from .taskcache import class_task
     hot_join = hot_l.map_batches(
-        _HotJoin, batch_format="pyarrow", concurrency=2,
-        fn_constructor_args=(r_ref, l_keys, r_keys,
-                             [n for n, _ in l_fields],
-                             [n for n, _ in r_fields],
-                             dict(union_fields)))
+        class_task(_HotJoin, r_ref, l_keys, r_keys,
+                   [n for n, _ in l_fields],
+                   [n for n, _ in r_fields],
+                   dict(union_fields)),
+        batch_format="pyarrow")
     return cold_join.union(hot_join)
 
 

@@ -53,9 +53,10 @@ def knn_brute_force(embeddings, query_vec, k: int = 10,
     """Global cosine top-k; deterministic tie-break by ascending id."""
     import ray
     qref = ray.put(np.asarray(query_vec, dtype=np.float64))
+    from .taskcache import class_task
     partial = embeddings.map_batches(
-        BatchTopK, batch_format="pyarrow", concurrency=2,
-        fn_constructor_args=(qref, k, vec_col, id_col))
+        class_task(BatchTopK, qref, k, vec_col, id_col),
+        batch_format="pyarrow")
     df = partial.to_pandas()  # ≤ k rows per block — tiny
     df = df.sort_values(["cosine_sim", id_col],
                         ascending=[False, True]).head(k)
@@ -105,9 +106,10 @@ def knn_ivf(embeddings, query_vec, k=10, n_centroids=16, nprobe=4,
     import ray
     C = train_centroids(embeddings, n_centroids, seed=seed, vec_col=vec_col)
     cref = ray.put(C)
+    from .taskcache import class_task
     assigned = embeddings.map_batches(
-        IVFAssign, batch_format="pyarrow", concurrency=2,
-        fn_constructor_args=(cref, vec_col, id_col))
+        class_task(IVFAssign, cref, vec_col, id_col),
+        batch_format="pyarrow")
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe = set(np.argsort(-(C @ qn))[:nprobe].tolist())

@@ -69,8 +69,9 @@ def quality_scores(docs):
 
 
 def language_id(docs):
-    return docs.map_batches(LangIdStage, batch_format="pyarrow",
-                            concurrency=2)
+    from .taskcache import class_task
+    return docs.map_batches(class_task(LangIdStage),
+                            batch_format="pyarrow")
 
 
 def fingerprints(docs):
@@ -183,8 +184,9 @@ def contamination_scan(docs, probes: list[str] | None = None, **kwargs):
     if probes is None:
         probes = derive_probes(docs, **kwargs)
     ref = ray.put(list(probes))
-    return docs.map_batches(ContaminationScan, batch_format="pyarrow",
-                            concurrency=2, fn_constructor_args=(ref,))
+    from .taskcache import class_task
+    return docs.map_batches(class_task(ContaminationScan, ref),
+                            batch_format="pyarrow")
 
 
 class RedactPII:
@@ -231,10 +233,10 @@ class RedactPII:
 def redact_pii(docs, *, text_col: str = "text", id_col: str = "doc_id",
                concurrency: int = 2):
     """documents → (id, text_redacted, n_url, n_email, n_ip)."""
-    return docs.map_batches(RedactPII, batch_format="pyarrow",
-                            concurrency=concurrency,
-                            fn_constructor_kwargs={"text_col": text_col,
-                                                   "id_col": id_col})
+    from .taskcache import class_task
+    return docs.map_batches(
+        class_task(RedactPII, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow")
 
 
 def repetition_batch(batch: pa.Table) -> pa.Table:
@@ -374,9 +376,9 @@ def tfidf_top_term(docs, *, n_docs: int | None = None):
         .groupby("term").aggregate(Sum("df", alias_name="df")) \
         .materialize()
     refs = df_tbl.to_arrow_refs()
-    out = docs.map_batches(
-        _TfIdfScore, batch_format="pyarrow", concurrency=2,
-        fn_constructor_args=(refs, n_docs))
+    from .taskcache import class_task
+    out = docs.map_batches(class_task(_TfIdfScore, refs, n_docs),
+                           batch_format="pyarrow")
     # pin the DF blocks to the returned (lazy) pipeline: if the
     # materialized dataset is GC'd before execution, an actor restart
     # could find its constructor-arg refs freed (ray#53727)
@@ -490,9 +492,9 @@ def remove_common_ngrams(docs, *, n: int = 3, min_df: int = 50):
         .groupby("gh").aggregate(Sum("df", alias_name="df")) \
         .map_batches(_common_only, batch_format="pyarrow").materialize()
     refs = common.to_arrow_refs()
-    out = docs.map_batches(
-        _MarkCommonNgrams, batch_format="pyarrow", concurrency=2,
-        fn_constructor_args=(refs, n))
+    from .taskcache import class_task
+    out = docs.map_batches(class_task(_MarkCommonNgrams, refs, n),
+                           batch_format="pyarrow")
     out._graft_pin = common  # keep the blocks alive until execution
     return out
 
