@@ -613,7 +613,8 @@ def minhash_lsh_dedup(docs, *, text_col="text", id_col="doc_id",
 
 # --- exact n-gram Jaccard --------------------------------------------------
 
-def shingle_df_map(docs, *, text_col="text", ngram=5, sample_mod=1,
+def shingle_df_map(docs, *, text_col="text", id_col="doc_id", ngram=5,
+                   sample_mod=1, doc_sample_mod: int = 1,
                    cap: int = 1 << 20):
     """Global document frequency of every shingle that appears in ≥ 2
     documents, as two aligned arrays ``(hashes_sorted_asc, df)`` bounded
@@ -632,10 +633,21 @@ def shingle_df_map(docs, *, text_col="text", ngram=5, sample_mod=1,
     per-doc-unique shingles — the shuffle ships one row per distinct
     shingle per block, not per occurrence) → one groupby-sum over the
     vocabulary → df ≥ 2 filter → distributed top-``cap``.
+
+    ``doc_sample_mod = m`` estimates df on a deterministic 1/m
+    doc-id-hash sample — the prefix ORDER only needs to be a fixed
+    function of the corpus, not the true frequencies, so recall stays
+    exact while the counting pass costs 1/m as much; hot shingles (the
+    ones whose prefix eviction matters) are exactly the ones a sample
+    still sees.
     """
     from .relational import topk_by
 
     def _partial(t: pa.Table) -> pa.Table:
+        if doc_sample_mod > 1:
+            keep = stable_hash_array(t[id_col]) \
+                % np.uint64(doc_sample_mod) == 0
+            t = t.filter(pa.array(keep))
         texts = t[text_col].to_pandas()
         per_doc = []
         for x in texts:
@@ -846,7 +858,8 @@ def ngram_jaccard_pairs(docs, *, text_col="text", id_col="doc_id", ngram=5,
     if prefix_filter and df_order:
         import ray
         df_ref = ray.put(shingle_df_map(
-            docs, text_col=text_col, ngram=ngram, sample_mod=sample_mod))
+            docs, text_col=text_col, id_col=id_col, ngram=ngram,
+            sample_mod=sample_mod, doc_sample_mod=4))
     rows = docs.map_batches(
         ShingleRows(text_col, id_col, ngram, sample_mod,
                     threshold if prefix_filter else None, df_map=df_ref),
