@@ -1072,6 +1072,15 @@ def _q_ewma(sf_dir: str):
     return ewma_per_user(ev, alpha=0.5)
 
 
+def _q_autocorr(sf_dir: str):
+    """Per-user lag-1 autocorrelation — integer-exact moments, the
+    closing Pearson formula cast-to-double-first on both sides."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        autocorr_lag1)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return autocorr_lag1(ev)
+
+
 def _q_lttb(sf_dir: str):
     """LTTB visual downsample to 100 points per user (sequential by
     nature — each bucket's pick feeds the next triangle — so rows-only;
@@ -1468,7 +1477,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # aggregation is rollup_1h's mechanism and the melt
             # direction (the one the reference actually has, S6) stays
             # certified by unpivot_lineitem
-            "term_frequencies", "pivot_user_event_type"][:n_over]
+            "term_frequencies", "pivot_user_event_type",
+            # the polynomial-hash token construction behind simhash is
+            # now certified three ways (packed_sequences per-row
+            # checksums, token_vocab_stats, token_bigrams); the banded
+            # bucketing mechanism stays covered by minhash's pytest
+            # battery
+            "simhash_signatures"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -1619,6 +1634,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # EWMA float recursion — oracle-checked bit-exactly via a
         # recursive CTE running the identical operand order
         "ewma_per_user": _q_ewma,
+        # lag-1 autocorrelation (exact cross-moments) — oracle-checked
+        "autocorr_lag1": _q_autocorr,
         # LTTB visual downsample — rows-only (sequential pick chain);
         # pytest certifies invariants + parity with a direct
         # single-process implementation
@@ -2270,6 +2287,40 @@ r AS (
   SELECT c.user_id, c.event_id, c.t, c.rn, 0.5 * c.value + 0.5 * r.y
   FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
 SELECT user_id, event_id, t, round(y, 6) AS ewma FROM r
+""",
+        # lag-1 autocorrelation: integer-cents sufficient statistics,
+        # Pearson formula computed entirely in doubles after a
+        # cast-each-stat-first convention mirrored by the kernel;
+        # < 2 pairs or zero variance → NULL
+        "autocorr_lag1": """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events),
+p AS (
+  SELECT user_id, cents AS b,
+         lag(cents) OVER (PARTITION BY user_id
+                          ORDER BY t, event_id) AS a
+  FROM c),
+s AS (
+  SELECT user_id, COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb,
+         SUM(a*b) AS sab, SUM(a*a) AS saa, SUM(b*b) AS sbb
+  FROM p WHERE a IS NOT NULL GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN n >= 2
+             AND CAST(n AS DOUBLE)*CAST(saa AS DOUBLE)
+                 - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE) > 0.0
+             AND CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE)
+                 - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE) > 0.0
+            THEN round((CAST(n AS DOUBLE)*CAST(sab AS DOUBLE)
+                        - CAST(sa AS DOUBLE)*CAST(sb AS DOUBLE))
+                       / (sqrt(CAST(n AS DOUBLE)*CAST(saa AS DOUBLE)
+                               - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE))
+                          * sqrt(CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE)
+                                 - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE))),
+                       6)
+            END AS r1
+FROM s
 """,
         # integer-exact fixed-width histogram: bin = floor(cents/width)
         # through the identical double division on both sides

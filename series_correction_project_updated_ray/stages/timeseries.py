@@ -419,3 +419,75 @@ def lttb_downsample(events, *, n_out: int = 100, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(LttbGroup(n_out),
                                       batch_format="pandas")
+
+
+# --- lag-1 autocorrelation -------------------------------------------------
+
+class AutocorrGroup:
+    """Per-partition kernel: Pearson correlation of consecutive values
+    (lag-1 autocorrelation) per key in (t, event_id) order.  Sufficient
+    statistics (n, Σa, Σb, Σab, Σa², Σb² over the key's consecutive
+    pairs) accumulate exactly in integer cents; the closing formula
+    casts each statistic to double FIRST and runs entirely in doubles —
+    the oracle's exact operand order — so r is bit-identical at 6dp.
+    Keys with < 2 pairs or a zero-variance side emit NULL r."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": g["user_id"],
+                "n_pairs": pd.Series([], dtype=np.int64),
+                "r1": pd.Series([], dtype=np.float64)})
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        keys = g["user_id"].to_numpy()[order]
+        c = scaled_int(g["value"].to_numpy(np.float64))[order]
+        n = len(c)
+        first = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], n]
+        # pair arrays aligned to positions 1..n-1, zeroed at key firsts
+        # so per-key reduceat sums stay exact without masking
+        a = np.zeros(n, dtype=np.int64)
+        b = np.zeros(n, dtype=np.int64)
+        a[1:], b[1:] = c[:-1], c[1:]
+        a[first], b[first] = 0, 0
+        sa = np.add.reduceat(a, starts)
+        sb = np.add.reduceat(b, starts)
+        sab = np.add.reduceat(a * b, starts)
+        saa = np.add.reduceat(a * a, starts)
+        sbb = np.add.reduceat(b * b, starts)
+        np_pairs = ends - starts - 1
+        keep = np_pairs >= 1
+        nd = np_pairs[keep].astype(np.float64)
+        sad, sbd = sa[keep].astype(np.float64), sb[keep].astype(np.float64)
+        sabd = sab[keep].astype(np.float64)
+        saad, sbbd = saa[keep].astype(np.float64), sbb[keep].astype(np.float64)
+        va = nd * saad - sad * sad
+        vb = nd * sbbd - sbd * sbd
+        ok = (np_pairs[keep] >= 2) & (va > 0) & (vb > 0)
+        r = np.full(len(nd), np.nan)
+        with np.errstate(invalid="ignore"):
+            r[ok] = round_half_away(
+                (nd[ok] * sabd[ok] - sad[ok] * sbd[ok])
+                / (np.sqrt(va[ok]) * np.sqrt(vb[ok])), 6)
+        return pd.DataFrame({
+            "user_id": keys[starts][keep],
+            "n_pairs": np_pairs[keep].astype(np.int64),
+            "r1": r,
+        })
+
+
+def autocorr_lag1(events, *, n_parts: int = 64):
+    """Per-user lag-1 autocorrelation of value — one partition-group
+    shuffle; integer-exact moments, double-identical closing formula."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(AutocorrGroup(),
+                                      batch_format="pandas")

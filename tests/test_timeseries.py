@@ -192,3 +192,48 @@ SELECT g.user_id, g.window_start, cd.value
 FROM g ASOF JOIN cd
   ON g.user_id = cd.user_id AND g.window_start * 1000000 >= cd.t""")
     _cmp(got, want)
+
+
+def test_autocorr_kernel_matches_sql():
+    """Exact Pearson lag-1 r via integer moments; constant series and
+    single-pair users emit NULL; single-event users emit no row."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        AutocorrGroup)
+    df = _mk(with_null=True)
+    # a constant-value user and a single-event user
+    extra = pd.DataFrame({
+        "user_id": pd.array([90, 90, 90, 91], dtype="Int64"),
+        "event_id": np.array([900, 901, 902, 903], dtype=np.int64),
+        "t": np.array([1, 2, 3, 4], np.int64) * 1_000_000,
+        "value": [7.0, 7.0, 7.0, 1.0]})
+    df = pd.concat([df, extra], ignore_index=True)
+    got = AutocorrGroup()(df)
+    want = _duck(df, """
+WITH p AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS b,
+         lag(CAST(round(value*100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY t, event_id) AS a
+  FROM ev),
+s AS (
+  SELECT user_id, COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb,
+         SUM(a*b) AS sab, SUM(a*a) AS saa, SUM(b*b) AS sbb
+  FROM p WHERE a IS NOT NULL GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN n >= 2
+             AND CAST(n AS DOUBLE)*CAST(saa AS DOUBLE)
+                 - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE) > 0.0
+             AND CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE)
+                 - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE) > 0.0
+            THEN round((CAST(n AS DOUBLE)*CAST(sab AS DOUBLE)
+                        - CAST(sa AS DOUBLE)*CAST(sb AS DOUBLE))
+                       / (sqrt(CAST(n AS DOUBLE)*CAST(saa AS DOUBLE)
+                               - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE))
+                          * sqrt(CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE)
+                                 - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE))),
+                       6)
+            END AS r1
+FROM s""")
+    _cmp(got, want)
+    g90 = got[got["user_id"] == 90]
+    assert len(g90) == 1 and np.isnan(g90["r1"].iloc[0])  # zero variance
+    assert (got["user_id"] != 91).all()                   # no pair, no row
