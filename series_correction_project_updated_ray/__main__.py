@@ -138,6 +138,41 @@ def cmd_skew_report(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """Config-mutation analysis driver (reference
+    ``scripts/run_analysis.py:20-48``): load the JSON config, apply the
+    requested dotted-path overrides (the reference hardcodes
+    ``defaults.threshold = 3.0``), write the config back, then run the
+    batch correction over it."""
+    import os
+
+    overrides = args.set or ["defaults.threshold=3.0"]
+    config = {}
+    if os.path.exists(args.config):
+        with open(args.config) as f:
+            config = json.load(f)
+    for item in overrides:
+        path, _, raw = item.partition("=")
+        try:
+            value = json.loads(raw)
+        except json.JSONDecodeError:
+            value = raw
+        node = config
+        parts = path.split(".")
+        for k in parts[:-1]:
+            node = node.setdefault(k, {})
+        node[parts[-1]] = value
+        print(f"set {path} = {value!r}")
+    with open(args.config, "w") as f:
+        json.dump(config, f, indent=2)
+    print(f"Using config at: {args.config}")
+    print(f"Output will be saved to: {args.output}")
+    os.makedirs(args.output, exist_ok=True)
+    args.river_miles = None
+    args.river_mile_map = None
+    return cmd_seatek_correct(args)
+
+
 def cmd_ingest(args) -> int:
     """Incremental continuous-aggregate maintenance: ingest new files,
     optionally expire old windows and compact, print store state."""
@@ -198,6 +233,25 @@ def main(argv=None) -> int:
     ps.add_argument("--dry-run", action="store_true")
     ps.add_argument("--num-cpus", type=int, default=None)
     ps.set_defaults(fn=cmd_seatek_correct)
+
+    pa_ = sub.add_parser("analyze",
+                         help="config-mutation analysis driver "
+                              "(run_analysis.py twin): apply --set "
+                              "overrides to the JSON config, persist "
+                              "it, run batch correction")
+    pa_.add_argument("--config", required=True)
+    pa_.add_argument("--data-dir", required=True)
+    pa_.add_argument("--output", default="./analysis_out")
+    pa_.add_argument("--set", action="append", default=None,
+                     metavar="PATH=JSON",
+                     help="dotted-path config override, e.g. "
+                          "defaults.threshold=3.0 (default when "
+                          "omitted, matching the reference)")
+    pa_.add_argument("--series", default="all")
+    pa_.add_argument("--years", nargs=2, type=int, default=None)
+    pa_.add_argument("--dry-run", action="store_true")
+    pa_.add_argument("--num-cpus", type=int, default=None)
+    pa_.set_defaults(fn=cmd_analyze)
 
     pi = sub.add_parser("ingest",
                         help="incremental continuous-aggregate ingest")

@@ -105,3 +105,35 @@ def test_cli_seatek_fallback_mode(cli_dirs, tmp_path_factory):
     assert r.returncode == 0, r.stderr[-500:]
     assert "Fallback Processed" in r.stdout
     assert "raw1.txt" in r.stdout
+
+
+def test_cli_analyze_mutates_config_and_runs(cli_dirs, tmp_path_factory):
+    """run_analysis.py twin: the --set override (default
+    defaults.threshold=3.0) is persisted into the config file, then the
+    batch correction runs over the data dir."""
+    root = tmp_path_factory.mktemp("an")
+    cfg = root / "config.json"
+    cfg.write_text(json.dumps({"defaults": {"threshold": 2.0,
+                                            "window_size": 5}}))
+    r = _run("analyze", "--config", str(cfg),
+             "--data-dir", str(cli_dirs / "seatek"),
+             "--output", str(root / "out"),
+             "--dry-run", "--num-cpus", "4")
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "set defaults.threshold = 3.0" in r.stdout
+    assert "Processed" in r.stdout
+    saved = json.loads(cfg.read_text())
+    assert saved["defaults"]["threshold"] == 3.0
+    assert saved["defaults"]["window_size"] == 5  # untouched keys kept
+
+    # explicit override path, non-default value, nested creation
+    r = _run("analyze", "--config", str(cfg),
+             "--data-dir", str(cli_dirs / "seatek"),
+             "--output", str(root / "out2"),
+             "--set", "defaults.gap_threshold_factor=2.5",
+             "--set", "processor.outlier_method=\"median\"",
+             "--dry-run", "--num-cpus", "4")
+    assert r.returncode == 0, r.stderr[-500:]
+    saved = json.loads(cfg.read_text())
+    assert saved["defaults"]["gap_threshold_factor"] == 2.5
+    assert saved["processor"]["outlier_method"] == "median"
