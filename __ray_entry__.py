@@ -1072,6 +1072,15 @@ def _q_ewma(sf_dir: str):
     return ewma_per_user(ev, alpha=0.5)
 
 
+def _q_seasonal_profile(sf_dir: str):
+    """Hour-of-day diurnal profile per event type — partial-first
+    integer aggregation, exact means."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        seasonal_profile)
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    return seasonal_profile(ev)
+
+
 def _q_autocorr(sf_dir: str):
     """Per-user lag-1 autocorrelation — integer-exact moments, the
     closing Pearson formula cast-to-double-first on both sides."""
@@ -1483,7 +1492,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # checksums, token_vocab_stats, token_bigrams); the banded
             # bucketing mechanism stays covered by minhash's pytest
             # battery
-            "simhash_signatures"][:n_over]
+            "simhash_signatures",
+            # funnel's earliest-qualifying ordered-match per user is the
+            # same latest/earliest-prior scan family as the kept
+            # resample_ffill grid ASOF; user_event_sequences certifies
+            # the per-user ordered aggregation itself
+            "funnel_click_purchase"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -1636,6 +1650,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "ewma_per_user": _q_ewma,
         # lag-1 autocorrelation (exact cross-moments) — oracle-checked
         "autocorr_lag1": _q_autocorr,
+        # hour-of-day seasonal profile — oracle-checked
+        "seasonal_profile": _q_seasonal_profile,
         # LTTB visual downsample — rows-only (sequential pick chain);
         # pytest certifies invariants + parity with a direct
         # single-process implementation
@@ -2287,6 +2303,19 @@ r AS (
   SELECT c.user_id, c.event_id, c.t, c.rn, 0.5 * c.value + 0.5 * r.y
   FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
 SELECT user_id, event_id, t, round(y, 6) AS ewma FROM r
+""",
+        # hour-of-day profile: exact integer cents sums, identical
+        # double division sequence (sum/n/100) on both sides
+        "seasonal_profile": """
+WITH c AS (
+  SELECT event_type,
+         ((epoch_us(ts) // 1000000) // 3600) % 24 AS hod,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events)
+SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0, 6)
+         AS mean_value
+FROM c GROUP BY 1, 2
 """,
         # lag-1 autocorrelation: integer-cents sufficient statistics,
         # Pearson formula computed entirely in doubles after a

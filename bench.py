@@ -197,6 +197,29 @@ def run_bench() -> dict:
               lambda: chunk_documents(rd.read_parquet(
                   docs_path, columns=["doc_id", "text"])).count())
 
+        from series_correction_project_updated_ray.stages.timeseries import (
+            autocorr_lag1, ewma_per_user, lttb_downsample, rate_counter,
+            resample_ffill)
+
+        ev_path = f"{SF_DIR}/events.parquet"
+        ev_cols = ["user_id", "event_id", "ts", "value"]
+
+        timed("rate_counter_1h",
+              lambda: rate_counter(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
+        timed("resample_ffill_1h",
+              lambda: resample_ffill(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
+        timed("ewma_per_user",
+              lambda: ewma_per_user(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
+        timed("autocorr_lag1",
+              lambda: autocorr_lag1(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
+        timed("lttb_downsample",
+              lambda: lttb_downsample(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
+
     headline = timings["rollup_sequences_synth"]
     result = {
         "metric": METRIC,

@@ -491,3 +491,56 @@ def autocorr_lag1(events, *, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(AutocorrGroup(),
                                       batch_format="pandas")
+
+
+# --- seasonal profile ------------------------------------------------------
+
+def seasonal_profile(events, *, by: str = "event_type"):
+    """Hour-of-day seasonal profile per key: (key, hod, n, mean_value) —
+    the diurnal-pattern summary behind seasonality checks.
+
+    Pure partial-first aggregation: per-block integer (cents, count)
+    partials per (key, hod) cell, ONE groupby-sum over at most
+    24·|keys| rows, exact mean = double(Σcents)/n/100 rounded 6dp on
+    both sides."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        keys = t[by].to_pandas()
+        tsec = _epoch_micros(t["ts"]) // 1_000_000
+        hod = (tsec // 3600) % 24
+        cents = scaled_int(t["value"].to_pandas().to_numpy(np.float64))
+        codes, uniq = pd.factorize(keys, sort=False)
+        # null keys form their own group (SQL GROUP BY keeps them)
+        cell = codes.astype(np.int64) * 24 + hod
+        u, inv = np.unique(cell, return_inverse=True)
+        sc = np.zeros(len(u), dtype=np.int64)
+        nc = np.zeros(len(u), dtype=np.int64)
+        np.add.at(sc, inv, cents)
+        np.add.at(nc, inv, 1)
+        key_of = u // 24
+        key_vals = np.append(uniq.to_numpy(object)
+                             if hasattr(uniq, "to_numpy")
+                             else np.asarray(uniq, object), None)
+        return pa.table({
+            by: pa.array(key_vals[key_of], type=pa.string()),
+            "hod": pa.array(u % 24),
+            "c": pa.array(sc),
+            "n": pa.array(nc),
+        })
+
+    tot = events.map_batches(_partial, batch_format="pyarrow") \
+        .groupby([by, "hod"]).aggregate(Sum("c", alias_name="c"),
+                                        Sum("n", alias_name="n"))
+
+    def _final(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            by: t[by], "hod": t["hod"],
+            "n": pa.array(n),
+            "mean_value": pa.array(
+                round_half_away(c / n / 100.0, 6)),
+        })
+
+    return tot.map_batches(_final, batch_format="pyarrow")
