@@ -36,6 +36,14 @@ from ..functions.rounding import round_half_away, scaled_int
 def _prep_events(events, cols=("user_id", "event_id", "value")):
     """Project to (key cols..., t=epoch micros) — the shared prep map."""
     def _prep(batch: pa.Table) -> pa.Table:
+        if "ts" not in batch.column_names:
+            # Ray occasionally emits 0-row blocks that lose their
+            # columns; emit a typed empty projection
+            out = {c: pa.array([], pa.int64()) for c in cols}
+            if "value" in cols:
+                out["value"] = pa.array([], pa.float64())
+            out["t"] = pa.array([], pa.int64())
+            return pa.table(out)
         out = {c: batch[c] for c in cols if c in batch.column_names}
         out["t"] = pa.array(_epoch_micros(batch["ts"]))
         return pa.table(out)
@@ -506,6 +514,11 @@ def seasonal_profile(events, *, by: str = "event_type"):
     from ray.data.aggregate import Sum
 
     def _partial(t: pa.Table) -> pa.Table:
+        if by not in t.column_names:  # column-less empty block
+            return pa.table({by: pa.array([], pa.string()),
+                             "hod": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
         keys = t[by].to_pandas()
         tsec = _epoch_micros(t["ts"]) // 1_000_000
         hod = (tsec // 3600) % 24
