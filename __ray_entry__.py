@@ -1072,6 +1072,16 @@ def _q_ewma(sf_dir: str):
     return ewma_per_user(ev, alpha=0.5)
 
 
+def _q_holt(sf_dir: str):
+    """Per-user Holt linear-trend smoothing — the TWO-state float
+    recursion (level + trend) certified bit-exactly by a recursive CTE
+    running the identical operand order."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        holt_per_user)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return holt_per_user(ev, alpha=0.5, beta=0.5)
+
+
 def _q_seasonal_profile(sf_dir: str):
     """Hour-of-day diurnal profile per event type — partial-first
     integer aggregation, exact means."""
@@ -1497,7 +1507,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # same latest/earliest-prior scan family as the kept
             # resample_ffill grid ASOF; user_event_sequences certifies
             # the per-user ordered aggregation itself
-            "funnel_click_purchase"][:n_over]
+            "funnel_click_purchase",
+            # contamination_scan's broadcast substring probe is the
+            # broadcast-state mechanism redact_pii (regex scrub) and
+            # remove_common_ngrams (broadcast marker set) keep certified
+            "contamination_scan"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -1652,6 +1666,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "autocorr_lag1": _q_autocorr,
         # hour-of-day seasonal profile — oracle-checked
         "seasonal_profile": _q_seasonal_profile,
+        # Holt linear smoothing (two-state float recursion) —
+        # oracle-checked bit-exactly via a recursive CTE
+        "holt_per_user": _q_holt,
         # LTTB visual downsample — rows-only (sequential pick chain);
         # pytest certifies invariants + parity with a direct
         # single-process implementation
@@ -2303,6 +2320,35 @@ r AS (
   SELECT c.user_id, c.event_id, c.t, c.rn, 0.5 * c.value + 0.5 * r.y
   FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
 SELECT user_id, event_id, t, round(y, 6) AS ewma FROM r
+""",
+        # Holt linear smoothing: the two-state recursion seeded
+        # l_1 = x_1, b_1 = x_2 - x_1; the CTE's anchor is the rn=2 row
+        # (rn=1 emitted separately with NULL trend) and every float op
+        # runs in the kernel's exact operand order
+        "holt_per_user": """
+WITH RECURSIVE c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL),
+r AS (
+  SELECT c2.user_id, c2.event_id, c2.t, c2.rn,
+         0.5 * c2.value + 0.5 * (c1.value + (c2.value - c1.value)) AS l,
+         0.5 * ((0.5 * c2.value
+                 + 0.5 * (c1.value + (c2.value - c1.value))) - c1.value)
+           + 0.5 * (c2.value - c1.value) AS b
+  FROM c c2 JOIN c c1
+    ON c1.user_id = c2.user_id AND c2.rn = 2 AND c1.rn = 1
+  UNION ALL
+  SELECT c.user_id, c.event_id, c.t, c.rn,
+         0.5 * c.value + 0.5 * (r.l + r.b) AS l,
+         0.5 * ((0.5 * c.value + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+  FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
+SELECT user_id, event_id, t, round(l, 6) AS level, round(b, 6) AS trend
+FROM r
+UNION ALL
+SELECT user_id, event_id, t, round(value, 6) AS level, NULL AS trend
+FROM c WHERE rn = 1
 """,
         # hour-of-day profile: exact integer cents sums, identical
         # double division sequence (sum/n/100) on both sides

@@ -557,3 +557,87 @@ def seasonal_profile(events, *, by: str = "event_type"):
         })
 
     return tot.map_batches(_final, batch_format="pyarrow")
+
+
+# --- Holt linear (double exponential) smoothing ----------------------------
+
+class HoltGroup:
+    """Per-partition kernel: Holt's linear-trend smoothing per key in
+    (t, event_id) order —
+
+        l_t = α·x_t + (1-α)·(l_{t-1} + b_{t-1})
+        b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}
+
+    seeded l_1 = x_1, b_1 = x_2 - x_1 (keys with < 2 points emit their
+    single row with level = x and NULL trend).  Both recursions run in
+    exactly the oracle CTE's operand order, vectorized ACROSS keys (the
+    EWMA matrix pattern, two state columns), so level and trend are
+    bit-identical doubles before the shared 6dp round."""
+
+    def __init__(self, alpha: float = 0.5, beta: float = 0.5):
+        self.alpha, self.beta = alpha, beta
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        if (codes < 0).any():   # recursive-CTE equality join drops nulls
+            g = g.iloc[codes >= 0]
+            codes = codes[codes >= 0]
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": g["user_id"],
+                "event_id": pd.Series([], dtype=np.int64),
+                "t": pd.Series([], dtype=np.int64),
+                "level": pd.Series([], dtype=np.float64),
+                "trend": pd.Series([], dtype=np.float64)})
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        keys = g["user_id"].to_numpy()[order]
+        x = g["value"].to_numpy(np.float64)[order]
+        n = len(t)
+        first = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, lens)
+        row = np.repeat(np.arange(len(starts)), lens)
+        max_len = int(pos.max()) + 1
+        M = np.full((len(starts), max_len), np.nan)
+        M[row, pos] = x
+        L = np.empty_like(M)
+        B = np.empty_like(M)
+        a, am = self.alpha, 1.0 - self.alpha
+        b, bm = self.beta, 1.0 - self.beta
+        L[:, 0] = M[:, 0]
+        B[:, 0] = np.nan
+        if max_len > 1:
+            # seed row 2 exactly like the CTE anchor's successor:
+            # l_2 = α·x_2 + (1-α)·(x_1 + (x_2 - x_1)), b_2 via l_1=x_1
+            b1 = M[:, 1] - M[:, 0]
+            L[:, 1] = a * M[:, 1] + am * (M[:, 0] + b1)
+            B[:, 1] = b * (L[:, 1] - M[:, 0]) + bm * b1
+        for k in range(2, max_len):
+            prev_l, prev_b = L[:, k - 1], B[:, k - 1]
+            L[:, k] = a * M[:, k] + am * (prev_l + prev_b)
+            B[:, k] = b * (L[:, k] - prev_l) + bm * prev_b
+        lv = L[row, pos]
+        tv = B[row, pos]
+        return pd.DataFrame({
+            "user_id": keys,
+            "event_id": ids[order],
+            "t": t,
+            "level": round_half_away(lv, 6),
+            "trend": round_half_away(tv, 6),
+        })
+
+
+def holt_per_user(events, *, alpha: float = 0.5, beta: float = 0.5,
+                  n_parts: int = 64):
+    """Per-user Holt linear-trend smoothing — one partition-group
+    shuffle; the two-state float recursion is recursive-CTE-certified
+    bit-exactly."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(HoltGroup(alpha, beta),
+                                      batch_format="pandas")

@@ -237,3 +237,45 @@ FROM s""")
     g90 = got[got["user_id"] == 90]
     assert len(g90) == 1 and np.isnan(g90["r1"].iloc[0])  # zero variance
     assert (got["user_id"] != 91).all()                   # no pair, no row
+
+
+def test_holt_kernel_matches_recursive_sql():
+    """Two-state Holt recursion bit-identical to the recursive CTE at
+    6dp; single-event keys emit level=x with NULL trend; null keys
+    drop (CTE equality join)."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        HoltGroup)
+    df = _mk(with_null=True)
+    one = pd.DataFrame({"user_id": pd.array([99], dtype="Int64"),
+                        "event_id": np.array([9999], dtype=np.int64),
+                        "t": np.array([5], np.int64), "value": [3.25]})
+    df = pd.concat([df, one], ignore_index=True)
+    got = HoltGroup(0.5, 0.5)(df)
+    want = _duck(df, """
+WITH RECURSIVE c AS (
+  SELECT user_id, event_id, t, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+           AS rn
+  FROM ev WHERE user_id IS NOT NULL),
+r AS (
+  SELECT c2.user_id, c2.event_id, c2.t, c2.rn,
+         0.5 * c2.value + 0.5 * (c1.value + (c2.value - c1.value)) AS l,
+         0.5 * ((0.5 * c2.value
+                 + 0.5 * (c1.value + (c2.value - c1.value))) - c1.value)
+           + 0.5 * (c2.value - c1.value) AS b
+  FROM c c2 JOIN c c1
+    ON c1.user_id = c2.user_id AND c2.rn = 2 AND c1.rn = 1
+  UNION ALL
+  SELECT c.user_id, c.event_id, c.t, c.rn,
+         0.5 * c.value + 0.5 * (r.l + r.b) AS l,
+         0.5 * ((0.5 * c.value + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+  FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
+SELECT user_id, event_id, t, round(l, 6) AS level, round(b, 6) AS trend
+FROM r
+UNION ALL
+SELECT user_id, event_id, t, round(value, 6) AS level, NULL AS trend
+FROM c WHERE rn = 1""")
+    _cmp(got, want)
+    g99 = got[got["user_id"] == 99]
+    assert len(g99) == 1 and g99["level"].iloc[0] == 3.25 \
+        and np.isnan(g99["trend"].iloc[0])
