@@ -2379,7 +2379,9 @@ p AS (
   FROM c),
 s AS (
   SELECT user_id, COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb,
-         SUM(a*b) AS sab, SUM(a*a) AS saa, SUM(b*b) AS sbb
+         SUM(CAST(a AS HUGEINT)*b) AS sab,
+         SUM(CAST(a AS HUGEINT)*a) AS saa,
+         SUM(CAST(b AS HUGEINT)*b) AS sbb
   FROM p WHERE a IS NOT NULL GROUP BY 1)
 SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
        CASE WHEN n >= 2

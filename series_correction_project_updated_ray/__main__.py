@@ -115,7 +115,18 @@ def cmd_seatek_correct(args) -> int:
                              index=False)
         print(summary.to_string(index=False))
         return 0
-    corrected = batch_correct(args.data_dir, series=keep,
+    # merge the processor config exactly like batch_process
+    # (pipelines/seatek_compat.py): defaults ∪ processor_config — the
+    # analyze command's --set overrides must reach the kernels, not just
+    # the persisted file
+    proc_cfg = None
+    if args.config:
+        from .sources.config import load_config
+        config_data = load_config(args.config) or {}
+        merged = {**config_data.get("defaults", {}),
+                  **config_data.get("processor_config", {})}
+        proc_cfg = merged or None
+    corrected = batch_correct(args.data_dir, proc_cfg, series=keep,
                               year_range=year_range)
     corrected = corrected.materialize()
     summary = summarize(corrected)

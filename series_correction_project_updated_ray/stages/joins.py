@@ -95,13 +95,12 @@ class BucketJoin:
     indices, and every payload column is attached with
     ``pyarrow.compute.take`` — texts and list columns never convert to
     pandas (measured ~15× cost through the old whole-frame ``pd.merge``
-    on keyed payloads).  Null-key left rows of left/outer joins bypass
-    the probe entirely and append as pre-padded unmatched rows, which
-    also keeps >2^53 integer keys away from the float degrade a
-    null-bearing ``to_pandas`` would inflict.  ``pc.take`` with a null
-    index emits a typed null, so outer padding never floatifies a
-    column.  Exotic ``how`` values fall back to the whole-frame pandas
-    merge."""
+    on keyed payloads).  Null-key rows whose side survives unmatched
+    (left under left/outer, right under right/outer) bypass the probe
+    entirely and append as pre-padded unmatched rows, which also keeps
+    >2^53 integer keys away from the float degrade a null-bearing
+    ``to_pandas`` would inflict.  ``pc.take`` with a null index emits a
+    typed null, so outer padding never floatifies a column."""
 
     def __init__(self, left_key, right_key, l_cols: list[str],
                  r_cols: list[str], types: dict, how: str = "inner"):
@@ -142,33 +141,6 @@ class BucketJoin:
         return pa.table({name: pa.nulls(0, self.types[base])
                          for name, _, base in self._merged_columns()})
 
-    def _emit_pandas(self, merged: pd.DataFrame) -> pa.Table:
-        import pyarrow.compute as pc
-        cols = {}
-        for name, _, base in self._merged_columns():
-            want = self.types[base]
-            arr = pa.Array.from_pandas(merged[name])
-            if arr.type != want:
-                if (pa.types.is_floating(arr.type)
-                        and not pa.types.is_floating(want)):
-                    # outer-join padding floatified this column: NaN→null,
-                    # then cast the (now exact) values back
-                    nulls = pc.is_nan(arr)
-                    arr = pc.if_else(nulls, pa.nulls(len(arr), arr.type),
-                                     arr)
-                arr = arr.cast(want)
-            cols[name] = arr
-        return pa.table(cols)
-
-    def _call_pandas(self, left: pa.Table, right: pa.Table) -> pa.Table:
-        """Whole-frame pandas merge — the fallback for ``how`` values the
-        arrow probe doesn't model (e.g. 'cross')."""
-        lf, rf = left.to_pandas(), right.to_pandas()
-        rf = rf[rf[self.r_keys].notna().all(axis=1)]
-        merged = lf.merge(rf, left_on=self.l_keys, right_on=self.r_keys,
-                          how=self.how)
-        return self._emit_pandas(merged)
-
     @staticmethod
     def _valid_keys(t: pa.Table, keys: list[str]):
         import pyarrow.compute as pc
@@ -183,12 +155,21 @@ class BucketJoin:
         left = g.filter(pc.equal(side, "l")).select(self.l_cols)
         right = g.filter(pc.equal(side, "r")).select(self.r_cols)
         if self.how not in ("inner", "left", "right", "outer"):
-            return self._call_pandas(left, right)
-        # SQL equi-join semantics: NULL keys never match.  Null-key right
-        # rows drop; null-key left rows drop for inner/right joins and
-        # divert to the pre-padded unmatched path for left/outer
+            # hash_join validates up front; a bucketed plan cannot
+            # express non-equi joins (cross within a bucket ≠ cross)
+            raise ValueError(f"unsupported how={self.how!r}")
+        # SQL equi-join semantics: NULL keys never match.  Null-key rows
+        # drop from the probe on both sides; they divert to the
+        # pre-padded unmatched path when their side's rows survive the
+        # join anyway (left for left/outer, right for right/outer)
+        r_null = None
         if len(right):
-            right = right.filter(self._valid_keys(right, self.r_keys))
+            rvalid = self._valid_keys(right, self.r_keys)
+            if self.how in ("right", "outer"):
+                r_null = right.filter(pc.invert(rvalid))
+                if len(r_null) == 0:
+                    r_null = None
+            right = right.filter(rvalid)
         l_null = None
         if len(left):
             lvalid = self._valid_keys(left, self.l_keys)
@@ -244,6 +225,17 @@ class BucketJoin:
             pad = pa.table({
                 name: (l_null[base] if src in ("l", "k")
                        else pa.nulls(len(l_null), self.types[base]))
+                for name, src, base in self._merged_columns()})
+            out = pa.concat_tables(
+                [out, pad.cast(out.schema)]) if len(out) else pad
+        if r_null is not None:
+            # right/outer: null-key right rows emit null-padded on the
+            # left; a collapsed key column carries the right row's own
+            # key value (partially null under composite keys)
+            pad = pa.table({
+                name: (r_null[base] if src == "r"
+                       else r_null[r_key_of[base]] if src == "k"
+                       else pa.nulls(len(r_null), self.types[base]))
                 for name, src, base in self._merged_columns()})
             out = pa.concat_tables(
                 [out, pad.cast(out.schema)]) if len(out) else pad
@@ -484,6 +476,12 @@ def hash_join(left, right, left_key, right_key,
     if n_l != n_r:
         raise ValueError(f"key lists must pair up: {n_l} left vs "
                          f"{n_r} right")
+    if how not in ("inner", "left", "right", "outer"):
+        # a bucketed equi-join plan cannot express non-equi joins
+        # (crossing within a bucket is not a cross join)
+        raise ValueError(f"hash_join supports inner/left/right/outer; "
+                         f"got {how!r} — use cross_join for Cartesian "
+                         f"products")
     if n_buckets is None:
         n_buckets = _derive_buckets(left, right)
 
@@ -515,6 +513,55 @@ def hash_join(left, right, left_key, right_key,
                    [n for n, _ in l_fields], [n for n, _ in r_fields],
                    dict(union_fields), how),
         batch_format="pyarrow")
+
+
+def cross_join(left, right, suffixes=("_l", "_r"),
+               broadcast_limit_bytes: int = 256 << 20):
+    """Cartesian product — broadcast the (small) right side's blocks and
+    pair every left batch against them with repeat/tile index takes, all
+    Arrow (no pandas round-trip).  Null keys don't exist here: SQL CROSS
+    JOIN has no condition to fail.  The right side must fit the
+    broadcast cap (a Cartesian product with a LARGE right side is almost
+    always a query bug at scale)."""
+    import ray
+
+    (left, l_sch), (right, r_sch) = _arrow_backed(left), _arrow_backed(right)
+    if l_sch is None or r_sch is None:
+        raise ValueError("cross_join with a schema-less empty input")
+    clash = [c for c in l_sch.names if c in set(r_sch.names)]
+    if clash:
+        left = _rename_stage(left, {c: c + suffixes[0] for c in clash})
+        right = _rename_stage(right, {c: c + suffixes[1] for c in clash})
+    right = right.materialize()
+    if right.size_bytes() > broadcast_limit_bytes:
+        raise ValueError(
+            f"cross_join right side is {right.size_bytes()} bytes, past "
+            f"the {broadcast_limit_bytes} broadcast cap; repartition or "
+            f"rethink the product")
+    refs = tuple(right.to_arrow_refs())
+
+    def _cross(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        tbls = [b for b in ray.get(list(refs))
+                if getattr(b, "num_rows", 0)]
+        if not tbls or len(t) == 0:
+            r_empty = {f.name: pa.nulls(0, f.type)
+                       for b in ray.get(list(refs))
+                       for f in getattr(b, "schema", pa.schema([]))}
+            out = {c: t[c][:0] for c in t.column_names}
+            out.update(r_empty)
+            return pa.table(out)
+        r = pa.concat_tables(tbls)
+        li = np.repeat(np.arange(len(t), dtype=np.int64), len(r))
+        ri = np.tile(np.arange(len(r), dtype=np.int64), len(t))
+        out = {c: pc.take(t[c], pa.array(li)) for c in t.column_names}
+        out.update({c: pc.take(r[c], pa.array(ri))
+                    for c in r.column_names})
+        return pa.table(out)
+
+    out = left.map_batches(_cross, batch_format="pyarrow")
+    out._graft_pin = right
+    return out
 
 
 # --- Bloom-filter join pre-filter ------------------------------------------

@@ -280,14 +280,36 @@ def resample_ffill(events, *, width_s: int = 3600, n_parts: int = 64):
 
 # --- EWMA ------------------------------------------------------------------
 
+def _pos_major_layout(codes: np.ndarray, n: int):
+    """(pm_order, seg_offsets) re-sorting lexsorted rows by
+    (position-within-key, key-rank) with keys ranked LONGEST FIRST: at
+    position k the active keys are exactly ranks 0..m_k-1 in rank
+    order, so a recursion can step down positions carrying state
+    vectors indexed by rank — O(rows) memory/compute regardless of key
+    skew (a dense keys × max_len matrix is O(keys·max_len), which one
+    hot key turns into an OOM)."""
+    first = np.r_[True, codes[1:] != codes[:-1]]
+    starts = np.flatnonzero(first)
+    lens = np.diff(np.r_[starts, n])
+    K = len(starts)
+    rank_order = np.lexsort((np.arange(K), -lens))
+    rank_of = np.empty(K, dtype=np.int64)
+    rank_of[rank_order] = np.arange(K)
+    row = np.repeat(np.arange(K), lens)
+    pos = np.arange(n) - np.repeat(starts, lens)
+    pm = np.lexsort((rank_of[row], pos))
+    counts = np.bincount(pos)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    return pm, offs
+
 class EwmaGroup:
     """Per-partition kernel: the exponential-smoothing recursion
     ``y_i = α·x_i + (1-α)·y_{i-1}`` (y_0 = x_0) per key in (t, event_id)
     order — run with exactly that operand order so the doubles are
     bit-identical to a recursive-CTE oracle, then rounded to 6dp.
-    Vectorized ACROSS keys: co-located series are packed into a
-    (keys × max_len) matrix and the recursion steps down the position
-    axis, so the Python loop is O(longest series), not O(rows)."""
+    Vectorized ACROSS keys via the position-major layout
+    (:func:`_pos_major_layout`): the Python loop is O(longest series)
+    iterations over O(rows) total work, state is one vector per key."""
 
     def __init__(self, alpha: float = 0.5):
         self.alpha = alpha
@@ -320,20 +342,20 @@ class EwmaGroup:
         keys = g["user_id"].to_numpy()[order]
         x = g["value"].to_numpy(np.float64)[order]
         n = len(t)
-        first = np.r_[True, codes[1:] != codes[:-1]]
-        starts = np.flatnonzero(first)
-        pos = np.arange(n) - np.repeat(starts, np.diff(np.r_[starts, n]))
-        row = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, n]))
-        max_len = int(pos.max()) + 1
-        M = np.full((len(starts), max_len), np.nan)
-        M[row, pos] = x
-        Y = np.empty_like(M)
+        pm, offs = _pos_major_layout(codes, n)
+        x_pm = x[pm]
+        y_pm = np.empty(n)
         a, b = self.alpha, 1.0 - self.alpha
-        Y[:, 0] = M[:, 0]
+        max_len = len(offs) - 1
+        cur = x_pm[offs[0]:offs[1]].copy()
+        y_pm[offs[0]:offs[1]] = cur
         for k in range(1, max_len):
+            m = offs[k + 1] - offs[k]
             # same operand order as the SQL `a*x + b*y`: mult, mult, add
-            Y[:, k] = a * M[:, k] + b * Y[:, k - 1]
-        y = Y[row, pos]
+            cur = a * x_pm[offs[k]:offs[k + 1]] + b * cur[:m]
+            y_pm[offs[k]:offs[k + 1]] = cur
+        y = np.empty(n)
+        y[pm] = y_pm
         return pd.DataFrame({
             "user_id": keys,
             "event_id": ids[order],
@@ -466,6 +488,13 @@ class AutocorrGroup:
         b = np.zeros(n, dtype=np.int64)
         a[1:], b[1:] = c[:-1], c[1:]
         a[first], b[first] = 0, 0
+        # Σc² per key must not wrap int64 (the oracle's SUM(BIGINT) is
+        # 128-bit): past the safe bound, accumulate exact Python ints
+        # via object arrays — same values, rare path
+        amax = int(np.abs(c).max()) if n else 0
+        if amax and amax * amax * n >= (1 << 62):
+            a = a.astype(object)
+            b = b.astype(object)
         sa = np.add.reduceat(a, starts)
         sb = np.add.reduceat(b, starts)
         sab = np.add.reduceat(a * b, starts)
@@ -571,8 +600,8 @@ class HoltGroup:
     seeded l_1 = x_1, b_1 = x_2 - x_1 (keys with < 2 points emit their
     single row with level = x and NULL trend).  Both recursions run in
     exactly the oracle CTE's operand order, vectorized ACROSS keys (the
-    EWMA matrix pattern, two state columns), so level and trend are
-    bit-identical doubles before the shared 6dp round."""
+    EWMA position-major pattern, two state vectors), so level and trend
+    are bit-identical doubles before the shared 6dp round."""
 
     def __init__(self, alpha: float = 0.5, beta: float = 0.5):
         self.alpha, self.beta = alpha, beta
@@ -597,32 +626,38 @@ class HoltGroup:
         keys = g["user_id"].to_numpy()[order]
         x = g["value"].to_numpy(np.float64)[order]
         n = len(t)
-        first = np.r_[True, codes[1:] != codes[:-1]]
-        starts = np.flatnonzero(first)
-        lens = np.diff(np.r_[starts, n])
-        pos = np.arange(n) - np.repeat(starts, lens)
-        row = np.repeat(np.arange(len(starts)), lens)
-        max_len = int(pos.max()) + 1
-        M = np.full((len(starts), max_len), np.nan)
-        M[row, pos] = x
-        L = np.empty_like(M)
-        B = np.empty_like(M)
+        pm, offs = _pos_major_layout(codes, n)
+        x_pm = x[pm]
+        l_pm = np.empty(n)
+        b_pm = np.empty(n)
         a, am = self.alpha, 1.0 - self.alpha
         b, bm = self.beta, 1.0 - self.beta
-        L[:, 0] = M[:, 0]
-        B[:, 0] = np.nan
-        if max_len > 1:
-            # seed row 2 exactly like the CTE anchor's successor:
-            # l_2 = α·x_2 + (1-α)·(x_1 + (x_2 - x_1)), b_2 via l_1=x_1
-            b1 = M[:, 1] - M[:, 0]
-            L[:, 1] = a * M[:, 1] + am * (M[:, 0] + b1)
-            B[:, 1] = b * (L[:, 1] - M[:, 0]) + bm * b1
-        for k in range(2, max_len):
-            prev_l, prev_b = L[:, k - 1], B[:, k - 1]
-            L[:, k] = a * M[:, k] + am * (prev_l + prev_b)
-            B[:, k] = b * (L[:, k] - prev_l) + bm * prev_b
-        lv = L[row, pos]
-        tv = B[row, pos]
+        max_len = len(offs) - 1
+        x0 = x_pm[offs[0]:offs[1]]
+        L = x0.copy()
+        B = np.full(len(x0), np.nan)
+        l_pm[offs[0]:offs[1]] = L
+        b_pm[offs[0]:offs[1]] = B
+        for k in range(1, max_len):
+            m = offs[k + 1] - offs[k]
+            xk = x_pm[offs[k]:offs[k + 1]]
+            if k == 1:
+                # seed row 2 exactly like the CTE anchor:
+                # l_2 = α·x_2 + (1-α)·(x_1 + (x_2 - x_1)), b_2 via l_1=x_1
+                b1 = xk - x0[:m]
+                Lk = a * xk + am * (x0[:m] + b1)
+                Bk = b * (Lk - x0[:m]) + bm * b1
+            else:
+                prev_l, prev_b = L[:m], B[:m]
+                Lk = a * xk + am * (prev_l + prev_b)
+                Bk = b * (Lk - prev_l) + bm * prev_b
+            L, B = Lk, Bk
+            l_pm[offs[k]:offs[k + 1]] = Lk
+            b_pm[offs[k]:offs[k + 1]] = Bk
+        lv = np.empty(n)
+        tv = np.empty(n)
+        lv[pm] = l_pm
+        tv[pm] = b_pm
         return pd.DataFrame({
             "user_id": keys,
             "event_id": ids[order],

@@ -126,14 +126,22 @@ def test_cli_analyze_mutates_config_and_runs(cli_dirs, tmp_path_factory):
     assert saved["defaults"]["threshold"] == 3.0
     assert saved["defaults"]["window_size"] == 5  # untouched keys kept
 
-    # explicit override path, non-default value, nested creation
+    def _records(stdout):
+        return sum(int(line.split()[-1]) for line in stdout.splitlines()
+                   if "Processed" in line)
+    base_records = _records(r.stdout)
+
+    # explicit override path, non-default value, nested creation — AND
+    # the mutated config must reach the kernels: an aggressive gap
+    # threshold inserts more rows, so Records must grow vs the default
     r = _run("analyze", "--config", str(cfg),
              "--data-dir", str(cli_dirs / "seatek"),
              "--output", str(root / "out2"),
-             "--set", "defaults.gap_threshold_factor=2.5",
+             "--set", "defaults.gap_threshold_factor=0.5",
              "--set", "processor.outlier_method=\"median\"",
              "--dry-run", "--num-cpus", "4")
     assert r.returncode == 0, r.stderr[-500:]
     saved = json.loads(cfg.read_text())
-    assert saved["defaults"]["gap_threshold_factor"] == 2.5
+    assert saved["defaults"]["gap_threshold_factor"] == 0.5
     assert saved["processor"]["outlier_method"] == "median"
+    assert _records(r.stdout) > base_records

@@ -1583,10 +1583,23 @@ def test_hash_join_outer_right_and_collapsed_keys(ray_session):
     left, right = left_t.to_pandas(), right_t.to_pandas()
 
     def ref(how):
-        l, r = left.copy(), right[right["k2"].notna()]
-        if how in ("inner", "right"):
-            l = l[l["k"].notna()]
-        return l.merge(r, left_on="k", right_on="k2", how=how)
+        """SQL semantics: NULL keys never MATCH, but null-key rows of a
+        side that survives unmatched still emit padded (RIGHT keeps the
+        k2=NULL right row, FULL OUTER keeps both sides' null-key rows)."""
+        l, r = left[left["k"].notna()], right[right["k2"].notna()]
+        out = l.merge(r, left_on="k", right_on="k2", how=how)
+        pads = []
+        if how in ("left", "outer"):
+            ln = left[left["k"].isna()].copy()
+            ln["k2"] = np.nan
+            ln["rv"] = np.nan
+            pads.append(ln)
+        if how in ("right", "outer"):
+            rn = right[right["k2"].isna()].copy()
+            rn["k"] = np.nan
+            rn["lv"] = np.nan
+            pads.append(rn)
+        return pd.concat([out, *pads], ignore_index=True) if pads else out
 
     for how in ("right", "outer"):
         got = hash_join(rd.from_arrow(left_t), rd.from_arrow(right_t),
@@ -1681,3 +1694,24 @@ def test_embedding_near_dup_finds_planted_pairs(ray_session):
         assert c == np.round(Mn[a] @ Mn[b], 6)
     # output ids keep the input's integer type
     assert str(out["id_a"].dtype) == "int64"
+
+
+def test_cross_join_matches_pandas(ray_session):
+    """cross_join == pandas how='cross' (clash suffixing, arrow types
+    kept); hash_join rejects how='cross' with a pointer here."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.joins import (
+        cross_join, hash_join)
+    lf = pd.DataFrame({"a": [1, 2, 3], "v": [1.5, None, 2.5]})
+    rf = pd.DataFrame({"b": ["x", "y"], "v": [10.0, 20.0]})
+    got = cross_join(rd.from_pandas(lf), rd.from_pandas(rf)) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    want = lf.rename(columns={"v": "v_l"}) \
+        .merge(rf.rename(columns={"v": "v_r"}), how="cross") \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)],
+                                  check_dtype=False)
+    with pytest.raises(ValueError, match="cross_join"):
+        hash_join(rd.from_pandas(lf), rd.from_pandas(rf), "a", "b",
+                  how="cross")

@@ -216,7 +216,9 @@ WITH p AS (
   FROM ev),
 s AS (
   SELECT user_id, COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb,
-         SUM(a*b) AS sab, SUM(a*a) AS saa, SUM(b*b) AS sbb
+         SUM(CAST(a AS HUGEINT)*b) AS sab,
+         SUM(CAST(a AS HUGEINT)*a) AS saa,
+         SUM(CAST(b AS HUGEINT)*b) AS sbb
   FROM p WHERE a IS NOT NULL GROUP BY 1)
 SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
        CASE WHEN n >= 2
@@ -279,3 +281,96 @@ FROM c WHERE rn = 1""")
     g99 = got[got["user_id"] == 99]
     assert len(g99) == 1 and g99["level"].iloc[0] == 3.25 \
         and np.isnan(g99["trend"].iloc[0])
+
+
+def test_autocorr_big_cents_exact():
+    """Values with cents ~3e9 push per-pair products past int64: the
+    kernel's object-int fallback must match the oracle's HUGEINT sums
+    exactly (the int64 fast path would silently wrap here)."""
+    rng = np.random.default_rng(0)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": pd.array(rng.integers(0, 3, n), dtype="Int64"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": np.sort(rng.integers(0, 50_000, n)).astype(np.int64)
+        * 1_000_000,
+        "value": np.round(rng.uniform(1e7, 3.1e7, n), 2),
+    })
+    from series_correction_project_updated_ray.stages.timeseries import (
+        AutocorrGroup)
+    got = AutocorrGroup()(df)
+    want = _duck(df, """
+WITH p AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS b,
+         lag(CAST(round(value*100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY t, event_id) AS a
+  FROM ev),
+s AS (
+  SELECT user_id, COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb,
+         SUM(CAST(a AS HUGEINT)*b) AS sab,
+         SUM(CAST(a AS HUGEINT)*a) AS saa,
+         SUM(CAST(b AS HUGEINT)*b) AS sbb
+  FROM p WHERE a IS NOT NULL GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+       round((CAST(n AS DOUBLE)*CAST(sab AS DOUBLE)
+              - CAST(sa AS DOUBLE)*CAST(sb AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE)*CAST(saa AS DOUBLE)
+                     - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE)
+                       - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE))), 6)
+         AS r1
+FROM s""")
+    _cmp(got, want)
+
+
+def test_ewma_holt_skewed_keys_pos_major():
+    """One hot key with a long series co-located with many tiny keys:
+    the position-major scan must stay O(rows) and exact (a dense
+    keys x max_len matrix would be keys-fold larger than the data)."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        EwmaGroup, HoltGroup)
+    rng = np.random.default_rng(5)
+    hot = 20_000
+    small = 500
+    df = pd.DataFrame({
+        "user_id": pd.array(
+            np.r_[np.zeros(hot, np.int64),
+                  1 + np.arange(small) % 250], dtype="Int64"),
+        "event_id": np.arange(hot + small, dtype=np.int64),
+        "t": np.arange(hot + small, dtype=np.int64) * 1_000_000,
+        "value": np.round(rng.normal(50, 30, hot + small), 2),
+    })
+    got = EwmaGroup(0.5)(df)
+    # direct scalar recursion on the hot key
+    sub = df[df["user_id"] == 0].sort_values(["t", "event_id"])
+    y = None
+    want = []
+    for v in sub["value"]:
+        y = v if y is None else 0.5 * v + 0.5 * y
+        want.append(y)
+    from series_correction_project_updated_ray.functions.rounding import (
+        round_half_away)
+    hot_got = got[got["user_id"] == 0].sort_values("t")["ewma"].to_numpy()
+    np.testing.assert_array_equal(
+        hot_got, round_half_away(np.array(want), 6))
+
+    res = HoltGroup(0.5, 0.5)(df)
+    assert len(res) == hot + small
+    # scalar Holt on the hot key's first 100 points
+    xs = sub["value"].to_numpy()[:100]
+    l, b = xs[0], None
+    lv = [l]
+    for i in range(1, len(xs)):
+        if b is None:
+            b1 = xs[i] - l
+            l_new = 0.5 * xs[i] + 0.5 * (l + b1)
+            b = 0.5 * (l_new - l) + 0.5 * b1
+        else:
+            l_new = 0.5 * xs[i] + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+        l = l_new
+        lv.append(l)
+    hot_l = res[res["user_id"] == 0].sort_values("t")["level"] \
+        .to_numpy()[:100]
+    np.testing.assert_array_equal(hot_l,
+                                  round_half_away(np.array(lv), 6))
