@@ -1062,6 +1062,16 @@ def _q_resample_ffill(sf_dir: str):
     return resample_ffill(ev, width_s=3600)
 
 
+def _q_resample_interp(sf_dir: str):
+    """Linear-interpolation grid resample (the smooth ffill sibling) —
+    prev/next neighbors via forward+backward segmented scans, oracle
+    via two ASOF joins."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        resample_interp)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return resample_interp(ev, width_s=3600)
+
+
 def _q_ewma(sf_dir: str):
     """Per-user EWMA (α=0.5) in event-time order — the float recursion
     runs in the oracle's exact operand order, so a recursive CTE
@@ -1511,7 +1521,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # contamination_scan's broadcast substring probe is the
             # broadcast-state mechanism redact_pii (regex scrub) and
             # remove_common_ngrams (broadcast marker set) keep certified
-            "contamination_scan"][:n_over]
+            "contamination_scan",
+            # resample_interp strictly subsumes resample_ffill: same
+            # grid generation and forward scan, plus the backward scan
+            # and the interpolation formula on top
+            "resample_ffill_1h"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -1656,9 +1670,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "rate_counter_1h": _q_rate_counter,
         # gaps-and-islands interval union per user — oracle-checked
         "interval_coverage": _q_interval_coverage,
-        # regular-grid forward-fill resample (upsample dual) —
-        # oracle-checked (ASOF-join grid semantics)
+        # regular-grid forward-fill + linear-interp resamples (upsample
+        # duals) — oracle-checked (ASOF-join grid semantics)
         "resample_ffill_1h": _q_resample_ffill,
+        "resample_interp_1h": _q_resample_interp,
         # EWMA float recursion — oracle-checked bit-exactly via a
         # recursive CTE running the identical operand order
         "ewma_per_user": _q_ewma,
@@ -2304,6 +2319,39 @@ g AS (SELECT user_id,
 SELECT g.user_id, g.window_start, cd.value
 FROM g ASOF JOIN cd
   ON g.user_id = cd.user_id AND g.window_start * 1000000 >= cd.t
+""",
+        # linear-interp resample: prev neighbor by >= ASOF, next by
+        # strict < ASOF (a grid point on an observation gets factor 0 →
+        # exactly v_prev on both sides); missing next ⇒ h = t_prev
+        "resample_interp_1h": """
+WITH c0 AS (
+  SELECT user_id, epoch_us(ts) AS t, value,
+         row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                            ORDER BY event_id DESC) AS rn
+  FROM events),
+cd AS (SELECT user_id, t, value FROM c0 WHERE rn = 1),
+b AS (SELECT user_id, min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+      FROM events GROUP BY 1),
+g AS (SELECT user_id,
+        unnest(generate_series(
+          CAST(((lo + 3599999999) // 3600000000) * 3600 AS BIGINT),
+          CAST((hi // 3600000000) * 3600 AS BIGINT),
+          3600)) AS window_start
+      FROM b),
+pv AS (
+  SELECT g.user_id, g.window_start, cd.t AS tp, cd.value AS vp
+  FROM g ASOF JOIN cd
+    ON g.user_id = cd.user_id AND g.window_start * 1000000 >= cd.t),
+nx AS (
+  SELECT g.user_id, g.window_start, cd.t AS tn, cd.value AS vn
+  FROM g ASOF LEFT JOIN cd
+    ON g.user_id = cd.user_id AND g.window_start * 1000000 < cd.t)
+SELECT pv.user_id, pv.window_start,
+       round(CASE WHEN nx.tn IS NULL THEN pv.vp
+             ELSE pv.vp + (nx.vn - pv.vp)
+                  * (CAST(pv.window_start * 1000000 - pv.tp AS DOUBLE)
+                     / CAST(nx.tn - pv.tp AS DOUBLE)) END, 6) AS value
+FROM pv JOIN nx USING (user_id, window_start)
 """,
         # EWMA recursion — the CTE folds 0.5*x + 0.5*y in the engine
         # kernel's exact operand order, so the doubles are bit-identical

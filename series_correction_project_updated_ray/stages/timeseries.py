@@ -218,15 +218,11 @@ class ResampleFfillGroup:
         })
 
 
-def resample_ffill(events, *, width_s: int = 3600, n_parts: int = 64):
-    """Regular-grid forward-fill resample: per user, one row per
-    ``width_s`` boundary inside the user's observed span, carrying the
-    latest prior-or-equal observation.  Grid generation is an
-    aggregate + flat-map (tiny), the fill one partition-group shuffle
-    of the union — the UPSAMPLE dual of the rollup downsample."""
+def _grid_union(prepped, width_s: int):
+    """Union of the prepped event rows (``__side`` 0) and per-user grid
+    boundary rows (``__side`` 1) inside each user's observed span — the
+    shared front half of the resample operators."""
     from ray.data.aggregate import Max, Min
-
-    prepped = _prep_events(events)
 
     spans = prepped.groupby("user_id").aggregate(
         Min("t", alias_name="lo"), Max("t", alias_name="hi"))
@@ -272,7 +268,16 @@ def resample_ffill(events, *, width_s: int = 3600, n_parts: int = 64):
         return t.append_column(
             "__side", pa.array(np.zeros(len(t), dtype=np.int64)))
 
-    both = prepped.map_batches(_tag, batch_format="pyarrow").union(grid)
+    return prepped.map_batches(_tag, batch_format="pyarrow").union(grid)
+
+
+def resample_ffill(events, *, width_s: int = 3600, n_parts: int = 64):
+    """Regular-grid forward-fill resample: per user, one row per
+    ``width_s`` boundary inside the user's observed span, carrying the
+    latest prior-or-equal observation.  Grid generation is an
+    aggregate + flat-map (tiny), the fill one partition-group shuffle
+    of the union — the UPSAMPLE dual of the rollup downsample."""
+    both = _grid_union(_prep_events(events), width_s)
     return _add_key_partition(both, "user_id", n_parts) \
         .groupby("__part").map_groups(ResampleFfillGroup(width_s),
                                       batch_format="pandas")
@@ -675,4 +680,89 @@ def holt_per_user(events, *, alpha: float = 0.5, beta: float = 0.5,
     prepped = _prep_events(events)
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(HoltGroup(alpha, beta),
+                                      batch_format="pandas")
+
+
+# --- grid resample with linear interpolation -------------------------------
+
+class ResampleInterpGroup:
+    """Per-partition kernel: union of grid and event rows; each grid
+    row linearly interpolates between the latest observation at or
+    before it and the next strictly-after one —
+
+        v = v_prev + (v_next - v_prev) · ((h - t_prev) / (t_next - t_prev))
+
+    Duplicate-microsecond events first dedup to the highest event_id
+    (the engine-wide tie rule, = the oracle's rn=1), so both neighbors
+    are unambiguous.  A grid point landing exactly on an observation
+    gets a zero factor → exactly v_prev (the oracle's t_next = t_prev
+    CASE arm); the grid never extends past the span, so a missing next
+    neighbor implies t_prev = h."""
+
+    def __init__(self, width_s: int = 3600):
+        self.width_s = width_s
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": g["user_id"],
+                "window_start": pd.Series([], dtype=np.int64),
+                "value": pd.Series([], dtype=np.float64)})
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        t = g["t"].to_numpy(np.int64)
+        side = g["__side"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, side, t, codes))
+        codes, t, side = codes[order], t[order], side[order]
+        keys = g["user_id"].to_numpy()[order]
+        vals = g["value"].to_numpy(np.float64)[order]
+        n = len(t)
+        is_event = side == 0
+        # dedup duplicate-t events to the LAST (highest event_id): an
+        # event followed by another event of the same key and t is shadowed
+        shadowed = np.zeros(n, dtype=bool)
+        if n > 1:
+            shadowed[:-1] = (is_event[:-1] & is_event[1:]
+                             & (codes[1:] == codes[:-1])
+                             & (t[1:] == t[:-1]))
+        live = is_event & ~shadowed
+        # prev: running max of (key, live-event position)
+        enc = codes.astype(np.int64) * np.int64(n + 1) \
+            + np.where(live, np.arange(n) + 1, 0)
+        prev_evt = np.maximum.accumulate(enc) % np.int64(n + 1) - 1
+        # next: the same scan over the reversed arrays (codes reversed
+        # are DESCENDING, so flip their sign to keep the running max
+        # keyed correctly); positions stored as reversed indices
+        enc_r = (-codes[::-1]).astype(np.int64) * np.int64(n + 1) \
+            + np.where(live[::-1], np.arange(n) + 1, 0)
+        nxt_r = np.maximum.accumulate(enc_r) % np.int64(n + 1) - 1
+        next_evt = np.where(nxt_r[::-1] >= 0,
+                            n - 1 - nxt_r[::-1], -1)
+        grid = ~is_event
+        gsel = np.flatnonzero(grid & (prev_evt >= 0))
+        p, q = prev_evt[gsel], next_evt[gsel]
+        vp = vals[p]
+        h = t[gsel]
+        out = vp.copy()
+        has_next = (q >= 0) & (t[np.maximum(q, 0)] > t[p])
+        hv = np.flatnonzero(has_next)
+        if hv.size:
+            pp, qq = p[hv], q[hv]
+            out[hv] = vp[hv] + (vals[qq] - vp[hv]) * (
+                (h[hv] - t[pp]).astype(np.float64)
+                / (t[qq] - t[pp]).astype(np.float64))
+        return pd.DataFrame({
+            "user_id": keys[gsel],
+            "window_start": h // 1_000_000,
+            "value": round_half_away(out, 6),
+        })
+
+
+def resample_interp(events, *, width_s: int = 3600, n_parts: int = 64):
+    """Regular-grid linear-interpolation resample — the smooth variant
+    of :func:`resample_ffill`, same grid and shuffle shape."""
+    both = _grid_union(_prep_events(events), width_s)
+    return _add_key_partition(both, "user_id", n_parts) \
+        .groupby("__part").map_groups(ResampleInterpGroup(width_s),
                                       batch_format="pandas")

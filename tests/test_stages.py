@@ -1715,3 +1715,41 @@ def test_cross_join_matches_pandas(ray_session):
     with pytest.raises(ValueError, match="cross_join"):
         hash_join(rd.from_pandas(lf), rd.from_pandas(rf), "a", "b",
                   how="cross")
+
+
+def test_class_task_cache_keying_and_eviction(ray_session):
+    """One instance per (class, ctor-args) per process; different args
+    (incl. ObjectRefs) never share an instance; FIFO eviction bounds the
+    cache; Ray object refs resolve inside the instance."""
+    import ray
+    from series_correction_project_updated_ray.stages import taskcache
+    from series_correction_project_updated_ray.stages.taskcache import (
+        class_task)
+
+    built = []
+
+    class Stage:
+        def __init__(self, tag, ref=None):
+            built.append(tag)
+            self.tag = tag
+            self.extra = ray.get(ref) if ref is not None else 0
+
+        def __call__(self, batch):
+            return {"tag": np.array([self.tag] * len(batch["x"])),
+                    "v": batch["x"] + self.extra}
+
+    taskcache._CACHE.clear()
+    f1 = class_task(Stage, 1)
+    f2 = class_task(Stage, 2, ref=ray.put(100))
+    b = {"x": np.array([1, 2])}
+    r1a = f1(b); r2 = f2(b); r1b = f1(b)
+    assert built == [1, 2]                      # f1 reused, not rebuilt
+    assert list(r2["v"]) == [101, 102]          # ref resolved
+    assert list(r1b["v"]) == [1, 2]
+    # eviction: pushing > _CACHE_MAX distinct stages drops the oldest
+    for tag in range(3, 3 + taskcache._CACHE_MAX):
+        class_task(Stage, tag)(b)
+    assert len(taskcache._CACHE) == taskcache._CACHE_MAX
+    n_built = len(built)
+    f1(b)                                       # evicted → rebuilt
+    assert len(built) == n_built + 1

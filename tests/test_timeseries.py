@@ -374,3 +374,72 @@ def test_ewma_holt_skewed_keys_pos_major():
         .to_numpy()[:100]
     np.testing.assert_array_equal(hot_l,
                                   round_half_away(np.array(lv), 6))
+
+
+def test_resample_interp_kernel_edges():
+    """Grid-on-observation → exactly that value; duplicate-microsecond
+    events dedup to the highest event_id for BOTH neighbors; values
+    match the two-ASOF DuckDB reference on a messy frame."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        ResampleInterpGroup)
+    rng = np.random.default_rng(1)
+    n = 200
+    df = pd.DataFrame({
+        "user_id": pd.array(rng.integers(0, 4, n), dtype="Int64"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": np.sort(rng.integers(0, 40_000, n)).astype(np.int64)
+        * 1_000_000,
+        "value": np.round(rng.normal(50, 30, n), 2),
+    })
+    extra = pd.DataFrame({
+        "user_id": pd.array([1, 1, 2], dtype="Int64"),
+        "event_id": np.array([900, 901, 902], dtype=np.int64),
+        "t": np.array([7_200_000_000, 7_200_000_000,
+                       3 * 3600 * 1_000_000], np.int64),
+        "value": [11.0, 22.0, 33.0]})
+    df = pd.concat([df, extra], ignore_index=True)
+    W = 3600 * 1_000_000
+    lohi = df.groupby("user_id")["t"].agg(["min", "max"]).reset_index()
+    rows = []
+    for _, r in lohi.iterrows():
+        for h in range(-(-int(r["min"]) // W), int(r["max"]) // W + 1):
+            rows.append((int(r["user_id"]), 0, np.nan, h * W, 1))
+    grid = pd.DataFrame(rows, columns=["user_id", "event_id", "value",
+                                       "t", "__side"])
+    grid["user_id"] = grid["user_id"].astype("Int64")
+    pe = df.copy()
+    pe["__side"] = 0
+    both = pd.concat([pe[["user_id", "event_id", "value", "t",
+                          "__side"]], grid], ignore_index=True)
+    got = ResampleInterpGroup(3600)(both)
+    want = _duck(df, """
+WITH c0 AS (
+  SELECT user_id, t, value,
+         row_number() OVER (PARTITION BY user_id, t
+                            ORDER BY event_id DESC) AS rn
+  FROM ev),
+cd AS (SELECT user_id, t, value FROM c0 WHERE rn = 1),
+b AS (SELECT user_id, min(t) AS lo, max(t) AS hi FROM ev GROUP BY 1),
+g AS (SELECT user_id,
+        unnest(generate_series(
+          CAST(((lo + 3599999999) // 3600000000) * 3600 AS BIGINT),
+          CAST((hi // 3600000000) * 3600 AS BIGINT), 3600))
+          AS window_start
+      FROM b),
+pv AS (SELECT g.user_id, g.window_start, cd.t AS tp, cd.value AS vp
+       FROM g ASOF JOIN cd
+         ON g.user_id = cd.user_id AND g.window_start * 1000000 >= cd.t),
+nx AS (SELECT g.user_id, g.window_start, cd.t AS tn, cd.value AS vn
+       FROM g ASOF LEFT JOIN cd
+         ON g.user_id = cd.user_id AND g.window_start * 1000000 < cd.t)
+SELECT pv.user_id, pv.window_start,
+       round(CASE WHEN nx.tn IS NULL THEN pv.vp
+             ELSE pv.vp + (nx.vn - pv.vp)
+                  * (CAST(pv.window_start * 1000000 - pv.tp AS DOUBLE)
+                     / CAST(nx.tn - pv.tp AS DOUBLE)) END, 6) AS value
+FROM pv JOIN nx USING (user_id, window_start)""")
+    _cmp(got, want)
+    # the 2h boundary sits ON the duplicated observation: highest
+    # event_id (value 22.0) must win exactly
+    hit = got[(got["user_id"] == 1) & (got["window_start"] == 7200)]
+    assert len(hit) == 1 and hit["value"].iloc[0] == 22.0
