@@ -199,3 +199,108 @@ def test_hi_lo_limbs_recombine_exact(vals):
     hi, lo = _split_hi_lo(v)
     back = [int(h) * _HI_LO + int(l) for h, l in zip(hi, lo)]
     assert back == [int(x) for x in vals]
+
+
+# --- round-3 timeseries kernels (vs direct per-key references) -------------
+
+def _ts_frame(keys, ts, vals):
+    import pandas as pd
+    return pd.DataFrame({
+        "user_id": pd.array(keys, dtype="Int64"),
+        "event_id": np.arange(len(keys), dtype=np.int64),
+        "t": np.asarray(ts, dtype=np.int64),
+        "value": np.asarray(vals, dtype=np.float64),
+    })
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3),
+                          st.integers(0, 10_000),
+                          st.integers(-99999, 99999)),
+                min_size=1, max_size=120),
+       st.integers(1, 50))
+def test_interval_coverage_matches_brute_merge(rows, width_s):
+    from series_correction_project_updated_ray.stages.timeseries import (
+        IntervalCoverageGroup)
+    keys = [r[0] for r in rows]
+    ts = [r[1] * 1_000_000 for r in rows]
+    df = _ts_frame(keys, ts, [r[2] / 100 for r in rows])[["user_id", "t"]]
+    got = IntervalCoverageGroup(width_s)(df).set_index("user_id")
+    w_us = width_s * 1_000_000
+    for k in set(keys):
+        iv = sorted((t, t + w_us) for kk, t in zip(keys, ts) if kk == k)
+        merged = []
+        for s, e in iv:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        assert got.loc[k, "n_intervals"] == len(merged)
+        assert got.loc[k, "covered_us"] == sum(e - s for s, e in merged)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3),
+                          st.integers(0, 10_000),
+                          st.integers(-99999, 99999)),
+                min_size=1, max_size=100))
+def test_ewma_matches_scalar_recursion(rows):
+    from series_correction_project_updated_ray.functions.rounding import (
+        round_half_away)
+    from series_correction_project_updated_ray.stages.timeseries import (
+        EwmaGroup)
+    keys = [r[0] for r in rows]
+    ts = [r[1] * 1_000_000 for r in rows]
+    vals = [r[2] / 100 for r in rows]
+    df = _ts_frame(keys, ts, vals)
+    got = EwmaGroup(0.5)(df)
+    for k in set(keys):
+        sub = df[df["user_id"] == k].sort_values(["t", "event_id"])
+        y = None
+        want = []
+        for v in sub["value"]:
+            y = v if y is None else 0.5 * v + 0.5 * y
+            want.append(y)
+        g = got[got["user_id"] == k]
+        g = g.sort_values(["t", "event_id"])["ewma"].to_numpy()
+        assert np.array_equal(g, round_half_away(np.array(want), 6))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2),
+                          st.integers(0, 20_000),
+                          st.integers(-99999, 99999)),
+                min_size=1, max_size=100),
+       st.integers(60, 7200))
+def test_rate_counter_matches_scalar_loop(rows, width_s):
+    from series_correction_project_updated_ray.stages.timeseries import (
+        RateCounterGroup)
+    keys = [r[0] for r in rows]
+    ts = [r[1] * 1_000_000 for r in rows]
+    vals = [r[2] / 100 for r in rows]
+    df = _ts_frame(keys, ts, vals)
+    got = RateCounterGroup(width_s)(df)
+    got = got.set_index(["user_id", "window_start"])
+    for k in set(keys):
+        sub = df[df["user_id"] == k].sort_values(["t", "event_id"])
+        cents = np.copysign(
+            np.floor(np.abs(sub["value"].to_numpy()) * 100 + 0.5),
+            sub["value"].to_numpy()).astype(np.int64)
+        tt = sub["t"].to_numpy() // 1_000_000 // width_s * width_s
+        from collections import defaultdict
+        inc = defaultdict(list)
+        n_ev = defaultdict(int)
+        prev = None
+        for c, w in zip(cents, tt):
+            n_ev[w] += 1
+            if prev is not None:
+                d = c - prev
+                inc[w].append(d if d >= 0 else c)
+            prev = c
+        for w in set(tt):
+            row = got.loc[(k, w)]
+            assert row["n_events"] == n_ev[w]
+            if inc[w]:
+                assert row["increase"] == sum(inc[w]) / 100.0
+            else:
+                assert np.isnan(row["increase"])
