@@ -1082,6 +1082,15 @@ def _q_ewma(sf_dir: str):
     return ewma_per_user(ev, alpha=0.5)
 
 
+def _q_alert_hysteresis(sf_dir: str):
+    """Two-threshold alert state machine per user — exact integer
+    recursion, recursive-CTE-certified."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        alert_hysteresis)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return alert_hysteresis(ev, hi=150.0, lo=50.0)
+
+
 def _q_holt(sf_dir: str):
     """Per-user Holt linear-trend smoothing — the TWO-state float
     recursion (level + trend) certified bit-exactly by a recursive CTE
@@ -1525,7 +1534,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # resample_interp strictly subsumes resample_ffill: same
             # grid generation and forward scan, plus the backward scan
             # and the interpolation formula on top
-            "resample_ffill_1h"][:n_over]
+            "resample_ffill_1h",
+            # sliding_mean's trailing event-time RANGE frame is the
+            # special case of range_join_purchases' windowed range-join
+            # aggregation (kept), and the per-key ordered machinery is
+            # certified across the whole timeseries family
+            "sliding_mean"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -1684,6 +1698,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # Holt linear smoothing (two-state float recursion) —
         # oracle-checked bit-exactly via a recursive CTE
         "holt_per_user": _q_holt,
+        # hysteresis alert state machine (conditional integer
+        # recursion) — oracle-checked
+        "alert_hysteresis": _q_alert_hysteresis,
         # LTTB visual downsample — rows-only (sequential pick chain);
         # pytest certifies invariants + parity with a direct
         # single-process implementation
@@ -2368,6 +2385,26 @@ r AS (
   SELECT c.user_id, c.event_id, c.t, c.rn, 0.5 * c.value + 0.5 * r.y
   FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
 SELECT user_id, event_id, t, round(y, 6) AS ewma FROM r
+""",
+        # hysteresis alert debounce: conditional integer recursion
+        # (1 above hi until dropping below lo), exact by construction
+        "alert_hysteresis": """
+WITH RECURSIVE c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL),
+r AS (
+  SELECT user_id, event_id, t, rn,
+         CASE WHEN value > 150.0 THEN 1 ELSE 0 END AS alert
+  FROM c WHERE rn = 1
+  UNION ALL
+  SELECT c.user_id, c.event_id, c.t, c.rn,
+         CASE WHEN c.value > 150.0 THEN 1
+              WHEN c.value < 50.0 THEN 0
+              ELSE r.alert END
+  FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
+SELECT user_id, event_id, t, CAST(alert AS BIGINT) AS alert FROM r
 """,
         # Holt linear smoothing: the two-state recursion seeded
         # l_1 = x_1, b_1 = x_2 - x_1; the CTE's anchor is the rn=2 row

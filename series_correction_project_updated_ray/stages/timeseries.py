@@ -766,3 +766,70 @@ def resample_interp(events, *, width_s: int = 3600, n_parts: int = 64):
     return _add_key_partition(both, "user_id", n_parts) \
         .groupby("__part").map_groups(ResampleInterpGroup(width_s),
                                       batch_format="pandas")
+
+
+# --- hysteresis alerting ---------------------------------------------------
+
+class HysteresisGroup:
+    """Per-partition kernel: the two-threshold alert state machine per
+    key in (t, event_id) order —
+
+        s_t = 1           if v_t > hi
+              0           if v_t < lo
+              s_{t-1}     otherwise        (s_1 = 1 iff v_1 > hi)
+
+    the standard alerting debounce (no flapping between lo and hi).
+    Pure integer recursion on the position-major layout — exact by
+    construction; a recursive CTE certifies the fold."""
+
+    def __init__(self, hi: float, lo: float):
+        self.hi, self.lo = hi, lo
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        if (codes < 0).any():   # recursive-CTE equality join drops nulls
+            g = g.iloc[codes >= 0]
+            codes = codes[codes >= 0]
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": g["user_id"],
+                "event_id": pd.Series([], dtype=np.int64),
+                "t": pd.Series([], dtype=np.int64),
+                "alert": pd.Series([], dtype=np.int64)})
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        keys = g["user_id"].to_numpy()[order]
+        x = g["value"].to_numpy(np.float64)[order]
+        n = len(t)
+        pm, offs = _pos_major_layout(codes, n)
+        x_pm = x[pm]
+        s_pm = np.empty(n, dtype=np.int64)
+        cur = (x_pm[offs[0]:offs[1]] > self.hi).astype(np.int64)
+        s_pm[offs[0]:offs[1]] = cur
+        for k in range(1, len(offs) - 1):
+            m = offs[k + 1] - offs[k]
+            xk = x_pm[offs[k]:offs[k + 1]]
+            cur = np.where(xk > self.hi, 1,
+                           np.where(xk < self.lo, 0, cur[:m]))
+            s_pm[offs[k]:offs[k + 1]] = cur
+        s = np.empty(n, dtype=np.int64)
+        s[pm] = s_pm
+        return pd.DataFrame({
+            "user_id": keys,
+            "event_id": ids[order],
+            "t": t,
+            "alert": s,
+        })
+
+
+def alert_hysteresis(events, *, hi: float = 150.0, lo: float = 50.0,
+                     n_parts: int = 64):
+    """Per-user two-threshold alert state (1 above ``hi`` until dropping
+    below ``lo``) — one partition-group shuffle, exact integer fold."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(HysteresisGroup(hi, lo),
+                                      batch_format="pandas")

@@ -443,3 +443,44 @@ FROM pv JOIN nx USING (user_id, window_start)""")
     # event_id (value 22.0) must win exactly
     hit = got[(got["user_id"] == 1) & (got["window_start"] == 7200)]
     assert len(hit) == 1 and hit["value"].iloc[0] == 22.0
+
+
+def test_hysteresis_kernel_semantics():
+    """Debounce: alert latches above hi, clears only below lo; the
+    between band holds the previous state; first event latches iff
+    above hi; null keys drop."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        HysteresisGroup)
+    df = pd.DataFrame({
+        "user_id": pd.array([1] * 7 + [2, None], dtype="Int64"),
+        "event_id": np.arange(9, dtype=np.int64),
+        "t": np.arange(9, dtype=np.int64) * 1_000_000,
+        "value": [100.0, 160.0, 100.0, 40.0, 120.0, 151.0, 49.0,
+                  200.0, 300.0],
+    })
+    got = HysteresisGroup(150.0, 50.0)(df)
+    g1 = got[got["user_id"] == 1].sort_values("t")["alert"].tolist()
+    assert g1 == [0, 1, 1, 0, 0, 1, 0]
+    assert got[got["user_id"] == 2]["alert"].tolist() == [1]
+    assert (got["user_id"].notna()).all()
+    # matches the recursive CTE on a random frame
+    rnd = _mk(with_null=True)
+    got2 = HysteresisGroup(80.0, 30.0)(rnd)
+    want = _duck(rnd, """
+WITH RECURSIVE c AS (
+  SELECT user_id, event_id, t, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+           AS rn
+  FROM ev WHERE user_id IS NOT NULL),
+r AS (
+  SELECT user_id, event_id, t, rn,
+         CASE WHEN value > 80.0 THEN 1 ELSE 0 END AS alert
+  FROM c WHERE rn = 1
+  UNION ALL
+  SELECT c.user_id, c.event_id, c.t, c.rn,
+         CASE WHEN c.value > 80.0 THEN 1
+              WHEN c.value < 30.0 THEN 0
+              ELSE r.alert END
+  FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
+SELECT user_id, event_id, t, CAST(alert AS BIGINT) AS alert FROM r""")
+    _cmp(got2, want)
