@@ -232,6 +232,18 @@ def run_bench() -> dict:
         "rollup_rows": int(n_rollup_rows),
         "points_per_s": round(n_points / headline, 1),
     }
+    # attach the round's committed `--scaling` record (measured in fresh
+    # processes on this same input earlier in the round) so the single
+    # BENCH artifact carries the N→4N evidence too
+    scaling_files = sorted(
+        f for f in os.listdir(REPO) if f.startswith("SCALING_r"))
+    if scaling_files and not os.environ.get("GRAFT_BENCH_SCALING_CHILD"):
+        try:
+            with open(os.path.join(REPO, scaling_files[-1])) as f:
+                result["scaling_ref"] = {
+                    "source": scaling_files[-1], **json.load(f)}
+        except Exception:
+            pass
     ray.shutdown()
     return result
 
