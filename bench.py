@@ -235,15 +235,18 @@ def run_bench() -> dict:
     # attach the round's committed `--scaling` record (measured in fresh
     # processes on this same input earlier in the round) so the single
     # BENCH artifact carries the N→4N evidence too
+    import re
     scaling_files = sorted(
-        f for f in os.listdir(REPO) if f.startswith("SCALING_r"))
+        (f for f in os.listdir(REPO) if re.match(r"SCALING_r\d+\.json$", f)),
+        key=lambda f: int(re.findall(r"\d+", f)[0]))
     if scaling_files and not os.environ.get("GRAFT_BENCH_SCALING_CHILD"):
         try:
             with open(os.path.join(REPO, scaling_files[-1])) as f:
                 result["scaling_ref"] = {
                     "source": scaling_files[-1], **json.load(f)}
-        except Exception:
-            pass
+        except Exception as e:
+            print(f"warning: could not attach {scaling_files[-1]}: {e}",
+                  file=sys.stderr)
     ray.shutdown()
     return result
 

@@ -175,6 +175,20 @@ def interval_coverage(events, *, width_s: int = 300, n_parts: int = 64):
 
 # --- grid resample with forward fill ---------------------------------------
 
+def _segmented_last(codes: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """For each row of a (codes-ascending) sorted sequence, the index of
+    the latest PRIOR-OR-SELF row with ``mask`` set within the same code
+    segment, or -1.  One running max over ``code*(n+1) + pos`` — a new
+    code's rows always win on the code term, so the scan resets per key
+    without a Python loop; ``code*(n+1) ≤ n(n+1) « 2^63``.  ``codes``
+    only needs to be monotonic (negate a descending sequence to reuse
+    this for backward scans on reversed arrays)."""
+    n = len(codes)
+    enc = codes.astype(np.int64) * np.int64(n + 1) \
+        + np.where(mask, np.arange(n) + 1, 0)
+    return np.maximum.accumulate(enc) % np.int64(n + 1) - 1
+
+
 class ResampleFfillGroup:
     """Per-partition kernel: union of grid rows (side 1) and event rows
     (side 0) in (key, t, side, event_id) order; each grid row takes the
@@ -182,8 +196,7 @@ class ResampleFfillGroup:
     microsecond resolve to the highest event_id — the engine-wide
     convention)."""
 
-    def __init__(self, width_s: int = 3600):
-        self.width_s = width_s
+    def __init__(self):
         self.__name__ = type(self).__name__
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
@@ -200,15 +213,8 @@ class ResampleFfillGroup:
         codes, t, side = codes[order], t[order], side[order]
         keys = g["user_id"].to_numpy()[order]
         vals = g["value"].to_numpy(np.float64)[order]
-        n = len(t)
         is_event = side == 0
-        # segmented forward-fill of the latest event row index: running
-        # max of (key code, event position) encoded in one int64 — a new
-        # key's rows always win on the code term, so the scan resets
-        # per key without a Python loop; code*(n+1) ≤ n(n+1) « 2^63
-        enc = codes.astype(np.int64) * np.int64(n + 1) \
-            + np.where(is_event, np.arange(n) + 1, 0)
-        last_evt = np.maximum.accumulate(enc) % np.int64(n + 1) - 1
+        last_evt = _segmented_last(codes, is_event)
         grid = ~is_event
         gsel = np.flatnonzero(grid & (last_evt >= 0))
         return pd.DataFrame({
@@ -279,7 +285,7 @@ def resample_ffill(events, *, width_s: int = 3600, n_parts: int = 64):
     of the union — the UPSAMPLE dual of the rollup downsample."""
     both = _grid_union(_prep_events(events), width_s)
     return _add_key_partition(both, "user_id", n_parts) \
-        .groupby("__part").map_groups(ResampleFfillGroup(width_s),
+        .groupby("__part").map_groups(ResampleFfillGroup(),
                                       batch_format="pandas")
 
 
@@ -699,8 +705,7 @@ class ResampleInterpGroup:
     CASE arm); the grid never extends past the span, so a missing next
     neighbor implies t_prev = h."""
 
-    def __init__(self, width_s: int = 3600):
-        self.width_s = width_s
+    def __init__(self):
         self.__name__ = type(self).__name__
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
@@ -727,16 +732,11 @@ class ResampleInterpGroup:
                              & (codes[1:] == codes[:-1])
                              & (t[1:] == t[:-1]))
         live = is_event & ~shadowed
-        # prev: running max of (key, live-event position)
-        enc = codes.astype(np.int64) * np.int64(n + 1) \
-            + np.where(live, np.arange(n) + 1, 0)
-        prev_evt = np.maximum.accumulate(enc) % np.int64(n + 1) - 1
+        prev_evt = _segmented_last(codes, live)
         # next: the same scan over the reversed arrays (codes reversed
         # are DESCENDING, so flip their sign to keep the running max
-        # keyed correctly); positions stored as reversed indices
-        enc_r = (-codes[::-1]).astype(np.int64) * np.int64(n + 1) \
-            + np.where(live[::-1], np.arange(n) + 1, 0)
-        nxt_r = np.maximum.accumulate(enc_r) % np.int64(n + 1) - 1
+        # keyed correctly); positions come back as reversed indices
+        nxt_r = _segmented_last(-codes[::-1], live[::-1])
         next_evt = np.where(nxt_r[::-1] >= 0,
                             n - 1 - nxt_r[::-1], -1)
         grid = ~is_event
@@ -764,7 +764,7 @@ def resample_interp(events, *, width_s: int = 3600, n_parts: int = 64):
     of :func:`resample_ffill`, same grid and shuffle shape."""
     both = _grid_union(_prep_events(events), width_s)
     return _add_key_partition(both, "user_id", n_parts) \
-        .groupby("__part").map_groups(ResampleInterpGroup(width_s),
+        .groupby("__part").map_groups(ResampleInterpGroup(),
                                       batch_format="pandas")
 
 
@@ -807,12 +807,16 @@ class HysteresisGroup:
         pm, offs = _pos_major_layout(codes, n)
         x_pm = x[pm]
         s_pm = np.empty(n, dtype=np.int64)
-        cur = (x_pm[offs[0]:offs[1]] > self.hi).astype(np.int64)
+        # DuckDB orders NaN above every value, so `value > hi` is TRUE
+        # for NaN; numpy comparisons with NaN are False — spell the
+        # DuckDB semantics out to keep the oracle parity exact
+        x0 = x_pm[offs[0]:offs[1]]
+        cur = ((x0 > self.hi) | np.isnan(x0)).astype(np.int64)
         s_pm[offs[0]:offs[1]] = cur
         for k in range(1, len(offs) - 1):
             m = offs[k + 1] - offs[k]
             xk = x_pm[offs[k]:offs[k + 1]]
-            cur = np.where(xk > self.hi, 1,
+            cur = np.where((xk > self.hi) | np.isnan(xk), 1,
                            np.where(xk < self.lo, 0, cur[:m]))
             s_pm[offs[k]:offs[k + 1]] = cur
         s = np.empty(n, dtype=np.int64)

@@ -411,7 +411,7 @@ def test_resample_interp_kernel_edges():
     pe["__side"] = 0
     both = pd.concat([pe[["user_id", "event_id", "value", "t",
                           "__side"]], grid], ignore_index=True)
-    got = ResampleInterpGroup(3600)(both)
+    got = ResampleInterpGroup()(both)
     want = _duck(df, """
 WITH c0 AS (
   SELECT user_id, t, value,
