@@ -1753,3 +1753,41 @@ def test_class_task_cache_keying_and_eviction(ray_session):
     n_built = len(built)
     f1(b)                                       # evicted → rebuilt
     assert len(built) == n_built + 1
+
+
+def test_jsonl_documents_roundtrip(ray_session, tmp_path):
+    """JSONL corpus → canonical documents schema → operators run on it
+    unchanged → JSONL sink round-trips."""
+    import json as _json
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.sources.jsonl import (
+        read_documents_jsonl, write_documents_jsonl)
+    from series_correction_project_updated_ray.stages.dedup import (
+        exact_dedup_survivors)
+
+    src = tmp_path / "corpus.jsonl"
+    rows = [
+        {"doc_id": 1, "text": "alpha beta gamma", "source": "web",
+         "extra": "x"},
+        {"doc_id": 2, "text": "alpha beta gamma"},          # dup text
+        {"doc_id": 3, "text": "delta epsilon", "source": None},
+    ]
+    with open(src, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    docs = read_documents_jsonl(str(src))
+    df = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(df.columns) == ["doc_id", "text", "source"]
+    assert df["doc_id"].tolist() == ["1", "2", "3"]  # coerced to string
+    assert df["source"].tolist() == ["web", "jsonl", "jsonl"]
+
+    surv = exact_dedup_survivors(read_documents_jsonl(str(src)))
+    assert sorted(surv.to_pandas()["doc_id"]) == ["1", "3"]
+
+    out = tmp_path / "out"
+    write_documents_jsonl(read_documents_jsonl(str(src)), str(out))
+    back = read_documents_jsonl(str(out)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df)
