@@ -1119,6 +1119,17 @@ def _q_autocorr(sf_dir: str):
     return autocorr_lag1(ev)
 
 
+def _q_rollup_quantiles(sf_dir: str):
+    """Percentile continuous aggregate (p50/p95/p99 per (type, day)) —
+    mergeable KLL sketches per window; rows-only by design
+    (approximate; exact when a cell fits the sketch capacity, and
+    pytest bounds the rank error)."""
+    from series_correction_project_updated_ray.stages.rollup import (
+        rollup_quantiles)
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    return rollup_quantiles(ev, width_s=86400)
+
+
 def _q_lttb(sf_dir: str):
     """LTTB visual downsample to 100 points per user (sequential by
     nature — each bucket's pick feeds the next triangle — so rows-only;
@@ -1705,6 +1716,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # pytest certifies invariants + parity with a direct
         # single-process implementation
         "lttb_downsample": _q_lttb,
+        # percentile continuous aggregate — rows-only (KLL sketch,
+        # approximate by design; pytest-bounded accuracy)
+        "rollup_quantiles_1d": _q_rollup_quantiles,
         # vocab tf/df + bigram transition counts over polynomial token
         # ids — oracle-checked
         "token_vocab_stats": _q_token_vocab_stats,

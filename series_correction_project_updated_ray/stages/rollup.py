@@ -509,3 +509,94 @@ def ohlc_bars(events, *, key_col: str = "user_id", ts_col: str = "ts",
     return _add_key_partition(partials, key_col, n_parts) \
         .groupby("__part").map_groups(_finalize_cells,
                                       batch_format="pandas")
+
+
+# --- percentile continuous aggregates (mergeable KLL per window) -----------
+
+class QuantileRollupPartial:
+    """map_batches combiner: one serialized KLL sketch per
+    (key, tumbling-window) cell present in the batch — the percentile
+    counterpart of the min/max/sum/count partials.  Mergeable by
+    construction, so the shuffle ships one fixed-size summary per cell
+    per block regardless of row count."""
+
+    def __init__(self, key_col: str, ts_col: str, value_col: str,
+                 width_s: int, k: int = 200):
+        self.key_col, self.ts_col = key_col, ts_col
+        self.value_col, self.width_s, self.k = value_col, width_s, k
+        self.__name__ = type(self).__name__
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from .sketches import KLLSketch
+        if self.key_col not in batch.column_names:
+            return pa.table({self.key_col: pa.array([], pa.string()),
+                             "window_start": pa.array([], pa.int64()),
+                             "__sk": pa.array([], pa.binary())})
+        t = _epoch_seconds(batch[self.ts_col])
+        w = t // self.width_s * self.width_s
+        keys = batch[self.key_col].to_pandas()
+        vals = batch[self.value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        codes, uniq = pd.factorize(keys, sort=False)
+        cell = codes.astype(np.int64) * (np.int64(1) << 40) + w
+        order = np.argsort(cell, kind="stable")
+        cs, vs = cell[order], vals[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]]) \
+            if len(cs) else np.array([], np.int64)
+        ends = np.r_[starts[1:], len(cs)]
+        out_k, out_w, out_b = [], [], []
+        key_vals = np.append(np.asarray(uniq, object), None)
+        for s, e in zip(starts, ends):
+            sk = KLLSketch(self.k)
+            sk.update_many(vs[s:e])
+            out_k.append(key_vals[cs[s] >> 40])
+            out_w.append(cs[s] & ((np.int64(1) << 40) - 1))
+            out_b.append(sk.to_bytes())
+        return pa.table({
+            self.key_col: pa.array(out_k, pa.string()),
+            "window_start": pa.array(np.asarray(out_w, np.int64)),
+            "__sk": pa.array(out_b, pa.binary()),
+        })
+
+
+def rollup_quantiles(events, *, key_col: str = "event_type",
+                     ts_col: str = "ts", value_col: str = "value",
+                     width_s: int = 86400, probs=(0.5, 0.95, 0.99),
+                     k: int = 200):
+    """Approximate percentile continuous aggregate: per (key, window),
+    KLL-sketched quantiles at ``probs`` — the percentile tier a
+    monitoring rollup engine serves next to min/max/mean.  Per-block
+    partial sketches → ONE groupby merge; a cell whose total row count
+    fits the sketch capacity is EXACT (the sketch never compacts).
+
+    Rows-only by design (sketch answers are approximate); accuracy is
+    pytest-bounded against exact per-cell quantiles."""
+    import pandas as pd
+
+    from .sketches import KLLSketch
+
+    partial = events.map_batches(
+        QuantileRollupPartial(key_col, ts_col, value_col, width_s, k),
+        batch_format="pyarrow")
+
+    probs = tuple(probs)
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        sk = KLLSketch(k)
+        for b in g["__sk"]:
+            sk.merge(KLLSketch.from_bytes(b))
+        q = sk.quantiles(probs)
+        return pd.DataFrame({
+            key_col: [g[key_col].iloc[0]],
+            "window_start": np.array([g["window_start"].iloc[0]],
+                                     np.int64),
+            "n": np.array([sk.n], np.int64),
+            **{f"p{int(p * 100):02d}": [q[i]]
+               for i, p in enumerate(probs)},
+        })
+    _merge.__name__ = "QuantileRollupMerge"
+
+    return partial.groupby([key_col, "window_start"]) \
+        .map_groups(_merge, batch_format="pandas")

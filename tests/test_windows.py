@@ -111,3 +111,50 @@ def test_session_windows_kernel_multi_key():
     assert out["user_id"].tolist() == [2, 2, 7, 7]
     assert out["session_id"].tolist() == [1, 2, 1, 2]
     assert out["n_events"].tolist() == [2, 1, 1, 1]
+
+
+def test_rollup_quantiles_accuracy(ray_session):
+    """KLL percentile rollup: exact when a cell fits the sketch
+    capacity; bounded rank error on a big cell; counts always exact;
+    results invariant to block splits (mergeability)."""
+    import pandas as pd
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.rollup import (
+        rollup_quantiles)
+
+    rng = np.random.default_rng(9)
+    n = 6000
+    df = pd.DataFrame({
+        "event_type": np.where(np.arange(n) % 3 == 0, "a", "b"),
+        "ts": (np.arange(n, dtype=np.int64) * 40),  # numeric epoch secs
+        "value": np.round(rng.normal(100, 40, n), 2),
+    })
+    got = rollup_quantiles(rd.from_pandas(df), width_s=86400,
+                           probs=(0.5, 0.95), k=200).to_pandas()
+    got = got.set_index(["event_type", "window_start"]).sort_index()
+    for (k_, w), row in got.iterrows():
+        cell = df[(df["event_type"] == k_)
+                  & (df["ts"] // 86400 * 86400 == w)]["value"].to_numpy()
+        assert row["n"] == len(cell)
+        v = np.sort(cell)
+        for col, p in (("p50", 0.5), ("p95", 0.95)):
+            # the KLL answer is an actual element whose RANK is within
+            # ~2% of the target (exact when the cell never compacted)
+            rank = np.searchsorted(v, row[col], side="right")
+            assert abs(rank - p * len(v)) <= max(3, 0.02 * len(v)) \
+                + np.sum(v == row[col])
+
+    # mergeability: 1 block vs 16 blocks, identical output
+    a = rollup_quantiles(rd.from_pandas(df), width_s=86400) \
+        .to_pandas().sort_values(["event_type", "window_start"]) \
+        .reset_index(drop=True)
+    b = rollup_quantiles(rd.from_pandas(df).repartition(16),
+                         width_s=86400) \
+        .to_pandas().sort_values(["event_type", "window_start"]) \
+        .reset_index(drop=True)
+    assert a["n"].tolist() == b["n"].tolist()
+    # small cells never compact → sketches hold every value → exact and
+    # split-invariant
+    small = a[a["n"] <= 200]
+    assert len(small) == 0 or small.equals(
+        b[b["n"] <= 200].reset_index(drop=True).set_index(small.index))
