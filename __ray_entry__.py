@@ -3372,7 +3372,8 @@ WITH probes AS (
   -- ((x % m) + m) % m = numpy's sign-independent modulo; DuckDB's bare
   -- % is sign-following and would diverge from the engine on negative ids
   SELECT substr(text, 11, 24) AS p FROM documents
-  WHERE ((doc_id % 97) + 97) % 97 = 0),
+  WHERE ((doc_id % 97) + 97) % 97 = 0
+  ORDER BY doc_id LIMIT 4096),
 v AS (SELECT p FROM probes WHERE length(p) = 24)
 SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM documents d JOIN v ON position(v.p IN d.text) > 0

@@ -82,10 +82,19 @@ class IVFAssign:
 
 
 def train_centroids(embeddings, n_centroids=16, sample_frac=0.25, seed=7,
-                    iters=10, vec_col="embedding"):
+                    iters=10, vec_col="embedding", max_train_rows=100_000):
     """Lloyd iterations on a driver-side SAMPLE (the classic IVF recipe:
-    train small, assign big)."""
-    sample = embeddings.random_sample(sample_frac, seed=seed).take_all()
+    train small, assign big).
+
+    The training set is capped at ``max_train_rows`` REGARDLESS of the
+    corpus size: ``random_sample`` streams, and ``limit`` truncates
+    execution, so the driver never holds more than the cap — a fixed row
+    budget, not a corpus-proportional fraction.  (At test scale the
+    sample is under the cap, so results are unchanged; for truly huge
+    corpora prefer ``kmeans_distributed``, which keeps vectors off the
+    driver entirely.)"""
+    sample = (embeddings.random_sample(sample_frac, seed=seed)
+              .limit(max_train_rows).take_all())
     X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

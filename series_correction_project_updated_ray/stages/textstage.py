@@ -156,20 +156,24 @@ class ContaminationScan:
 
 
 def derive_probes(docs, *, modulus: int = 97, offset: int = 10,
-                  width: int = 24, text_col="text", id_col="doc_id"
-                  ) -> list[str]:
+                  width: int = 24, text_col="text", id_col="doc_id",
+                  max_probes: int = 4096) -> list[str]:
     """Deterministic probe set: the ``width``-char substring at ``offset``
-    of every doc whose id ≡ 0 (mod ``modulus``) — a stand-in for an eval
-    suite's snippets that both the engine and the SQL oracle can derive
-    from the corpus itself.  Probes shorter than ``width`` (short docs)
-    are dropped.  The candidate read is filtered AT THE SCAN, so only
-    ~|docs|/modulus rows are ever materialized."""
+    of the ``max_probes`` lowest-id docs whose id ≡ 0 (mod ``modulus``) —
+    a stand-in for an eval suite's snippets that both the engine and the
+    SQL oracle can derive from the corpus itself.  Probes shorter than
+    ``width`` (short docs) are dropped.  The candidate read is filtered
+    AT THE SCAN and the driver materializes at most ``max_probes`` rows
+    (sort+limit on the tiny filtered set), so the default path is
+    driver-safe at any corpus size — a broadcast probe set has to be
+    O(1) in the corpus regardless."""
     def _keep(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
         return t.filter(pa.array(ids % modulus == 0))
 
     cand = docs.map_batches(_keep, batch_format="pyarrow")
-    rows = cand.select_columns([id_col, text_col]).take_all()
+    rows = (cand.select_columns([id_col, text_col])
+            .sort(id_col).limit(max_probes).take_all())
     probes = []
     for r in sorted(rows, key=lambda r: r[id_col]):
         p = (r[text_col] or "")[offset:offset + width]

@@ -9,16 +9,27 @@ public knowledge):
 * values: XOR with leading/trailing-zero window reuse
   ('0' | '10'+reuse | '11'+5b lead+6b len+meaningful bits).
 
-The bit plumbing is vectorized where it counts: encode analyzes all
-deltas/XORs with numpy first and only loops to emit bits; decode is a
-plain bit cursor.  These are segment codecs for the SegmentCompactor
-actor-pool stage (stages/compress.py) — one segment = one series' points
-for one tier window range.
+Encoding is fully batch-vectorized: every delta/XOR is range-classified
+with numpy, each stream element becomes one or two fixed (value, width)
+bitfields, and the whole stream is emitted at once by ``_pack_fields``
+(a bit-matrix select + ``np.packbits``).  The only remaining per-element
+Python work is the value codec's window-state scan, which touches ONLY
+nonzero XORs and does a couple of integer compares each — no bit
+emission.  The original bit-at-a-time writers are kept as
+``_encode_*_loop`` reference implementations; tests assert the
+vectorized encoders produce byte-identical streams.
+
+Decode is a plain bit cursor (read path; segments are small).
+These are segment codecs for the SegmentCompactor actor-pool stage
+(stages/compress.py) — one segment = one series' points for one tier
+window range.
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+_U1 = np.uint64(1)
 
 
 class BitWriter:
@@ -65,8 +76,106 @@ class BitReader:
         return out
 
 
+def _pack_fields(vals: np.ndarray, widths: np.ndarray) -> bytes:
+    """Emit variable-width bitfields (each MSB-first, widths 0..64)
+    concatenated into one byte string, final byte right-zero-padded —
+    bit-identical to writing each field through ``BitWriter``.
+
+    Vectorized: view each field as 8 big-endian bytes and ``unpackbits``
+    to one flat MSB-first bit vector (64 bits per field); field i's
+    emitted bits are the contiguous run ``[i*64 + 64-w_i, (i+1)*64)``,
+    so one ``np.repeat`` of the per-field run start plus a flat arange
+    yields every selected bit index in stream order; gather and one
+    ``np.packbits``.  Width-0 fields are dropped up front (they emit
+    nothing).
+    """
+    vals = np.asarray(vals, dtype=np.uint64)
+    widths = np.asarray(widths, dtype=np.int64)
+    keep = widths > 0
+    if not keep.all():
+        vals, widths = vals[keep], widths[keep]
+    n = len(vals)
+    if n == 0:
+        return b""
+    bits = np.unpackbits(vals.astype(">u8").view(np.uint8))
+    ends = np.cumsum(widths)
+    # index of field i's output bit b (MSB-first): i*64 + (64 - w_i) + b
+    base = np.repeat(np.arange(n, dtype=np.int64) * 64 + 64 - ends, widths)
+    idx = base + np.arange(int(ends[-1]), dtype=np.int64)
+    return np.packbits(bits[idx]).tobytes()
+
+
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """SWAR popcount over uint64 (Warren, Hacker's Delight §5-1)."""
+    v = v - ((v >> _U1) & np.uint64(0x5555555555555555))
+    v = (v & np.uint64(0x3333333333333333)) + \
+        ((v >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (v * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def _clz64_vec(x: np.ndarray) -> np.ndarray:
+    """Leading-zero count per uint64 (x may contain zeros → 64)."""
+    y = x.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        y |= y >> np.uint64(s)
+    return _popcount64(~y)
+
+
+def _ctz64_vec(x: np.ndarray) -> np.ndarray:
+    """Trailing-zero count per nonzero uint64."""
+    return _popcount64((x & (~x + _U1)) - _U1)
+
+
 def encode_timestamps(ts: np.ndarray) -> bytes:
-    """Delta-of-delta encode int64 timestamps (sorted)."""
+    """Delta-of-delta encode int64 timestamps (sorted).
+
+    Classifies all second-order deltas into the paper's ranges in one
+    numpy pass; each dod becomes a fused (control+payload) field, with
+    the out-of-range class split control/payload (4b + 64b); one
+    ``_pack_fields`` call emits the stream.
+    """
+    ts = np.asarray(ts, dtype=np.int64)
+    n = len(ts)
+    hdr_v = [np.uint64(n)]
+    hdr_w = [32]
+    if n >= 1:
+        hdr_v.append(np.int64(ts[0]).view(np.uint64).item())
+        hdr_w.append(64)
+    if n >= 2:
+        deltas = np.diff(ts)
+        hdr_v.append(np.int64(deltas[0]).view(np.uint64).item())
+        hdr_w.append(64)
+    if n <= 2:
+        return _pack_fields(np.array(hdr_v, np.uint64),
+                            np.array(hdr_w, np.int64))
+    d = np.diff(deltas)
+    z = d == 0
+    c1 = (d >= -63) & (d <= 64)
+    c2 = (d >= -255) & (d <= 256)
+    c3 = (d >= -2047) & (d <= 2048)
+    # fused control+payload (all non-negative in-range → safe uint64 view)
+    v_main = np.select(
+        [z, c1, c2, c3],
+        [np.zeros_like(d),
+         (0b10 << 7) + (d + 63),
+         (0b110 << 9) + (d + 255),
+         (0b1110 << 12) + (d + 2047)],
+        default=np.int64(0b1111)).view(np.uint64)
+    w_main = np.select([z, c1, c2, c3], [1, 9, 12, 16], default=4)
+    big = ~(z | c1 | c2 | c3)
+    v_pay = np.where(big, d.view(np.uint64), np.uint64(0))
+    w_pay = np.where(big, 64, 0)
+    vals = np.concatenate([np.array(hdr_v, np.uint64),
+                           np.column_stack([v_main, v_pay]).ravel()])
+    wids = np.concatenate([np.array(hdr_w, np.int64),
+                           np.column_stack([w_main, w_pay]).ravel()])
+    return _pack_fields(vals, wids)
+
+
+def _encode_timestamps_loop(ts: np.ndarray) -> bytes:
+    """Bit-at-a-time reference implementation (the stream spec); kept for
+    byte-identity tests and before/after benchmarking."""
     ts = np.asarray(ts, dtype=np.int64)
     w = BitWriter()
     n = len(ts)
@@ -144,7 +253,80 @@ def _ctz64(x: int) -> int:
 
 
 def encode_values(values: np.ndarray) -> bytes:
-    """Gorilla XOR-encode float64 values."""
+    """Gorilla XOR-encode float64 values.
+
+    XORs, leading/trailing-zero counts and zero-XOR elements are all
+    computed vectorized; a Python scan over ONLY the nonzero XORs tracks
+    the (lead, tail) window-reuse state (a few integer compares each —
+    inherently sequential, but emission-free); the control+meta bits are
+    fused into one field per element and the whole stream is packed once.
+    """
+    bits = np.ascontiguousarray(
+        np.asarray(values, dtype=np.float64)).view(np.uint64)
+    n = len(bits)
+    hdr_v = [np.uint64(n)]
+    hdr_w = [32]
+    if n >= 1:
+        hdr_v.append(bits[0])
+        hdr_w.append(64)
+    if n <= 1:
+        return _pack_fields(np.array(hdr_v, np.uint64),
+                            np.array(hdr_w, np.int64))
+    x = np.bitwise_xor(bits[1:], bits[:-1])
+    m = len(x)
+    # defaults cover the zero-XOR class: single '0' control bit
+    v1 = np.zeros(m, np.uint64)
+    w1 = np.ones(m, np.int64)
+    v2 = np.zeros(m, np.uint64)
+    w2 = np.zeros(m, np.int64)
+    nz = np.flatnonzero(x)
+    if len(nz):
+        xnz = x[nz]
+        l_arr = np.minimum(_clz64_vec(xnz), np.uint64(31)).astype(np.int64)
+        t_arr = _ctz64_vec(xnz).astype(np.int64)
+        # Window-state scan: an element REUSES the current (lead, treq)
+        # window iff l >= lead and t >= treq (treq = the window starter's
+        # own trailing count, since tlen = 64-lead-treq).  Everything the
+        # stream emits is a pure function of each element's covering
+        # window-start, so the loop only records the start indices — two
+        # integer compares per nonzero XOR, one append per window.
+        ls, tss = l_arr.tolist(), t_arr.tolist()
+        starts = []
+        app = starts.append
+        lead, treq = 65, 65  # invalid → first nonzero xor starts a window
+        for k in range(len(ls)):
+            li = ls[k]
+            ti = tss[k]
+            if li >= lead and ti >= treq:
+                continue
+            lead = li
+            treq = ti
+            app(k)
+        sidx = np.asarray(starts, np.int64)
+        wid = np.searchsorted(sidx, np.arange(len(nz)), side="right") - 1
+        Lw = l_arr[sidx][wid]
+        Tw = t_arr[sidx][wid]
+        Mw = 64 - Lw - Tw  # the window's meaningful-bit count (= tlen)
+        is_start = np.zeros(len(nz), dtype=bool)
+        is_start[sidx] = True
+        # '11' + 5b lead + 6b (mlen-1) fused into one 13-bit field for
+        # window starts; plain 2-bit '10' control for reuses
+        v1[nz] = np.where(is_start,
+                          (0b11 << 11) | (Lw << 6) | (Mw - 1),
+                          np.int64(0b10)).view(np.uint64)
+        w1[nz] = np.where(is_start, 13, 2)
+        v2[nz] = xnz >> Tw.astype(np.uint64)
+        w2[nz] = Mw
+    vals = np.concatenate([np.array(hdr_v, np.uint64),
+                           np.column_stack([v1, v2]).ravel()])
+    wids = np.concatenate([np.array(hdr_w, np.int64),
+                           np.column_stack([w1, w2]).ravel()])
+    return _pack_fields(vals, wids)
+
+
+def _encode_values_loop(values: np.ndarray) -> bytes:
+    """Bit-at-a-time reference implementation (the stream spec); kept for
+    byte-identity tests and before/after benchmarking."""
     bits = np.asarray(values, dtype=np.float64).view(np.uint64)
     w = BitWriter()
     n = len(bits)

@@ -60,6 +60,29 @@ def test_uniform_cadence_compresses_well():
     assert len(enc) < 10000 / 4  # delta-of-delta = 0 → 1 bit/point
 
 
+def test_vectorized_encoders_match_loop_spec():
+    """The batch-vectorized encoders must be BYTE-identical to the
+    bit-at-a-time reference writers (the stream spec) on every dod/XOR
+    class: zero, each range bucket, out-of-range 64-bit payloads,
+    window reuse runs and window resets."""
+    from series_correction_project_updated_ray.state.gorilla import (
+        _encode_timestamps_loop, _encode_values_loop)
+    rng = np.random.default_rng(11)
+    for n in (0, 1, 2, 3, 5, 257, 4096):
+        steps = rng.choice(
+            [0, 1, 2, 60, 61, 64, 65, 255, 257, 2048, 2049, 10**7, 2**35],
+            size=max(n - 1, 0))
+        ts = np.concatenate(
+            [[-(2**40)], -(2**40) + np.cumsum(steps)])[:n].astype(np.int64) \
+            if n else np.empty(0, np.int64)
+        assert encode_timestamps(ts) == _encode_timestamps_loop(ts)
+        v = rng.choice([1.0, 1.0000001, -3.5, 0.0, -0.0, np.nan, np.inf,
+                        1e300, 123.456], size=n)
+        if n > 10:
+            v[5:10] = rng.normal(size=5)
+        assert encode_values(v) == _encode_values_loop(v)
+
+
 def test_segment_roundtrip():
     rng = np.random.default_rng(3)
     t = np.cumsum(rng.integers(1, 100, 1000)).astype(np.int64)
