@@ -1550,7 +1550,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # special case of range_join_purchases' windowed range-join
             # aggregation (kept), and the per-key ordered machinery is
             # certified across the whole timeseries family
-            "sliding_mean"][:n_over]
+            "sliding_mean",
+            # round-4 swap: cusum_flags (the RAW FLOAT fold, bit-exact
+            # recursive-CTE oracle) enters the window; the quantized
+            # variant it was built to approximate is strictly subsumed
+            # (same reset recursion, weaker integer-micros comparison)
+            "cusum_flags_q"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -1583,7 +1588,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # (recursive-CTE reset scan over integer prefix sums)
         "cusum_flags_q": _q_cusum_quantized,
         "jump_corrected_events": _q_jump_corrected,
-        # order-dependent operators — rows-only (raw float CUSUM fold)
+        # raw float CUSUM fold — oracle-checked BIT-EXACTLY (round 4):
+        # the recursive CTE replays the kernel's IEEE operand order
+        # (window-5 left-fold mean/std, cum+dev recursion, float
+        # reset comparisons), same certification family as ewma/holt
         "cusum_flags": _q_cusum,
         "corrected_events": _q_corrected_events,
         "level_shifts_events": _q_level_shifts,
@@ -2902,6 +2910,60 @@ SELECT d.user_id,
        round(any_value(d.med), 6) AS global_median
 FROM dev d JOIN mad m USING (user_id)
 GROUP BY d.user_id
+""",
+        # D2 raw float fold, BIT-EXACT [processor.py:118-199]: the
+        # recursive CTE replays the kernel's doubles in identical IEEE
+        # operand order — window-5 mean = the sequential numpy fold
+        # ((((v5+v4)+v3)+v2)+v1)/5 (n<8 → left-to-right, verified),
+        # std(ddof=1) = sqrt of the same left fold over squared
+        # deviations /4, cumsum = the recursion's cum+dev left fold,
+        # and the reset scan carries (cum, base) per user so every
+        # |prefix-base|>3.0 comparison happens on bit-identical
+        # doubles.  No quantization, no rounding — exact by operand
+        # order, like ewma_per_user / holt_per_user.
+        "cusum_flags": """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+lagd AS (
+  SELECT user_id, event_id, rn, n, value,
+         lag(value, 5) OVER w AS v5, lag(value, 4) OVER w AS v4,
+         lag(value, 3) OVER w AS v3, lag(value, 2) OVER w AS v2,
+         lag(value, 1) OVER w AS v1
+  FROM ordered
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+m1 AS (
+  SELECT user_id, event_id, rn, value, v5, v4, v3, v2, v1,
+         ((((v5 + v4) + v3) + v2) + v1) / 5.0 AS mprev
+  FROM lagd WHERE n >= 10 AND rn > 5),
+dvp AS MATERIALIZED (
+  SELECT user_id, event_id, rn - 5 AS pos,
+         CASE WHEN sprev > 1e-6 THEN (value - mprev) / sprev
+              ELSE 0.0 END AS dev
+  FROM (
+    SELECT *,
+           sqrt((((((v5 - mprev) * (v5 - mprev)
+                 + (v4 - mprev) * (v4 - mprev))
+                 + (v3 - mprev) * (v3 - mprev))
+                 + (v2 - mprev) * (v2 - mprev))
+                 + (v1 - mprev) * (v1 - mprev)) / 4.0) AS sprev
+    FROM m1)),
+rec AS (
+  SELECT user_id, event_id, pos, dev AS cum,
+         CASE WHEN dev > 3.0 OR dev < -3.0 THEN dev ELSE 0.0 END AS base,
+         (dev > 3.0 OR dev < -3.0) AS flag
+  FROM dvp WHERE pos = 1
+  UNION ALL
+  SELECT d.user_id, d.event_id, d.pos, r.cum + d.dev,
+         CASE WHEN (r.cum + d.dev) - r.base > 3.0
+                OR (r.cum + d.dev) - r.base < -3.0
+              THEN r.cum + d.dev ELSE r.base END,
+         ((r.cum + d.dev) - r.base > 3.0
+          OR (r.cum + d.dev) - r.base < -3.0)
+  FROM rec r JOIN dvp d ON d.user_id = r.user_id AND d.pos = r.pos + 1)
+SELECT user_id, event_id FROM rec WHERE flag
 """,
         # D2 quantized: trailing mean/std(ddof=1) deviations rounded
         # half-even to micros (round_even == numpy banker's), integer
