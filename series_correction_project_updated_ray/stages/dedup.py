@@ -503,6 +503,11 @@ class VerifyJaccardBroadcast:
 
 
 _VERIFY_CACHE: dict = {}
+# broadcast arrays + bitmap can be hundreds of MB per entry, so keep the
+# bound tight — but >1 so two verify stages interleaving on one worker
+# (e.g. minhash + ngram pipelines in the same bench run) don't rebuild
+# the broadcast state on every alternating batch
+_VERIFY_CACHE_MAX = 2
 
 
 def _verify_broadcast_task(t: pa.Table, *, _refs, _id_col, _threshold
@@ -512,13 +517,18 @@ def _verify_broadcast_task(t: pa.Table, *, _refs, _id_col, _threshold
     first task on a worker pays the broadcast ``ray.get`` (zero-copy
     from the local object store) and the bitmap build; later tasks on
     that worker reuse it, so the stage gets actor-style state on warm
-    task workers."""
+    task workers.  The cache is LRU-bounded by entry count (not
+    cleared wholesale on a key miss) so interleaved verify stages
+    keep their state."""
     key = (tuple(r.hex() for r in _refs), _id_col, _threshold)
     v = _VERIFY_CACHE.get(key)
     if v is None:
-        _VERIFY_CACHE.clear()  # one live broadcast set per worker
+        while len(_VERIFY_CACHE) >= _VERIFY_CACHE_MAX:
+            _VERIFY_CACHE.pop(next(iter(_VERIFY_CACHE)))
         v = VerifyJaccardBroadcast(list(_refs), _id_col, _threshold)
         _VERIFY_CACHE[key] = v
+    else:
+        _VERIFY_CACHE[key] = _VERIFY_CACHE.pop(key)  # LRU: move to back
     return v(t)
 
 

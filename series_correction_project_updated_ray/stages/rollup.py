@@ -534,6 +534,7 @@ class QuantileRollupPartial:
             return pa.table({self.key_col: pa.array([], pa.string()),
                              "window_start": pa.array([], pa.int64()),
                              "__sk": pa.array([], pa.binary())})
+        key_type = batch.schema.field(self.key_col).type
         t = _epoch_seconds(batch[self.ts_col])
         w = t // self.width_s * self.width_s
         keys = batch[self.key_col].to_pandas()
@@ -555,7 +556,7 @@ class QuantileRollupPartial:
             out_w.append(cs[s] & ((np.int64(1) << 40) - 1))
             out_b.append(sk.to_bytes())
         return pa.table({
-            self.key_col: pa.array(out_k, pa.string()),
+            self.key_col: pa.array(out_k, key_type),
             "window_start": pa.array(np.asarray(out_w, np.int64)),
             "__sk": pa.array(out_b, pa.binary()),
         })

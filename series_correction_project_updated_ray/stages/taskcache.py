@@ -20,8 +20,12 @@ be rebuilt on arbitrary workers.
 
 from __future__ import annotations
 
+import logging
+
 _CACHE: dict = {}
-_CACHE_MAX = 4  # a worker may interleave a few cached stages
+_CACHE_MAX = 8  # a worker may interleave several cached stages
+_BUILDS: dict = {}  # key -> build count, to surface eviction thrash
+_log = logging.getLogger(__name__)
 
 
 def _norm(v):
@@ -37,7 +41,14 @@ def _norm(v):
 
 def class_task(cls, *ctor_args, **ctor_kwargs):
     """A batch function running ``cls(*ctor_args, **ctor_kwargs)`` with
-    one cached instance per worker process (FIFO-bounded)."""
+    one cached instance per worker process (LRU-bounded).
+
+    The cache is LRU (hit moves the entry to the back of the eviction
+    order), and a rebuild of a previously-evicted entry is logged —
+    more than ``_CACHE_MAX`` cached stages interleaving on one worker
+    would otherwise rebuild broadcast state per batch with no
+    visibility.
+    """
     key = (cls.__module__, cls.__qualname__,
            _norm(ctor_args), _norm(ctor_kwargs))
 
@@ -48,6 +59,15 @@ def class_task(cls, *ctor_args, **ctor_kwargs):
                 _CACHE.pop(next(iter(_CACHE)))
             inst = cls(*ctor_args, **ctor_kwargs)
             _CACHE[key] = inst
+            builds = _BUILDS[key] = _BUILDS.get(key, 0) + 1
+            if builds > 1:
+                _log.warning(
+                    "class_task cache thrash: rebuilt %s state %d times on "
+                    "this worker (>%d cached stages interleaving); raise "
+                    "taskcache._CACHE_MAX or use an actor pool",
+                    cls.__qualname__, builds, _CACHE_MAX)
+        else:
+            _CACHE[key] = _CACHE.pop(key)  # LRU: move to back
         return inst(batch)
 
     _fn.__name__ = cls.__name__

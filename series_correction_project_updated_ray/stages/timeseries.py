@@ -390,7 +390,15 @@ def lttb_select(t: np.ndarray, v: np.ndarray, n_out: int) -> np.ndarray:
     """Indices of the LTTB-selected points of ONE series already sorted
     by t.  First and last points always kept; each interior bucket keeps
     the point maximizing the triangle area with the previous SELECTED
-    point and the next bucket's centroid (Steinarsson 2013, §4.2)."""
+    point and the next bucket's centroid (Steinarsson 2013, §4.2).
+
+    Deviation from the paper: bucket edges are INTEGER floor splits
+    (``1 + i*(n-2)//(n_out-2)``) rather than the canonical float
+    bucketing (``floor(i*every)+1``), so individual picks can differ
+    slightly from reference LTTB implementations when ``(n-2)`` is not
+    a multiple of ``(n_out-2)``.  The LTTB invariants (endpoints kept,
+    exactly one pick per bucket, buckets partition the interior,
+    max-area selection) hold either way; this op is rows-only."""
     n = len(t)
     if n_out >= n or n_out < 3:
         return np.arange(n)
@@ -543,22 +551,28 @@ def autocorr_lag1(events, *, n_parts: int = 64):
 
 # --- seasonal profile ------------------------------------------------------
 
-def seasonal_profile(events, *, by: str = "event_type"):
+def seasonal_profile(events, *, by: str = "event_type",
+                     key_type: "pa.DataType | None" = None):
     """Hour-of-day seasonal profile per key: (key, hod, n, mean_value) —
     the diurnal-pattern summary behind seasonality checks.
 
     Pure partial-first aggregation: per-block integer (cents, count)
     partials per (key, hod) cell, ONE groupby-sum over at most
     24·|keys| rows, exact mean = double(Σcents)/n/100 rounded 6dp on
-    both sides."""
+    both sides.  The key column keeps its INPUT type (string, int64,
+    ...); ``key_type`` only sets the type emitted for column-less
+    empty blocks (default string, matching the ``event_type``
+    default key)."""
     from ray.data.aggregate import Sum
+    empty_key_type = key_type if key_type is not None else pa.string()
 
     def _partial(t: pa.Table) -> pa.Table:
         if by not in t.column_names:  # column-less empty block
-            return pa.table({by: pa.array([], pa.string()),
+            return pa.table({by: pa.array([], empty_key_type),
                              "hod": pa.array([], pa.int64()),
                              "c": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
+        key_type = t.schema.field(by).type  # keep the input key type
         keys = t[by].to_pandas()
         tsec = _epoch_micros(t["ts"]) // 1_000_000
         hod = (tsec // 3600) % 24
@@ -576,7 +590,7 @@ def seasonal_profile(events, *, by: str = "event_type"):
                              if hasattr(uniq, "to_numpy")
                              else np.asarray(uniq, object), None)
         return pa.table({
-            by: pa.array(key_vals[key_of], type=pa.string()),
+            by: pa.array(key_vals[key_of], type=key_type),
             "hod": pa.array(u % 24),
             "c": pa.array(sc),
             "n": pa.array(nc),
@@ -780,7 +794,15 @@ class HysteresisGroup:
 
     the standard alerting debounce (no flapping between lo and hi).
     Pure integer recursion on the position-major layout — exact by
-    construction; a recursive CTE certifies the fold."""
+    construction; a recursive CTE certifies the fold.
+
+    NULL values: ``to_numpy(np.float64)`` maps an Arrow NULL value to
+    NaN, which this kernel then treats like DuckDB treats NaN (ordered
+    above every value, so ``NaN > hi`` holds → alert=1).  That is an
+    intentional NULL→NaN coercion: SQL itself would evaluate
+    ``NULL > hi`` as not-true (carry the previous state).  The corpus
+    has no NULL values; feed pre-cleaned data (or drop null-valued
+    rows upstream) if SQL NULL carry semantics are required."""
 
     def __init__(self, hi: float, lo: float):
         self.hi, self.lo = hi, lo
