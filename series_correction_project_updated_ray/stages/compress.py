@@ -97,12 +97,21 @@ def decompress_segments(batch: pa.Table) -> pa.Table:
                      "value": pa.array(np.concatenate(out_v))})
 
 
-def compress_series(ds, *, max_points: int = 65536, concurrency=(2, 8)):
+def compress_series(ds, *, max_points: int = 65536, concurrency=(2, 8),
+                    **ray_remote_args):
     """(series_key, t, value) Dataset → compressed-segment Dataset via the
-    actor pool."""
+    actor pool.
+
+    The stage is idempotent per batch (pure function of the batch rows),
+    so actor death is recoverable: pass ``max_restarts=-1,
+    max_task_retries=-1`` and Ray restarts the actor and replays only the
+    in-flight batch — a batch's segments materialize only on task
+    success, so a replay can never double-emit (drilled in
+    ``tests/test_state.py::test_compactor_actor_death_no_duplicates``)."""
     return ds.map_batches(SegmentCompactor, batch_format="pyarrow",
                           concurrency=concurrency,
-                          fn_constructor_kwargs={"max_points": max_points})
+                          fn_constructor_kwargs={"max_points": max_points},
+                          **ray_remote_args)
 
 
 def decompress_series(segments):

@@ -274,6 +274,161 @@ def test_sigkill_resume_converges(ray_session, tmp_path):
         pd.testing.assert_frame_equal(a, b)
 
 
+def test_kill_during_shuffle_resume(ray_session, tmp_path):
+    """Multi-node-shaped drill #1: SIGKILL the driver DURING the groupby
+    shuffle (before any partition manifest exists), then resume.
+
+    Asserts (a) a mid-shuffle kill leaves zero committed partitions, so
+    the resume re-runs ALL of them (the shuffle holds no durable state —
+    only manifests do); (b) any manifest that DID land before the kill
+    is skipped by the resume without being rewritten (mtime_ns
+    unchanged — the manifest-driven prune, not a lucky no-op); (c) the
+    resumed output equals a clean never-killed run bit for bit."""
+    import glob as _glob
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import pyarrow.parquet as pq
+
+    from series_correction_project_updated_ray.pipelines.resumable import (
+        run_resumable)
+    from series_correction_project_updated_ray.sources.sequences import (
+        write_synthetic_sequences)
+
+    inp = str(tmp_path / "seqs")
+    write_synthetic_sequences(inp, 12000, seed=17, rows_per_file=750)
+    out_clean, out_kill = str(tmp_path / "clean"), str(tmp_path / "kill")
+
+    t0 = time.time()
+    run_resumable(inp, out_clean, n_partitions=16, buckets_per_source=16,
+                  step_seconds=1)
+    t_clean = time.time() - t0
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "series_correction_project_updated_ray", "rollup",
+         "--input", inp, "--output", out_kill, "--n-partitions", "16",
+         "--buckets-per-source", "16", "--step-seconds", "1",
+         "--num-cpus", "4"],
+        env=env, cwd="/tmp", stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL)
+    # kill as early as possible inside the run: the subprocess pays Ray
+    # startup (several seconds) before the pipeline starts; from there the
+    # first manifest only appears AFTER the groupby shuffle completes, so
+    # killing the instant the manifest dir is born (or on the elapsed-time
+    # guard while no manifest exists) lands in read/shuffle territory
+    mdir = os.path.join(out_kill, "_manifest")
+    t_launch = time.time()
+    deadline = t_launch + 180
+    while time.time() < deadline and proc.poll() is None:
+        if os.path.isdir(mdir) or time.time() - t_launch > 3 * t_clean:
+            break
+        time.sleep(0.01)
+    killed_midway = proc.poll() is None
+    if killed_midway:
+        os.kill(proc.pid, signal.SIGKILL)
+    proc.wait()
+
+    # orphaned workers may still flush in-flight partitions briefly
+    stable_since, last = time.time(), -1
+    while time.time() - stable_since < 3.0:
+        cur = len(CP.load_manifests(out_kill))
+        if cur != last:
+            last, stable_since = cur, time.time()
+        time.sleep(0.2)
+
+    pre = CP.load_manifests(out_kill)
+    pre_mtimes = {pid: os.stat(CP.manifest_path(out_kill, pid)).st_mtime_ns
+                  for pid in pre}
+    assert not os.path.exists(os.path.join(out_kill, "_COMMIT"))
+
+    m = run_resumable(inp, out_kill, n_partitions=16, buckets_per_source=16,
+                      step_seconds=1)
+    if killed_midway:
+        # manifest-driven prune: exactly the missing partitions re-ran ...
+        assert sorted(m["part_id"]) == sorted(set(range(16)) - set(pre))
+        # ... and a mid-shuffle kill (the common timing here) means ALL 16
+        if not pre:
+            assert len(m) == 16
+    # ... while completed partitions were skipped, not rewritten
+    for pid, mt in pre_mtimes.items():
+        assert os.stat(CP.manifest_path(out_kill, pid)).st_mtime_ns == mt
+    assert os.path.exists(os.path.join(out_kill, "_COMMIT"))
+    for tier in ("1m", "1h", "1d"):
+        a = pq.read_table(os.path.join(out_clean, f"tier={tier}")).to_pandas() \
+            .sort_values(["series_key", "window_start"]).reset_index(drop=True)
+        b = pq.read_table(os.path.join(out_kill, f"tier={tier}")).to_pandas() \
+            .sort_values(["series_key", "window_start"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class _SuicidalCompactor:
+    """SegmentCompactor that crashes its worker process exactly once
+    cluster-wide (atomic flag-file election), then behaves normally —
+    the actor-death drill for the compression stage."""
+
+    def __init__(self, flag_path: str, **kw):
+        from series_correction_project_updated_ray.stages.compress import (
+            SegmentCompactor)
+        self._inner = SegmentCompactor(**kw)
+        self._flag = flag_path
+
+    def __call__(self, batch):
+        try:
+            fd = os.open(self._flag, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            pass
+        else:
+            os.close(fd)
+            os._exit(1)  # hard actor death mid-task, exactly once
+        return self._inner(batch)
+
+
+def test_compactor_actor_death_no_duplicates(ray_session, tmp_path):
+    """Multi-node-shaped drill #2: a SegmentCompactor actor dies mid-task;
+    Ray restarts it (max_restarts/max_task_retries) and replays only the
+    in-flight batch.  Asserts the job completes, the decoded output equals
+    the input exactly (no lost rows), and no duplicate segments exist —
+    the (series_key, seg_day, t_min) lineage ids stay unique."""
+    import ray.data as rd
+
+    from series_correction_project_updated_ray.stages.compress import (
+        decompress_series)
+
+    rng = np.random.default_rng(23)
+    n = 30000
+    df = pd.DataFrame({
+        "series_key": rng.integers(0, 12, n).astype(np.int64),
+        "t": rng.integers(0, 2_000_000, n).astype(np.int64),
+        "value": np.round(rng.normal(0, 1, n), 3),
+    }).drop_duplicates(["series_key", "t"])
+    flag = str(tmp_path / "died.flag")
+
+    segs = rd.from_pandas(df).repartition(8).map_batches(
+        _SuicidalCompactor, batch_format="pyarrow",
+        concurrency=2,
+        fn_constructor_kwargs={"flag_path": flag, "max_points": 4096},
+        max_restarts=-1, max_task_retries=-1).materialize()
+
+    assert os.path.exists(flag)  # the death actually happened
+    sdf = segs.to_pandas()
+    # lineage ids unique → the replayed batch did not double-emit
+    lineage = sdf[["series_key", "seg_day", "t_min"]]
+    assert not lineage.duplicated().any()
+    assert sdf["n_points"].sum() == len(df)
+    back = decompress_series(segs).to_pandas()
+    a = df.sort_values(["series_key", "t"]).reset_index(drop=True)
+    b = back.sort_values(["series_key", "t"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a["series_key"], b["series_key"])
+    np.testing.assert_array_equal(a["t"], b["t"])
+    np.testing.assert_array_equal(a["value"].to_numpy().view(np.uint64),
+                                  b["value"].to_numpy().view(np.uint64))
+
+
 def test_incremental_ingest_matches_batch_rollup(ray_session, tmp_path):
     """3 ingest waves over a split events table == the batch rollup over
     the whole table; re-ingest is a no-op; compaction preserves results."""
