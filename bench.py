@@ -220,6 +220,36 @@ def run_bench() -> dict:
               lambda: lttb_downsample(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
 
+        # Gorilla segment compression over ~26M synthetic points (64
+        # series, distributed generation, materialized untimed).  Timed
+        # with the production actor pool — includes pool startup, so the
+        # steady-state encode throughput is higher; the per-core codec
+        # number lives in tools/gorilla_microbench.py / BASELINE.md.
+        from series_correction_project_updated_ray.stages.compress import (
+            compress_series)
+
+        def _gen_points(batch):
+            sids = batch["id"].to_numpy(zero_copy_only=False)
+            out_k, out_t, out_v = [], [], []
+            for sid in sids:
+                g = np.random.default_rng(1000 + int(sid))
+                m = 400_000
+                out_k.append(np.full(m, int(sid), dtype=np.int64))
+                out_t.append(np.cumsum(
+                    g.integers(55, 66, m)).astype(np.int64))
+                out_v.append(np.round(
+                    np.cumsum(g.normal(0, 0.05, m)) + 20.0, 3))
+            import pyarrow as pa
+            return pa.table({"series_key": np.concatenate(out_k),
+                             "t": np.concatenate(out_t),
+                             "value": np.concatenate(out_v)})
+
+        pts = rd.range(64, override_num_blocks=64).map_batches(
+            _gen_points, batch_format="pyarrow").materialize()
+
+        timed("compress_series",
+              lambda: compress_series(pts, concurrency=(4, 12)).count())
+
     headline = timings["rollup_sequences_synth"]
     result = {
         "metric": METRIC,

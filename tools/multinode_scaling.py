@@ -164,6 +164,14 @@ def main() -> None:
         "1node_8cpu": (8, ["0-7"], 4 * gb),
         "4node_8cpu": (8, ["0-7", "8-15", "16-23", "24-31"], 4 * gb),
     }
+    # --configs a,b  → run only those, print per-config JSON lines
+    # (lets a clipped run be resumed config by config)
+    if "--configs" in sys.argv:
+        names = sys.argv[sys.argv.index("--configs") + 1].split(",")
+        for name in names:
+            c, cs, ob = configs[name]
+            print(json.dumps({name: run_config(c, cs, ob)}))
+        return
     results = {}
     for name, (c, cs, ob) in configs.items():
         results[name] = run_config(c, cs, ob)
