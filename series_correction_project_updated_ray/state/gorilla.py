@@ -19,7 +19,14 @@ emission.  The original bit-at-a-time writers are kept as
 ``_encode_*_loop`` reference implementations; tests assert the
 vectorized encoders produce byte-identical streams.
 
-Decode is a plain bit cursor (read path; segments are small).
+Decode mirrors the same split: a sequential Python scan over
+pre-converted words reads ONLY the control/meta prefixes (one or two
+small peeks per element, no per-bit cursor), then the payload fields are
+gathered vectorized (``_extract_fields``, the inverse of
+``_pack_fields``' word-OR scatter) and the series is reconstructed with
+cumsum / ``bitwise_xor.accumulate``.  The original per-bit readers are
+kept as ``_decode_*_loop`` spec references; tests assert identical
+output.
 These are segment codecs for the SegmentCompactor actor-pool stage
 (stages/compress.py) — one segment = one series' points for one tier
 window range.
@@ -225,7 +232,99 @@ def _encode_timestamps_loop(ts: np.ndarray) -> bytes:
     return w.getvalue()
 
 
+def _stream_words(data: bytes) -> np.ndarray:
+    """The stream as native uint64 words (big-endian bit order within
+    each word, matching BitWriter's MSB-first emission), padded with two
+    spare zero words so any peek/extract of ≤64 bits at a valid stream
+    offset stays in bounds."""
+    pad = (-len(data)) % 8 + 16
+    return np.frombuffer(data + b"\x00" * pad, dtype=">u8").astype(np.uint64)
+
+
+def _extract_fields(words: np.ndarray, offs: np.ndarray,
+                    wids: np.ndarray) -> np.ndarray:
+    """Vectorized bitfield gather: field i is the ``wids[i]`` bits at
+    stream offset ``offs[i]`` (the exact inverse of ``_pack_fields``'
+    word-OR scatter).  Widths must be ≥1."""
+    idx = (offs >> 6).astype(np.int64)
+    sh = (offs & 63).astype(np.uint64)
+    hi = words[idx] << sh
+    lo = np.where(sh == 0, np.uint64(0),
+                  words[idx + 1] >> ((np.uint64(64) - sh) & np.uint64(63)))
+    return (hi | lo) >> (np.uint64(64) - wids.astype(np.uint64))
+
+
 def decode_timestamps(data: bytes) -> np.ndarray:
+    """Delta-of-delta decode (inverse of :func:`encode_timestamps`).
+
+    Two passes: a sequential Python scan over pre-converted words reads
+    ONLY the control prefixes (one ≤4-bit peek per element) to find each
+    dod field's offset/width, then one vectorized gather + two cumsums
+    reconstruct the series.  ``_decode_timestamps_loop`` is the
+    bit-at-a-time spec; tests assert identical output."""
+    W = _stream_words(data)
+    wl = W.tolist()
+
+    def peek(off: int, w: int) -> int:
+        i = off >> 6
+        s = off & 63
+        return ((wl[i] << 64 | wl[i + 1]) >> (128 - s - w)) & ((1 << w) - 1)
+
+    n = peek(0, 32)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    first = peek(32, 64)
+    if first >= 1 << 63:
+        first -= 1 << 64
+    out[0] = first
+    if n == 1:
+        return out
+    delta0 = peek(96, 64)
+    if delta0 >= 1 << 63:
+        delta0 -= 1 << 64
+    off = 160
+    f_off: list[int] = []
+    f_wid: list[int] = []
+    f_bias: list[int] = []
+    f_pos: list[int] = []
+    oa, wa, ba, pa = f_off.append, f_wid.append, f_bias.append, f_pos.append
+    for i in range(n - 2):
+        c = peek(off, 4)
+        if c < 8:           # '0'
+            off += 1
+            continue
+        if c < 12:          # '10' + 7
+            off += 2
+            oa(off); wa(7); ba(63); pa(i)
+            off += 7
+        elif c < 14:        # '110' + 9
+            off += 3
+            oa(off); wa(9); ba(255); pa(i)
+            off += 9
+        elif c == 14:       # '1110' + 12
+            off += 4
+            oa(off); wa(12); ba(2047); pa(i)
+            off += 12
+        else:               # '1111' + 64 (two's complement)
+            off += 4
+            oa(off); wa(64); ba(0); pa(i)
+            off += 64
+    dods = np.zeros(n - 2, dtype=np.int64)
+    if f_off:
+        x = _extract_fields(W, np.asarray(f_off, np.int64),
+                            np.asarray(f_wid, np.int64))
+        dods[np.asarray(f_pos, np.int64)] = \
+            x.view(np.int64) - np.asarray(f_bias, np.int64)
+    deltas = np.empty(n - 1, dtype=np.int64)
+    deltas[0] = delta0
+    deltas[1:] = delta0 + np.cumsum(dods)
+    out[1:] = first + np.cumsum(deltas)
+    return out
+
+
+def _decode_timestamps_loop(data: bytes) -> np.ndarray:
+    """Bit-at-a-time reference decoder (the stream spec)."""
     r = BitReader(data)
     n = r.read(32)
     if n == 0:
@@ -374,6 +473,62 @@ def _encode_values_loop(values: np.ndarray) -> bytes:
 
 
 def decode_values(data: bytes) -> np.ndarray:
+    """Gorilla XOR decode (inverse of :func:`encode_values`).
+
+    Same two-pass shape as :func:`decode_timestamps`: a sequential scan
+    reads only the control/meta bits (≤2 peeks per element) to record
+    each XOR field's offset/width/shift, then one vectorized gather and
+    a single ``np.bitwise_xor.accumulate`` reconstruct the values.
+    ``_decode_values_loop`` is the bit-at-a-time spec; tests assert
+    identical output."""
+    W = _stream_words(data)
+    wl = W.tolist()
+
+    def peek(off: int, w: int) -> int:
+        i = off >> 6
+        s = off & 63
+        return ((wl[i] << 64 | wl[i + 1]) >> (128 - s - w)) & ((1 << w) - 1)
+
+    n = peek(0, 32)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    first = peek(32, 64)
+    off = 96
+    f_off: list[int] = []
+    f_wid: list[int] = []
+    f_sh: list[int] = []
+    f_pos: list[int] = []
+    oa, wa, sa, pa = f_off.append, f_wid.append, f_sh.append, f_pos.append
+    tlen = shift = 0
+    for i in range(1, n):
+        c = peek(off, 2)
+        if c < 2:           # '0' — repeat
+            off += 1
+            continue
+        if c == 2:          # '10' — reuse current window
+            off += 2
+            oa(off); wa(tlen); sa(shift); pa(i)
+            off += tlen
+        else:               # '11' + 5b lead + 6b (mlen-1) + mlen bits
+            meta = peek(off + 2, 11)
+            lead = meta >> 6
+            tlen = (meta & 63) + 1
+            shift = 64 - lead - tlen
+            off += 13
+            oa(off); wa(tlen); sa(shift); pa(i)
+            off += tlen
+    xf = np.zeros(n, dtype=np.uint64)
+    xf[0] = first
+    if f_off:
+        x = _extract_fields(W, np.asarray(f_off, np.int64),
+                            np.asarray(f_wid, np.int64))
+        xf[np.asarray(f_pos, np.int64)] = \
+            x << np.asarray(f_sh, np.uint64)
+    return np.bitwise_xor.accumulate(xf).view(np.float64)
+
+
+def _decode_values_loop(data: bytes) -> np.ndarray:
+    """Bit-at-a-time reference decoder (the stream spec)."""
     r = BitReader(data)
     n = r.read(32)
     out = np.empty(n, dtype=np.uint64)

@@ -33,6 +33,40 @@ def test_timestamps_roundtrip_edges():
         assert np.array_equal(decode_timestamps(encode_timestamps(arr)), arr)
 
 
+def test_fast_decoders_match_loop_spec():
+    """The vectorized decoders must reproduce the bit-at-a-time readers
+    exactly on every stream shape: regular, irregular (all dod classes),
+    repeated values, window reuse runs, and the degenerate edges."""
+    from series_correction_project_updated_ray.state.gorilla import (
+        _decode_timestamps_loop, _decode_values_loop)
+    rng = np.random.default_rng(9)
+    t_cases = [
+        np.arange(0, 500000, 60, dtype=np.int64),
+        np.cumsum(rng.integers(1, 100000, 3000)).astype(np.int64),
+        np.cumsum(rng.integers(1, 1 << 40, 500)).astype(np.int64),
+        np.asarray([], np.int64), np.asarray([7], np.int64),
+        np.asarray([7, 7], np.int64),
+        np.asarray([0, 1, 2, 1000000000000], np.int64),
+        np.asarray([-50, -49, 10, 2**62], np.int64),
+    ]
+    for t in t_cases:
+        enc = encode_timestamps(t)
+        np.testing.assert_array_equal(decode_timestamps(enc),
+                                      _decode_timestamps_loop(enc))
+    v_cases = [
+        rng.normal(5, 1, 3000),
+        np.repeat(rng.normal(0, 1, 50), 60),  # long zero-XOR runs
+        np.round(np.cumsum(rng.normal(0, 0.05, 3000)) + 20, 3),
+        np.asarray([], np.float64), np.asarray([1.5], np.float64),
+        np.asarray([1.5, 1.5, -0.0, 0.0, np.inf, -np.inf], np.float64),
+    ]
+    for v in v_cases:
+        enc = encode_values(v)
+        a = decode_values(enc)
+        b = _decode_values_loop(enc)
+        np.testing.assert_array_equal(a.view(np.uint64), b.view(np.uint64))
+
+
 def test_values_roundtrip():
     rng = np.random.default_rng(2)
     v = rng.normal(5, 1, 5000)

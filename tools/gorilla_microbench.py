@@ -49,8 +49,11 @@ def main() -> None:
     assert G.encode_timestamps(t) == G._encode_timestamps_loop(t)
     assert G.encode_values(v) == G._encode_values_loop(v)
 
-    dec_ts = timed(G.decode_timestamps, G.encode_timestamps(t))
-    dec_val = timed(G.decode_values, G.encode_values(v))
+    ts_enc, val_enc = G.encode_timestamps(t), G.encode_values(v)
+    dec_ts = timed(G.decode_timestamps, ts_enc)
+    dec_val = timed(G.decode_values, val_enc)
+    dec_ts_old = timed(G._decode_timestamps_loop, ts_enc)
+    dec_val_old = timed(G._decode_values_loop, val_enc)
 
     print(json.dumps({
         "n_points": N,
@@ -60,8 +63,12 @@ def main() -> None:
         "val_encode_pts_per_s": {"old_loop": round(N / old_val, 0),
                                  "vectorized": round(N / new_val, 0),
                                  "speedup": round(old_val / new_val, 2)},
-        "decode_pts_per_s": {"timestamps": round(N / dec_ts, 0),
-                             "values": round(N / dec_val, 0)},
+        "ts_decode_pts_per_s": {"old_loop": round(N / dec_ts_old, 0),
+                                "vectorized": round(N / dec_ts, 0),
+                                "speedup": round(dec_ts_old / dec_ts, 2)},
+        "val_decode_pts_per_s": {"old_loop": round(N / dec_val_old, 0),
+                                 "vectorized": round(N / dec_val, 0),
+                                 "speedup": round(dec_val_old / dec_val, 2)},
     }))
 
 
