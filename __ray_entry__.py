@@ -1140,6 +1140,36 @@ def _q_lttb(sf_dir: str):
     return lttb_downsample(ev, n_out=100)
 
 
+def _q_sax(sf_dir: str):
+    """SAX symbolization (Lin et al. 2007): per-user z-normalized PAA
+    into 8 segments mapped through the alphabet-4 Gaussian breakpoints.
+    Integer-cents moments + the oracle's exact closing operand order
+    make the symbol strings value-exact."""
+    from series_correction_project_updated_ray.stages.tsmining import sax_symbols
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return sax_symbols(ev, w=8)
+
+
+def _q_excursions(sf_dir: str):
+    """Threshold excursions: per-user maximal runs of consecutive
+    over-threshold events (count / longest run / total / longest
+    duration) — value-conditioned gaps-and-islands."""
+    from series_correction_project_updated_ray.stages.tsmining import (
+        threshold_excursions)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return threshold_excursions(ev, thresh=150.0)
+
+
+def _q_dtw(sf_dir: str):
+    """Pairwise DTW distances (Sakoe-Chiba 1978) between the 12 smallest
+    user_ids' hour-of-day integer-cents profiles.  Profile build is a
+    mergeable partial aggregation; the DP runs in exact int64."""
+    from series_correction_project_updated_ray.stages.tsmining import (
+        dtw_profile_pairs)
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return dtw_profile_pairs(ev, k_users=12)
+
+
 def _q_value_histogram(sf_dir: str):
     """Fixed-width exact histogram per event type (partial-first)."""
     from series_correction_project_updated_ray.stages.relational import (
@@ -1555,7 +1585,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # recursive-CTE oracle) enters the window; the quantized
             # variant it was built to approximate is strictly subsumed
             # (same reset recursion, weaker integer-micros comparison)
-            "cusum_flags_q"][:n_over]
+            "cusum_flags_q",
+            # round-4 additions (sax_symbols / threshold_excursions /
+            # dtw_profile_pairs enter the window): EWMA's one-state
+            # bit-exact float fold is strictly subsumed by the kept
+            # Holt TWO-state fold (same recursive-CTE replay, harder);
+            # gap detection (D1) is the first half of the kept
+            # gap_filled_events C1 composition; seasonal_profile's
+            # hour-of-day integer aggregation is byte-identical to the
+            # DTW oracle's profile-build CTE (prof_raw), which the DP
+            # then consumes
+            "ewma_per_user", "gap_counts", "seasonal_profile"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -1727,6 +1767,16 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # percentile continuous aggregate — rows-only (KLL sketch,
         # approximate by design; pytest-bounded accuracy)
         "rollup_quantiles_1d": _q_rollup_quantiles,
+        # SAX symbolization (z-norm → PAA → Gaussian alphabet) —
+        # oracle-checked (integer moments, exact operand order)
+        "sax_symbols": _q_sax,
+        # over-threshold maximal runs (value-conditioned
+        # gaps-and-islands) — oracle-checked
+        "threshold_excursions": _q_excursions,
+        # pairwise DTW over hour-of-day profiles — exact int64 DP over
+        # a fixed bounded key set; oracle-checked (anti-diagonal
+        # recursive-CTE replay)
+        "dtw_profile_pairs": _q_dtw,
         # vocab tf/df + bigram transition counts over polynomial token
         # ids — oracle-checked
         "token_vocab_stats": _q_token_vocab_stats,
@@ -2505,6 +2555,113 @@ SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
                        6)
             END AS r1
 FROM s
+""",
+        # SAX symbolization: integer-cents moments, PAA segment = the
+        # position convention pos*w//n, z-scores in doubles with the
+        # kernel's exact operand order, Gaussian breakpoints as IEEE
+        # double literals; n < w keys dropped, zero-variance → NULL sax
+        "sax_symbols": """
+WITH c AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) - 1 AS pos,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events),
+m AS (
+  SELECT user_id, any_value(n) AS n, SUM(cents) AS sc,
+         SUM(CAST(cents AS HUGEINT)*cents) AS ss
+  FROM c GROUP BY 1 HAVING any_value(n) >= 8),
+seg AS (
+  SELECT c.user_id, (c.pos * 8) // c.n AS seg,
+         SUM(c.cents) AS segsum, COUNT(*) AS segn
+  FROM c JOIN m ON m.user_id = c.user_id
+  GROUP BY 1, 2),
+z AS (
+  SELECT s.user_id, s.seg,
+         (CAST(s.segsum AS DOUBLE)/s.segn - CAST(m.sc AS DOUBLE)/m.n)
+           / (sqrt(CAST(m.n*m.ss - CAST(m.sc AS HUGEINT)*m.sc AS DOUBLE))
+              / m.n) AS z,
+         (m.n*m.ss - CAST(m.sc AS HUGEINT)*m.sc) AS varnum
+  FROM seg s JOIN m ON m.user_id = s.user_id)
+SELECT z.user_id, CAST(any_value(m.n) AS BIGINT) AS n_events,
+       CASE WHEN any_value(z.varnum) = 0 THEN NULL
+            ELSE string_agg(CASE WHEN z < -0.6744897501960817 THEN 'a'
+                                 WHEN z < 0.0 THEN 'b'
+                                 WHEN z < 0.6744897501960817 THEN 'c'
+                                 ELSE 'd' END, '' ORDER BY z.seg)
+            END AS sax
+FROM z JOIN m ON m.user_id = z.user_id GROUP BY 1
+""",
+        # over-threshold maximal runs: gaps-and-islands via the
+        # rn - row_number-over-qualifying-rows group key
+        "threshold_excursions": """
+WITH c AS (
+  SELECT user_id, value, epoch_us(ts) AS t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events),
+o AS (
+  SELECT user_id, t, rn,
+         rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM c WHERE value > 150.0),
+isl AS (
+  SELECT user_id, grp, COUNT(*) AS run_len, MAX(t) - MIN(t) AS dur_us
+  FROM o GROUP BY 1, 2)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_excursions,
+       CAST(MAX(run_len) AS BIGINT) AS max_run,
+       CAST(SUM(run_len) AS BIGINT) AS n_over,
+       CAST(MAX(dur_us) AS BIGINT) AS max_dur_us
+FROM isl GROUP BY 1
+""",
+        # pairwise DTW: exact int64 DP replayed as an anti-diagonal
+        # recursive-CTE wavefront — diagonal D holds cells (i,j) with
+        # i+j = D-1 (i ascending) so every cell depends only on the two
+        # carried prior diagonals (cur/prev), never on its own diagonal;
+        # borders store the kernel's BIG = 1<<62 sentinel
+        "dtw_profile_pairs": """
+WITH RECURSIVE prof_raw AS (
+  SELECT user_id,
+         ((epoch_us(ts) // 1000000) // 3600) % 24 AS hod,
+         SUM(CAST(round(value*100) AS BIGINT)) AS c
+  FROM events GROUP BY 1, 2),
+users AS (
+  SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 12),
+grid AS (
+  SELECT u.user_id, h.hod
+  FROM users u CROSS JOIN (SELECT unnest(range(24)) AS hod) h),
+prof AS (
+  SELECT g.user_id, list(coalesce(p.c, 0) ORDER BY g.hod) AS v
+  FROM grid g LEFT JOIN prof_raw p
+    ON p.user_id = g.user_id AND p.hod = g.hod
+  GROUP BY 1),
+pairs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, a.v AS va, b.v AS vb
+  FROM prof a JOIN prof b ON a.user_id < b.user_id),
+rec AS (
+  SELECT user_a, user_b, va, vb, 1 AS d,
+         [CAST(0 AS BIGINT)] AS cur, CAST(NULL AS BIGINT[]) AS prev
+  FROM pairs
+  UNION ALL
+  SELECT user_a, user_b, va, vb, d + 1,
+         list_transform(
+           range(greatest(0, d - 24), least(24, d) + 1),
+           i -> CASE
+             WHEN i = 0 OR d - i = 0 THEN CAST(4611686018427387904 AS BIGINT)
+             ELSE abs(va[i] - vb[d - i])
+                  + least(
+                      coalesce(cur[i - greatest(0, d - 1 - 24)],
+                               4611686018427387904),
+                      coalesce(cur[i + 1 - greatest(0, d - 1 - 24)],
+                               4611686018427387904),
+                      coalesce(prev[i - greatest(0, d - 2 - 24)],
+                               4611686018427387904))
+           END) AS cur,
+         cur AS prev
+  FROM rec WHERE d < 49)
+SELECT user_a, user_b,
+       round(CAST(cur[1] AS DOUBLE) / 100.0, 6) AS dtw
+FROM rec WHERE d = 49
 """,
         # integer-exact fixed-width histogram: bin = floor(cents/width)
         # through the identical double division on both sides

@@ -1,0 +1,298 @@
+"""Time-series mining primitives: SAX symbolization, DTW profile
+distances, threshold-excursion analysis.
+
+Rebuild-only components (SURVEY.md §2.11 — the reference is pure batch);
+they round out the timeseries tier with three classic mining shapes,
+each published method re-expressed in the repo's one-shuffle
+partition-group / mergeable-partial idioms:
+
+* **SAX** (Lin, Keogh, Wei, Lonardi 2007, "Experiencing SAX"): per-key
+  z-normalization → Piecewise Aggregate Approximation (PAA) into ``w``
+  equal integer-edge segments → Gaussian-breakpoint alphabet mapping.
+  All moments accumulate in exact integer cents; the closing z-scores
+  run in doubles with the oracle's exact operand order, so the symbol
+  string is value-exact against SQL.
+* **DTW** (Sakoe & Chiba 1978 dynamic time warping): pairwise alignment
+  distance between per-key hour-of-day profiles.  Profiles are exact
+  integer-cents sums (mergeable partials, one small groupby); the DP
+  runs entirely in int64 (|Δcents| costs), so the distance is exact and
+  certifiable against a recursive-CTE oracle that replays the DP along
+  anti-diagonals.
+* **Threshold excursions** (gaps-and-islands over a value predicate):
+  per key, maximal runs of consecutive over-threshold events — count,
+  longest run, total over-threshold events, longest duration.
+
+Scale shape: SAX and excursions are one partition-group shuffle
+(``stable_hash(key) % n_parts`` co-locates whole keys, kernels are
+vectorized across keys); DTW's profile build is a partial-first
+aggregation shipping ≤ 24·|keys-per-block| rows per block, and the DP
+itself runs over a FIXED, bounded key set (``k_users``) in one small
+task — never corpus-proportional driver state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .windows import _add_key_partition, _epoch_micros
+from ..functions.rounding import round_half_away, scaled_int
+
+# N(0,1) quantiles at 1/4, 2/4, 3/4 — the SAX alphabet-4 breakpoints
+# (Lin et al. 2007, Table 3).  Hardcoded doubles: the SQL literal parses
+# to the identical IEEE double, so `<` comparisons agree bit-for-bit.
+SAX_BREAKPOINTS_4 = np.array(
+    [-0.6744897501960817, 0.0, 0.6744897501960817])
+SAX_ALPHABET = np.array(list("abcd"))
+
+
+class SaxGroup:
+    """Per-partition kernel: SAX symbol string per key.
+
+    In each key's (t, event_id) order: exact integer moments
+    (Σcents, Σcents²) give mean = double(Σc)/n and
+    std = sqrt(double(n·Σc² − Σc²))/n in the oracle's operand order;
+    PAA assigns position p to segment p·w//n (so segment j covers
+    [ceil(j·n/w), ceil((j+1)·n/w)) — n ≥ w guarantees every segment
+    is non-empty); segment
+    z-scores map through the Gaussian breakpoints
+    (symbol index = #breakpoints ≤ z).  Keys with n < w are skipped
+    (no PAA defined); zero-variance keys emit NULL sax.
+    """
+
+    def __init__(self, w: int = 8):
+        self.w = w
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        w = self.w
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "n_events": pd.Series([], dtype=np.int64),
+            "sax": pd.Series([], dtype=object)})
+        if len(g) == 0:
+            return empty
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        keys = g["user_id"].to_numpy()[order]
+        c = scaled_int(g["value"].to_numpy(np.float64)[order])
+        n = len(c)
+        first = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.r_[starts, n])
+        keep = lens >= w
+        if not keep.any():
+            return empty
+        klens = lens[keep]
+        K = len(klens)
+        # compact to kept keys so reduceat segments never bleed into a
+        # skipped (n < w) key's rows
+        sel = np.repeat(keep, lens)
+        cc, keys_kept = c[sel], keys[sel]
+        nk = len(cc)
+        # exact integer moments; Σc² can exceed int64 on extreme
+        # inputs — fall through to exact Python ints like AutocorrGroup
+        amax = int(np.abs(cc).max()) if nk else 0
+        cs = cc.astype(object) if amax and amax * amax * nk >= (1 << 62) \
+            else cc
+        new_starts = np.r_[np.int64(0), np.cumsum(klens)[:-1]]
+        sc = np.add.reduceat(cs, new_starts)
+        ss = np.add.reduceat(cs * cs, new_starts)
+        var_num = klens.astype(object) * ss - sc * sc \
+            if cs.dtype == object else klens * ss - sc * sc
+        # PAA integer segment edges: position p belongs to segment
+        # p*w//n (the SQL convention), so key k's segment j starts at
+        # start_k + ceil(j*len_k/w)  (n ≥ w ⇒ strictly increasing)
+        j = np.arange(w)
+        edges = (new_starts[:, None]
+                 + (j[None, :] * klens[:, None] + w - 1) // w).ravel()
+        segsum = np.add.reduceat(cs, edges).astype(np.float64)
+        seg_ends = np.r_[edges[1:], np.int64(nk)]
+        segn = (seg_ends - edges).astype(np.float64)
+        # closing formula in doubles, the oracle's exact operand order
+        nd = klens.astype(np.float64)
+        mean = sc.astype(np.float64) / nd
+        with np.errstate(divide="ignore", invalid="ignore"):
+            std = np.sqrt(var_num.astype(np.float64)) / nd
+            z = (segsum / segn - np.repeat(mean, w)) / np.repeat(std, w)
+        sym = SAX_ALPHABET[
+            np.searchsorted(SAX_BREAKPOINTS_4,
+                            np.nan_to_num(z, nan=0.0), side="right")]
+        sym = sym.reshape(K, w)
+        zero_var = np.asarray(var_num == 0, dtype=bool)
+        sax = ["".join(row) for row in sym]
+        return pd.DataFrame({
+            "user_id": keys_kept[new_starts],
+            "n_events": klens.astype(np.int64),
+            "sax": pd.Series(
+                [None if zv else s for s, zv in zip(sax, zero_var)],
+                dtype=object),
+        })
+
+
+def sax_symbols(events, *, w: int = 8, n_parts: int = 64):
+    """SAX symbolization (w segments, alphabet abcd) of each user's
+    value series — one partition-group shuffle; integer-exact moments
+    make the symbols value-exact against the SQL oracle."""
+    from .timeseries import _prep_events
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(SaxGroup(w), batch_format="pandas")
+
+
+# --- threshold excursions (value-conditioned gaps-and-islands) --------------
+
+class ExcursionGroup:
+    """Per-partition kernel: maximal runs of consecutive over-threshold
+    events per key in (t, event_id) order.  A run breaks on a key
+    boundary or an under-threshold event; per key emit the run count,
+    the longest run (events), the total over-threshold events, and the
+    longest run duration (last t − first t, integer µs).  Keys with no
+    over-threshold event emit nothing (SQL inner shape)."""
+
+    def __init__(self, thresh: float = 150.0):
+        self.thresh = thresh
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_excursions": pd.Series([], dtype=np.int64),
+                "max_run": pd.Series([], dtype=np.int64),
+                "n_over": pd.Series([], dtype=np.int64),
+                "max_dur_us": pd.Series([], dtype=np.int64)})
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        keys = g["user_id"].to_numpy()[order]
+        over = g["value"].to_numpy(np.float64)[order] > self.thresh
+        n = len(t)
+        first = np.r_[True, codes[1:] != codes[:-1]]
+        # island starts: over-threshold row whose predecessor (same key)
+        # is under threshold or absent
+        prev_over = np.r_[False, over[:-1]]
+        istart = over & (first | ~prev_over)
+        # compress to the over-threshold subsequence: runs are
+        # contiguous there, so reduceat over its island starts works
+        oidx = np.flatnonzero(over)
+        if len(oidx) == 0:
+            return self.__call__(g.iloc[:0])
+        si = np.flatnonzero(istart[oidx])        # island starts in oidx
+        se = np.r_[si[1:], len(oidx)]
+        run_len = se - si
+        dur = t[oidx[se - 1]] - t[oidx[si]]
+        ikey = codes[oidx[si]]
+        kfirst = np.r_[True, ikey[1:] != ikey[:-1]]
+        ks = np.flatnonzero(kfirst)
+        ke = np.r_[ks[1:], len(si)]
+        return pd.DataFrame({
+            "user_id": keys[oidx[si]][ks],
+            "n_excursions": (ke - ks).astype(np.int64),
+            "max_run": np.maximum.reduceat(run_len, ks).astype(np.int64),
+            "n_over": np.add.reduceat(run_len, ks).astype(np.int64),
+            "max_dur_us": np.maximum.reduceat(dur, ks).astype(np.int64),
+        })
+
+
+def threshold_excursions(events, *, thresh: float = 150.0,
+                         n_parts: int = 64):
+    """Per-user maximal over-threshold runs (count / longest / total /
+    longest duration) — one partition-group shuffle."""
+    from .timeseries import _prep_events
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(ExcursionGroup(thresh),
+                                      batch_format="pandas")
+
+
+# --- DTW over hour-of-day profiles ------------------------------------------
+
+def dtw_pairwise_int(profiles: np.ndarray) -> np.ndarray:
+    """All-pairs DTW distance over int64 profile rows (K × L).
+
+    Classic unconstrained DP, cost |a_i − b_j|, run entirely in int64 so
+    the result is exact.  Vectorized ACROSS the K·(K−1)/2 pairs: the two
+    nested position loops are L² = O(576) iterations over pair-length
+    vectors, never a Python loop over pairs.  Returns the condensed
+    (i < j, row-major) distance vector."""
+    K, L = profiles.shape
+    ia, ja = np.triu_indices(K, k=1)
+    P = len(ia)
+    if P == 0:
+        return np.empty(0, dtype=np.int64)
+    a = profiles[ia]                     # (P, L)
+    b = profiles[ja]
+    BIG = np.int64(1) << 62
+    acc = np.full((P, L + 1, L + 1), BIG, dtype=np.int64)
+    acc[:, 0, 0] = 0
+    for i in range(1, L + 1):
+        ai = a[:, i - 1]
+        for j in range(1, L + 1):
+            cost = np.abs(ai - b[:, j - 1])
+            acc[:, i, j] = cost + np.minimum(
+                acc[:, i - 1, j],
+                np.minimum(acc[:, i, j - 1], acc[:, i - 1, j - 1]))
+    return acc[:, L, L]
+
+
+def dtw_profile_pairs(events, *, k_users: int = 12):
+    """Pairwise DTW distances between per-user hour-of-day profiles.
+
+    Profiles: exact per-(user, hod) integer-cents sums via mergeable
+    per-block partials + ONE small groupby (≤ 24·|users| rows ever
+    shuffled); missing hours are 0.  The pair DP runs over the
+    ``k_users`` smallest user_ids only (deterministic, bounded), inside
+    one task on a single ≤ k_users·24-int block — the all-pairs step
+    never sees corpus-proportional data.  Output (user_a, user_b, dtw)
+    with dtw in value units (exact cents DP / 100, rounded 6dp)."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if "ts" not in t.column_names:   # column-less empty block
+            e = np.empty(0, np.int64)
+            return pa.table({"user_id": pa.array(e), "hod": pa.array(e),
+                             "c": pa.array(e)})
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tsec = _epoch_micros(t["ts"]) // 1_000_000
+        hod = (tsec // 3600) % 24
+        cents = scaled_int(t["value"].to_numpy(zero_copy_only=False))
+        cell, inv = np.unique(uid * 24 + hod, return_inverse=True)
+        sc = np.zeros(len(cell), dtype=np.int64)
+        np.add.at(sc, inv, cents)
+        return pa.table({"user_id": pa.array(cell // 24),
+                         "hod": pa.array(cell % 24),
+                         "c": pa.array(sc)})
+
+    prof = events.map_batches(_partial, batch_format="pyarrow") \
+        .groupby(["user_id", "hod"]).aggregate(Sum("c", alias_name="c"))
+
+    # keep the k smallest user_ids: tiny sort over the ≤24·|users|
+    # profile rows, then ONE block through the pair DP
+    def _pairs(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hod = t["hod"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        users = np.unique(uid)[:k_users]
+        sel = np.isin(uid, users)
+        uid, hod, c = uid[sel], hod[sel], c[sel]
+        pos = np.searchsorted(users, uid)
+        mat = np.zeros((len(users), 24), dtype=np.int64)
+        mat[pos, hod] = c
+        ia, ja = np.triu_indices(len(users), k=1)
+        d = dtw_pairwise_int(mat)
+        return pa.table({
+            "user_a": pa.array(users[ia]),
+            "user_b": pa.array(users[ja]),
+            "dtw": pa.array(round_half_away(d.astype(np.float64) / 100.0,
+                                            6)),
+        })
+
+    return prof.repartition(1).map_batches(_pairs, batch_format="pyarrow",
+                                           batch_size=None)
