@@ -1160,6 +1160,15 @@ def _q_excursions(sf_dir: str):
     return threshold_excursions(ev, thresh=150.0)
 
 
+def _q_m4(sf_dir: str):
+    """M4 visual downsample (Jugel et al. 2014): per (user, day) the
+    first/last/min/max anchor points with deterministic tie rules —
+    the error-free line-chart reduction, mergeable partials only."""
+    from series_correction_project_updated_ray.stages.tsmining import m4_downsample
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return m4_downsample(ev, width_s=86400)
+
+
 def _q_dtw(sf_dir: str):
     """Pairwise DTW distances (Sakoe-Chiba 1978) between the 12 smallest
     user_ids' hour-of-day integer-cents profiles.  Profile build is a
@@ -1595,7 +1604,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # hour-of-day integer aggregation is byte-identical to the
             # DTW oracle's profile-build CTE (prof_raw), which the DP
             # then consumes
-            "ewma_per_user", "gap_counts", "seasonal_profile"][:n_over]
+            "ewma_per_user", "gap_counts", "seasonal_profile",
+            # m4_downsample enters the window: its first/last anchors
+            # are OHLC's open/close mechanism verbatim and it adds the
+            # tie-ruled extremum timestamps on top, so ohlc_user_1h is
+            # strictly subsumed
+            "ohlc_user_1h"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -1777,6 +1791,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # a fixed bounded key set; oracle-checked (anti-diagonal
         # recursive-CTE replay)
         "dtw_profile_pairs": _q_dtw,
+        # M4 visual downsample (first/last/min/max anchors per pixel
+        # bucket, deterministic tie rules) — oracle-checked
+        "m4_downsample": _q_m4,
         # vocab tf/df + bigram transition counts over polynomial token
         # ids — oracle-checked
         "token_vocab_stats": _q_token_vocab_stats,
@@ -2555,6 +2572,43 @@ SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
                        6)
             END AS r1
 FROM s
+""",
+        # M4 downsample: first/last anchored on (t, id); min/max on
+        # value with the earliest-t tie rule (MIN(t) over the rows
+        # attaining the cell extremum)
+        "m4_downsample": """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id AS id,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         (epoch_us(ts) // 1000000) // 86400 * 86400 AS bucket_start
+  FROM events),
+s AS (
+  SELECT user_id, bucket_start, COUNT(*) AS n,
+         MIN(cents) AS minc, MAX(cents) AS maxc
+  FROM c GROUP BY 1, 2),
+fl AS (
+  SELECT user_id, bucket_start, t, cents,
+         row_number() OVER (PARTITION BY user_id, bucket_start
+                            ORDER BY t, id) AS rf,
+         row_number() OVER (PARTITION BY user_id, bucket_start
+                            ORDER BY t DESC, id DESC) AS rl
+  FROM c),
+mm AS (
+  SELECT c.user_id, c.bucket_start,
+         MIN(CASE WHEN c.cents = s.minc THEN c.t END) AS t_min,
+         MIN(CASE WHEN c.cents = s.maxc THEN c.t END) AS t_max
+  FROM c JOIN s USING (user_id, bucket_start) GROUP BY 1, 2)
+SELECT s.user_id, s.bucket_start, CAST(s.n AS BIGINT) AS n,
+       f.t AS t_first, CAST(f.cents AS DOUBLE)/100.0 AS v_first,
+       l.t AS t_last,  CAST(l.cents AS DOUBLE)/100.0 AS v_last,
+       mm.t_min, CAST(s.minc AS DOUBLE)/100.0 AS v_min,
+       mm.t_max, CAST(s.maxc AS DOUBLE)/100.0 AS v_max
+FROM s
+JOIN fl f ON f.user_id = s.user_id
+         AND f.bucket_start = s.bucket_start AND f.rf = 1
+JOIN fl l ON l.user_id = s.user_id
+         AND l.bucket_start = s.bucket_start AND l.rl = 1
+JOIN mm ON mm.user_id = s.user_id AND mm.bucket_start = s.bucket_start
 """,
         # SAX symbolization: integer-cents moments, PAA segment = the
         # position convention pos*w//n, z-scores in doubles with the

@@ -212,6 +212,138 @@ def threshold_excursions(events, *, thresh: float = 150.0,
                                       batch_format="pandas")
 
 
+# --- M4 visual downsample (Jugel et al., VLDB 2014) --------------------------
+
+def _cell_bounds(uid: np.ndarray, bucket: np.ndarray):
+    """Segment starts/ends of contiguous (uid, bucket) cells (arrays
+    must already be sorted by those two keys)."""
+    n = len(uid)
+    first = np.r_[True, (uid[1:] != uid[:-1]) | (bucket[1:] != bucket[:-1])]
+    starts = np.flatnonzero(first)
+    return starts, np.r_[starts[1:], np.int64(n)]
+
+
+def _m4_pick(uid, bucket, tie_a, tie_b):
+    """Per-(uid, bucket) index of the row minimizing (tie_b, tie_a)
+    lexicographically — one lexsort + first-of-segment, no cell loop."""
+    order = np.lexsort((tie_a, tie_b, bucket, uid))
+    starts, _ = _cell_bounds(uid[order], bucket[order])
+    return order[starts]
+
+
+class PartialM4:
+    """map_batches combiner: per (key, bucket) cell present in the
+    batch, the four M4 anchors (first/last by (t, id); min/max by
+    (cents, tie earliest t)) plus the count.  Fixed-size per cell per
+    block, so the shuffle never ships raw points."""
+
+    def __init__(self, key_col: str, ts_col: str, value_col: str,
+                 id_col: str, width_s: int):
+        self.key_col, self.ts_col = key_col, ts_col
+        self.value_col, self.id_col = value_col, id_col
+        self.width_s = width_s
+        self.__name__ = type(self).__name__
+
+    EMPTY = {"f_t": np.int64, "f_id": np.int64, "f_c": np.int64,
+             "l_t": np.int64, "l_id": np.int64, "l_c": np.int64,
+             "min_c": np.int64, "min_t": np.int64,
+             "max_c": np.int64, "max_t": np.int64, "n": np.int64}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        k = self.key_col
+        if k not in t.column_names or len(t) == 0:
+            e = np.empty(0, np.int64)
+            cols = {k: pa.array(e), "bucket_start": pa.array(e)}
+            cols.update({c: pa.array(e) for c in self.EMPTY})
+            return pa.table(cols)
+        uid = t[k].to_numpy(zero_copy_only=False)
+        t_us = _epoch_micros(t[self.ts_col])
+        ids = t[self.id_col].to_numpy(zero_copy_only=False)
+        cents = scaled_int(t[self.value_col].to_numpy(zero_copy_only=False))
+        w = self.width_s
+        bucket = (t_us // 1_000_000) // w * w
+        i_f = _m4_pick(uid, bucket, ids, t_us)           # min (t, id)
+        i_l = _m4_pick(uid, bucket, -ids, -t_us)         # max (t, id)
+        i_min = _m4_pick(uid, bucket, t_us, cents)       # min (c, t)
+        i_max = _m4_pick(uid, bucket, t_us, -cents)      # max (c), min t
+        order = np.lexsort((bucket, uid))
+        starts, ends = _cell_bounds(uid[order], bucket[order])
+        return pa.table({
+            k: pa.array(uid[i_f]).cast(t.schema.field(k).type),
+            "bucket_start": pa.array(bucket[i_f]),
+            "f_t": pa.array(t_us[i_f]), "f_id": pa.array(ids[i_f]),
+            "f_c": pa.array(cents[i_f]),
+            "l_t": pa.array(t_us[i_l]), "l_id": pa.array(ids[i_l]),
+            "l_c": pa.array(cents[i_l]),
+            "min_c": pa.array(cents[i_min]), "min_t": pa.array(t_us[i_min]),
+            "max_c": pa.array(cents[i_max]), "max_t": pa.array(t_us[i_max]),
+            "n": pa.array((ends - starts).astype(np.int64)),
+        })
+
+
+class M4Finalize:
+    """Partition-group merge of M4 partials: the same four lexsort
+    picks run over one-row-per-block-per-cell partials, then counts
+    sum.  Output in value units (cents / 100)."""
+
+    def __init__(self, key_col: str):
+        self.key_col = key_col
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        k = self.key_col
+        if len(g) == 0:
+            return pd.DataFrame({
+                k: g[k] if k in g else pd.Series([], dtype=np.int64),
+                "bucket_start": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+                **{c: pd.Series([], dtype=np.int64)
+                   for c in ("t_first", "t_last", "t_min", "t_max")},
+                **{c: pd.Series([], dtype=np.float64)
+                   for c in ("v_first", "v_last", "v_min", "v_max")}})
+        uid = g[k].to_numpy()
+        bucket = g["bucket_start"].to_numpy(np.int64)
+        cols = {c: g[c].to_numpy(np.int64)
+                for c in PartialM4.EMPTY}
+        i_f = _m4_pick(uid, bucket, cols["f_id"], cols["f_t"])
+        i_l = _m4_pick(uid, bucket, -cols["l_id"], -cols["l_t"])
+        i_min = _m4_pick(uid, bucket, cols["min_t"], cols["min_c"])
+        i_max = _m4_pick(uid, bucket, cols["max_t"], -cols["max_c"])
+        order = np.lexsort((bucket, uid))
+        starts, _ = _cell_bounds(uid[order], bucket[order])
+        n = np.add.reduceat(cols["n"][order], starts)
+        return pd.DataFrame({
+            k: uid[i_f], "bucket_start": bucket[i_f],
+            "n": n.astype(np.int64),
+            "t_first": cols["f_t"][i_f],
+            "v_first": cols["f_c"][i_f].astype(np.float64) / 100.0,
+            "t_last": cols["l_t"][i_l],
+            "v_last": cols["l_c"][i_l].astype(np.float64) / 100.0,
+            "t_min": cols["min_t"][i_min],
+            "v_min": cols["min_c"][i_min].astype(np.float64) / 100.0,
+            "t_max": cols["max_t"][i_max],
+            "v_max": cols["max_c"][i_max].astype(np.float64) / 100.0,
+        })
+
+
+def m4_downsample(events, *, key_col: str = "user_id", ts_col: str = "ts",
+                  value_col: str = "value", id_col: str = "event_id",
+                  width_s: int = 86400, n_parts: int = 64):
+    """M4 visual downsample (Jugel, Markl et al. 2014): per (key,
+    bucket) the first/last/min/max anchor points — the error-free
+    line-chart reduction.  First/last anchor on (t, event_id); min/max
+    anchor on value with the EARLIEST-t tie rule, so every output is
+    deterministic and value-exact against SQL.  Partial-first: blocks
+    ship one fixed-size row per cell, the merge is one partition-group
+    shuffle."""
+    partials = events.map_batches(
+        PartialM4(key_col, ts_col, value_col, id_col, width_s),
+        batch_format="pyarrow")
+    return _add_key_partition(partials, key_col, n_parts) \
+        .groupby("__part").map_groups(M4Finalize(key_col),
+                                      batch_format="pandas")
+
+
 # --- DTW over hour-of-day profiles ------------------------------------------
 
 def dtw_pairwise_int(profiles: np.ndarray) -> np.ndarray:

@@ -9,8 +9,8 @@ import pyarrow as pa
 import pytest
 
 from series_correction_project_updated_ray.stages.tsmining import (
-    ExcursionGroup, SaxGroup, dtw_pairwise_int, dtw_profile_pairs,
-    sax_symbols, threshold_excursions)
+    ExcursionGroup, M4Finalize, PartialM4, SaxGroup, dtw_pairwise_int,
+    dtw_profile_pairs, m4_downsample, sax_symbols, threshold_excursions)
 
 
 def _mk(n=300, seed=3, users=8):
@@ -149,6 +149,99 @@ def test_excursion_all_over_single_run():
     assert (got["n_excursions"] == 1).all()
     assert int(got["n_over"].sum()) == len(df)
     _cmp(got, _duck(df, EXC_SQL.format(th=-1e9)))
+
+
+M4_SQL = """
+WITH c AS (
+  SELECT user_id, t, event_id AS id,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         (t // 1000000) // {w} * {w} AS bucket_start
+  FROM ev),
+s AS (
+  SELECT user_id, bucket_start, COUNT(*) AS n,
+         MIN(cents) AS minc, MAX(cents) AS maxc
+  FROM c GROUP BY 1, 2),
+fl AS (
+  SELECT user_id, bucket_start, t, cents,
+         row_number() OVER (PARTITION BY user_id, bucket_start
+                            ORDER BY t, id) AS rf,
+         row_number() OVER (PARTITION BY user_id, bucket_start
+                            ORDER BY t DESC, id DESC) AS rl
+  FROM c),
+mm AS (
+  SELECT c.user_id, c.bucket_start,
+         MIN(CASE WHEN c.cents = s.minc THEN c.t END) AS t_min,
+         MIN(CASE WHEN c.cents = s.maxc THEN c.t END) AS t_max
+  FROM c JOIN s USING (user_id, bucket_start) GROUP BY 1, 2)
+SELECT s.user_id, s.bucket_start, CAST(s.n AS BIGINT) AS n,
+       f.t AS t_first, CAST(f.cents AS DOUBLE)/100.0 AS v_first,
+       l.t AS t_last,  CAST(l.cents AS DOUBLE)/100.0 AS v_last,
+       mm.t_min, CAST(s.minc AS DOUBLE)/100.0 AS v_min,
+       mm.t_max, CAST(s.maxc AS DOUBLE)/100.0 AS v_max
+FROM s
+JOIN fl f ON f.user_id = s.user_id
+         AND f.bucket_start = s.bucket_start AND f.rf = 1
+JOIN fl l ON l.user_id = s.user_id
+         AND l.bucket_start = s.bucket_start AND l.rl = 1
+JOIN mm ON mm.user_id = s.user_id AND mm.bucket_start = s.bucket_start
+"""
+
+
+def _mk_m4(n=400, seed=2, users=6):
+    """Adversarial frame: duplicated values (extremum ties), duplicated
+    timestamps (id tiebreaks on first/last)."""
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, users, n).astype(np.int64),
+        "event_id": rng.permutation(n).astype(np.int64),
+        "t": (np.sort(rng.integers(0, 5 * 86400, n)) // 7 * 7)
+        .astype(np.int64) * 1_000_000,
+        "value": np.round(rng.integers(0, 25, n) * 0.25, 2),
+    })
+    return df
+
+
+def _m4_direct(df, width_s):
+    """Single-process M4 via the partial+finalize kernels on one batch."""
+    tbl = pa.table({
+        "user_id": df["user_id"], "event_id": df["event_id"],
+        "ts": pa.array(df["t"].to_numpy(), type=pa.timestamp("us")),
+        "value": df["value"]})
+    part = PartialM4("user_id", "ts", "value", "event_id", width_s)(tbl)
+    return M4Finalize("user_id")(part.to_pandas())
+
+
+def test_m4_kernel_matches_sql():
+    df = _mk_m4()
+    got = _m4_direct(df, 86400)
+    _cmp(got, _duck(df, M4_SQL.format(w=86400)))
+
+
+def test_m4_merge_identity():
+    """Finalize over split-block partials equals the single-block
+    result — the mergeability contract the shuffle relies on."""
+    df = _mk_m4(n=500, seed=8)
+    whole = _m4_direct(df, 3600)
+    parts = []
+    for lo in range(0, 500, 83):        # uneven, cell-straddling splits
+        d = df.iloc[lo:lo + 83]
+        tbl = pa.table({
+            "user_id": d["user_id"], "event_id": d["event_id"],
+            "ts": pa.array(d["t"].to_numpy(), type=pa.timestamp("us")),
+            "value": d["value"]})
+        parts.append(
+            PartialM4("user_id", "ts", "value", "event_id", 3600)(tbl))
+    merged = M4Finalize("user_id")(pa.concat_tables(parts).to_pandas())
+    _cmp(merged, whole)
+
+
+def test_m4_ray_end_to_end(ray_session):
+    import ray.data
+    df = _mk_m4(n=2000, seed=5, users=20)
+    rdf = df.assign(ts=pd.to_datetime(df["t"] * 1000)).drop(columns=["t"])
+    ds = ray.data.from_pandas(rdf).repartition(7)
+    got = m4_downsample(ds, width_s=3600).to_pandas()
+    _cmp(got, _duck(df, M4_SQL.format(w=3600)))
 
 
 def _dtw_single(a, b):
