@@ -1140,6 +1140,24 @@ def _q_lttb(sf_dir: str):
     return lttb_downsample(ev, n_out=100)
 
 
+def _q_winnow(sf_dir: str):
+    """Winnowed k-gram fingerprints (Schleimer et al. 2003, MOSS) over
+    polynomial-tokenized documents — min-of-window with rightmost ties,
+    map-only (no shuffle)."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        winnow_fingerprints)
+    return winnow_fingerprints(_poly_tokenized(sf_dir), k=5, w=4)
+
+
+def _q_winnow_matches(sf_dir: str):
+    """Cross-document duplicate-span candidates: winnowed fingerprints
+    selected in ≥ 2 distinct documents, with doc/occurrence counts —
+    the aggregate face of span-level dedup."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        winnow_matches)
+    return winnow_matches(_poly_tokenized(sf_dir), k=5, w=4, min_docs=2)
+
+
 def _q_sax(sf_dir: str):
     """SAX symbolization (Lin et al. 2007): per-user z-normalized PAA
     into 8 segments mapped through the alphabet-4 Gaussian breakpoints.
@@ -1609,7 +1627,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # are OHLC's open/close mechanism verbatim and it adds the
             # tie-ruled extremum timestamps on top, so ohlc_user_1h is
             # strictly subsumed
-            "ohlc_user_1h"][:n_over]
+            "ohlc_user_1h",
+            # winnow_fingerprints / winnow_matches enter the window:
+            # the ordered-string-assembly certification moves to
+            # sax_symbols' string_agg-ORDER-BY oracle (strictly harder:
+            # moments + breakpoints on top), demoting
+            # user_event_sequences; value_quartiles' bounded-domain
+            # exact rank is the q=4 special case of the kept
+            # grouped_quantiles machinery
+            "user_event_sequences", "value_quartiles"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -1794,6 +1820,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # M4 visual downsample (first/last/min/max anchors per pixel
         # bucket, deterministic tie rules) — oracle-checked
         "m4_downsample": _q_m4,
+        # winnowing span-dedup fingerprints (MOSS) + the cross-doc
+        # duplicate-span aggregate — oracle-checked
+        "winnow_fingerprints": _q_winnow,
+        "winnow_matches": _q_winnow_matches,
         # vocab tf/df + bigram transition counts over polynomial token
         # ids — oracle-checked
         "token_vocab_stats": _q_token_vocab_stats,
@@ -2045,6 +2075,57 @@ _JOIN_LI_ORDERS_SQL = """
 SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, l.l_extendedprice,
        o.o_custkey, o.o_totalprice
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+# Winnowing selections (k=5, w=4) over polynomial-tokenized documents —
+# shared by the winnow_fingerprints oracle and the winnow_matches
+# aggregate built on top of it.  The k-gram fold reuses the
+# doc_fingerprints HUGEINT-decomposed uint64 Horner convention.
+_WINNOW_FP_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         regexp_extract_all(coalesce(text, ''),
+                            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') AS arr
+  FROM documents),
+tids AS (
+  SELECT doc_id,
+         list_transform(arr, tok ->
+           list_reduce(
+             list_prepend(CAST(0 AS HUGEINT),
+               list_reverse(list_transform(string_split(tok, ''),
+                                           ch -> CAST(unicode(ch) AS HUGEINT)))),
+             (acc, c) ->
+               (((acc % 4294967296) * 1099511628211
+                 + (acc // 4294967296) * 435 * 4294967296)
+                % 18446744073709551616 + c) % 18446744073709551616)
+           % 50257) AS tl
+  FROM base),
+grams AS (
+  SELECT doc_id, unnest(range(len(tl) - 5 + 1)) AS pos, tl
+  FROM tids WHERE len(tl) >= 5),
+g AS (
+  SELECT doc_id, pos,
+         list_reduce(tl[pos + 1 : pos + 5], (acc, c) ->
+           (((acc % 4294967296) * 1099511628211
+             + (acc // 4294967296) * 435 * 4294967296)
+            % 18446744073709551616 + c) % 18446744073709551616) AS h
+  FROM grams),
+j AS (
+  SELECT a.doc_id, a.pos AS e, b.pos AS p, b.h
+  FROM g a JOIN g b ON b.doc_id = a.doc_id
+                   AND b.pos BETWEEN a.pos - 3 AND a.pos
+  WHERE a.pos >= 3),
+mins AS (
+  SELECT doc_id, e, MIN(h) AS mh FROM j GROUP BY 1, 2),
+sel AS (
+  SELECT j.doc_id, MAX(j.p) AS pos, any_value(m.mh) AS h
+  FROM j JOIN mins m ON m.doc_id = j.doc_id AND m.e = j.e AND j.h = m.mh
+  GROUP BY j.doc_id, j.e)
+SELECT DISTINCT doc_id, pos,
+       CAST(CASE WHEN h >= 9223372036854775808
+                 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS fp
+FROM sel
 """
 
 
@@ -2572,6 +2653,19 @@ SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
                        6)
             END AS r1
 FROM s
+""",
+        # winnowing: k-gram Horner hashes over the polynomial token ids
+        # (the doc_fingerprints fold, HUGEINT-decomposed uint64
+        # wraparound), then per window-end the min hash with the
+        # rightmost tie (MAX(p) over the rows attaining the window min)
+        "winnow_fingerprints": _WINNOW_FP_SQL,
+        # the cross-doc duplicate-span aggregate over the same
+        # selections: fingerprints seen in ≥ 2 distinct documents
+        "winnow_matches": f"""
+SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM ({_WINNOW_FP_SQL}) GROUP BY 1
+HAVING COUNT(DISTINCT doc_id) >= 2
 """,
         # M4 downsample: first/last anchored on (t, id); min/max on
         # value with the earliest-t tie rule (MIN(t) over the rows

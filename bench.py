@@ -220,6 +220,19 @@ def run_bench() -> dict:
               lambda: lttb_downsample(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
 
+        from series_correction_project_updated_ray.stages.tsmining import (
+            m4_downsample, sax_symbols, threshold_excursions)
+
+        timed("m4_downsample",
+              lambda: m4_downsample(rd.read_parquet(
+                  ev_path, columns=ev_cols), width_s=86400).count())
+        timed("sax_symbols",
+              lambda: sax_symbols(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
+        timed("threshold_excursions",
+              lambda: threshold_excursions(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
+
         # Gorilla segment compression over ~26M synthetic points (64
         # series, distributed generation, materialized untimed).  Timed
         # with the production actor pool — includes pool startup, so the
@@ -247,8 +260,11 @@ def run_bench() -> dict:
         pts = rd.range(64, override_num_blocks=64).map_batches(
             _gen_points, batch_format="pyarrow").materialize()
 
+        # fixed pool (autoscaling ramps from the floor and costs ~40%
+        # here); ~2s of the wall is one-off pool startup — steady-state
+        # encode is ~1.9M pts/s/actor (see tools/gorilla_microbench.py)
         timed("compress_series",
-              lambda: compress_series(pts, concurrency=(4, 12)).count())
+              lambda: compress_series(pts, concurrency=12).count())
 
     headline = timings["rollup_sequences_synth"]
     result = {

@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions import text as T
 
@@ -76,6 +77,140 @@ def language_id(docs):
 
 def fingerprints(docs):
     return docs.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+# --- winnowing (Schleimer, Wilkerson, Aiken 2003 — the MOSS local
+# fingerprinting algorithm) --------------------------------------------------
+
+_WINNOW_BASE = np.uint64(1099511628211)   # the repo-wide FNV-64 poly base
+
+
+class WinnowFingerprints:
+    """map_batches kernel over the canonical sequences shape
+    ``(doc_id, tokens:list<int>)``: per document, hash every k-gram of
+    token ids (Horner, uint64 wraparound, the SQL-replicable
+    convention), then in every window of ``w`` consecutive k-gram
+    hashes select the minimum (ties → RIGHTMOST position — the paper's
+    rule) and emit the deduplicated ``(doc_id, pos, fp)`` selections.
+
+    Winnowing guarantee (Schleimer et al. §3): any shared token run of
+    length ≥ k + w − 1 between two documents yields at least one
+    IDENTICAL selected fingerprint in both, so a groupby on ``fp``
+    finds all long duplicate spans.  Documents with fewer than
+    k + w − 1 tokens emit nothing (no complete window), matching the
+    SQL twin.
+
+    Scale shape: map-only — NO shuffle; O(n·(k+w)) vectorized work per
+    block, output ≈ 2·n/(w+1) rows (the paper's expected density)."""
+
+    def __init__(self, k: int = 5, w: int = 4, tok_col: str = "tokens"):
+        self.k, self.w, self.tok_col = k, w, tok_col
+        self.__name__ = type(self).__name__
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        k, w = self.k, self.w
+        empty = pa.table({
+            "doc_id": pa.array([], pa.string()),
+            "pos": pa.array([], pa.int64()),
+            "fp": pa.array([], pa.int64())})
+        if self.tok_col not in t.column_names or len(t) == 0:
+            return empty
+        col = t[self.tok_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        offs = col.offsets.to_numpy().astype(np.int64)
+        vals = vals[offs[0]:offs[-1]]        # sliced-ListArray trim
+        offs = offs - offs[0]
+        n = len(vals)
+        lens = np.diff(offs)
+        # k-gram Horner hashes at every flat position (cross-doc tails
+        # masked below): g_i = fold(t_i .. t_{i+k-1})
+        n_g = n - k + 1
+        if n_g <= 0:
+            return empty
+        with np.errstate(over="ignore"):
+            g = vals[:n_g].copy()
+            for j in range(1, k):
+                g = g * _WINNOW_BASE + vals[j:n_g + j]
+        # pack each doc's valid grams contiguously: a flat gram is real
+        # iff its doc-local index < glen of its doc (cross-doc tails out)
+        glens = np.maximum(lens - k + 1, 0)
+        starts = offs[:-1]
+        doc_of = np.repeat(np.arange(len(lens)), lens)[:n_g]
+        local = np.arange(n_g) - starts[doc_of]
+        valid = local < glens[doc_of]
+        fg = g[valid]
+        fdoc = doc_of[valid]
+        flocal = local[valid]
+        m = len(fg)
+        if m == 0:
+            return empty
+        # window ends: doc-local gram index ≥ w−1; best = min hash with
+        # RIGHTMOST tie (<= update, scanning oldest → newest)
+        ends = np.flatnonzero(flocal >= w - 1)
+        if len(ends) == 0:
+            return empty
+        bv = fg[ends - (w - 1)]
+        bp = ends - (w - 1)
+        for j in range(w - 2, -1, -1):
+            c = fg[ends - j]
+            upd = c <= bv
+            bv[upd] = c[upd]
+            bp[upd] = ends[upd] - j
+        picks = np.unique(bp)                # global flat pos → unique/doc
+        return pa.table({
+            "doc_id": pc.take(t["doc_id"], pa.array(fdoc[picks],
+                                                    pa.int64())),
+            "pos": pa.array(flocal[picks].astype(np.int64)),
+            "fp": pa.array(fg[picks].view(np.int64)),
+        })
+
+
+def winnow_fingerprints(seqs, *, k: int = 5, w: int = 4,
+                        tok_col: str = "tokens"):
+    """Winnowed k-gram fingerprints per document — the standard local
+    fingerprinting primitive behind span-level dedup (MOSS).  Map-only;
+    see :class:`WinnowFingerprints` for the selection semantics."""
+    return seqs.map_batches(WinnowFingerprints(k, w, tok_col),
+                            batch_format="pyarrow")
+
+
+def winnow_matches(seqs, *, k: int = 5, w: int = 4, min_docs: int = 2,
+                   tok_col: str = "tokens"):
+    """Cross-document duplicate-span candidates: fingerprints selected
+    in ≥ ``min_docs`` DISTINCT documents, with doc and occurrence
+    counts.  One small groupby over the (already ≈ n/(w+1)-sparse)
+    winnowed selections — the aggregate view of span-level dedup; the
+    per-pair verify step is `ngram_jaccard_pairs`' machinery."""
+    from ray.data.aggregate import Count, Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if "fp" not in t.column_names or len(t) == 0:
+            e = np.empty(0, np.int64)
+            return pa.table({"fp": pa.array(e), "n_docs": pa.array(e),
+                             "n_occ": pa.array(e)})
+        fp = t["fp"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        # per-block partial: distinct docs + occurrences per fp (a doc's
+        # selections never split across blocks — map-only upstream)
+        codes, _ = pd.factorize(doc, sort=False)
+        pair = np.stack([fp, codes.astype(np.int64)], axis=1)
+        upair = np.unique(pair, axis=0)
+        u, nd = np.unique(upair[:, 0], return_counts=True)
+        uo, no = np.unique(fp, return_counts=True)
+        return pa.table({"fp": pa.array(u), "n_docs": pa.array(nd),
+                         "n_occ": pa.array(no.astype(np.int64))})
+
+    tot = winnow_fingerprints(seqs, k=k, w=w, tok_col=tok_col) \
+        .map_batches(_partial, batch_format="pyarrow") \
+        .groupby("fp").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                 Sum("n_occ", alias_name="n_occ"))
+
+    def _filt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_docs"],
+                                         pa.scalar(min_docs)))
+    return tot.map_batches(_filt, batch_format="pyarrow")
 
 
 class TermFreqPartial:
