@@ -1131,9 +1131,11 @@ def _q_rollup_quantiles(sf_dir: str):
 
 
 def _q_lttb(sf_dir: str):
-    """LTTB visual downsample to 100 points per user (sequential by
-    nature — each bucket's pick feeds the next triangle — so rows-only;
-    invariants + known-case parity are pytest-checked)."""
+    """LTTB visual downsample to 100 points per user.  The pick chain
+    is sequential (each bucket's pick feeds the next triangle) but the
+    per-bucket argmax compares EXACT integer areas (2·area·nn in
+    rebased-µs × cents), so a recursive CTE carrying the previous pick
+    replays the chain bit-exactly — oracle-checked since round 4."""
     from series_correction_project_updated_ray.stages.timeseries import (
         lttb_downsample)
     ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
@@ -1635,7 +1637,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # user_event_sequences; value_quartiles' bounded-domain
             # exact rank is the q=4 special case of the kept
             # grouped_quantiles machinery
-            "user_event_sequences", "value_quartiles"][:n_over]
+            "user_event_sequences", "value_quartiles",
+            # lttb_downsample's integer-area recursive-CTE oracle enters
+            # the window: topn_per_user's per-key ordered rank selection
+            # is the bounded special case of the kept knn_topk
+            # distributed top-k and grouped_quantiles' exact-rank
+            # machinery
+            "topn_per_user"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -1800,9 +1808,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # hysteresis alert state machine (conditional integer
         # recursion) — oracle-checked
         "alert_hysteresis": _q_alert_hysteresis,
-        # LTTB visual downsample — rows-only (sequential pick chain);
-        # pytest certifies invariants + parity with a direct
-        # single-process implementation
+        # LTTB visual downsample — oracle-checked (exact integer-area
+        # argmax replayed by a recursive CTE carrying the previous pick)
         "lttb_downsample": _q_lttb,
         # percentile continuous aggregate — rows-only (KLL sketch,
         # approximate by design; pytest-bounded accuracy)
@@ -2703,6 +2710,84 @@ JOIN fl f ON f.user_id = s.user_id
 JOIN fl l ON l.user_id = s.user_id
          AND l.bucket_start = s.bucket_start AND l.rl = 1
 JOIN mm ON mm.user_id = s.user_id AND mm.bucket_start = s.bucket_start
+""",
+        # LTTB: the sequential pick chain replayed by a recursive CTE —
+        # state = the previous pick's (x, y); each step folds the next
+        # bucket's candidate list through the exact integer-area argmax
+        # (2·area·nn, translation-rebased x, cents y; strict-> keeps the
+        # first max like np.argmax); users with n ≤ 100 pass through
+        "lttb_downsample": """
+WITH RECURSIVE pts AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS t,
+         CAST(round(value*100) AS BIGINT) AS y,
+         row_number() OVER w - 1 AS pos,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         epoch_us(ts) - first_value(epoch_us(ts)) OVER w AS x
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+long AS (SELECT DISTINCT user_id, n FROM pts WHERE n > 100),
+be AS (
+  SELECT user_id, n, unnest(range(98)) AS i FROM long),
+bed AS (
+  SELECT user_id, n, i,
+         1 + (i * (n-2)) // 98 AS s,
+         1 + ((i+1) * (n-2)) // 98 AS e
+  FROM be),
+nxagg AS (
+  SELECT b.user_id, b.i, COUNT(p.pos) AS cnt,
+         COALESCE(SUM(p.x), 0) AS sxx, COALESCE(SUM(p.y), 0) AS syy
+  FROM bed b LEFT JOIN pts p
+    ON p.user_id = b.user_id AND p.pos >= b.e
+   AND p.pos < CASE WHEN b.i <= 96
+                    THEN 1 + ((b.i + 2) * (b.n - 2)) // 98
+                    ELSE b.n - 1 END
+  GROUP BY 1, 2),
+lastpt AS (SELECT user_id, x AS xl, y AS yl FROM pts WHERE pos = n - 1),
+nx AS (
+  SELECT a.user_id, a.i,
+         CAST(CASE WHEN cnt > 0 THEN cnt ELSE 1 END AS HUGEINT) AS nn,
+         CAST(CASE WHEN cnt > 0 THEN sxx ELSE l.xl END AS HUGEINT) AS sx,
+         CAST(CASE WHEN cnt > 0 THEN syy ELSE l.yl END AS HUGEINT) AS sy
+  FROM nxagg a JOIN lastpt l USING (user_id)),
+bpts AS (
+  SELECT b.user_id, b.i,
+         list(CAST(p.x AS HUGEINT) ORDER BY p.pos) AS xs,
+         list(CAST(p.y AS HUGEINT) ORDER BY p.pos) AS ys,
+         list(CAST(p.pos AS HUGEINT) ORDER BY p.pos) AS ps
+  FROM bed b JOIN pts p ON p.user_id = b.user_id
+                       AND p.pos >= b.s AND p.pos < b.e
+  GROUP BY 1, 2),
+rec AS (
+  SELECT p.user_id, CAST(-1 AS BIGINT) AS i,
+         CAST(p.x AS HUGEINT) AS xp, CAST(p.y AS HUGEINT) AS yp,
+         CAST(0 AS BIGINT) AS pick
+  FROM pts p JOIN long l ON l.user_id = p.user_id
+  WHERE p.pos = 0
+  UNION ALL
+  SELECT user_id, i, best[2] AS xp, best[3] AS yp,
+         CAST(best[4] AS BIGINT) AS pick
+  FROM (
+    SELECT r.user_id, r.i + 1 AS i,
+           list_reduce(
+             list_prepend(
+               [CAST(-1 AS HUGEINT), CAST(0 AS HUGEINT),
+                CAST(0 AS HUGEINT), CAST(0 AS HUGEINT)],
+               list_transform(range(len(b.xs)), k ->
+                 [abs((r.xp * nx.nn - nx.sx) * (b.ys[k + 1] - r.yp)
+                      + (b.xs[k + 1] - r.xp) * (nx.sy - r.yp * nx.nn)),
+                  b.xs[k + 1], b.ys[k + 1], b.ps[k + 1]])),
+             (acc, c) -> CASE WHEN c[1] > acc[1] THEN c ELSE acc END)
+           AS best
+    FROM rec r
+    JOIN bpts b ON b.user_id = r.user_id AND b.i = r.i + 1
+    JOIN nx ON nx.user_id = r.user_id AND nx.i = r.i + 1
+    WHERE r.i + 1 <= 97)),
+picks AS (
+  SELECT user_id, pick AS pos FROM rec
+  UNION ALL SELECT user_id, n - 1 FROM long
+  UNION ALL SELECT user_id, pos FROM pts WHERE n <= 100)
+SELECT p.user_id, p.event_id, p.t, p.value
+FROM picks k JOIN pts p ON p.user_id = k.user_id AND p.pos = k.pos
 """,
         # SAX symbolization: integer-cents moments, PAA segment = the
         # position convention pos*w//n, z-scores in doubles with the

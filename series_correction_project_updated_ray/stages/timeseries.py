@@ -398,7 +398,17 @@ def lttb_select(t: np.ndarray, v: np.ndarray, n_out: int) -> np.ndarray:
     slightly from reference LTTB implementations when ``(n-2)`` is not
     a multiple of ``(n_out-2)``.  The LTTB invariants (endpoints kept,
     exactly one pick per bucket, buckets partition the interior,
-    max-area selection) hold either way; this op is rows-only."""
+    max-area selection) hold either way.
+
+    Areas are compared as EXACT INTEGERS: with x = t − t[0] (areas are
+    translation-invariant) and y = cents, the per-candidate score is
+    2·area·nn = |(x_p·nn − Σx_next)(y_b − y_p) + (x_b − x_p)(Σy_next −
+    y_p·nn)| — the centroid division by the next-bucket size ``nn``
+    multiplied through, a constant positive factor inside one bucket's
+    argmax.  Same argmax as the float form, but deterministic across
+    platforms (no FMA/rounding ambiguity), tie → lowest index, and
+    replayable bit-exactly by the SQL oracle (HUGEINT); values are 2dp
+    so cents are exact."""
     n = len(t)
     if n_out >= n or n_out < 3:
         return np.arange(n)
@@ -408,16 +418,26 @@ def lttb_select(t: np.ndarray, v: np.ndarray, n_out: int) -> np.ndarray:
     out = np.empty(n_out, dtype=np.int64)
     out[0] = 0
     prev = 0
-    tf = t.astype(np.float64)
+    x = t - t[0]
+    y = scaled_int(v)
+    # int64 overflow guard: |score| ≤ span·nn_max·2·ymax (each product
+    # term) — route through exact Python ints when it could exceed 2^62
+    nn_max = int(np.max(np.diff(edges))) if n_out > 3 else int(n)
+    bound = int(x[-1]) * max(nn_max, 1) * \
+        (2 * int(np.abs(y).max()) + 1) if n else 0
+    if 4 * bound >= (1 << 62):
+        x, y = x.astype(object), y.astype(object)
     for i in range(n_out - 2):
         s, e = edges[i], edges[i + 1]          # this bucket [s, e)
         ns, ne = edges[i + 1], min(edges[i + 2] if i + 2 < len(edges)
                                    else n, n)  # next bucket (or last pt)
-        cx = tf[ns:ne].mean() if ne > ns else tf[n - 1]
-        cy = v[ns:ne].mean() if ne > ns else v[n - 1]
-        area = np.abs(
-            (tf[prev] - cx) * (v[s:e] - v[prev])
-            - (tf[prev] - tf[s:e]) * (cy - v[prev]))
+        if ne > ns:
+            nn, sx, sy = ne - ns, x[ns:ne].sum(), y[ns:ne].sum()
+        else:
+            nn, sx, sy = 1, x[n - 1], y[n - 1]
+        a1 = x[prev] * nn - sx
+        a2 = sy - y[prev] * nn
+        area = np.abs(a1 * (y[s:e] - y[prev]) + (x[s:e] - x[prev]) * a2)
         prev = s + int(np.argmax(area))
         out[i + 1] = prev
     out[n_out - 1] = n - 1

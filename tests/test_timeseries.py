@@ -131,6 +131,28 @@ def test_lttb_select_known_triangle():
     assert list(lttb_select(t, v, 10)) == [0, 1, 2, 3]
 
 
+def test_lttb_integer_area_determinism():
+    """Constant values → every candidate area is exactly 0 → each
+    bucket picks its FIRST index (np.argmax tie rule), and the
+    object-dtype overflow fallback produces identical picks."""
+    n = 57
+    t = np.arange(n, dtype=np.int64) * 1_000_000
+    v = np.full(n, 3.25)
+    sel = lttb_select(t, v, 8)
+    edges = 1 + (np.arange(7) * (n - 2)) // 6
+    assert list(sel) == [0] + list(edges[:6]) + [n - 1]
+    # huge timestamps/values route through exact python ints — same
+    # picks as the rebased-int64 path on the equivalent small series
+    rng = np.random.default_rng(3)
+    v2 = np.round(rng.normal(0, 50, n), 2)
+    base = lttb_select(t, v2, 8)
+    big = lttb_select(t + np.int64(1_700_000_000_000_000),
+                      v2 + 0.0, 8)              # rebase-invariant
+    assert list(base) == list(big)
+    huge = lttb_select(t * np.int64(10**7), v2 * 1e9, 8)
+    assert len(set(huge)) == 8                  # fallback path runs
+
+
 def test_lttb_group_parity_with_direct():
     """The distributed kernel must equal running lttb_select per user
     directly on the sorted series."""
