@@ -1131,15 +1131,18 @@ def _q_rollup_quantiles(sf_dir: str):
 
 
 def _q_lttb(sf_dir: str):
-    """LTTB visual downsample to 100 points per user.  The pick chain
-    is sequential (each bucket's pick feeds the next triangle) but the
+    """LTTB visual downsample to 4 points per user.  The pick chain is
+    sequential (each bucket's pick feeds the next triangle) but the
     per-bucket argmax compares EXACT integer areas (2·area·nn in
-    rebased-µs × cents), so a recursive CTE carrying the previous pick
-    replays the chain bit-exactly — oracle-checked since round 4."""
+    rebased-µs × cents), so chained SQL argmax steps carrying the
+    previous pick replay it bit-exactly — oracle-checked since round 4.
+    n_out=4 (not the bench's 100) so the ~7-events/user gate corpora
+    actually exercise the chain rather than the n ≤ n_out
+    pass-through."""
     from series_correction_project_updated_ray.stages.timeseries import (
         lttb_downsample)
     ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
-    return lttb_downsample(ev, n_out=100)
+    return lttb_downsample(ev, n_out=4)
 
 
 def _q_winnow(sf_dir: str):
@@ -1809,7 +1812,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # recursion) — oracle-checked
         "alert_hysteresis": _q_alert_hysteresis,
         # LTTB visual downsample — oracle-checked (exact integer-area
-        # argmax replayed by a recursive CTE carrying the previous pick)
+        # argmax replayed by chained SQL argmax steps; n_out=4 so the
+        # gate corpora exercise the pick chain)
         "lttb_downsample": _q_lttb,
         # percentile continuous aggregate — rows-only (KLL sketch,
         # approximate by design; pytest-bounded accuracy)
@@ -2711,13 +2715,15 @@ JOIN fl l ON l.user_id = s.user_id
          AND l.bucket_start = s.bucket_start AND l.rl = 1
 JOIN mm ON mm.user_id = s.user_id AND mm.bucket_start = s.bucket_start
 """,
-        # LTTB: the sequential pick chain replayed by a recursive CTE —
-        # state = the previous pick's (x, y); each step folds the next
-        # bucket's candidate list through the exact integer-area argmax
-        # (2·area·nn, translation-rebased x, cents y; strict-> keeps the
-        # first max like np.argmax); users with n ≤ 100 pass through
+        # LTTB (n_out=4 ⇒ two interior buckets, chosen so the gate
+        # corpora — ~7 events/user — actually EXERCISE the pick chain):
+        # each step is a window argmax over one bucket (exact integer
+        # area 2·area·nn DESC, pos ASC = np.argmax's first-max tie),
+        # the previous step's pick joined in as the anchor.  Chained
+        # plain CTEs, not recursion: DuckDB misevaluates correlated
+        # list lambdas across a recursive working table with >1 key
         "lttb_downsample": """
-WITH RECURSIVE pts AS (
+WITH pts AS (
   SELECT user_id, event_id, value, epoch_us(ts) AS t,
          CAST(round(value*100) AS BIGINT) AS y,
          row_number() OVER w - 1 AS pos,
@@ -2725,67 +2731,52 @@ WITH RECURSIVE pts AS (
          epoch_us(ts) - first_value(epoch_us(ts)) OVER w AS x
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
-long AS (SELECT DISTINCT user_id, n FROM pts WHERE n > 100),
-be AS (
-  SELECT user_id, n, unnest(range(98)) AS i FROM long),
-bed AS (
-  SELECT user_id, n, i,
-         1 + (i * (n-2)) // 98 AS s,
-         1 + ((i+1) * (n-2)) // 98 AS e
-  FROM be),
-nxagg AS (
-  SELECT b.user_id, b.i, COUNT(p.pos) AS cnt,
-         COALESCE(SUM(p.x), 0) AS sxx, COALESCE(SUM(p.y), 0) AS syy
-  FROM bed b LEFT JOIN pts p
-    ON p.user_id = b.user_id AND p.pos >= b.e
-   AND p.pos < CASE WHEN b.i <= 96
-                    THEN 1 + ((b.i + 2) * (b.n - 2)) // 98
-                    ELSE b.n - 1 END
-  GROUP BY 1, 2),
+long AS (SELECT DISTINCT user_id, n FROM pts WHERE n > 4),
+nx0 AS (
+  SELECT l.user_id,
+         CAST(COUNT(p.pos) AS HUGEINT) AS nn,
+         CAST(COALESCE(SUM(p.x), 0) AS HUGEINT) AS sx,
+         CAST(COALESCE(SUM(p.y), 0) AS HUGEINT) AS sy
+  FROM long l JOIN pts p ON p.user_id = l.user_id
+    AND p.pos >= 1 + (l.n - 2) // 2 AND p.pos < l.n - 1
+  GROUP BY 1),
+st0 AS (
+  SELECT user_id, xp, yp, pick FROM (
+    SELECT p.user_id, p.x AS xp, p.y AS yp, p.pos AS pick,
+           row_number() OVER (PARTITION BY p.user_id ORDER BY
+             abs((CAST(p0.x AS HUGEINT) * nx0.nn - nx0.sx)
+                 * (CAST(p.y AS HUGEINT) - p0.y)
+                 + (CAST(p.x AS HUGEINT) - p0.x)
+                 * (nx0.sy - CAST(p0.y AS HUGEINT) * nx0.nn)) DESC,
+             p.pos ASC) AS rn
+    FROM long l
+    JOIN pts p0 ON p0.user_id = l.user_id AND p0.pos = 0
+    JOIN nx0 ON nx0.user_id = l.user_id
+    JOIN pts p ON p.user_id = l.user_id
+              AND p.pos >= 1 AND p.pos < 1 + (l.n - 2) // 2) q
+  WHERE rn = 1),
 lastpt AS (SELECT user_id, x AS xl, y AS yl FROM pts WHERE pos = n - 1),
-nx AS (
-  SELECT a.user_id, a.i,
-         CAST(CASE WHEN cnt > 0 THEN cnt ELSE 1 END AS HUGEINT) AS nn,
-         CAST(CASE WHEN cnt > 0 THEN sxx ELSE l.xl END AS HUGEINT) AS sx,
-         CAST(CASE WHEN cnt > 0 THEN syy ELSE l.yl END AS HUGEINT) AS sy
-  FROM nxagg a JOIN lastpt l USING (user_id)),
-bpts AS (
-  SELECT b.user_id, b.i,
-         list(CAST(p.x AS HUGEINT) ORDER BY p.pos) AS xs,
-         list(CAST(p.y AS HUGEINT) ORDER BY p.pos) AS ys,
-         list(CAST(p.pos AS HUGEINT) ORDER BY p.pos) AS ps
-  FROM bed b JOIN pts p ON p.user_id = b.user_id
-                       AND p.pos >= b.s AND p.pos < b.e
-  GROUP BY 1, 2),
-rec AS (
-  SELECT p.user_id, CAST(-1 AS BIGINT) AS i,
-         CAST(p.x AS HUGEINT) AS xp, CAST(p.y AS HUGEINT) AS yp,
-         CAST(0 AS BIGINT) AS pick
-  FROM pts p JOIN long l ON l.user_id = p.user_id
-  WHERE p.pos = 0
-  UNION ALL
-  SELECT user_id, i, best[2] AS xp, best[3] AS yp,
-         CAST(best[4] AS BIGINT) AS pick
-  FROM (
-    SELECT r.user_id, r.i + 1 AS i,
-           list_reduce(
-             list_prepend(
-               [CAST(-1 AS HUGEINT), CAST(0 AS HUGEINT),
-                CAST(0 AS HUGEINT), CAST(0 AS HUGEINT)],
-               list_transform(range(len(b.xs)), k ->
-                 [abs((r.xp * nx.nn - nx.sx) * (b.ys[k + 1] - r.yp)
-                      + (b.xs[k + 1] - r.xp) * (nx.sy - r.yp * nx.nn)),
-                  b.xs[k + 1], b.ys[k + 1], b.ps[k + 1]])),
-             (acc, c) -> CASE WHEN c[1] > acc[1] THEN c ELSE acc END)
-           AS best
-    FROM rec r
-    JOIN bpts b ON b.user_id = r.user_id AND b.i = r.i + 1
-    JOIN nx ON nx.user_id = r.user_id AND nx.i = r.i + 1
-    WHERE r.i + 1 <= 97)),
+st1 AS (
+  SELECT user_id, pick FROM (
+    SELECT p.user_id, p.pos AS pick,
+           row_number() OVER (PARTITION BY p.user_id ORDER BY
+             abs((CAST(s.xp AS HUGEINT) - lp.xl)
+                 * (CAST(p.y AS HUGEINT) - s.yp)
+                 + (CAST(p.x AS HUGEINT) - s.xp)
+                 * (CAST(lp.yl AS HUGEINT) - s.yp)) DESC,
+             p.pos ASC) AS rn
+    FROM long l
+    JOIN st0 s ON s.user_id = l.user_id
+    JOIN lastpt lp ON lp.user_id = l.user_id
+    JOIN pts p ON p.user_id = l.user_id
+              AND p.pos >= 1 + (l.n - 2) // 2 AND p.pos < l.n - 1) q
+  WHERE rn = 1),
 picks AS (
-  SELECT user_id, pick AS pos FROM rec
+  SELECT user_id, 0 AS pos FROM long
+  UNION ALL SELECT user_id, pick FROM st0
+  UNION ALL SELECT user_id, pick FROM st1
   UNION ALL SELECT user_id, n - 1 FROM long
-  UNION ALL SELECT user_id, pos FROM pts WHERE n <= 100)
+  UNION ALL SELECT user_id, pos FROM pts WHERE n <= 4)
 SELECT p.user_id, p.event_id, p.t, p.value
 FROM picks k JOIN pts p ON p.user_id = k.user_id AND p.pos = k.pos
 """,

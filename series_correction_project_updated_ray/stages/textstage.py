@@ -183,17 +183,24 @@ def winnow_matches(seqs, *, k: int = 5, w: int = 4, min_docs: int = 2,
     counts.  One small groupby over the (already ≈ n/(w+1)-sparse)
     winnowed selections — the aggregate view of span-level dedup; the
     per-pair verify step is `ngram_jaccard_pairs`' machinery."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
-    def _partial(t: pa.Table) -> pa.Table:
-        if "fp" not in t.column_names or len(t) == 0:
+    winnow = WinnowFingerprints(k, w, tok_col)
+
+    def _partial(seq_block: pa.Table) -> pa.Table:
+        # winnow + per-fp partial in ONE stage: the distinct-doc count
+        # per block is summable only if a document's selections never
+        # split across blocks, which holds BY CONSTRUCTION here — the
+        # input block has one row per whole document and the winnowing
+        # runs inside this same call (never rely on operator fusion for
+        # a correctness invariant)
+        t = winnow(seq_block)
+        if len(t) == 0:
             e = np.empty(0, np.int64)
             return pa.table({"fp": pa.array(e), "n_docs": pa.array(e),
                              "n_occ": pa.array(e)})
         fp = t["fp"].to_numpy(zero_copy_only=False)
         doc = t["doc_id"].to_numpy(zero_copy_only=False)
-        # per-block partial: distinct docs + occurrences per fp (a doc's
-        # selections never split across blocks — map-only upstream)
         codes, _ = pd.factorize(doc, sort=False)
         pair = np.stack([fp, codes.astype(np.int64)], axis=1)
         upair = np.unique(pair, axis=0)
@@ -202,8 +209,7 @@ def winnow_matches(seqs, *, k: int = 5, w: int = 4, min_docs: int = 2,
         return pa.table({"fp": pa.array(u), "n_docs": pa.array(nd),
                          "n_occ": pa.array(no.astype(np.int64))})
 
-    tot = winnow_fingerprints(seqs, k=k, w=w, tok_col=tok_col) \
-        .map_batches(_partial, batch_format="pyarrow") \
+    tot = seqs.map_batches(_partial, batch_format="pyarrow") \
         .groupby("fp").aggregate(Sum("n_docs", alias_name="n_docs"),
                                  Sum("n_occ", alias_name="n_occ"))
 

@@ -94,10 +94,14 @@ class SaxGroup:
         sel = np.repeat(keep, lens)
         cc, keys_kept = c[sel], keys[sel]
         nk = len(cc)
-        # exact integer moments; Σc² can exceed int64 on extreme
-        # inputs — fall through to exact Python ints like AutocorrGroup
+        # exact integer moments; the guard must bound the LARGEST
+        # product formed, which is var_num's n·Σc² ≤ len²·amax² and
+        # (Σc)² ≤ len²·amax² (NOT just Σc² ≤ n·amax²) — fall through to
+        # exact Python ints like AutocorrGroup when either could wrap
         amax = int(np.abs(cc).max()) if nk else 0
-        cs = cc.astype(object) if amax and amax * amax * nk >= (1 << 62) \
+        max_len = int(klens.max()) if K else 0
+        cs = cc.astype(object) if amax and \
+            max(nk, max_len * max_len) * amax * amax >= (1 << 62) \
             else cc
         new_starts = np.r_[np.int64(0), np.cumsum(klens)[:-1]]
         sc = np.add.reduceat(cs, new_starts)

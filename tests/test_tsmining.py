@@ -99,6 +99,25 @@ def test_sax_kernel_matches_sql_w5_and_exact_w():
     _cmp(SaxGroup(5)(one), _duck(one, SAX_SQL.format(w=5)))
 
 
+def test_sax_varnum_overflow_exact():
+    """Large count × moderate cents: Σc² fits int64 but var_num's
+    n·Σc² and (Σc)² would wrap — must route through exact python ints
+    and still match the HUGEINT SQL (review regression)."""
+    rng = np.random.default_rng(6)
+    n = 60_000
+    df = pd.DataFrame({
+        "user_id": pd.Series([1] * n, dtype="Int64"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": np.arange(n, dtype=np.int64) * 1_000_000,
+        "value": np.round(rng.uniform(500, 4000, n), 2),
+    })
+    cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+    true_var = n * int((cents.astype(object) ** 2).sum()) \
+        - int(cents.sum()) ** 2
+    assert true_var > np.iinfo(np.int64).max      # int64 WOULD wrap
+    _cmp(SaxGroup(8)(df), _duck(df, SAX_SQL.format(w=8)))
+
+
 def test_sax_big_cents_exact():
     """|cents| large enough that n·Σc² overflows int64 routes through
     the exact python-int fallback and still matches HUGEINT SQL."""
