@@ -109,6 +109,12 @@ def compress_series(ds, *, max_points: int = 65536, concurrency=(2, 8),
     success, so a replay can never double-emit (drilled in
     ``tests/test_state.py::test_compactor_actor_death_no_duplicates``)."""
     return ds.map_batches(SegmentCompactor, batch_format="pyarrow",
+                          # whole blocks as batches: the 1024-row default
+                          # would fragment every (series, day) run into
+                          # micro-segments — worse ratio AND ~5× slower
+                          # (per-segment fixed cost dominates); block size
+                          # is the segment-granularity knob
+                          batch_size=None,
                           concurrency=concurrency,
                           fn_constructor_kwargs={"max_points": max_points},
                           **ray_remote_args)
