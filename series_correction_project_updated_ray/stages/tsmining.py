@@ -95,14 +95,15 @@ class SaxGroup:
         cc, keys_kept = c[sel], keys[sel]
         nk = len(cc)
         # exact integer moments; the guard must bound the LARGEST
-        # product formed, which is var_num's n·Σc² ≤ len²·amax² and
-        # (Σc)² ≤ len²·amax² (NOT just Σc² ≤ n·amax²) — fall through to
-        # exact Python ints like AutocorrGroup when either could wrap
+        # product formed — every one is per-key (reduceat partials and
+        # Σc² ≤ len·amax², var_num's n·Σc² and (Σc)² ≤ len²·amax²), so
+        # max_len²·amax² is sufficient AND tight (an nk-wide term would
+        # over-trigger the ~10-50× slower exact-Python-int fallback on
+        # blocks of many short keys) — AutocorrGroup's fallback pattern
         amax = int(np.abs(cc).max()) if nk else 0
         max_len = int(klens.max()) if K else 0
         cs = cc.astype(object) if amax and \
-            max(nk, max_len * max_len) * amax * amax >= (1 << 62) \
-            else cc
+            (max_len * amax) ** 2 >= (1 << 62) else cc
         new_starts = np.r_[np.int64(0), np.cumsum(klens)[:-1]]
         sc = np.add.reduceat(cs, new_starts)
         ss = np.add.reduceat(cs * cs, new_starts)
