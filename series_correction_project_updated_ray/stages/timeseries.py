@@ -224,69 +224,62 @@ class ResampleFfillGroup:
         })
 
 
-def _grid_union(prepped, width_s: int):
-    """Union of the prepped event rows (``__side`` 0) and per-user grid
-    boundary rows (``__side`` 1) inside each user's observed span — the
-    shared front half of the resample operators."""
-    from ray.data.aggregate import Max, Min
-
-    spans = prepped.groupby("user_id").aggregate(
-        Min("t", alias_name="lo"), Max("t", alias_name="hi"))
-
+def _append_local_grid(g: pd.DataFrame, width_s: int) -> pd.DataFrame:
+    """Events-only partition group → the union-shaped frame the
+    resample kernels consume: event rows tagged ``__side`` 0 plus each
+    key's grid boundary rows (``__side`` 1, value NaN) inside its
+    observed span.  Generated INSIDE the partition group — the keys are
+    already co-located here, so the grid needs no separate span
+    aggregate, second corpus read, or Dataset.union (one shuffle total
+    for the whole resample instead of two)."""
     width_us = width_s * 1_000_000
+    ev = g.assign(__side=np.int64(0))
+    if len(g) == 0:
+        return ev
+    # NULL keys get no grid: the oracle's ASOF equi-join drops them
+    # (pandas groupby drops NaN/NA keys by default, matching)
+    span = g.groupby("user_id")["t"].agg(["min", "max"])
+    lo = span["min"].to_numpy(np.int64)
+    hi = span["max"].to_numpy(np.int64)
+    h0 = -(-lo // width_us)              # ceil to boundary ≥ first obs
+    h1 = hi // width_us                  # floor to boundary ≤ last obs
+    counts = np.maximum(h1 - h0 + 1, 0)
+    total = int(counts.sum())
+    csum = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    offs = np.arange(total) - np.repeat(csum, counts)
+    grid = pd.DataFrame({
+        "user_id": np.repeat(span.index.to_numpy(), counts),
+        "event_id": np.zeros(total, dtype=np.int64),
+        "value": np.full(total, np.nan),
+        "t": (np.repeat(h0, counts) + offs) * width_us,
+        "__side": np.ones(total, dtype=np.int64),
+    })
+    return pd.concat([ev, grid], ignore_index=True)
 
-    def _grid(t: pa.Table) -> pa.Table:
-        if "user_id" not in t.column_names:
-            return pa.table({"user_id": pa.array([], pa.int64()),
-                             "event_id": pa.array([], pa.int64()),
-                             "value": pa.array([], pa.float64()),
-                             "t": pa.array([], pa.int64()),
-                             "__side": pa.array([], pa.int64())})
-        import pyarrow.compute as pc
-        # a NULL key can never equal-join back to an event row (the
-        # oracle's ASOF equi-condition drops it too) — no grid for it
-        t = t.filter(pc.is_valid(t["user_id"]))
-        uid = t["user_id"].to_numpy(zero_copy_only=False)
-        lo = t["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
-        hi = t["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h0 = -(-lo // width_us)          # ceil to boundary ≥ first obs
-        h1 = hi // width_us              # floor to boundary ≤ last obs
-        counts = np.maximum(h1 - h0 + 1, 0)
-        total = int(counts.sum())
-        u_out = np.repeat(uid, counts)
-        csum = np.concatenate([[0], np.cumsum(counts)])[:-1]
-        offs = np.arange(total) - np.repeat(csum, counts)
-        hs = (np.repeat(h0, counts) + offs) * width_us
-        return pa.table({
-            "user_id": pa.array(u_out),
-            "event_id": pa.array(np.zeros(total, dtype=np.int64)),
-            "value": pa.array(np.full(total, np.nan)),
-            "t": pa.array(hs),
-            "__side": pa.array(np.ones(total, dtype=np.int64)),
-        })
 
-    grid = spans.map_batches(_grid, batch_format="pyarrow")
+class LocalGridResample:
+    """Partition-group wrapper: build the key-local grid, then run the
+    union-shaped resample kernel on it."""
 
-    def _tag(t: pa.Table) -> pa.Table:
-        # column order must match _grid's exactly: Dataset.union
-        # concatenates blocks positionally-schema-checked
-        t = t.select(["user_id", "event_id", "value", "t"])
-        return t.append_column(
-            "__side", pa.array(np.zeros(len(t), dtype=np.int64)))
+    def __init__(self, inner, width_s: int):
+        self.inner, self.width_s = inner, width_s
+        self.__name__ = type(inner).__name__ + "LocalGrid"
 
-    return prepped.map_batches(_tag, batch_format="pyarrow").union(grid)
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        return self.inner(_append_local_grid(g, self.width_s))
 
 
 def resample_ffill(events, *, width_s: int = 3600, n_parts: int = 64):
     """Regular-grid forward-fill resample: per user, one row per
     ``width_s`` boundary inside the user's observed span, carrying the
-    latest prior-or-equal observation.  Grid generation is an
-    aggregate + flat-map (tiny), the fill one partition-group shuffle
-    of the union — the UPSAMPLE dual of the rollup downsample."""
-    both = _grid_union(_prep_events(events), width_s)
-    return _add_key_partition(both, "user_id", n_parts) \
-        .groupby("__part").map_groups(ResampleFfillGroup(),
-                                      batch_format="pandas")
+    latest prior-or-equal observation.  ONE partition-group shuffle;
+    the grid is generated inside each group (keys are co-located) —
+    the UPSAMPLE dual of the rollup downsample."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(
+            LocalGridResample(ResampleFfillGroup(), width_s),
+            batch_format="pandas")
 
 
 # --- EWMA ------------------------------------------------------------------
@@ -795,11 +788,13 @@ class ResampleInterpGroup:
 
 def resample_interp(events, *, width_s: int = 3600, n_parts: int = 64):
     """Regular-grid linear-interpolation resample — the smooth variant
-    of :func:`resample_ffill`, same grid and shuffle shape."""
-    both = _grid_union(_prep_events(events), width_s)
-    return _add_key_partition(both, "user_id", n_parts) \
-        .groupby("__part").map_groups(ResampleInterpGroup(),
-                                      batch_format="pandas")
+    of :func:`resample_ffill`, same key-local grid and single-shuffle
+    shape."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(
+            LocalGridResample(ResampleInterpGroup(), width_s),
+            batch_format="pandas")
 
 
 # --- hysteresis alerting ---------------------------------------------------
