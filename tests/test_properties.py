@@ -304,3 +304,218 @@ def test_rate_counter_matches_scalar_loop(rows, width_s):
                 assert row["increase"] == sum(inc[w]) / 100.0
             else:
                 assert np.isnan(row["increase"])
+
+
+# --- round-4 kernels: SAX / excursions / M4 / winnow / LTTB / DTW -----------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2),
+                          st.integers(0, 20_000),
+                          st.integers(-9, 9)),     # tiny domain → ties
+                min_size=1, max_size=120),
+       st.integers(2, 6))
+def test_sax_matches_literal(rows, w):
+    from series_correction_project_updated_ray.stages.tsmining import (
+        SAX_BREAKPOINTS_4, SaxGroup)
+    keys = [r[0] for r in rows]
+    ts = [r[1] * 1_000_000 for r in rows]
+    vals = [r[2] / 4 for r in rows]                # 2dp decimals
+    df = _ts_frame(keys, ts, vals)
+    got = SaxGroup(w)(df).set_index("user_id")
+    for k in set(keys):
+        sub = df[df["user_id"] == k].sort_values(["t", "event_id"])
+        c = np.round(sub["value"].to_numpy() * 100).astype(np.int64)
+        n = len(c)
+        if n < w:
+            assert k not in got.index
+            continue
+        sc, ss = int(c.sum()), int((c.astype(object) ** 2).sum())
+        var = n * ss - sc * sc
+        if var == 0:
+            assert got.loc[k, "sax"] is None
+            continue
+        mean, std = sc / n, np.sqrt(float(var)) / n
+        syms = []
+        for j in range(w):
+            lo = -((-j * n) // w)                  # ceil(j*n/w)
+            hi = -((-(j + 1) * n) // w)
+            seg = c[lo:hi]
+            z = (seg.sum() / len(seg) - mean) / std
+            syms.append("abcd"[int(np.searchsorted(
+                SAX_BREAKPOINTS_4, z, side="right"))])
+        assert got.loc[k, "sax"] == "".join(syms)
+        assert got.loc[k, "n_events"] == n
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2),
+                          st.integers(0, 20_000),
+                          st.integers(-20, 20)),
+                min_size=1, max_size=120),
+       st.integers(-5, 5))
+def test_excursions_match_literal(rows, thresh):
+    from series_correction_project_updated_ray.stages.tsmining import (
+        ExcursionGroup)
+    keys = [r[0] for r in rows]
+    ts = [r[1] * 1_000_000 for r in rows]
+    vals = [float(r[2]) for r in rows]
+    df = _ts_frame(keys, ts, vals)
+    got = ExcursionGroup(float(thresh))(df).set_index("user_id")
+    for k in set(keys):
+        sub = df[df["user_id"] == k].sort_values(["t", "event_id"])
+        runs, cur = [], []
+        for t, v in zip(sub["t"], sub["value"]):
+            if v > thresh:
+                cur.append(t)
+            elif cur:
+                runs.append(cur)
+                cur = []
+        if cur:
+            runs.append(cur)
+        if not runs:
+            assert k not in got.index
+            continue
+        r = got.loc[k]
+        assert r["n_excursions"] == len(runs)
+        assert r["max_run"] == max(len(x) for x in runs)
+        assert r["n_over"] == sum(len(x) for x in runs)
+        assert r["max_dur_us"] == max(x[-1] - x[0] for x in runs)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2),
+                          st.integers(0, 500),    # coarse → t ties
+                          st.integers(-8, 8)),    # tiny → value ties
+                min_size=1, max_size=150),
+       st.integers(1, 4))
+def test_m4_partial_finalize_matches_literal(rows, width_s):
+    import pandas as pd
+    import pyarrow as pa
+    from series_correction_project_updated_ray.stages.tsmining import (
+        M4Finalize, PartialM4)
+    keys = [r[0] for r in rows]
+    ts = [r[1] * 1_000_000 for r in rows]
+    vals = [r[2] / 4 for r in rows]
+    df = _ts_frame(keys, ts, vals)
+    df["user_id"] = df["user_id"].astype(np.int64)
+    parts = []
+    for lo in range(0, len(df), 37):               # cell-straddling splits
+        d = df.iloc[lo:lo + 37]
+        tbl = pa.table({
+            "user_id": d["user_id"], "event_id": d["event_id"],
+            "ts": pa.array(d["t"].to_numpy(), type=pa.timestamp("us")),
+            "value": d["value"]})
+        parts.append(PartialM4("user_id", "ts", "value",
+                               "event_id", width_s)(tbl))
+    got = M4Finalize("user_id")(pa.concat_tables(parts).to_pandas()) \
+        .set_index(["user_id", "bucket_start"])
+    df["cents"] = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+    df["bucket"] = df["t"] // 1_000_000 // width_s * width_s
+    for (k, b), sub in df.groupby(["user_id", "bucket"]):
+        sub = sub.sort_values(["t", "event_id"])
+        r = got.loc[(k, b)]
+        assert r["n"] == len(sub)
+        assert r["t_first"] == sub["t"].iloc[0]
+        assert r["v_first"] == sub["cents"].iloc[0] / 100.0
+        assert r["t_last"] == sub["t"].iloc[-1]
+        assert r["v_last"] == sub["cents"].iloc[-1] / 100.0
+        mn, mx = sub["cents"].min(), sub["cents"].max()
+        assert r["v_min"] == mn / 100.0 and r["v_max"] == mx / 100.0
+        assert r["t_min"] == sub.loc[sub["cents"] == mn, "t"].min()
+        assert r["t_max"] == sub.loc[sub["cents"] == mx, "t"].min()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 6), min_size=0, max_size=80),  # tiny vocab
+       st.integers(2, 4), st.integers(2, 5))
+def test_winnow_matches_literal(tids, k, w):
+    import pyarrow as pa
+    from series_correction_project_updated_ray.stages.textstage import (
+        WinnowFingerprints)
+    B = np.uint64(1099511628211)
+    tbl = pa.table({"doc_id": pa.array(["d"], pa.string()),
+                    "tokens": pa.array([tids], pa.list_(pa.int32()))})
+    got = WinnowFingerprints(k, w)(tbl).to_pandas()
+    gs = []
+    with np.errstate(over="ignore"):
+        for i in range(len(tids) - k + 1):
+            acc = np.uint64(tids[i])
+            for j in range(1, k):
+                acc = acc * B + np.uint64(tids[i + j])
+            gs.append(acc)
+    want = set()
+    for e in range(w - 1, len(gs)):
+        lo = e - w + 1
+        mn = min(gs[lo:e + 1])
+        p = max(i for i in range(lo, e + 1) if gs[i] == mn)
+        want.add((p, int(gs[p].view(np.int64))))
+    assert set(zip(got["pos"], got["fp"])) == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 300),
+                          st.integers(-6, 6)),     # ties everywhere
+                min_size=1, max_size=60),
+       st.integers(3, 8))
+def test_lttb_matches_exact_fraction_literal(rows, n_out):
+    """The integer-area kernel must agree with a literal LTTB using
+    exact Fraction arithmetic for the centroid/area — same bucketing,
+    first-max ties."""
+    from fractions import Fraction
+    from series_correction_project_updated_ray.stages.timeseries import (
+        lttb_select)
+    t = np.sort(np.array([r[0] for r in rows], dtype=np.int64)) * 1_000_000
+    v = np.array([r[1] / 4 for r in rows])
+    got = list(lttb_select(t, v, n_out))
+    n = len(t)
+    if n_out >= n:
+        assert got == list(range(n))
+        return
+    c = [int(x) for x in np.round(v * 100).astype(np.int64)]
+    x = [int(a) for a in t]
+    edges = [1 + (i * (n - 2)) // (n_out - 2) for i in range(n_out - 1)]
+    edges.append(n - 1)
+    want, prev = [0], 0
+    for i in range(n_out - 2):
+        s, e = edges[i], edges[i + 1]
+        ns, ne = edges[i + 1], min(edges[i + 2], n)
+        if ne > ns:
+            cx = Fraction(sum(x[ns:ne]), ne - ns)
+            cy = Fraction(sum(c[ns:ne]), ne - ns)
+        else:
+            cx, cy = Fraction(x[n - 1]), Fraction(c[n - 1])
+        best, bj = -1, s
+        for j in range(s, e):
+            area = abs((x[prev] - cx) * (c[j] - c[prev])
+                       - (x[prev] - x[j]) * (cy - c[prev]))
+            if area > best:
+                best, bj = area, j
+        prev = bj
+        want.append(prev)
+    want.append(n - 1)
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(2, 5), st.integers(1, 12),
+       st.integers(0, 10**6))
+def test_dtw_pairwise_matches_literal(kk, ll, seed):
+    from series_correction_project_updated_ray.stages.tsmining import (
+        dtw_pairwise_int)
+    rng = np.random.default_rng(seed)
+    prof = rng.integers(-1000, 1000, size=(kk, ll)).astype(np.int64)
+    INF = 1 << 62
+    ia, ja = np.triu_indices(kk, k=1)
+    want = []
+    for i, j in zip(ia, ja):
+        a, b = prof[i], prof[j]
+        acc = [[INF] * (ll + 1) for _ in range(ll + 1)]
+        acc[0][0] = 0
+        for p in range(1, ll + 1):
+            for q in range(1, ll + 1):
+                cost = abs(int(a[p - 1]) - int(b[q - 1]))
+                acc[p][q] = cost + min(acc[p - 1][q], acc[p][q - 1],
+                                       acc[p - 1][q - 1])
+        want.append(acc[ll][ll])
+    assert dtw_pairwise_int(prof).tolist() == want
