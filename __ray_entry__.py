@@ -1163,6 +1163,14 @@ def _q_winnow_matches(sf_dir: str):
     return winnow_matches(_poly_tokenized(sf_dir), k=5, w=4, min_docs=2)
 
 
+def _q_drawdown(sf_dir: str):
+    """Per-user max drawdown (largest drop from the running peak,
+    exact integer cents) with the earliest trough timestamp."""
+    from series_correction_project_updated_ray.stages.timeseries import max_drawdown
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return max_drawdown(ev)
+
+
 def _q_sax(sf_dir: str):
     """SAX symbolization (Lin et al. 2007): per-user z-normalized PAA
     into 8 segments mapped through the alphabet-4 Gaussian breakpoints.
@@ -1641,12 +1649,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # exact rank is the q=4 special case of the kept
             # grouped_quantiles machinery
             "user_event_sequences", "value_quartiles",
-            # lttb_downsample's integer-area recursive-CTE oracle enters
-            # the window: topn_per_user's per-key ordered rank selection
-            # is the bounded special case of the kept knn_topk
-            # distributed top-k and grouped_quantiles' exact-rank
-            # machinery
-            "topn_per_user"][:n_over]
+            # lttb_downsample's integer-area oracle enters the window:
+            # topn_per_user's per-key ordered rank selection is the
+            # bounded special case of the kept knn_topk distributed
+            # top-k and grouped_quantiles' exact-rank machinery
+            "topn_per_user",
+            # max_drawdown enters the window: sample_users_10pct's
+            # splitmix64 threshold sampling is certified by the kept
+            # stratified_sample_docs (same hash, same threshold
+            # arithmetic, plus the per-stratum budget on top)
+            "sample_users_10pct"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -1835,6 +1847,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # duplicate-span aggregate — oracle-checked
         "winnow_fingerprints": _q_winnow,
         "winnow_matches": _q_winnow_matches,
+        # max drawdown from the running peak (segmented cummax, exact
+        # cents, earliest-trough tie) — oracle-checked
+        "max_drawdown": _q_drawdown,
         # vocab tf/df + bigram transition counts over polynomial token
         # ids — oracle-checked
         "token_vocab_stats": _q_token_vocab_stats,
@@ -2677,6 +2692,27 @@ SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_occ
 FROM ({_WINNOW_FP_SQL}) GROUP BY 1
 HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+        # max drawdown: running peak = window MAX over the (t, id)
+        # frame; trough tie = MIN(t) over rows attaining the key max
+        "max_drawdown": """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         MAX(CAST(round(value*100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ROWS UNBOUNDED PRECEDING) AS runmax
+  FROM events),
+d AS (SELECT user_id, t, runmax - cents AS dd FROM c),
+s AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(dd) AS mdd
+  FROM d GROUP BY 1)
+SELECT s.user_id, s.n_events,
+       CAST(s.mdd AS DOUBLE) / 100.0 AS max_drawdown,
+       MIN(d.t) AS t_trough
+FROM s JOIN d ON d.user_id = s.user_id AND d.dd = s.mdd
+GROUP BY 1, 2, 3
 """,
         # M4 downsample: first/last anchored on (t, id); min/max on
         # value with the earliest-t tie rule (MIN(t) over the rows

@@ -116,6 +116,84 @@ def rate_counter(events, *, width_s: int = 3600, n_parts: int = 64):
                                       batch_format="pandas")
 
 
+# --- max drawdown (running-peak regression) ---------------------------------
+
+class DrawdownGroup:
+    """Per-partition kernel: per key in (t, event_id) order, the MAX
+    DRAWDOWN — the largest drop from the running peak, max(runmax − v)
+    — with the trough anchored at the EARLIEST t attaining it.  Exact
+    in integer cents; the segmented running max is one vectorized
+    cummax over key-offset-shifted values (keys are sorted, so adding
+    code·K with K > the global cents range makes every new key's
+    values exceed all previous — the cummax resets at each boundary),
+    with an exact python-int fallback when the shift could overflow."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": g["user_id"],
+                "n_events": pd.Series([], dtype=np.int64),
+                "max_drawdown": pd.Series([], dtype=np.float64),
+                "t_trough": pd.Series([], dtype=np.int64)})
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        keys = g["user_id"].to_numpy()[order]
+        cents = scaled_int(g["value"].to_numpy(np.float64))[order]
+        n = len(t)
+        lo = int(cents.min())
+        span = int(cents.max()) - lo + 1
+        ncodes = int(codes.max()) + 1
+        if ncodes * span < (1 << 62):
+            shifted = (cents - lo) + codes.astype(np.int64) * span
+            runmax = np.maximum.accumulate(shifted) - codes * span + lo
+        else:                                   # exact fallback
+            obj = cents.astype(object)
+            runmax = np.empty(n, dtype=object)
+            cur, ck = None, -1
+            for i in range(n):
+                if codes[i] != ck:
+                    cur, ck = obj[i], codes[i]
+                elif obj[i] > cur:
+                    cur = obj[i]
+                runmax[i] = cur
+        dd = runmax - cents
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        mdd = np.maximum.reduceat(dd, starts)
+        # earliest t attaining the key's max drawdown: lexsort pick on
+        # (-dd, t) within key — dd may be object dtype, so order by a
+        # rank-equivalent int64 view when safe, else argsort object
+        if dd.dtype == object:
+            neg = np.array([-int(x) for x in dd], dtype=object)
+        else:
+            neg = -dd
+        order2 = np.lexsort((t, neg, codes))
+        c2 = codes[order2]
+        s2 = np.flatnonzero(np.r_[True, c2[1:] != c2[:-1]])
+        pick = order2[s2]
+        return pd.DataFrame({
+            "user_id": keys[starts],
+            "n_events": np.diff(np.r_[starts, n]).astype(np.int64),
+            "max_drawdown": np.asarray(mdd, dtype=np.float64) / 100.0,
+            "t_trough": t[pick],
+        })
+
+
+def max_drawdown(events, *, n_parts: int = 64):
+    """Per-user max drawdown (largest drop from the running peak) with
+    the earliest trough timestamp — one partition-group shuffle, exact
+    integer cents."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(DrawdownGroup(),
+                                      batch_format="pandas")
+
+
 # --- interval coverage (gaps and islands) ----------------------------------
 
 class IntervalCoverageGroup:

@@ -519,3 +519,57 @@ def test_dtw_pairwise_matches_literal(kk, ll, seed):
                                        acc[p - 1][q - 1])
         want.append(acc[ll][ll])
     assert dtw_pairwise_int(prof).tolist() == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2),
+                          st.integers(0, 20_000),
+                          st.integers(-50, 50)),
+                min_size=1, max_size=120))
+def test_drawdown_matches_scalar_loop(rows):
+    from series_correction_project_updated_ray.stages.timeseries import (
+        DrawdownGroup)
+    keys = [r[0] for r in rows]
+    ts = [r[1] * 1_000_000 for r in rows]
+    vals = [r[2] / 4 for r in rows]
+    df = _ts_frame(keys, ts, vals)
+    got = DrawdownGroup()(df).set_index("user_id")
+    for k in set(keys):
+        sub = df[df["user_id"] == k].sort_values(["t", "event_id"])
+        c = np.round(sub["value"].to_numpy() * 100).astype(np.int64)
+        runmax = np.maximum.accumulate(c)
+        dd = runmax - c
+        r = got.loc[k]
+        assert r["n_events"] == len(sub)
+        assert r["max_drawdown"] == dd.max() / 100.0
+        assert r["t_trough"] == sub["t"].to_numpy()[
+            np.flatnonzero(dd == dd.max())].min()
+
+
+def test_drawdown_object_fallback_exact():
+    """Cents magnitudes that overflow the shift trick route through the
+    exact python-int fallback and agree with the int64 path's answer on
+    the equivalent scaled-down series."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        DrawdownGroup)
+    rng = np.random.default_rng(8)
+    base = rng.integers(-1000, 1000, 200)
+    keys = list(range(10)) * 20     # 10 keys × ~2e18 span ≥ 2^62
+    df_small = _ts_frame(keys, list(range(200)), (base / 100).tolist())
+    df_big = _ts_frame(keys, list(range(200)),
+                       (base.astype(np.float64) * 1e15 / 100).tolist())
+    DrawdownGroup()(df_small)                    # int64 fast path runs
+    big = DrawdownGroup()(df_big).set_index("user_id")
+    from series_correction_project_updated_ray.functions.rounding import scaled_int
+    for k in range(10):
+        # expected via an exact python-int scalar loop on the big frame
+        sub = df_big[df_big["user_id"] == k].sort_values(["t", "event_id"])
+        cents = [int(x) for x in scaled_int(sub["value"].to_numpy())]
+        peak, mdd, trough = cents[0], 0, sub["t"].iloc[0]
+        for c, t in zip(cents, sub["t"]):
+            peak = max(peak, c)
+            if peak - c > mdd:
+                mdd, trough = peak - c, t
+        # both sides pass through the same float division, so == holds
+        assert big.loc[k, "max_drawdown"] == float(mdd) / 100.0
+        assert big.loc[k, "t_trough"] == trough

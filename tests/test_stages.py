@@ -224,6 +224,26 @@ def test_queries_have_oracles_subset(ray_session):
     assert len(os_) >= 12
 
 
+def test_driver_window_holds_exactly_50_oracle_backed():
+    """The driver gate evaluates the FIRST 50 queries() entries; every
+    slot must carry an oracle and no oracle-backed entry may fall out
+    unintentionally (|backed| − |distinct demotions| must be exactly
+    50 — a duplicate in the demotion list once silently pushed a
+    backed query to position 51)."""
+    import inspect
+    import re
+    import __ray_entry__ as E
+    names = list(E.queries())
+    backed = set(E.oracle_sql())
+    assert all(n in backed for n in names[:50])
+    src = inspect.getsource(E.queries)
+    late = re.findall(r'"([a-z0-9_]+)"(?:,|\])', src)
+    assert len(late) == len(set(late)), "duplicate demotion entry"
+    in_window_backed = [n for n in names[:50] if n in backed]
+    assert len(backed) - len([n for n in names[50:] if n in backed]) \
+        == len(in_window_backed) == 50
+
+
 def test_connected_components_distributed_matches_driver(ray_session):
     import ray.data as rd
     from series_correction_project_updated_ray.stages.dedup import (
