@@ -1163,6 +1163,16 @@ def _q_winnow_matches(sf_dir: str):
     return winnow_matches(_poly_tokenized(sf_dir), k=5, w=4, min_docs=2)
 
 
+def _q_props_stats(sf_dir: str):
+    """Per-event-type stats of the integer `k` field extracted from the
+    JSON props column — Arrow-C++ extract_regex (never a per-row
+    json.loads), equal to json_extract for the corpus's flat shape."""
+    from series_correction_project_updated_ray.stages.relational import (
+        props_field_stats)
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+    return props_field_stats(ev, field="k", by="event_type")
+
+
 def _q_drawdown(sf_dir: str):
     """Per-user max drawdown (largest drop from the running peak,
     exact integer cents) with the earliest trough timestamp."""
@@ -1658,7 +1668,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # splitmix64 threshold sampling is certified by the kept
             # stratified_sample_docs (same hash, same threshold
             # arithmetic, plus the per-stratum budget on top)
-            "sample_users_10pct"][:n_over]
+            "sample_users_10pct",
+            # props_field_stats enters the window: tail_nonzero_avg's
+            # filtered mean is the scalar core of the kept
+            # level_shifts_events oracle (same tail window, same
+            # filtered aggregation, plus the shift response on top)
+            "tail_nonzero_avg"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -1850,6 +1865,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # max drawdown from the running peak (segmented cummax, exact
         # cents, earliest-trough tie) — oracle-checked
         "max_drawdown": _q_drawdown,
+        # JSON props field extraction + per-type stats (vectorized
+        # extract_regex = json_extract on the flat shape) —
+        # oracle-checked
+        "props_field_stats": _q_props_stats,
         # vocab tf/df + bigram transition counts over polynomial token
         # ids — oracle-checked
         "token_vocab_stats": _q_token_vocab_stats,
@@ -2692,6 +2711,26 @@ SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_occ
 FROM ({_WINNOW_FP_SQL}) GROUP BY 1
 HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+        # JSON field stats: json_extract_string -> BIGINT, identical to
+        # the engine's regex extraction on the corpus's flat int shape;
+        # mean closes CAST(sum AS DOUBLE)/nv on both sides
+        "props_field_stats": """
+WITH c AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) - COUNT(k) AS BIGINT) AS n_null,
+         SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+  FROM c GROUP BY 1)
+SELECT event_type, n, n_null,
+       CAST(sum_k AS BIGINT) AS sum_k,
+       CAST(min_k AS BIGINT) AS min_k,
+       CAST(max_k AS BIGINT) AS max_k,
+       round(CAST(sum_k AS DOUBLE) / (n - n_null), 6) AS mean_k
+FROM s
 """,
         # max drawdown: running peak = window MAX over the (t, id)
         # frame; trough tie = MIN(t) over rows attaining the key max

@@ -757,3 +757,84 @@ def winsorize_events(events, *, lo_p: float = 0.01, hi_p: float = 0.99):
         })
 
     return events.map_batches(_clip, batch_format="pyarrow")
+
+
+# --- JSON props field extraction (vectorized ETL) ----------------------------
+
+def props_field_stats(events, *, field: str = "k", by: str = "event_type",
+                      props_col: str = "props"):
+    """Per-``by`` statistics of an integer field extracted from a JSON
+    string column: (n, n_null, sum/min/max/mean of the field).
+
+    The extraction is Arrow-C++-vectorized (``pc.extract_regex`` on the
+    pattern ``"<field>"\\s*:\\s*(-?\\d+)``) — never a Python
+    json.loads per row.  Scope: FLAT integer fields (the shape of the
+    events.props column); the regex semantics equal
+    ``json_extract(props, '$.field')`` for that shape, which is the
+    SQL oracle.  Partial-first: per-block cells ship fixed-size rows
+    into one small groupby."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    pat = '"' + field + '"\\s*:\\s*(?P<v>-?\\d+)'
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if props_col not in t.column_names or len(t) == 0:
+            e = np.empty(0, np.int64)
+            return pa.table({by: pa.array([], pa.string()),
+                             "n": pa.array(e), "n_null": pa.array(e),
+                             "sum_k": pa.array(e), "min_k": pa.array(e),
+                             "max_k": pa.array(e)})
+        t = t.filter(pc.is_valid(t[by]))   # null-key rows dropped
+        m = pc.extract_regex(pc.cast(t[props_col], pa.string()), pat)
+        v = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        vn = v.to_numpy(zero_copy_only=False)          # NaN where null
+        keys = t[by].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(keys, sort=False)
+        K = len(uniq)
+        null = np.isnan(vn)
+        vi = np.where(null, 0, vn).astype(np.int64)
+        n = np.bincount(codes, minlength=K)
+        n_null = np.bincount(codes[null], minlength=K)
+        sums = np.bincount(codes, weights=vi, minlength=K).astype(np.int64)
+        mn = np.full(K, np.iinfo(np.int64).max)
+        mx = np.full(K, np.iinfo(np.int64).min)
+        ok = ~null
+        np.minimum.at(mn, codes[ok], vi[ok])
+        np.maximum.at(mx, codes[ok], vi[ok])
+        return pa.table({
+            by: pa.array(uniq, pa.string()),
+            "n": pa.array(n.astype(np.int64)),
+            "n_null": pa.array(n_null.astype(np.int64)),
+            "sum_k": pa.array(sums),
+            "min_k": pa.array(mn), "max_k": pa.array(mx),
+        })
+
+    tot = events.map_batches(_partial, batch_format="pyarrow") \
+        .groupby(by).aggregate(Sum("n", alias_name="n"),
+                               Sum("n_null", alias_name="n_null"),
+                               Sum("sum_k", alias_name="sum_k"),
+                               Min("min_k", alias_name="min_k"),
+                               Max("max_k", alias_name="max_k"))
+
+    def _final(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = t["n_null"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["sum_k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = n - nn
+        allnull = nv == 0                  # sentinel extrema → SQL NULL
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = round_half_away(s / np.maximum(nv, 1), 6)
+        mn = t["min_k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = t["max_k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            by: t[by],
+            "n": pa.array(n), "n_null": pa.array(nn),
+            "sum_k": pa.array(s, mask=allnull),   # SUM over all-NULL
+            "min_k": pa.array(mn, mask=allnull),
+            "max_k": pa.array(mx, mask=allnull),
+            "mean_k": pa.array(mean, mask=allnull),
+        })
+
+    return tot.map_batches(_final, batch_format="pyarrow")

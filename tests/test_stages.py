@@ -1811,3 +1811,30 @@ def test_jsonl_documents_roundtrip(ray_session, tmp_path):
     back = read_documents_jsonl(str(out)).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(back, df)
+
+
+def test_props_field_stats_nulls_and_missing(ray_session):
+    """Missing field and NULL props count as n_null (= SQL
+    json_extract -> NULL); all-null groups emit NULL sum/min/max/mean
+    like SQL aggregates over empty sets.  (Malformed JSON: the engine's
+    regex yields null; DuckDB json_extract ERRORS — the oracle assumes
+    valid JSON, which the corpus guarantees.)"""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        props_field_stats)
+    tbl = pa.table({
+        "event_type": ["a", "a", "a", "b", "b", "c"],
+        "props": ['{"k": 7}', '{"j": 1}', None,
+                  '{"k": -3}', '{"k": 12}', '{"j": 9}'],
+    })
+    got = props_field_stats(rd.from_arrow(tbl).repartition(3)) \
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("events", tbl)
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["props_field_stats"]).df() \
+        .sort_values("event_type").reset_index(drop=True)
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
