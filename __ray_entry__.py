@@ -2719,7 +2719,7 @@ HAVING COUNT(DISTINCT doc_id) >= 2
 WITH c AS (
   SELECT event_type,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-  FROM events),
+  FROM events WHERE event_type IS NOT NULL),
 s AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
          CAST(COUNT(*) - COUNT(k) AS BIGINT) AS n_null,

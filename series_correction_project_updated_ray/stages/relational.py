@@ -777,33 +777,42 @@ def props_field_stats(events, *, field: str = "k", by: str = "event_type",
     from ray.data.aggregate import Max, Min, Sum
 
     pat = '"' + field + '"\\s*:\\s*(?P<v>-?\\d+)'
+    try:                       # empty/column-less blocks need the real
+        by_type = events.schema().field(by).type     # key dtype
+    except Exception:
+        by_type = pa.string()
 
     def _partial(t: pa.Table) -> pa.Table:
         if props_col not in t.column_names or len(t) == 0:
             e = np.empty(0, np.int64)
-            return pa.table({by: pa.array([], pa.string()),
+            return pa.table({by: pa.array([], by_type),
                              "n": pa.array(e), "n_null": pa.array(e),
                              "sum_k": pa.array(e), "min_k": pa.array(e),
                              "max_k": pa.array(e)})
-        t = t.filter(pc.is_valid(t[by]))   # null-key rows dropped
+        # null-key rows dropped (the oracle filters them identically)
+        t = t.filter(pc.is_valid(t[by]))
         m = pc.extract_regex(pc.cast(t[props_col], pa.string()), pat)
         v = pc.cast(pc.struct_field(m, "v"), pa.int64())
-        vn = v.to_numpy(zero_copy_only=False)          # NaN where null
+        # exact int64 path: fill_null(0) keeps values out of float64
+        # (to_numpy on a null-bearing int column round-trips via float,
+        # losing exactness past 2^53)
+        null = pc.is_null(v).to_numpy(zero_copy_only=False)
+        vi = pc.fill_null(v, 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         keys = t[by].to_numpy(zero_copy_only=False)
         codes, uniq = pd.factorize(keys, sort=False)
         K = len(uniq)
-        null = np.isnan(vn)
-        vi = np.where(null, 0, vn).astype(np.int64)
         n = np.bincount(codes, minlength=K)
         n_null = np.bincount(codes[null], minlength=K)
-        sums = np.bincount(codes, weights=vi, minlength=K).astype(np.int64)
-        mn = np.full(K, np.iinfo(np.int64).max)
+        sums = np.zeros(K, dtype=np.int64)
+        np.add.at(sums, codes, vi)          # int64-exact, unlike
+        mn = np.full(K, np.iinfo(np.int64).max)  # bincount(weights=...)
         mx = np.full(K, np.iinfo(np.int64).min)
         ok = ~null
         np.minimum.at(mn, codes[ok], vi[ok])
         np.maximum.at(mx, codes[ok], vi[ok])
         return pa.table({
-            by: pa.array(uniq, pa.string()),
+            by: pa.array(uniq).cast(by_type),
             "n": pa.array(n.astype(np.int64)),
             "n_null": pa.array(n_null.astype(np.int64)),
             "sum_k": pa.array(sums),

@@ -139,6 +139,11 @@ class DrawdownGroup:
                 "max_drawdown": pd.Series([], dtype=np.float64),
                 "t_trough": pd.Series([], dtype=np.int64)})
         codes, _ = pd.factorize(g["user_id"], sort=False)
+        if (codes < 0).any():   # oracle's equi-join drops null keys
+            g = g.iloc[codes >= 0]
+            codes = codes[codes >= 0]
+            if len(g) == 0:
+                return self.__call__(g)
         t = g["t"].to_numpy(np.int64)
         ids = g["event_id"].to_numpy()
         order = np.lexsort((ids, t, codes))

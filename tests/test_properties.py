@@ -558,18 +558,24 @@ def test_drawdown_object_fallback_exact():
     df_small = _ts_frame(keys, list(range(200)), (base / 100).tolist())
     df_big = _ts_frame(keys, list(range(200)),
                        (base.astype(np.float64) * 1e15 / 100).tolist())
-    DrawdownGroup()(df_small)                    # int64 fast path runs
-    big = DrawdownGroup()(df_big).set_index("user_id")
+    small = DrawdownGroup()(df_small).set_index("user_id")  # int64 path
+    big = DrawdownGroup()(df_big).set_index("user_id")      # object path
     from series_correction_project_updated_ray.functions.rounding import scaled_int
-    for k in range(10):
-        # expected via an exact python-int scalar loop on the big frame
-        sub = df_big[df_big["user_id"] == k].sort_values(["t", "event_id"])
+
+    def _loop(frame, k):
+        sub = frame[frame["user_id"] == k].sort_values(["t", "event_id"])
         cents = [int(x) for x in scaled_int(sub["value"].to_numpy())]
         peak, mdd, trough = cents[0], 0, sub["t"].iloc[0]
         for c, t in zip(cents, sub["t"]):
             peak = max(peak, c)
             if peak - c > mdd:
                 mdd, trough = peak - c, t
-        # both sides pass through the same float division, so == holds
-        assert big.loc[k, "max_drawdown"] == float(mdd) / 100.0
-        assert big.loc[k, "t_trough"] == trough
+        return mdd, trough
+
+    for k in range(10):
+        # BOTH paths against the exact python-int scalar loop (same
+        # float division on both sides, so == holds)
+        for frame, got in ((df_small, small), (df_big, big)):
+            mdd, trough = _loop(frame, k)
+            assert got.loc[k, "max_drawdown"] == float(mdd) / 100.0
+            assert got.loc[k, "t_trough"] == trough

@@ -1838,3 +1838,20 @@ def test_props_field_stats_nulls_and_missing(ray_session):
         .sort_values("event_type").reset_index(drop=True)
     cols = sorted(got.columns)
     pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
+
+
+def test_drawdown_null_keys_dropped():
+    """NULL user_id rows emit no drawdown row — matching the oracle's
+    equi-join, which drops the NULL group (review regression)."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        DrawdownGroup)
+    df = pd.DataFrame({
+        "user_id": pd.array([1, 1, None], dtype="Int64"),
+        "event_id": np.arange(3, dtype=np.int64),
+        "t": np.arange(3, dtype=np.int64) * 1_000_000,
+        "value": [5.0, 3.0, 9.0],
+    })
+    out = DrawdownGroup()(df)
+    assert len(out) == 1 and out["user_id"].iloc[0] == 1
+    assert out["max_drawdown"].iloc[0] == 2.0
+    assert len(DrawdownGroup()(df[df["user_id"].isna()])) == 0
