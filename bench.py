@@ -197,6 +197,14 @@ def run_bench() -> dict:
               lambda: chunk_documents(rd.read_parquet(
                   docs_path, columns=["doc_id", "text"])).count())
 
+        def _winnow():
+            import sys as _s
+            if REPO not in _s.path:
+                _s.path.insert(0, REPO)
+            from __ray_entry__ import _q_winnow_matches
+            return _q_winnow_matches(SF_DIR).count()
+        timed("winnow_matches", _winnow)
+
         from series_correction_project_updated_ray.stages.timeseries import (
             autocorr_lag1, ewma_per_user, lttb_downsample, rate_counter,
             resample_ffill)
