@@ -847,3 +847,100 @@ def props_field_stats(events, *, field: str = "k", by: str = "event_type",
         })
 
     return tot.map_batches(_final, batch_format="pyarrow")
+
+
+# --- large-volume orders (TPC-H Q18 shape) ---------------------------------
+
+class _BroadcastInnerJoin:
+    """Task-cached broadcast INNER join: the SMALL side (a pandas frame
+    behind an object ref) merges against every streamed batch — multi-
+    match rows fan out like SQL, unlike :class:`BroadcastLookup`'s
+    single-valued map.  Output dtypes are pinned from the declared
+    arrow schema (the arrow→pandas→arrow round trip must not floatify
+    int keys — the chained-join lesson)."""
+
+    def __init__(self, small_ref, batch_key: str, small_key: str,
+                 out_schema: "pa.Schema"):
+        import ray
+        self.small: pd.DataFrame = ray.get(small_ref)
+        self.batch_key, self.small_key = batch_key, small_key
+        self.out_schema = out_schema
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.batch_key not in batch.column_names:
+            # Ray's occasional 0-row column-less blocks
+            return self.out_schema.empty_table()
+        cols = [f.name for f in self.out_schema]
+        bcols = [c for c in batch.column_names
+                 if c in cols or c == self.batch_key]
+        df = batch.select(bcols).to_pandas()
+        merged = df.merge(self.small, left_on=self.batch_key,
+                          right_on=self.small_key, how="inner")
+        arrs = [pa.Array.from_pandas(merged[f.name], type=f.type)
+                for f in self.out_schema]
+        return pa.Table.from_arrays(arrs, schema=self.out_schema)
+
+
+def big_orders(lineitem, orders, customer, *, min_qty: float = 300.0):
+    """TPC-H-Q18-shaped: customers whose orders total more than
+    ``min_qty`` units — per-order quantity rollup with HAVING, then the
+    order and customer attributes.
+
+    Scale plan: per-block (orderkey → quantity cents) partials → ONE
+    groupby whose output is |orders| rows → the HAVING filter leaves a
+    TINY key set that broadcasts through the two big probe tables
+    (orders, then customer) — neither base table ever shuffles.  The
+    intermediate matched-orders table is bounded by the HAVING
+    selectivity (Q18 picks a handful of orders per million), so the
+    second broadcast is small by construction.  Quantities are exact
+    integer cents; ``sum_qty`` closes as double(cents)/100."""
+    from ray.data.aggregate import Sum
+
+    from .taskcache import class_task
+
+    thresh = int(round(min_qty * 100))
+
+    def _qty_partial(t: pa.Table) -> pa.Table:
+        if "l_orderkey" not in t.column_names:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "qc": pa.array([], pa.int64())})
+        q100 = _scaled_cents(t["l_quantity"])
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros(len(u), dtype=np.int64)
+        np.add.at(sums, inv, q100)
+        return pa.table({"l_orderkey": pa.array(u), "qc": pa.array(sums)})
+
+    totals = lineitem.map_batches(_qty_partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("qc", alias_name="qc"))
+
+    def _having(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater(t["qc"], thresh))
+
+    big = totals.map_batches(_having, batch_format="pyarrow") \
+        .materialize()
+    import ray
+    big_df = big.to_pandas()
+    big_df["sum_qty"] = big_df["qc"].to_numpy(np.int64) \
+        .astype(np.float64) / 100.0
+    big_ref = ray.put(big_df[["l_orderkey", "sum_qty"]])
+
+    ord_schema = pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("o_totalprice", pa.float64()),
+        ("o_orderdate", pa.timestamp("us")), ("sum_qty", pa.float64())])
+    matched = orders.map_batches(
+        class_task(_BroadcastInnerJoin, big_ref, "o_orderkey",
+                   "l_orderkey", ord_schema),
+        batch_format="pyarrow").materialize()
+    m_ref = ray.put(matched.to_pandas())
+
+    out_schema = pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string()),
+        ("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+        ("o_totalprice", pa.float64()), ("sum_qty", pa.float64())])
+    return customer.map_batches(
+        class_task(_BroadcastInnerJoin, m_ref, "c_custkey", "o_custkey",
+                   out_schema),
+        batch_format="pyarrow")

@@ -957,3 +957,225 @@ def alert_hysteresis(events, *, hi: float = 150.0, lo: float = 50.0,
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(HysteresisGroup(hi, lo),
                                       batch_format="pandas")
+
+
+# --- changepoint (binary segmentation, depth 1) -----------------------------
+
+class ChangepointGroup:
+    """Per-partition kernel: single best mean-shift split per key —
+    binary segmentation at depth 1, the screening step of BinSeg/PELT
+    changepoint detection (Scott & Knott 1974; Killick 2012).  In each
+    key's (t, event_id) order with integer-cents prefix sums ``S_s``,
+    the split score is the between-segment explained sum of squares
+
+        score(s) = S_s²/s + (S_n − S_s)²/(n − s)
+
+    computed in doubles with the cast-each-stat-first operand order of
+    the SQL oracle, maximized over s ∈ [1, n−1] with the EARLIEST s on
+    double ties (the oracle's ``row_number() OVER (ORDER BY score DESC,
+    s)``).  The reported gain is the explained-variance increase
+    ``(score_best − S_n²/n)/10⁴`` in value² units, rounded 6dp.  Keys
+    with n < 2 have no admissible split and emit nothing.  Prefix sums
+    are exact int64 with the same object-int escape hatch as
+    :class:`AutocorrGroup` past the wrap bound."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "n": pd.Series([], dtype=np.int64),
+            "split_pos": pd.Series([], dtype=np.int64),
+            "gain": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        keys = g["user_id"].to_numpy()[order]
+        c = scaled_int(g["value"].to_numpy(np.float64))[order]
+        n = len(c)
+        first = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], n]
+        lens = ends - starts
+        # per-key running sums stay exact: past the int64 cumsum bound
+        # fall back to object Python ints (rare; same values)
+        if np.abs(c, dtype=np.float64).sum() >= float(1 << 62):
+            c = c.astype(object)
+        cs = np.cumsum(c)
+        off = cs[starts] - c[starts]
+        S = cs - np.repeat(off, lens)
+        stot = np.repeat(S[ends - 1], lens)
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens) + 1
+        nk = np.repeat(lens, lens)
+        valid = (pos < nk) & (nk >= 2)
+        if not valid.any():
+            return empty
+        sl = S[valid].astype(np.float64)
+        rl = (stot - S)[valid].astype(np.float64)
+        sp = pos[valid].astype(np.float64)
+        rp = (nk - pos)[valid].astype(np.float64)
+        score = sl * sl / sp + rl * rl / rp
+        vcodes = codes[valid]
+        vfirst = np.r_[True, vcodes[1:] != vcodes[:-1]]
+        vstarts = np.flatnonzero(vfirst)
+        maxv = np.maximum.reduceat(score, vstarts)
+        # earliest split attaining the per-key max (exact double compare)
+        attain = score == np.repeat(maxv, np.r_[vstarts[1:],
+                                                len(score)] - vstarts)
+        cand = np.where(attain, np.arange(len(score)), len(score))
+        pick = np.minimum.reduceat(cand, vstarts)
+        nkv = nk[valid][pick].astype(np.float64)
+        sb = stot[valid][pick].astype(np.float64)
+        base = sb * sb / nkv
+        return pd.DataFrame({
+            "user_id": keys[valid][pick],
+            "n": nk[valid][pick].astype(np.int64),
+            "split_pos": pos[valid][pick].astype(np.int64),
+            "gain": round_half_away((maxv - base) / 10000.0, 6),
+        })
+
+
+def changepoint_user(events, *, n_parts: int = 64):
+    """Per-user best mean-shift split (depth-1 binary segmentation) —
+    one partition-group shuffle of (key, id, t, cents)-width rows."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(ChangepointGroup(),
+                                      batch_format="pandas")
+
+
+# --- cross-series correlation (top-k users, hourly grid) --------------------
+
+class _CorrPairsClose:
+    """Closing kernel for :func:`corr_pairs_hourly`: the ≤ k·H
+    (user, hour, Σcents) cells arrive as ONE block (bounded by the user
+    cap × the corpus hour span, never by corpus size); a dense
+    users×hours int64 matrix (absent hours are true zeros — the dense
+    hourly-total semantics) yields every pairwise moment in one integer
+    matmul, and Pearson closes in doubles with the cast-each-stat-first
+    operand order of :class:`AutocorrGroup`.  Zero-variance sides emit
+    NULL r."""
+
+    def __init__(self, users: np.ndarray, hmin: int, hmax: int):
+        self.users = np.sort(np.asarray(users, dtype=np.int64))
+        self.hmin, self.hmax = int(hmin), int(hmax)
+        self.__name__ = type(self).__name__
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        users = self.users
+        ku = len(users)
+        H = self.hmax - self.hmin + 1
+        M = np.zeros((ku, H), dtype=np.int64)
+        if len(t) and "user_id" in t.column_names:
+            ui = np.searchsorted(users, t["user_id"].to_numpy())
+            hi = t["h"].to_numpy() - self.hmin
+            M[ui, hi] = t["v"].to_numpy()
+        # Σ_h a_h·b_h must not wrap int64 (the oracle sums HUGEINT):
+        # past the bound, exact object-int matmul (rare path)
+        amax = float(np.abs(M).max()) if M.size else 0.0
+        if amax and amax * amax * H >= float(1 << 62):
+            M = M.astype(object)
+        G = M @ M.T
+        sa = M.sum(axis=1)
+        ia, ib = np.triu_indices(ku, k=1)
+        nh = float(H)
+        sad = sa[ia].astype(np.float64)
+        sbd = sa[ib].astype(np.float64)
+        sabd = G[ia, ib].astype(np.float64)
+        vaa = nh * np.diag(G)[ia].astype(np.float64) - sad * sad
+        vbb = nh * np.diag(G)[ib].astype(np.float64) - sbd * sbd
+        ok = (H >= 2) & (vaa > 0.0) & (vbb > 0.0)
+        r = np.full(len(ia), np.nan)
+        with np.errstate(invalid="ignore"):
+            r[ok] = round_half_away(
+                (nh * sabd[ok] - sad[ok] * sbd[ok])
+                / (np.sqrt(vaa[ok]) * np.sqrt(vbb[ok])), 6)
+        return pa.table({
+            "user_a": pa.array(users[ia]),
+            "user_b": pa.array(users[ib]),
+            "n_hours": pa.array(np.full(len(ia), H, dtype=np.int64)),
+            "r": pa.array(r),
+        })
+
+
+def corr_pairs_hourly(events, *, k: int = 20):
+    """All-pairs Pearson correlation of hourly value totals between the
+    ``k`` most active users — the cross-series co-movement screen behind
+    correlated-sensor / correlated-metric detection.
+
+    Scale plan (no all-to-all on the big table): (1) per-block user-count
+    partials → one small groupby → distributed top-k (``topk_by``, never
+    a global sort); (2) the k winners broadcast into a scan-side filter,
+    per-block (user, hour) cents partials → one groupby whose output is
+    ≤ k·H rows; (3) the bounded cell table collapses to one block where
+    a single integer matmul yields every pairwise moment.  The hour span
+    comes from a min/max aggregate over ALL events (the global grid both
+    sides share).  Ties at rank k break by ascending user_id, matching
+    the oracle's ``ORDER BY cnt DESC, user_id LIMIT k``."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .relational import topk_by
+
+    prepped = _prep_events(events, cols=("user_id", "value"))
+
+    def _hour(b: pa.Table) -> pa.Table:
+        if "t" not in b.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.float64()),
+                             "h": pa.array([], pa.int64())})
+        h = b["t"].to_numpy() // 1_000_000 // 3600
+        return pa.table({"user_id": b["user_id"], "value": b["value"],
+                         "h": pa.array(h)})
+
+    hourly = prepped.map_batches(_hour, batch_format="pyarrow") \
+        .materialize()
+
+    def _cnt_partial(b: pa.Table) -> pa.Table:
+        if "user_id" not in b.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        u, cnts = np.unique(b["user_id"].to_numpy(), return_counts=True)
+        return pa.table({"user_id": pa.array(u),
+                         "cnt": pa.array(cnts.astype(np.int64))})
+
+    counts = hourly.map_batches(_cnt_partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("cnt", alias_name="cnt"))
+    top = topk_by(counts, ["cnt", "user_id"], [True, False], k) \
+        .select_columns(["user_id"]).take_all()
+    users = np.array([r["user_id"] for r in top], dtype=np.int64)
+    span = hourly.aggregate(Min("h"), Max("h"))
+    hmin, hmax = int(span["min(h)"]), int(span["max(h)"])
+
+    def _cell_partial(b: pa.Table) -> pa.Table:
+        if "user_id" not in b.column_names or len(b) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        u = b["user_id"].to_numpy()
+        keep = np.isin(u, users)
+        u = u[keep]
+        h = b["h"].to_numpy()[keep]
+        c = scaled_int(b["value"].to_numpy(zero_copy_only=False)
+                       .astype(np.float64)[keep])
+        # composite (user, hour) cell id: hours are non-negative epoch
+        # hours, users a dense ≤ k index
+        ui = np.searchsorted(np.sort(users), u)
+        cell = ui.astype(np.int64) * (1 << 40) + h
+        uq, inv = np.unique(cell, return_inverse=True)
+        sums = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(sums, inv, c)
+        su = np.sort(users)[(uq >> 40).astype(np.int64)]
+        return pa.table({"user_id": pa.array(su),
+                         "h": pa.array(uq & ((1 << 40) - 1)),
+                         "v": pa.array(sums)})
+
+    cells = hourly.map_batches(_cell_partial, batch_format="pyarrow") \
+        .groupby(["user_id", "h"]).aggregate(Sum("v", alias_name="v"))
+    return cells.repartition(1).map_batches(
+        _CorrPairsClose(users, hmin, hmax),
+        batch_format="pyarrow", batch_size=None)

@@ -1855,3 +1855,89 @@ def test_drawdown_null_keys_dropped():
     assert len(out) == 1 and out["user_id"].iloc[0] == 1
     assert out["max_drawdown"].iloc[0] == 2.0
     assert len(DrawdownGroup()(df[df["user_id"].isna()])) == 0
+
+
+def test_unigram_score_kernel_fold_order():
+    """The per-doc fold is left-to-right in position order with libm
+    logs (== list_reduce over list(lp ORDER BY pos)); empty-token docs
+    are dropped; n_tok counts occurrences, not distinct terms."""
+    import math
+
+    import ray
+
+    from series_correction_project_updated_ray.stages.textstage import (
+        _UnigramScore)
+    cnt = pa.table({"term": pa.array(["aa", "bb", "cc"]),
+                    "cnt": pa.array([3, 2, 1], pa.int64())})
+    refs = [ray.put(cnt)]
+    docs = pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": pa.array(["aa bb aa", "cc", "123 !!"]),
+    })
+    out = _UnigramScore(refs, 6)(docs).to_pandas().set_index("doc_id")
+    lp = {t: math.log(c / 6.0) for t, c in
+          zip(["aa", "bb", "cc"], [3.0, 2.0, 1.0])}
+    want = ((lp["aa"] + lp["bb"]) + lp["aa"])
+    assert out.loc[10, "logprob"] == round(want, 6)
+    assert out.loc[10, "n_tok"] == 3
+    assert out.loc[10, "avg_logprob"] == round(want / 3.0, 6)
+    assert out.loc[11, "logprob"] == round(lp["cc"], 6)
+    assert 12 not in out.index          # no [a-z]+ tokens
+
+
+def test_unigram_logprob_ray_end_to_end(ray_session):
+    """Dataset-level unigram_logprob over sf0.001 equals the SQL oracle
+    (count shuffle + broadcast scoring must not disturb the fold)."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.textstage import (
+        unigram_logprob)
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    got = unigram_logprob(
+        rd.read_parquet(sf, columns=["doc_id", "text"])).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}'")
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["unigram_logprob"]).df()
+    cols = sorted(got.columns)
+    got = got[cols].sort_values("doc_id").reset_index(drop=True)
+    want = want[cols].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_big_orders_broadcast_join_dtypes(ray_session):
+    """The Q18 chained broadcast joins preserve int keys and µs
+    timestamps through the arrow→pandas→arrow round trip, fan out
+    multi-order customers, and drop non-qualifying orders."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        big_orders)
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3, 3, 3], pa.int64()),
+        "l_quantity": pa.array([200.0, 150.0, 100.0, 300.0, 50.0, 1.5]),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([7, 8, 7], pa.int64()),
+        "o_totalprice": pa.array([10.5, 20.5, 30.5]),
+        "o_orderdate": pa.array(
+            pd.to_datetime(["2024-01-01", "2024-02-02", "2024-03-03"])
+            .astype("datetime64[us]")),
+    })
+    cust = pa.table({
+        "c_custkey": pa.array([7, 8], pa.int64()),
+        "c_name": pa.array(["ann", "bob"]),
+    })
+    out = big_orders(rd.from_arrow(li).repartition(2),
+                     rd.from_arrow(orders).repartition(2),
+                     rd.from_arrow(cust).repartition(2),
+                     min_qty=300.0).to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    # orders 1 (350) and 3 (351.5) qualify, both for customer 7
+    assert out["o_orderkey"].tolist() == [1, 3]
+    assert out["c_name"].tolist() == ["ann", "ann"]
+    assert out["sum_qty"].tolist() == [350.0, 351.5]
+    assert out["o_orderkey"].dtype == np.int64
+    assert out["o_orderdate"].tolist() == list(
+        pd.to_datetime(["2024-01-01", "2024-03-03"]))

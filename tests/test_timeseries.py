@@ -506,3 +506,126 @@ r AS (
   FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
 SELECT user_id, event_id, t, CAST(alert AS BIGINT) AS alert FROM r""")
     _cmp(got2, want)
+
+
+def test_changepoint_kernel_matches_sql():
+    """Depth-1 binary segmentation: best split by the between-segment
+    score with earliest-s double ties; null keys are their own group;
+    n < 2 keys emit nothing — all per DuckDB on the same frame."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        ChangepointGroup)
+    df = _mk(with_null=True)
+    # a singleton key must vanish from the output
+    df = pd.concat([df, pd.DataFrame({
+        "user_id": pd.array([99], dtype="Int64"),
+        "event_id": [10_000], "t": [1], "value": [5.0]})],
+        ignore_index=True)
+    got = ChangepointGroup()(df)
+    want = _duck(df, """
+WITH c AS (
+  SELECT user_id, t, event_id,
+         CAST(round(value*100) AS BIGINT) AS cents FROM ev),
+o AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY t, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         SUM(cents) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cents) OVER (PARTITION BY user_id) AS stot
+  FROM c),
+sc AS (
+  SELECT user_id, rn, n, stot,
+         CAST(cum AS DOUBLE)*CAST(cum AS DOUBLE)/CAST(rn AS DOUBLE)
+         + CAST(stot-cum AS DOUBLE)*CAST(stot-cum AS DOUBLE)
+           /CAST(n-rn AS DOUBLE) AS score
+  FROM o WHERE rn < n)
+SELECT user_id, CAST(n AS BIGINT) AS n, CAST(rn AS BIGINT) AS split_pos,
+       round((score - CAST(stot AS DOUBLE)*CAST(stot AS DOUBLE)
+                      /CAST(n AS DOUBLE))/10000.0, 6) AS gain
+FROM sc
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY score DESC, rn) = 1""")
+    _cmp(got, want)
+    assert 99 not in set(got["user_id"].dropna())
+
+
+def test_changepoint_finds_known_shift():
+    """A clean level shift is found at the exact boundary with a
+    positive gain; a constant series reports gain 0."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        ChangepointGroup)
+    n = 40
+    df = pd.DataFrame({
+        "user_id": np.r_[np.zeros(n, np.int64), np.ones(n, np.int64)],
+        "event_id": np.arange(2 * n, dtype=np.int64),
+        "t": np.tile(np.arange(n, dtype=np.int64) * 1_000_000, 2),
+        "value": np.r_[np.where(np.arange(n) < 25, 10.0, 90.0),
+                       np.full(n, 7.0)],
+    })
+    got = ChangepointGroup()(df).set_index("user_id")
+    assert int(got.loc[0, "split_pos"]) == 25
+    assert got.loc[0, "gain"] > 0
+    assert got.loc[1, "gain"] == 0.0
+
+
+def test_corr_pairs_close_kernel_exact():
+    """The matmul close equals a per-pair Python-int Pearson on the
+    dense grid — including the object-int escape hatch past the int64
+    matmul bound and the all-zero (NULL r) side."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        _CorrPairsClose)
+    rng = np.random.default_rng(7)
+    users = np.array([3, 1, 8], dtype=np.int64)
+    hmin, hmax = 100, 119
+    H = hmax - hmin + 1
+    rows = []
+    for u in users[:2]:              # user 8 stays all-zero → NULL r
+        for h in range(hmin, hmax + 1):
+            if rng.random() < 0.7:
+                rows.append((u, h, int(rng.integers(-5, 6)) * 10**9))
+    t = pa.table({"user_id": pa.array([r[0] for r in rows]),
+                  "h": pa.array([r[1] for r in rows]),
+                  "v": pa.array([r[2] for r in rows])})
+    out = _CorrPairsClose(users, hmin, hmax)(t).to_pandas()
+    assert len(out) == 3
+    dense = {int(u): np.zeros(H, dtype=object) for u in users}
+    for u, h, v in rows:
+        dense[int(u)][h - hmin] = v
+    for _, row in out.iterrows():
+        a, b = dense[int(row["user_a"])], dense[int(row["user_b"])]
+        sa, sb = sum(a), sum(b)
+        saa, sbb = sum(x * x for x in a), sum(x * x for x in b)
+        sab = sum(x * y for x, y in zip(a, b))
+        va = float(H) * float(saa) - float(sa) * float(sa)
+        vb = float(H) * float(sbb) - float(sb) * float(sb)
+        if va > 0 and vb > 0:
+            want = round(
+                (float(H) * float(sab) - float(sa) * float(sb))
+                / (np.sqrt(va) * np.sqrt(vb)), 6)
+            assert row["r"] == pytest.approx(want, abs=1e-12)
+        else:
+            assert np.isnan(row["r"])
+        assert row["user_a"] < row["user_b"]
+        assert row["n_hours"] == H
+
+
+def test_corr_pairs_ray_end_to_end(ray_session):
+    """corr_pairs_hourly over sf0.001 equals the full SQL oracle."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.timeseries import (
+        corr_pairs_hourly)
+    sf = "/root/testdata/sf0.001/events.parquet"
+    got = corr_pairs_hourly(
+        rd.read_parquet(sf, columns=["user_id", "ts", "value"]),
+        k=5).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}'")
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    sql = E.oracle_sql()["corr_pairs_hourly"].replace("LIMIT 20", "LIMIT 5")
+    _cmp(got, con.execute(sql).df())
