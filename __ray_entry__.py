@@ -1226,6 +1226,16 @@ def _q_big_orders(sf_dir: str):
     return big_orders(li, orders, cust, min_qty=300.0)
 
 
+def _q_theil_sen(sf_dir: str):
+    """Per-user Theil-Sen robust slope: median of all strict-t pairwise
+    slopes (exact-int double divisions; DuckDB quantile_cont(0.5) ==
+    np.median bitwise, measured), scaled to value-units per hour."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        theil_sen)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return theil_sen(ev)
+
+
 def _q_sax(sf_dir: str):
     """SAX symbolization (Lin et al. 2007): per-user z-normalized PAA
     into 8 segments mapped through the alphabet-4 Gaussian breakpoints.
@@ -1745,7 +1755,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # (running peak vs the double-precision split score); the
             # running-fold family stays certified by cusum_flags'
             # bit-exact reset fold
-            "max_drawdown"][:n_over]
+            "max_drawdown",
+            # theil_sen_slope enters the window: sanitize_docs' prefix-
+            # quote scrub is the simplest member of the per-row string-
+            # transform family whose harder regex member (redact_pii)
+            # stays in the window, and the package-wide sink-guard
+            # pytest battery pins the sanitizer at every export gate
+            # (K1) independently of the driver
+            "sanitize_docs"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -1940,6 +1957,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # depth-1 binary-segmentation changepoint (best mean-shift
         # split per user, earliest-s double-tie rule) — oracle-checked
         "changepoint_user": _q_changepoint,
+        # Theil-Sen robust slope (median pairwise slope, bitwise
+        # np.median == quantile_cont) — oracle-checked
+        "theil_sen_slope": _q_theil_sen,
         # all-pairs hourly-total Pearson correlation between the top-k
         # users (integer matmul moments on the global hour grid) —
         # oracle-checked
@@ -2814,6 +2834,24 @@ SELECT user_id, CAST(n AS BIGINT) AS n, CAST(rn AS BIGINT) AS split_pos,
 FROM sc
 QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY score DESC, rn) = 1
+""",
+        # Theil-Sen: median of all strict-t pairwise slopes; the slope
+        # is a double division of exact integers, and DuckDB
+        # quantile_cont(0.5) == np.median bit-for-bit ((a+b)/2 on even
+        # counts — NOT the lerp form; measured over 400 trials)
+        "theil_sen_slope": """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events),
+p AS (
+  SELECT a.user_id,
+         CAST(b.cents - a.cents AS DOUBLE)
+           / CAST(b.t - a.t AS DOUBLE) AS sl
+  FROM c a JOIN c b ON a.user_id = b.user_id AND b.t > a.t)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(quantile_cont(sl, 0.5) * 36000000.0, 6) AS slope_per_hour
+FROM p GROUP BY 1
 """,
         # all-pairs hourly-total Pearson between the top-20 users:
         # HUGEINT cell moments on the global hour grid (absent hours

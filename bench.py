@@ -228,6 +228,24 @@ def run_bench() -> dict:
               lambda: lttb_downsample(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
 
+        from series_correction_project_updated_ray.stages.timeseries import (
+            changepoint_user, corr_pairs_hourly)
+
+        timed("changepoint_user",
+              lambda: changepoint_user(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
+        timed("corr_pairs_hourly",
+              lambda: corr_pairs_hourly(rd.read_parquet(
+                  ev_path, columns=["user_id", "ts", "value"]),
+                  k=20).count())
+
+        from series_correction_project_updated_ray.stages.textstage import (
+            unigram_logprob)
+
+        timed("unigram_logprob",
+              lambda: unigram_logprob(rd.read_parquet(
+                  docs_path, columns=["doc_id", "text"])).count())
+
         from series_correction_project_updated_ray.stages.tsmining import (
             m4_downsample, sax_symbols, threshold_excursions)
 

@@ -1179,3 +1179,89 @@ def corr_pairs_hourly(events, *, k: int = 20):
     return cells.repartition(1).map_batches(
         _CorrPairsClose(users, hmin, hmax),
         batch_format="pyarrow", batch_size=None)
+
+
+# --- Theil-Sen robust slope -------------------------------------------------
+
+class TheilSenGroup:
+    """Per-partition kernel: Theil-Sen robust trend per key — the median
+    of all pairwise slopes (Theil 1950; Sen 1968) over pairs with
+    STRICTLY increasing timestamps.  Slopes are the double division of
+    exact integers (cents Δ / µs Δ, both IEEE-exact operands), the
+    median matches DuckDB ``quantile_cont(0.5)`` bit-for-bit (measured:
+    DuckDB interpolates even counts as (a+b)/2 — np.median's formula,
+    NOT the lerp ``a+(b−a)·0.5``), and the per-hour scaling multiplies
+    once at the close.  O(n_k²) pairs per key by construction — the
+    estimator's definition — so keys are assumed boundedly long (series
+    per device/user); pair construction is fully vectorized across every
+    co-located key (ramp indexing, no per-key Python loop).  Keys with
+    no strict-t pair (singletons, all-tied timestamps) emit nothing."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "n_pairs": pd.Series([], dtype=np.int64),
+            "slope_per_hour": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        if (codes < 0).any():   # oracle's equi-self-join drops null keys
+            g = g.iloc[codes >= 0]
+            codes = codes[codes >= 0]
+            if len(g) == 0:
+                return empty
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        keys = g["user_id"].to_numpy()[order]
+        c = scaled_int(g["value"].to_numpy(np.float64))[order]
+        n = len(c)
+        first = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], n]
+        lens = ends - starts
+        # all intra-key (i, j>i) pairs, vectorized ramp construction
+        counts = np.repeat(ends, lens) - np.arange(n) - 1
+        P = int(counts.sum())
+        if P == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n), counts)
+        cum0 = np.r_[0, np.cumsum(counts)][:-1]
+        ramp = np.arange(P) - np.repeat(cum0, counts)
+        b_idx = a_idx + 1 + ramp
+        dt = t[b_idx] - t[a_idx]
+        keep = dt > 0                      # strict time order only
+        a_idx, b_idx, dt = a_idx[keep], b_idx[keep], dt[keep]
+        sl = (c[b_idx] - c[a_idx]).astype(np.float64) \
+            / dt.astype(np.float64)
+        pc = codes[a_idx]
+        # per-key median via one sort + middle picks ((a+b)/2 for even
+        # counts — DuckDB quantile_cont's exact arithmetic)
+        so = np.lexsort((sl, pc))
+        pc, sl = pc[so], sl[so]
+        pfirst = np.r_[True, pc[1:] != pc[:-1]]
+        pstarts = np.flatnonzero(pfirst)
+        plens = np.r_[pstarts[1:], len(pc)] - pstarts
+        lo = pstarts + (plens - 1) // 2
+        hi = pstarts + plens // 2
+        med = (sl[lo] + sl[hi]) / 2.0
+        key_of = keys[a_idx][pstarts]
+        return pd.DataFrame({
+            "user_id": key_of,
+            "n_pairs": plens.astype(np.int64),
+            "slope_per_hour": round_half_away(med * 36000000.0, 6),
+        })
+
+
+def theil_sen(events, *, n_parts: int = 64):
+    """Per-user Theil-Sen robust slope (median pairwise slope, per
+    hour) — one partition-group shuffle; quadratic per key by the
+    estimator's definition (document/window long series upstream)."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(TheilSenGroup(),
+                                      batch_format="pandas")

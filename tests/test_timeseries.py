@@ -629,3 +629,44 @@ def test_corr_pairs_ray_end_to_end(ray_session):
     import __ray_entry__ as E
     sql = E.oracle_sql()["corr_pairs_hourly"].replace("LIMIT 20", "LIMIT 5")
     _cmp(got, con.execute(sql).df())
+
+
+def test_theil_sen_kernel_matches_sql():
+    """Median of strict-t pairwise slopes per key == DuckDB
+    quantile_cont(0.5) bitwise; tied-timestamp pairs are excluded; null
+    keys and pairless keys emit nothing."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        TheilSenGroup)
+    df = _mk(with_null=True)
+    # duplicate timestamps (tied pairs must be excluded, not divide by 0)
+    df.loc[df.index[5], "t"] = df.loc[df.index[6], "t"]
+    got = TheilSenGroup()(df)
+    want = _duck(df, """
+WITH c AS (
+  SELECT user_id, t, CAST(round(value*100) AS BIGINT) AS cents
+  FROM ev WHERE user_id IS NOT NULL),
+p AS (
+  SELECT a.user_id,
+         CAST(b.cents - a.cents AS DOUBLE)
+           / CAST(b.t - a.t AS DOUBLE) AS sl
+  FROM c a JOIN c b ON a.user_id = b.user_id AND b.t > a.t)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(quantile_cont(sl, 0.5) * 36000000.0, 6) AS slope_per_hour
+FROM p GROUP BY 1""")
+    _cmp(got, want)
+
+
+def test_theil_sen_known_slope():
+    """A perfectly linear series recovers its slope exactly."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        TheilSenGroup)
+    n = 20
+    df = pd.DataFrame({
+        "user_id": np.zeros(n, np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": np.arange(n, dtype=np.int64) * 3_600_000_000,
+        "value": 2.5 * np.arange(n),     # +2.5 per hour
+    })
+    out = TheilSenGroup()(df)
+    assert out["slope_per_hour"].iloc[0] == 2.5
+    assert out["n_pairs"].iloc[0] == n * (n - 1) // 2
