@@ -198,9 +198,6 @@ def run_bench() -> dict:
                   docs_path, columns=["doc_id", "text"])).count())
 
         def _winnow():
-            import sys as _s
-            if REPO not in _s.path:
-                _s.path.insert(0, REPO)
             from __ray_entry__ import _q_winnow_matches
             return _q_winnow_matches(SF_DIR).count()
         timed("winnow_matches", _winnow)

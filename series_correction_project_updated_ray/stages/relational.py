@@ -922,6 +922,12 @@ def big_orders(lineitem, orders, customer, *, min_qty: float = 300.0):
         .materialize()
     import ray
     big_df = big.to_pandas()
+    if "qc" not in big_df.columns:
+        # zero HAVING survivors: Ray drops all-empty blocks, so the
+        # frame loses its columns — rebuild the typed empty shape
+        big_df = pd.DataFrame({
+            "l_orderkey": pd.Series([], dtype=np.int64),
+            "qc": pd.Series([], dtype=np.int64)})
     big_df["sum_qty"] = big_df["qc"].to_numpy(np.int64) \
         .astype(np.float64) / 100.0
     big_ref = ray.put(big_df[["l_orderkey", "sum_qty"]])
@@ -934,7 +940,12 @@ def big_orders(lineitem, orders, customer, *, min_qty: float = 300.0):
         class_task(_BroadcastInnerJoin, big_ref, "o_orderkey",
                    "l_orderkey", ord_schema),
         batch_format="pyarrow").materialize()
-    m_ref = ray.put(matched.to_pandas())
+    m_df = matched.to_pandas()
+    if "o_custkey" not in m_df.columns:
+        # no qualifying orders matched: the all-empty dataset lost its
+        # columns — rebuild the typed empty frame
+        m_df = ord_schema.empty_table().to_pandas()
+    m_ref = ray.put(m_df)
 
     out_schema = pa.schema([
         ("c_custkey", pa.int64()), ("c_name", pa.string()),

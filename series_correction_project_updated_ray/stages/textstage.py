@@ -875,7 +875,15 @@ def unigram_logprob(docs, *, text_col="text", id_col="doc_id"):
     cnt_tbl = docs.map_batches(_vocab_partial, batch_format="pyarrow") \
         .groupby("term").aggregate(Sum("cnt", alias_name="cnt")) \
         .materialize()
-    n_total = int(cnt_tbl.sum("cnt"))
+    total = cnt_tbl.sum("cnt")
+    if total is None:                  # token-less corpus → typed empty
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_tok": pa.array([], pa.int64()),
+            "logprob": pa.array([], pa.float64()),
+            "avg_logprob": pa.array([], pa.float64())}))
+    n_total = int(total)
     refs = cnt_tbl.to_arrow_refs()
     out = docs.map_batches(
         class_task(_UnigramScore, refs, n_total,

@@ -1070,11 +1070,18 @@ class _CorrPairsClose:
         users = self.users
         ku = len(users)
         H = self.hmax - self.hmin + 1
+        if len(t) == 0 or "user_id" not in t.column_names:
+            # a stray empty block must NOT fabricate all-zero pairs —
+            # the single real batch (repartition(1), batch_size=None)
+            # carries every cell
+            return pa.table({"user_a": pa.array([], pa.int64()),
+                             "user_b": pa.array([], pa.int64()),
+                             "n_hours": pa.array([], pa.int64()),
+                             "r": pa.array([], pa.float64())})
         M = np.zeros((ku, H), dtype=np.int64)
-        if len(t) and "user_id" in t.column_names:
-            ui = np.searchsorted(users, t["user_id"].to_numpy())
-            hi = t["h"].to_numpy() - self.hmin
-            M[ui, hi] = t["v"].to_numpy()
+        ui = np.searchsorted(users, t["user_id"].to_numpy())
+        hi = t["h"].to_numpy() - self.hmin
+        M[ui, hi] = t["v"].to_numpy()
         # Σ_h a_h·b_h must not wrap int64 (the oracle sums HUGEINT):
         # past the bound, exact object-int matmul (rare path)
         amax = float(np.abs(M).max()) if M.size else 0.0
@@ -1148,6 +1155,13 @@ def corr_pairs_hourly(events, *, k: int = 20):
     top = topk_by(counts, ["cnt", "user_id"], [True, False], k) \
         .select_columns(["user_id"]).take_all()
     users = np.array([r["user_id"] for r in top], dtype=np.int64)
+    if len(users) == 0:                    # empty corpus → typed empty
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "user_a": pa.array([], pa.int64()),
+            "user_b": pa.array([], pa.int64()),
+            "n_hours": pa.array([], pa.int64()),
+            "r": pa.array([], pa.float64())}))
     span = hourly.aggregate(Min("h"), Max("h"))
     hmin, hmax = int(span["min(h)"]), int(span["max(h)"])
 

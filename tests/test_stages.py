@@ -1941,3 +1941,41 @@ def test_big_orders_broadcast_join_dtypes(ray_session):
     assert out["o_orderkey"].dtype == np.int64
     assert out["o_orderdate"].tolist() == list(
         pd.to_datetime(["2024-01-01", "2024-03-03"]))
+
+
+def test_big_orders_no_survivors_empty(ray_session):
+    """Zero HAVING survivors must yield an empty result, not a
+    KeyError from Ray's dropped all-empty blocks (review regression)."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        big_orders)
+    li = pa.table({"l_orderkey": pa.array([1, 2], pa.int64()),
+                   "l_quantity": pa.array([1.0, 2.0])})
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([7, 8], pa.int64()),
+        "o_totalprice": pa.array([10.5, 20.5]),
+        "o_orderdate": pa.array(
+            pd.to_datetime(["2024-01-01", "2024-02-02"])
+            .astype("datetime64[us]")),
+    })
+    cust = pa.table({"c_custkey": pa.array([7, 8], pa.int64()),
+                     "c_name": pa.array(["ann", "bob"])})
+    out = big_orders(rd.from_arrow(li), rd.from_arrow(orders),
+                     rd.from_arrow(cust), min_qty=300.0)
+    assert out.count() == 0
+
+
+def test_unigram_logprob_tokenless_corpus_empty(ray_session):
+    """A corpus with no [a-z]+ tokens yields a typed empty result, not
+    int(None) from Dataset.sum on the empty count table (review
+    regression)."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.textstage import (
+        unigram_logprob)
+    docs = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "text": pa.array(["123 456", "!!!"])})
+    out = unigram_logprob(rd.from_arrow(docs))
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "n_tok", "logprob",
+                                       "avg_logprob"}
