@@ -886,39 +886,49 @@ def big_orders(lineitem, orders, customer, *, min_qty: float = 300.0):
     ``min_qty`` units — per-order quantity rollup with HAVING, then the
     order and customer attributes.
 
-    Scale plan: per-block (orderkey → quantity cents) partials → ONE
-    groupby whose output is |orders| rows → the HAVING filter leaves a
-    TINY key set that broadcasts through the two big probe tables
-    (orders, then customer) — neither base table ever shuffles.  The
-    intermediate matched-orders table is bounded by the HAVING
-    selectivity (Q18 picks a handful of orders per million), so the
-    second broadcast is small by construction.  Quantities are exact
-    integer cents; ``sum_qty`` closes as double(cents)/100."""
-    from ray.data.aggregate import Sum
-
+    Scale plan: the per-order rollup runs as ONE partition-group
+    shuffle — ``stable_hash(orderkey) % 64`` co-locates whole orders,
+    the per-group kernel sums + applies HAVING vectorized (3× faster
+    than a keyed Ray groupby here: with ~4 lines per order spread
+    across blocks a per-block partial barely reduces, and sorting by
+    64 partition ids beats sorting by 150k distinct orderkeys) → the
+    HAVING filter leaves a TINY key set that broadcasts through the
+    two big probe tables (orders, then customer) — neither base table
+    ever shuffles.  The intermediate matched-orders table is bounded
+    by the HAVING selectivity (Q18 picks a handful of orders per
+    million), so the second broadcast is small by construction.
+    Quantities are exact integer cents; ``sum_qty`` closes as
+    double(cents)/100."""
+    from ..functions.hashing import stable_hash_array
     from .taskcache import class_task
 
     thresh = int(round(min_qty * 100))
+    n_parts = 64
 
-    def _qty_partial(t: pa.Table) -> pa.Table:
+    def _qty_prep(t: pa.Table) -> pa.Table:
         if "l_orderkey" not in t.column_names:
             return pa.table({"l_orderkey": pa.array([], pa.int64()),
-                             "qc": pa.array([], pa.int64())})
-        q100 = _scaled_cents(t["l_quantity"])
+                             "q": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.int64())})
         keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        part = (stable_hash_array(keys) % np.uint64(n_parts)) \
+            .astype(np.int64)
+        return pa.table({"l_orderkey": pa.array(keys),
+                         "q": pa.array(_scaled_cents(t["l_quantity"])),
+                         "__part": pa.array(part)})
+
+    def _qty_rollup(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g["l_orderkey"].to_numpy()
+        q = g["q"].to_numpy(np.int64)
         u, inv = np.unique(keys, return_inverse=True)
-        sums = np.zeros(len(u), dtype=np.int64)
-        np.add.at(sums, inv, q100)
-        return pa.table({"l_orderkey": pa.array(u), "qc": pa.array(sums)})
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, q)
+        keep = s > thresh
+        return pd.DataFrame({"l_orderkey": u[keep], "qc": s[keep]})
+    _qty_rollup.__name__ = "_qty_rollup"
 
-    totals = lineitem.map_batches(_qty_partial, batch_format="pyarrow") \
-        .groupby("l_orderkey").aggregate(Sum("qc", alias_name="qc"))
-
-    def _having(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return t.filter(pc.greater(t["qc"], thresh))
-
-    big = totals.map_batches(_having, batch_format="pyarrow") \
+    big = lineitem.map_batches(_qty_prep, batch_format="pyarrow") \
+        .groupby("__part").map_groups(_qty_rollup, batch_format="pandas") \
         .materialize()
     import ray
     big_df = big.to_pandas()
