@@ -1226,6 +1226,16 @@ def _q_big_orders(sf_dir: str):
     return big_orders(li, orders, cust, min_qty=300.0)
 
 
+def _q_kalman(sf_dir: str):
+    """Per-user 1-D Kalman filter (local-level model): the two-state
+    recursion with a per-step DIVISION gain, bit-exact vs a recursive
+    CTE replaying the identical operand order."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        kalman_per_user)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return kalman_per_user(ev)
+
+
 def _q_theil_sen(sf_dir: str):
     """Per-user Theil-Sen robust slope: median of all strict-t pairwise
     slopes (exact-int double divisions; DuckDB quantile_cont(0.5) ==
@@ -1762,7 +1772,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # stays in the window, and the package-wide sink-guard
             # pytest battery pins the sanitizer at every export gate
             # (K1) independently of the driver
-            "sanitize_docs"][:n_over]
+            "sanitize_docs",
+            # kalman_per_user enters the window: alert_hysteresis'
+            # two-threshold boolean carry is the boolean special case
+            # of the kept cusum_flags conditional reset fold (float
+            # accumulation + threshold resets, bit-exact CTE), and the
+            # per-step state-carry family is now certified at three
+            # escalating hardness levels (holt linear, kalman with a
+            # division gain, cusum with resets) — the hysteresis
+            # kernel's own semantics battery stays in pytest
+            "alert_hysteresis"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -1960,6 +1979,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # Theil-Sen robust slope (median pairwise slope, bitwise
         # np.median == quantile_cont) — oracle-checked
         "theil_sen_slope": _q_theil_sen,
+        # 1-D Kalman filter (two-state recursion, per-step division
+        # gain) — oracle-checked bit-exactly via a recursive CTE
+        "kalman_per_user": _q_kalman,
         # all-pairs hourly-total Pearson correlation between the top-k
         # users (integer matmul moments on the global hour grid) —
         # oracle-checked
@@ -2834,6 +2856,30 @@ SELECT user_id, CAST(n AS BIGINT) AS n, CAST(rn AS BIGINT) AS split_pos,
 FROM sc
 QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY score DESC, rn) = 1
+""",
+        # 1-D Kalman (local-level model, q=1, r=4, p0=1): the CTE
+        # carries (x, p) and replays the kernel's exact operand order —
+        # p1 = p+1; k = p1/(p1+4); x += k·(z−x); p = (1−k)·p1 — so
+        # level and the per-step division gain are bit-identical
+        # doubles at 6dp; the first row's gain is NULL
+        "kalman_per_user": """
+WITH RECURSIVE c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL),
+r AS (
+  SELECT user_id, event_id, t, rn, value AS x,
+         CAST(1.0 AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS k
+  FROM c WHERE rn = 1
+  UNION ALL
+  SELECT c.user_id, c.event_id, c.t, c.rn,
+         r.x + ((r.p + 1.0) / ((r.p + 1.0) + 4.0)) * (c.value - r.x),
+         (1.0 - ((r.p + 1.0) / ((r.p + 1.0) + 4.0))) * (r.p + 1.0),
+         ((r.p + 1.0) / ((r.p + 1.0) + 4.0))
+  FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
+SELECT user_id, event_id, t, round(x, 6) AS level, round(k, 6) AS gain
+FROM r
 """,
         # Theil-Sen: median of all strict-t pairwise slopes; the slope
         # is a double division of exact integers, and DuckDB

@@ -226,7 +226,7 @@ def run_bench() -> dict:
                   ev_path, columns=ev_cols)).count())
 
         from series_correction_project_updated_ray.stages.timeseries import (
-            changepoint_user, corr_pairs_hourly)
+            changepoint_user, corr_pairs_hourly, kalman_per_user, theil_sen)
 
         timed("changepoint_user",
               lambda: changepoint_user(rd.read_parquet(
@@ -235,6 +235,12 @@ def run_bench() -> dict:
               lambda: corr_pairs_hourly(rd.read_parquet(
                   ev_path, columns=["user_id", "ts", "value"]),
                   k=20).count())
+        timed("kalman_per_user",
+              lambda: kalman_per_user(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
+        timed("theil_sen_slope",
+              lambda: theil_sen(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
 
         from series_correction_project_updated_ray.stages.textstage import (
             unigram_logprob)

@@ -1279,3 +1279,86 @@ def theil_sen(events, *, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(TheilSenGroup(),
                                       batch_format="pandas")
+
+
+# --- 1-D Kalman filter (local-level model) ---------------------------------
+
+class KalmanGroup:
+    """Per-partition kernel: scalar Kalman filter (local-level /
+    random-walk-plus-noise model, Kalman 1960) per key in (t, event_id)
+    order —
+
+        p₁ = p + q;  k = p₁/(p₁ + r);  x ← x + k·(z − x);  p ← (1−k)·p₁
+
+    seeded x₁ = z₁, p₁ = p0 (the first row's gain is NULL).  Unlike
+    EWMA/Holt the gain is DATA-INDEPENDENT only in the limit — here it
+    evolves through a division each step, and every step's add/mul/div
+    runs in exactly the oracle CTE's operand order, vectorized ACROSS
+    keys (the position-major pattern, two state vectors), so level and
+    gain are bit-identical doubles before the shared 6dp round."""
+
+    def __init__(self, q: float = 1.0, r: float = 4.0, p0: float = 1.0):
+        self.q, self.r, self.p0 = q, r, p0
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        if (codes < 0).any():   # recursive-CTE equality join drops nulls
+            g = g.iloc[codes >= 0]
+            codes = codes[codes >= 0]
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": g["user_id"],
+                "event_id": pd.Series([], dtype=np.int64),
+                "t": pd.Series([], dtype=np.int64),
+                "level": pd.Series([], dtype=np.float64),
+                "gain": pd.Series([], dtype=np.float64)})
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        keys = g["user_id"].to_numpy()[order]
+        z = g["value"].to_numpy(np.float64)[order]
+        n = len(t)
+        pm, offs = _pos_major_layout(codes, n)
+        z_pm = z[pm]
+        lv_pm = np.empty(n)
+        kg_pm = np.empty(n)
+        max_len = len(offs) - 1
+        z0 = z_pm[offs[0]:offs[1]]
+        X = z0.copy()
+        P = np.full(len(z0), self.p0)
+        lv_pm[offs[0]:offs[1]] = X
+        kg_pm[offs[0]:offs[1]] = np.nan
+        for j in range(1, max_len):
+            m = offs[j + 1] - offs[j]
+            zk = z_pm[offs[j]:offs[j + 1]]
+            p1 = P[:m] + self.q
+            kk = p1 / (p1 + self.r)
+            Xk = X[:m] + kk * (zk - X[:m])
+            Pk = (1.0 - kk) * p1
+            X, P = Xk, Pk
+            lv_pm[offs[j]:offs[j + 1]] = Xk
+            kg_pm[offs[j]:offs[j + 1]] = kk
+        lv = np.empty(n)
+        kg = np.empty(n)
+        lv[pm] = lv_pm
+        kg[pm] = kg_pm
+        return pd.DataFrame({
+            "user_id": keys,
+            "event_id": ids[order],
+            "t": t,
+            "level": round_half_away(lv, 6),
+            "gain": round_half_away(kg, 6),
+        })
+
+
+def kalman_per_user(events, *, q: float = 1.0, r: float = 4.0,
+                    p0: float = 1.0, n_parts: int = 64):
+    """Per-user scalar Kalman filtering (local-level model) — one
+    partition-group shuffle; the two-state recursion with its per-step
+    division gain is recursive-CTE-certified bit-exactly."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(KalmanGroup(q, r, p0),
+                                      batch_format="pandas")

@@ -670,3 +670,51 @@ def test_theil_sen_known_slope():
     out = TheilSenGroup()(df)
     assert out["slope_per_hour"].iloc[0] == 2.5
     assert out["n_pairs"].iloc[0] == n * (n - 1) // 2
+
+
+def test_kalman_kernel_matches_recursive_sql():
+    """The Kalman (x, p) recursion with its per-step division gain is
+    bit-identical to the recursive CTE replaying the same operand
+    order; null keys drop; the first row's gain is NULL."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        KalmanGroup)
+    df = _mk(with_null=True)
+    got = KalmanGroup()(df)
+    want = _duck(df, """
+WITH RECURSIVE c AS (
+  SELECT user_id, event_id, t, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY t, event_id) AS rn
+  FROM ev WHERE user_id IS NOT NULL),
+r AS (
+  SELECT user_id, event_id, t, rn, value AS x,
+         CAST(1.0 AS DOUBLE) AS p, CAST(NULL AS DOUBLE) AS k
+  FROM c WHERE rn = 1
+  UNION ALL
+  SELECT c.user_id, c.event_id, c.t, c.rn,
+         r.x + ((r.p + 1.0) / ((r.p + 1.0) + 4.0)) * (c.value - r.x),
+         (1.0 - ((r.p + 1.0) / ((r.p + 1.0) + 4.0))) * (r.p + 1.0),
+         ((r.p + 1.0) / ((r.p + 1.0) + 4.0))
+  FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
+SELECT user_id, event_id, t, round(x, 6) AS level, round(k, 6) AS gain
+FROM r""")
+    _cmp(got, want)
+
+
+def test_kalman_converges_to_steady_gain():
+    """On a long constant series the gain converges to the local-level
+    steady state k* = (sqrt(q²+4qr)-q)/(2r) ... for q=1, r=4: ~0.39;
+    the level tracks the constant exactly."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        KalmanGroup)
+    n = 200
+    df = pd.DataFrame({
+        "user_id": np.zeros(n, np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": np.arange(n, dtype=np.int64) * 1_000_000,
+        "value": np.full(n, 42.0),
+    })
+    out = KalmanGroup()(df).sort_values("t")
+    assert (out["level"] == 42.0).all()
+    kstar = (np.sqrt(1.0 + 16.0) - 1.0) / 8.0
+    assert abs(out["gain"].iloc[-1] - round(kstar, 6)) < 1e-6
