@@ -1123,7 +1123,14 @@ def corr_pairs_hourly(events, *, k: int = 20):
     a single integer matmul yields every pairwise moment.  The hour span
     comes from a min/max aggregate over ALL events (the global grid both
     sides share).  Ties at rank k break by ascending user_id, matching
-    the oracle's ``ORDER BY cnt DESC, user_id LIMIT k``."""
+    the oracle's ``ORDER BY cnt DESC, user_id LIMIT k``.
+
+    The three consumers (counts, span, cells) share ONE materialized
+    24-byte/row projection instead of re-running the source scan three
+    times — the kmeans/tfidf multi-pass convention; Ray spills it past
+    memory, and at a scale where spilling three passes' worth is worse
+    than re-scanning, drop the ``materialize()`` and let each consumer
+    re-read the pruned columns."""
     from ray.data.aggregate import Max, Min, Sum
 
     from .relational import topk_by
