@@ -910,10 +910,11 @@ def big_orders(lineitem, orders, customer, *, min_qty: float = 300.0):
             return pa.table({"l_orderkey": pa.array([], pa.int64()),
                              "q": pa.array([], pa.int64()),
                              "__part": pa.array([], pa.int64())})
-        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
-        part = (stable_hash_array(keys) % np.uint64(n_parts)) \
-            .astype(np.int64)
-        return pa.table({"l_orderkey": pa.array(keys),
+        # pass the COLUMN (not a numpy array): the Series path hashes
+        # int64 natively; the ndarray path stringifies per element
+        part = (stable_hash_array(t["l_orderkey"])
+                % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
                          "q": pa.array(_scaled_cents(t["l_quantity"])),
                          "__part": pa.array(part)})
 
@@ -925,7 +926,6 @@ def big_orders(lineitem, orders, customer, *, min_qty: float = 300.0):
         np.add.at(s, inv, q)
         keep = s > thresh
         return pd.DataFrame({"l_orderkey": u[keep], "qc": s[keep]})
-    _qty_rollup.__name__ = "_qty_rollup"
 
     big = lineitem.map_batches(_qty_prep, batch_format="pyarrow") \
         .groupby("__part").map_groups(_qty_rollup, batch_format="pandas") \
