@@ -1226,6 +1226,17 @@ def _q_big_orders(sf_dir: str):
     return big_orders(li, orders, cust, min_qty=300.0)
 
 
+def _q_session_cooccurrence(sf_dir: str):
+    """Event-type co-occurrence within 30-min session windows (the
+    market-basket screen): sessions containing each unordered type
+    pair; partial pair counts per partition, tiny final groupby."""
+    from series_correction_project_updated_ray.stages.windows import (
+        session_cooccurrence)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+    return session_cooccurrence(ev, timeout_s=1800)
+
+
 def _q_kalman(sf_dir: str):
     """Per-user 1-D Kalman filter (local-level model): the two-state
     recursion with a per-step DIVISION gain, bit-exact vs a recursive
@@ -1781,7 +1792,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # escalating hardness levels (holt linear, kalman with a
             # division gain, cusum with resets) — the hysteresis
             # kernel's own semantics battery stays in pytest
-            "alert_hysteresis"][:n_over]
+            "alert_hysteresis",
+            # session_cooccurrence enters the window: token_bigrams'
+            # adjacent-pair count (lockstep shift + groupby sum) is the
+            # simplest member of the pair-emission family the
+            # co-occurrence op certifies strictly harder (ragged
+            # all-pairs within sessionized distinct sets, partial
+            # counts); the polynomial token-id machinery itself stays
+            # certified by the kept token_vocab_stats and
+            # packed_sequences' per-row checksums
+            "token_bigrams"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -1982,6 +2002,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # 1-D Kalman filter (two-state recursion, per-step division
         # gain) — oracle-checked bit-exactly via a recursive CTE
         "kalman_per_user": _q_kalman,
+        # session-window event-type co-occurrence (market-basket) —
+        # oracle-checked
+        "session_cooccurrence": _q_session_cooccurrence,
         # all-pairs hourly-total Pearson correlation between the top-k
         # users (integer matmul moments on the global hour grid) —
         # oracle-checked
@@ -2856,6 +2879,37 @@ SELECT user_id, CAST(n AS BIGINT) AS n, CAST(rn AS BIGINT) AS split_pos,
 FROM sc
 QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY score DESC, rn) = 1
+""",
+        # session-window co-occurrence: the session_windows boundary
+        # CTE, sessions reduced to DISTINCT types, unordered pairs via
+        # a < b string self-join (binary order == the kernel's sorted
+        # type-code order), exact integer counts
+        "session_cooccurrence": """
+WITH ordered AS (
+  SELECT user_id, event_type, epoch_us(ts)//1000000 AS t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+                   OR epoch_us(ts)//1000000
+                      - lag(epoch_us(ts)//1000000) OVER (
+                          PARTITION BY user_id
+                          ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS boundary
+  FROM events WHERE user_id IS NOT NULL),
+sess AS (
+  SELECT user_id, event_type,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY rn)
+           AS session_id
+  FROM ordered),
+types AS (SELECT DISTINCT user_id, session_id, event_type FROM sess),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b
+    ON a.user_id = b.user_id AND a.session_id = b.session_id
+   AND a.event_type < b.event_type)
+SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM pairs GROUP BY 1, 2
 """,
         # 1-D Kalman (local-level model, q=1, r=4, p0=1): the CTE
         # carries (x, p) and replays the kernel's exact operand order —

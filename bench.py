@@ -235,6 +235,12 @@ def run_bench() -> dict:
               lambda: corr_pairs_hourly(rd.read_parquet(
                   ev_path, columns=["user_id", "ts", "value"]),
                   k=20).count())
+        from series_correction_project_updated_ray.stages.windows import (
+            session_cooccurrence)
+        timed("session_cooccurrence",
+              lambda: session_cooccurrence(rd.read_parquet(
+                  ev_path, columns=["user_id", "event_id", "ts",
+                                    "event_type"])).count())
         timed("kalman_per_user",
               lambda: kalman_per_user(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())

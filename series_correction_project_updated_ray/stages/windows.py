@@ -854,3 +854,95 @@ def interarrival_stats(events, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(InterarrivalGroup(),
                                       batch_format="pandas")
+
+
+class SessionCooccurrence:
+    """Per-PARTITION combiner for session-level event-type
+    co-occurrence (market-basket over session windows): sessionize
+    every co-located key with the :class:`SessionWindows` boundary
+    scan, reduce each session to its DISTINCT event types, emit every
+    unordered type pair (a < b, binary/lexicographic — type codes come
+    from the SORTED unique array so the pair order matches SQL string
+    comparison) once per session, and return PARTIAL pair counts —
+    ≤ |types|² rows leave each partition, so the final groupby moves a
+    few hundred bytes per block regardless of corpus size.  Null keys
+    drop (the oracle's equi-self-join semantics)."""
+
+    def __init__(self, timeout_s: int = 1800, key_col="user_id",
+                 ts_col="ts", id_col="event_id", type_col="event_type"):
+        self.timeout_s, self.key_col = timeout_s, key_col
+        self.ts_col, self.id_col, self.type_col = ts_col, id_col, type_col
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "type_a": pd.Series([], dtype=object),
+            "type_b": pd.Series([], dtype=object),
+            "cnt": pd.Series([], dtype=np.int64)})
+        codes, _ = pd.factorize(g[self.key_col], sort=False)
+        if (codes < 0).any():
+            g = g.iloc[codes >= 0]
+            codes = codes[codes >= 0]
+        if len(g) == 0:
+            return empty
+        ts = g[self.ts_col]
+        if pd.api.types.is_datetime64_any_dtype(ts):
+            t = (ts.astype("datetime64[ns]").astype("int64").to_numpy()
+                 // 1_000_000_000)
+        else:
+            t = ts.to_numpy(np.int64)
+        order = np.lexsort((g[self.id_col].to_numpy(), t, codes))
+        codes, t = codes[order], t[order]
+        types = g[self.type_col].to_numpy()[order]
+        n = len(t)
+        boundary = np.ones(n, dtype=bool)
+        if n > 1:
+            boundary[1:] = (codes[1:] != codes[:-1]) \
+                | (np.diff(t) > self.timeout_s)
+        gsid = np.cumsum(boundary) - 1          # global session ordinal
+        uniq_types = np.unique(types)           # SORTED: code order ==
+        ntypes = len(uniq_types)                # lexicographic order
+        tcode = np.searchsorted(uniq_types, types)
+        # distinct (session, type) cells, session-major then type-asc
+        cells = np.unique(gsid * np.int64(ntypes) + tcode)
+        sess_of = cells // ntypes
+        tc = cells % ntypes
+        seg_first = np.r_[True, sess_of[1:] != sess_of[:-1]]
+        starts = np.flatnonzero(seg_first)
+        ends = np.r_[starts[1:], len(cells)]
+        m = len(cells)
+        counts = np.repeat(ends, ends - starts) - np.arange(m) - 1
+        P = int(counts.sum())
+        if P == 0:
+            return empty
+        a = np.repeat(np.arange(m), counts)
+        cum0 = np.r_[0, np.cumsum(counts)][:-1]
+        b = a + 1 + (np.arange(P) - np.repeat(cum0, counts))
+        pairkey = tc[a].astype(np.int64) * ntypes + tc[b]
+        u, cnt = np.unique(pairkey, return_counts=True)
+        return pd.DataFrame({
+            "type_a": uniq_types[u // ntypes],
+            "type_b": uniq_types[u % ntypes],
+            "cnt": cnt.astype(np.int64),
+        })
+
+
+def session_cooccurrence(events, timeout_s: int = 1800,
+                         n_parts: int = 64):
+    """Event-type co-occurrence within session windows (the
+    market-basket / association screen): for every unordered pair of
+    event types, the number of sessions containing BOTH.  One
+    partition-group shuffle + a tiny ≤|types|²-row final groupby of
+    per-partition partial counts."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+    partials = _add_key_partition(events, "user_id", n_parts) \
+        .groupby("__part").map_groups(SessionCooccurrence(timeout_s),
+                                      batch_format="pandas")
+
+    def _to_arrow(t: pa.Table) -> pa.Table:   # arrow re-block before the
+        return t                              # keyed groupby (15× faster)
+    return partials.map_batches(_to_arrow, batch_format="pyarrow") \
+        .groupby(["type_a", "type_b"]) \
+        .aggregate(Sum("cnt", alias_name="n_sessions"))

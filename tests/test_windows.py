@@ -158,3 +158,58 @@ def test_rollup_quantiles_accuracy(ray_session):
     small = a[a["n"] <= 200]
     assert len(small) == 0 or small.equals(
         b[b["n"] <= 200].reset_index(drop=True).set_index(small.index))
+
+
+def test_session_cooccurrence_kernel_matches_sql():
+    """Per-session distinct-type pair counts equal the sessionize +
+    self-join SQL on the same frame; null keys drop; singleton-type
+    sessions emit nothing."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from series_correction_project_updated_ray.stages.windows import (
+        SessionCooccurrence)
+    rng = np.random.default_rng(5)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": pd.array(rng.integers(0, 8, n), dtype="Int64"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": np.sort(rng.integers(0, 200_000, n)).astype(np.int64),
+        "event_type": rng.choice(["click", "view", "purchase",
+                                  "error"], n),
+    })
+    df.loc[df.index[:4], "user_id"] = pd.NA
+    part = SessionCooccurrence(1800)(df)
+    got = part.groupby(["type_a", "type_b"], as_index=False)["cnt"] \
+        .sum().rename(columns={"cnt": "n_sessions"})
+    con = duckdb.connect()
+    con.register("ev", df)
+    want = con.execute("""
+WITH ordered AS (
+  SELECT user_id, event_type, ts AS t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS boundary
+  FROM ev WHERE user_id IS NOT NULL),
+sess AS (
+  SELECT user_id, event_type,
+         sum(boundary) OVER (PARTITION BY user_id ORDER BY rn)
+           AS session_id
+  FROM ordered),
+types AS (SELECT DISTINCT user_id, session_id, event_type FROM sess),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b
+    ON a.user_id = b.user_id AND a.session_id = b.session_id
+   AND a.event_type < b.event_type)
+SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM pairs GROUP BY 1, 2""").df()
+    cols = ["type_a", "type_b", "n_sessions"]
+    got = got[cols].sort_values(cols[:2]).reset_index(drop=True)
+    want = want[cols].sort_values(cols[:2]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
