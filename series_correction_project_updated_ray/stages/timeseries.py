@@ -1257,6 +1257,8 @@ class TheilSenGroup:
         dt = t[b_idx] - t[a_idx]
         keep = dt > 0                      # strict time order only
         a_idx, b_idx, dt = a_idx[keep], b_idx[keep], dt[keep]
+        if len(dt) == 0:                   # every pair tied in t
+            return empty
         sl = (c[b_idx] - c[a_idx]).astype(np.float64) \
             / dt.astype(np.float64)
         pc = codes[a_idx]

@@ -579,3 +579,107 @@ def test_drawdown_object_fallback_exact():
             mdd, trough = _loop(frame, k)
             assert got.loc[k, "max_drawdown"] == float(mdd) / 100.0
             assert got.loc[k, "t_trough"] == trough
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2),
+                          st.integers(0, 20_000),
+                          st.integers(-50, 50)),
+                min_size=2, max_size=120))
+def test_changepoint_matches_scalar_loop(rows):
+    """Per-key best split equals the literal O(n²) scan (earliest-s
+    ties), and the gain is always ≥ 0 (between-segment SS is
+    non-negative by Cauchy–Schwarz)."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        ChangepointGroup)
+    keys = [r[0] for r in rows]
+    ts = [r[1] * 1_000_000 for r in rows]
+    vals = [r[2] / 4 for r in rows]
+    df = _ts_frame(keys, ts, vals)
+    got = ChangepointGroup()(df).set_index("user_id")
+    for k in set(keys):
+        sub = df[df["user_id"] == k].sort_values(["t", "event_id"])
+        n = len(sub)
+        if n < 2:
+            assert k not in got.index
+            continue
+        c = np.round(sub["value"].to_numpy() * 100).astype(np.int64)
+        S = np.cumsum(c)
+        best_s, best = None, -np.inf
+        for s in range(1, n):
+            sc = (float(S[s - 1]) * float(S[s - 1]) / float(s)
+                  + float(S[-1] - S[s - 1]) * float(S[-1] - S[s - 1])
+                  / float(n - s))
+            if sc > best:
+                best_s, best = s, sc
+        base = float(S[-1]) * float(S[-1]) / float(n)
+        r = got.loc[k]
+        assert r["split_pos"] == best_s
+        assert r["gain"] >= 0.0
+        from series_correction_project_updated_ray.functions.rounding \
+            import round_half_away
+        assert r["gain"] == round_half_away(
+            np.float64((best - base) / 10000.0), 6)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2),
+                          st.integers(0, 20_000),
+                          st.integers(-50, 50)),
+                min_size=1, max_size=80))
+def test_kalman_level_within_observed_range(rows):
+    """Every filtered level is a convex combination of the key's
+    observations so far — bounded by the running min/max — and the
+    gain stays in (0, 1)."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        KalmanGroup)
+    keys = [r[0] for r in rows]
+    ts = [r[1] * 1_000_000 for r in rows]
+    vals = [float(r[2]) for r in rows]
+    df = _ts_frame(keys, ts, vals)
+    got = KalmanGroup()(df)
+    for k in set(keys):
+        sub = df[df["user_id"] == k].sort_values(["t", "event_id"])
+        g = got[got["user_id"] == k].set_index("event_id") \
+            .loc[sub["event_id"].to_numpy()]
+        lo = np.minimum.accumulate(sub["value"].to_numpy())
+        hi = np.maximum.accumulate(sub["value"].to_numpy())
+        lv = g["level"].to_numpy()
+        assert (lv >= np.round(lo, 6) - 1e-6).all()
+        assert (lv <= np.round(hi, 6) + 1e-6).all()
+        kg = g["gain"].to_numpy()
+        assert np.isnan(kg[0])
+        assert ((kg[1:] > 0.0) & (kg[1:] < 1.0)).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2),
+                          st.integers(0, 20_000),
+                          st.integers(-50, 50)),
+                min_size=2, max_size=80))
+def test_theil_sen_matches_literal_pairs(rows):
+    """Median pairwise slope equals the literal double-loop over
+    strict-t pairs; ties in t never divide by zero."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        TheilSenGroup)
+    from series_correction_project_updated_ray.functions.rounding import (
+        round_half_away)
+    keys = [r[0] for r in rows]
+    ts = [(r[1] // 100) * 1_000_000 for r in rows]   # force some t ties
+    vals = [r[2] / 4 for r in rows]
+    df = _ts_frame(keys, ts, vals)
+    got = TheilSenGroup()(df).set_index("user_id")
+    for k in set(keys):
+        sub = df[df["user_id"] == k].sort_values(["t", "event_id"])
+        c = np.round(sub["value"].to_numpy() * 100).astype(np.int64)
+        t = sub["t"].to_numpy()
+        sl = [float(c[j] - c[i]) / float(t[j] - t[i])
+              for i in range(len(c)) for j in range(len(c))
+              if t[j] > t[i]]
+        if not sl:
+            assert k not in got.index
+            continue
+        r = got.loc[k]
+        assert r["n_pairs"] == len(sl)
+        assert r["slope_per_hour"] == round_half_away(
+            np.float64(np.median(sl) * 36000000.0), 6)
