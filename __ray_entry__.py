@@ -1226,6 +1226,16 @@ def _q_big_orders(sf_dir: str):
     return big_orders(li, orders, cust, min_qty=300.0)
 
 
+def _q_holt_winters(sf_dir: str):
+    """Per-user Holt-Winters additive seasonal smoothing (period 4):
+    the (level, trend, 4-phase seasonal) float recursion, bit-exact vs
+    a recursive CTE carrying the seasonals as scalar columns."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        holt_winters_per_user)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return holt_winters_per_user(ev)
+
+
 def _q_session_cooccurrence(sf_dir: str):
     """Event-type co-occurrence within 30-min session windows (the
     market-basket screen): sessions containing each unordered type
@@ -1715,7 +1725,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # round-4 additions (sax_symbols / threshold_excursions /
             # dtw_profile_pairs enter the window): EWMA's one-state
             # bit-exact float fold is strictly subsumed by the kept
-            # Holt TWO-state fold (same recursive-CTE replay, harder);
+            # Holt-Winters SIX-state fold (same recursive-CTE replay,
+            # harder; it also subsumes the intermediate Holt);
             # gap detection (D1) is the first half of the kept
             # gap_filled_events C1 composition; seasonal_profile's
             # hour-of-day integer aggregation is byte-identical to the
@@ -1789,9 +1800,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # of the kept cusum_flags conditional reset fold (float
             # accumulation + threshold resets, bit-exact CTE), and the
             # per-step state-carry family is now certified at three
-            # escalating hardness levels (holt linear, kalman with a
-            # division gain, cusum with resets) — the hysteresis
-            # kernel's own semantics battery stays in pytest
+            # escalating hardness levels (kalman's division gain,
+            # cusum's resets, holt-winters' six states) — the
+            # hysteresis kernel's own semantics battery stays in pytest
             "alert_hysteresis",
             # session_cooccurrence enters the window: token_bigrams'
             # adjacent-pair count (lockstep shift + groupby sum) is the
@@ -1801,7 +1812,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # counts); the polynomial token-id machinery itself stays
             # certified by the kept token_vocab_stats and
             # packed_sequences' per-row checksums
-            "token_bigrams"][:n_over]
+            "token_bigrams",
+            # holt_winters_per_user enters the window: the l/b operand
+            # recursion and CTE-replay certification mechanism are
+            # identical (γ=0 zeroes the seasonals; only the b₁ seed
+            # differs — x₂−x₁ vs 0), and HW adds 4 seasonal states plus
+            # the phase selector on top; Holt's own seeding stays
+            # pinned by its kernel-vs-recursive-SQL pytest
+            "holt_per_user"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2005,6 +2023,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # session-window event-type co-occurrence (market-basket) —
         # oracle-checked
         "session_cooccurrence": _q_session_cooccurrence,
+        # Holt-Winters additive seasonal (triple exponential, 6-state
+        # recursion) — oracle-checked bit-exactly via a recursive CTE
+        # with scalar phase columns
+        "holt_winters_per_user": _q_holt_winters,
         # all-pairs hourly-total Pearson correlation between the top-k
         # users (integer matmul moments on the global hour grid) —
         # oracle-checked
@@ -2277,6 +2299,45 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 # shared by the winnow_fingerprints oracle and the winnow_matches
 # aggregate built on top of it.  The k-gram fold reuses the
 # doc_fingerprints HUGEINT-decomposed uint64 Horner convention.
+# Holt-Winters additive oracle: the recursive CTE carries the m=4
+# seasonal states as SCALAR columns (phase via CASE — no list carry, so
+# the recursion stays on DuckDB's reliable scalar path); the repeated
+# level/seasonal subexpressions are macro-expanded so every operand
+# order matches the kernel exactly.  CAST anchors to DOUBLE (a bare 0.0
+# literal types DECIMAL and rounds the whole recursion).
+_HW_SP = ("CASE (c.rn - 1) % 4 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 "
+          "WHEN 2 THEN r.s2 ELSE r.s3 END")
+_HW_L = f"0.5 * (c.value - ({_HW_SP})) + 0.5 * (r.l + r.b)"
+_HW_B = f"0.5 * (({_HW_L}) - r.l) + 0.5 * r.b"
+_HW_S = f"0.25 * (c.value - ({_HW_L})) + 0.75 * ({_HW_SP})"
+_HW_SQL = f"""
+WITH RECURSIVE c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL),
+r AS (
+  SELECT user_id, event_id, t, rn, value AS l,
+         CAST(0.0 AS DOUBLE) AS b,
+         CAST(0.0 AS DOUBLE) AS s0, CAST(0.0 AS DOUBLE) AS s1,
+         CAST(0.0 AS DOUBLE) AS s2, CAST(0.0 AS DOUBLE) AS s3,
+         CAST(NULL AS DOUBLE) AS s_out
+  FROM c WHERE rn = 1
+  UNION ALL
+  SELECT c.user_id, c.event_id, c.t, c.rn,
+         {_HW_L},
+         {_HW_B},
+         CASE WHEN (c.rn - 1) % 4 = 0 THEN ({_HW_S}) ELSE r.s0 END,
+         CASE WHEN (c.rn - 1) % 4 = 1 THEN ({_HW_S}) ELSE r.s1 END,
+         CASE WHEN (c.rn - 1) % 4 = 2 THEN ({_HW_S}) ELSE r.s2 END,
+         CASE WHEN (c.rn - 1) % 4 = 3 THEN ({_HW_S}) ELSE r.s3 END,
+         {_HW_S}
+  FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
+SELECT user_id, event_id, t, round(l, 6) AS level,
+       round(b, 6) AS trend, round(s_out, 6) AS seasonal
+FROM r
+"""
+
 _WINNOW_FP_SQL = """
 WITH base AS (
   SELECT doc_id,
@@ -2880,6 +2941,10 @@ FROM sc
 QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY score DESC, rn) = 1
 """,
+        # Holt-Winters additive (α=β=0.5, γ=0.25, m=4): see _HW_SQL —
+        # scalar phase columns, macro-expanded subexpressions, CAST
+        # DOUBLE anchors
+        "holt_winters_per_user": _HW_SQL,
         # session-window co-occurrence: the session_windows boundary
         # CTE, sessions reduced to DISTINCT types, unordered pairs via
         # a < b string self-join (binary order == the kernel's sorted

@@ -241,6 +241,11 @@ def run_bench() -> dict:
               lambda: session_cooccurrence(rd.read_parquet(
                   ev_path, columns=["user_id", "event_id", "ts",
                                     "event_type"])).count())
+        from series_correction_project_updated_ray.stages.timeseries import (
+            holt_winters_per_user)
+        timed("holt_winters_per_user",
+              lambda: holt_winters_per_user(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
         timed("kalman_per_user",
               lambda: kalman_per_user(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())

@@ -1371,3 +1371,108 @@ def kalman_per_user(events, *, q: float = 1.0, r: float = 4.0,
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(KalmanGroup(q, r, p0),
                                       batch_format="pandas")
+
+
+# --- Holt-Winters additive (triple exponential smoothing) -------------------
+
+class HoltWintersGroup:
+    """Per-partition kernel: Holt-Winters ADDITIVE seasonal smoothing
+    (Winters 1960) per key in (t, event_id) order, period ``m`` —
+
+        l_t = α·(z_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        s_t = γ·(z_t − l_t) + (1−γ)·s_{t−m}
+
+    seeded l₁ = z₁, b₁ = 0, all seasonals 0 (the anchor row emits NULL
+    seasonal and does not update a phase) — a deterministic convention
+    both sides share; the phase of row rn is (rn−1) mod m.  The oracle
+    CTE carries the m seasonal states as m SCALAR columns (phase
+    selected by CASE) — no list carry, so the recursion stays inside
+    DuckDB's reliable scalar path — and every step's operand order is
+    replayed exactly, vectorized ACROSS keys position-major (position j
+    updates the SAME phase j mod m for every alive key, so the phase
+    slot is one in-place row write)."""
+
+    def __init__(self, alpha: float = 0.5, beta: float = 0.5,
+                 gamma: float = 0.25, m: int = 4):
+        self.alpha, self.beta, self.gamma, self.m = alpha, beta, gamma, m
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        if (codes < 0).any():   # recursive-CTE equality join drops nulls
+            g = g.iloc[codes >= 0]
+            codes = codes[codes >= 0]
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": g["user_id"],
+                "event_id": pd.Series([], dtype=np.int64),
+                "t": pd.Series([], dtype=np.int64),
+                "level": pd.Series([], dtype=np.float64),
+                "trend": pd.Series([], dtype=np.float64),
+                "seasonal": pd.Series([], dtype=np.float64)})
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        keys = g["user_id"].to_numpy()[order]
+        z = g["value"].to_numpy(np.float64)[order]
+        n = len(t)
+        pm, offs = _pos_major_layout(codes, n)
+        z_pm = z[pm]
+        lv_pm = np.empty(n)
+        tr_pm = np.empty(n)
+        se_pm = np.empty(n)
+        a, am = self.alpha, 1.0 - self.alpha
+        b, bm = self.beta, 1.0 - self.beta
+        gg, gm = self.gamma, 1.0 - self.gamma
+        max_len = len(offs) - 1
+        z0 = z_pm[offs[0]:offs[1]]
+        L = z0.copy()
+        B = np.zeros(len(z0))
+        S = np.zeros((self.m, len(z0)))    # longest-first layout: alive
+        lv_pm[offs[0]:offs[1]] = L         # keys are always a prefix
+        tr_pm[offs[0]:offs[1]] = B
+        se_pm[offs[0]:offs[1]] = np.nan
+        for j in range(1, max_len):
+            w = offs[j + 1] - offs[j]
+            zk = z_pm[offs[j]:offs[j + 1]]
+            p = j % self.m
+            sp = S[p][:w].copy()
+            lprev, bprev = L[:w], B[:w]
+            Lk = a * (zk - sp) + am * (lprev + bprev)
+            Bk = b * (Lk - lprev) + bm * bprev
+            Sk = gg * (zk - Lk) + gm * sp
+            S[p][:w] = Sk
+            L, B = Lk, Bk
+            lv_pm[offs[j]:offs[j + 1]] = Lk
+            tr_pm[offs[j]:offs[j + 1]] = Bk
+            se_pm[offs[j]:offs[j + 1]] = Sk
+        lv = np.empty(n)
+        tr = np.empty(n)
+        se = np.empty(n)
+        lv[pm] = lv_pm
+        tr[pm] = tr_pm
+        se[pm] = se_pm
+        return pd.DataFrame({
+            "user_id": keys,
+            "event_id": ids[order],
+            "t": t,
+            "level": round_half_away(lv, 6),
+            "trend": round_half_away(tr, 6),
+            "seasonal": round_half_away(se, 6),
+        })
+
+
+def holt_winters_per_user(events, *, alpha: float = 0.5,
+                          beta: float = 0.5, gamma: float = 0.25,
+                          m: int = 4, n_parts: int = 64):
+    """Per-user Holt-Winters additive seasonal smoothing — one
+    partition-group shuffle; the (level, trend, m seasonals) float
+    recursion is recursive-CTE-certified bit-exactly (scalar phase
+    columns, no list carry)."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(
+            HoltWintersGroup(alpha, beta, gamma, m),
+            batch_format="pandas")

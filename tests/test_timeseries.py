@@ -718,3 +718,47 @@ def test_kalman_converges_to_steady_gain():
     assert (out["level"] == 42.0).all()
     kstar = (np.sqrt(1.0 + 16.0) - 1.0) / 8.0
     assert abs(out["gain"].iloc[-1] - round(kstar, 6)) < 1e-6
+
+
+def test_holt_winters_kernel_matches_recursive_sql():
+    """The 6-state (l, b, s0..s3) recursion is bit-identical to the
+    scalar-phase-column recursive CTE; null keys drop; the anchor row
+    emits trend 0 and NULL seasonal."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        HoltWintersGroup)
+    df = _mk(n=300, with_null=True)
+    got = HoltWintersGroup()(df)
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    sql = E._HW_SQL.replace("epoch_us(ts)", "t") \
+        .replace("FROM events", "FROM ev")
+    want = _duck(df, sql)
+    _cmp(got, want)
+
+
+def test_holt_winters_gamma_zero_is_holt_recursion():
+    """With γ=0 the seasonals stay 0 and the (l, b) recursion equals a
+    literal Holt loop with the HW seed (b₁ = 0) — the same two-state
+    operand order Holt certifies, under HW's seeding convention."""
+    from series_correction_project_updated_ray.functions.rounding import (
+        round_half_away)
+    from series_correction_project_updated_ray.stages.timeseries import (
+        HoltWintersGroup)
+    df = _mk(n=200)
+    hw = HoltWintersGroup(alpha=0.5, beta=0.5, gamma=0.0)(df)
+    assert (hw["seasonal"].fillna(0.0) == 0.0).all()
+    for k in df["user_id"].dropna().unique():
+        sub = df[df["user_id"] == k].sort_values(["t", "event_id"])
+        z = sub["value"].to_numpy(np.float64)
+        g = hw[hw["user_id"] == k].set_index("event_id") \
+            .loc[sub["event_id"].to_numpy()]
+        L, B = z[0], 0.0
+        want = [L]
+        for x in z[1:]:
+            Lk = 0.5 * (x - 0.0) + 0.5 * (L + B)
+            B = 0.5 * (Lk - L) + 0.5 * B
+            L = Lk
+            want.append(L)
+        assert (g["level"].to_numpy()
+                == round_half_away(np.asarray(want), 6)).all()
