@@ -1226,6 +1226,16 @@ def _q_big_orders(sf_dir: str):
     return big_orders(li, orders, cust, min_qty=300.0)
 
 
+def _q_type_entropy(sf_dir: str):
+    """Shannon entropy of each user's event-type distribution — count
+    partials + a bit-exact −Σ p·ln p fold (libm ln, binary type
+    order)."""
+    from series_correction_project_updated_ray.stages.relational import (
+        type_entropy)
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return type_entropy(ev)
+
+
 def _q_holt_winters(sf_dir: str):
     """Per-user Holt-Winters additive seasonal smoothing (period 4):
     the (level, trend, 4-phase seasonal) float recursion, bit-exact vs
@@ -1819,7 +1829,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # differs — x₂−x₁ vs 0), and HW adds 4 seasonal states plus
             # the phase selector on top; Holt's own seeding stays
             # pinned by its kernel-vs-recursive-SQL pytest
-            "holt_per_user"][:n_over]
+            "holt_per_user",
+            # type_entropy is oracle-backed but windowed out AT BIRTH:
+            # its (key, type) count partial is the term_frequencies /
+            # seasonal_profile cell-count mechanism and its −Σ p·ln p
+            # left fold is unigram_logprob's libm-ln ordered fold
+            # (kept in-window) — nothing mechanically new to certify
+            "type_entropy"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2027,6 +2043,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # recursion) — oracle-checked bit-exactly via a recursive CTE
         # with scalar phase columns
         "holt_winters_per_user": _q_holt_winters,
+        # per-user event-type Shannon entropy — oracle-checked
+        "type_entropy": _q_type_entropy,
         # all-pairs hourly-total Pearson correlation between the top-k
         # users (integer matmul moments on the global hour grid) —
         # oracle-checked
@@ -2940,6 +2958,26 @@ SELECT user_id, CAST(n AS BIGINT) AS n, CAST(rn AS BIGINT) AS split_pos,
 FROM sc
 QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY score DESC, rn) = 1
+""",
+        # Shannon entropy per user: p = c/n doubles, x = p·ln p per row
+        # (libm == DuckDB ln), −Σ folded in binary type order via
+        # list_reduce
+        "type_entropy": r"""
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+n AS (SELECT user_id, SUM(c) AS n FROM c GROUP BY 1),
+p AS (
+  SELECT c.user_id, c.event_type,
+         (CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+           * ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)) AS x
+  FROM c JOIN n USING (user_id)),
+f AS (SELECT user_id, list(x ORDER BY event_type) AS l,
+             CAST(SUM(1) AS BIGINT) AS n_types
+      FROM p GROUP BY 1)
+SELECT f.user_id, f.n_types, CAST(n.n AS BIGINT) AS n_events,
+       round(-list_reduce(f.l, (a, b) -> a + b), 6) AS entropy
+FROM f JOIN n ON f.user_id = n.user_id
 """,
         # Holt-Winters additive (α=β=0.5, γ=0.25, m=4): see _HW_SQL —
         # scalar phase columns, macro-expanded subexpressions, CAST

@@ -965,3 +965,96 @@ def big_orders(lineitem, orders, customer, *, min_qty: float = 300.0):
         class_task(_BroadcastInnerJoin, m_ref, "c_custkey", "o_custkey",
                    out_schema),
         batch_format="pyarrow")
+
+
+# --- distributional entropy -------------------------------------------------
+
+class _EntropyGroup:
+    """Per-partition closer for :func:`type_entropy`: each co-located
+    key's (type → count) rows become Shannon entropy
+    ``H = −Σ p·ln p`` with p = count/total.  ``ln`` is ``math.log``
+    per row (libm — bit-identical to DuckDB ``ln``; the row count here
+    is |keys|·|types| per partition, already aggregate-sized), and the
+    Σ folds LEFT TO RIGHT in binary type order — the oracle's
+    ``list_reduce(list(x ORDER BY event_type))``.  Null keys drop (the
+    oracle's USING join)."""
+
+    def __init__(self, key_col="user_id", type_col="event_type"):
+        self.key_col, self.type_col = key_col, type_col
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        import math
+        empty = pd.DataFrame({
+            self.key_col: pd.Series([], dtype=np.int64),
+            "n_types": pd.Series([], dtype=np.int64),
+            "n_events": pd.Series([], dtype=np.int64),
+            "entropy": pd.Series([], dtype=np.float64)})
+        codes, _ = pd.factorize(g[self.key_col], sort=False)
+        if (codes < 0).any():
+            g = g.iloc[codes >= 0]
+            codes = codes[codes >= 0]
+        if len(g) == 0:
+            return empty
+        types = g[self.type_col].to_numpy()
+        order = np.lexsort((types, codes))
+        codes, types = codes[order], types[order]
+        keys = g[self.key_col].to_numpy()[order]
+        c = g["c"].to_numpy(np.int64)[order]
+        n = len(c)
+        first = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], n]
+        lens = ends - starts
+        tot = np.add.reduceat(c, starts)
+        q = c.astype(np.float64) / np.repeat(tot, lens).astype(np.float64)
+        x = np.array([qi * math.log(qi) for qi in q])
+        # left fold per key in binary type order (position-major mask)
+        acc = np.zeros(len(starts))
+        for j in range(int(lens.max())):
+            m = lens > j
+            acc[m] += x[starts[m] + j]
+        from ..functions.rounding import round_half_away
+        return pd.DataFrame({
+            self.key_col: keys[starts],
+            "n_types": lens.astype(np.int64),
+            "n_events": tot.astype(np.int64),
+            "entropy": round_half_away(-acc, 6),
+        })
+
+
+def type_entropy(events, *, key_col="user_id", type_col="event_type",
+                 n_parts: int = 64):
+    """Shannon entropy of each key's event-type distribution — the
+    label/source-diversity screen of data curation.  Batch-local
+    (key, type) count partials → ONE keyed groupby (aggregate-sized
+    output) → a partition-group close that folds −Σ p·ln p bit-exactly
+    (libm ln, binary type order)."""
+    from ray.data.aggregate import Sum
+
+    from .windows import _add_key_partition
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if key_col not in t.column_names:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             type_col: pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        kc, kuniq = pd.factorize(t[key_col].to_pandas(), sort=False)
+        tc, tuniq = pd.factorize(t[type_col].to_pandas(), sort=False)
+        ok = (kc >= 0) & (tc >= 0)   # null keys drop (oracle USING join);
+        kc, tc = kc[ok], tc[ok]      # -1 codes would wrap the unique take
+        nt = max(len(tuniq), 1)
+        cell = kc.astype(np.int64) * nt + tc
+        u, cnt = np.unique(cell, return_counts=True)
+        kv = np.asarray(kuniq)[u // nt]
+        tv = np.asarray(tuniq, dtype=object)[u % nt]
+        return pa.table({
+            key_col: pa.array(kv, pa.int64()),
+            type_col: pa.array(tv, pa.string()),
+            "c": pa.array(cnt.astype(np.int64))})
+
+    agg = events.map_batches(_partial, batch_format="pyarrow") \
+        .groupby([key_col, type_col]).aggregate(Sum("c", alias_name="c"))
+    return _add_key_partition(agg, key_col, n_parts) \
+        .groupby("__part").map_groups(
+            _EntropyGroup(key_col, type_col), batch_format="pandas")

@@ -1979,3 +1979,22 @@ def test_unigram_logprob_tokenless_corpus_empty(ray_session):
     assert out.count() == 0
     assert set(out.schema().names) == {"doc_id", "n_tok", "logprob",
                                        "avg_logprob"}
+
+
+def test_type_entropy_kernel_known_values():
+    """Uniform 4-type distribution gives ln 4; single-type keys give 0;
+    null keys drop."""
+    import math
+
+    from series_correction_project_updated_ray.stages.relational import (
+        _EntropyGroup)
+    g = pd.DataFrame({
+        "user_id": pd.array([1, 1, 1, 1, 2, None], dtype="Int64"),
+        "event_type": ["a", "b", "c", "d", "a", "a"],
+        "c": np.array([5, 5, 5, 5, 7, 3], dtype=np.int64),
+    })
+    out = _EntropyGroup()(g).set_index("user_id")
+    assert len(out) == 2
+    assert out.loc[1, "entropy"] == round(math.log(4.0), 6)
+    assert out.loc[1, "n_types"] == 4 and out.loc[1, "n_events"] == 20
+    assert out.loc[2, "entropy"] == 0.0
