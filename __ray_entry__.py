@@ -2961,11 +2961,12 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 """,
         # Shannon entropy per user: p = c/n doubles, x = p·ln p per row
         # (libm == DuckDB ln), −Σ folded in binary type order via
-        # list_reduce
+        # list_reduce; null types are excluded on BOTH sides (the
+        # kernel's count partial drops them)
         "type_entropy": r"""
 WITH c AS (
   SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
 n AS (SELECT user_id, SUM(c) AS n FROM c GROUP BY 1),
 p AS (
   SELECT c.user_id, c.event_type,

@@ -977,7 +977,9 @@ class _EntropyGroup:
     is |keys|·|types| per partition, already aggregate-sized), and the
     Σ folds LEFT TO RIGHT in binary type order — the oracle's
     ``list_reduce(list(x ORDER BY event_type))``.  Null keys drop (the
-    oracle's USING join)."""
+    oracle's USING join); null TYPES are excluded on both sides (the
+    oracle filters ``event_type IS NOT NULL`` — entropy is over the
+    observed label distribution)."""
 
     def __init__(self, key_col="user_id", type_col="event_type"):
         self.key_col, self.type_col = key_col, type_col

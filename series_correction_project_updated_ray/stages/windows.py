@@ -31,6 +31,28 @@ def _epoch_micros(ts_col) -> "np.ndarray":
     return ts.to_numpy(np.int64) * 1_000_000
 
 
+def _epoch_seconds(ts: pd.Series) -> np.ndarray:
+    """Seconds-resolution epoch ints — the session-gap time base."""
+    if pd.api.types.is_datetime64_any_dtype(ts):
+        return (ts.astype("datetime64[ns]").astype("int64").to_numpy()
+                // 1_000_000_000)
+    return ts.to_numpy(np.int64)
+
+
+def _session_boundaries(codes: np.ndarray, t: np.ndarray,
+                        timeout_s: int) -> np.ndarray:
+    """Boundary mask of the (codes, t)-sorted stream: True where a new
+    key starts or the inter-event gap exceeds ``timeout_s`` — THE
+    session rule, shared by every sessionizing kernel so the semantics
+    can never drift apart."""
+    n = len(t)
+    boundary = np.ones(n, dtype=bool)
+    if n > 1:
+        boundary[1:] = (codes[1:] != codes[:-1]) \
+            | (np.diff(t) > timeout_s)
+    return boundary
+
+
 def _sorted_group(g: pd.DataFrame, ts_col="ts", id_col="event_id"):
     g = g.sort_values([ts_col, id_col], kind="stable").reset_index(drop=True)
     ts = g[ts_col]
@@ -56,21 +78,14 @@ class SessionWindows:
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
         codes, _ = pd.factorize(g[self.key_col], sort=False)
-        ts = g[self.ts_col]
-        if pd.api.types.is_datetime64_any_dtype(ts):
-            t = (ts.astype("datetime64[ns]").astype("int64").to_numpy()
-                 // 1_000_000_000)
-        else:
-            t = ts.to_numpy(np.int64)
+        t = _epoch_seconds(g[self.ts_col])
         order = np.lexsort((g[self.id_col].to_numpy(), t, codes))
         codes, t = codes[order], t[order]
         keys = g[self.key_col].to_numpy()[order]
         n = len(t)
         new_key = np.ones(n, dtype=bool)
-        boundary = np.ones(n, dtype=bool)
-        if n > 1:
-            new_key[1:] = codes[1:] != codes[:-1]
-            boundary[1:] = new_key[1:] | (np.diff(t) > self.timeout_s)
+        new_key[1:] = codes[1:] != codes[:-1]
+        boundary = _session_boundaries(codes, t, self.timeout_s)
         starts = np.flatnonzero(boundary)
         ends = np.r_[starts[1:], n]
         # 1-based session index WITHIN each key: session ordinal minus the
@@ -885,21 +900,19 @@ class SessionCooccurrence:
             codes = codes[codes >= 0]
         if len(g) == 0:
             return empty
-        ts = g[self.ts_col]
-        if pd.api.types.is_datetime64_any_dtype(ts):
-            t = (ts.astype("datetime64[ns]").astype("int64").to_numpy()
-                 // 1_000_000_000)
-        else:
-            t = ts.to_numpy(np.int64)
+        t = _epoch_seconds(g[self.ts_col])
         order = np.lexsort((g[self.id_col].to_numpy(), t, codes))
         codes, t = codes[order], t[order]
         types = g[self.type_col].to_numpy()[order]
-        n = len(t)
-        boundary = np.ones(n, dtype=bool)
-        if n > 1:
-            boundary[1:] = (codes[1:] != codes[:-1]) \
-                | (np.diff(t) > self.timeout_s)
+        boundary = _session_boundaries(codes, t, self.timeout_s)
         gsid = np.cumsum(boundary) - 1          # global session ordinal
+        # NULL types shape session boundaries (they are events) but pair
+        # with nothing — the oracle's a < b comparison is never true for
+        # NULL — so drop them AFTER sessionizing
+        nn = ~pd.isnull(types)
+        gsid, types = gsid[nn], types[nn]
+        if len(types) == 0:
+            return empty
         uniq_types = np.unique(types)           # SORTED: code order ==
         ntypes = len(uniq_types)                # lexicographic order
         tcode = np.searchsorted(uniq_types, types)

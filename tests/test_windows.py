@@ -213,3 +213,25 @@ FROM pairs GROUP BY 1, 2""").df()
     got = got[cols].sort_values(cols[:2]).reset_index(drop=True)
     want = want[cols].sort_values(cols[:2]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_session_cooccurrence_null_types():
+    """NULL event_types shape session boundaries but pair with nothing
+    (the oracle's a < b is never true for NULL) — no crash, no pair."""
+    import numpy as np
+    import pandas as pd
+
+    from series_correction_project_updated_ray.stages.windows import (
+        SessionCooccurrence)
+    df = pd.DataFrame({
+        "user_id": pd.array([1, 1, 1, 1], dtype="Int64"),
+        "event_id": np.arange(4, dtype=np.int64),
+        # the NULL row bridges two would-be sessions: dropping it BEFORE
+        # sessionizing would split 'a'..'b' into separate sessions
+        "ts": np.array([0, 1500, 3000, 4500], dtype=np.int64),
+        "event_type": ["a", None, "b", None],
+    })
+    out = SessionCooccurrence(1800)(df)
+    assert out["cnt"].tolist() == [1]
+    assert out["type_a"].tolist() == ["a"]
+    assert out["type_b"].tolist() == ["b"]
