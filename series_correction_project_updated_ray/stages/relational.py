@@ -1003,6 +1003,13 @@ class _EntropyGroup:
         codes, types = codes[order], types[order]
         keys = g[self.key_col].to_numpy()[order]
         c = g["c"].to_numpy(np.int64)[order]
+        # per-block partials of the same (key, type) arrive unmerged
+        # (ONE shuffle, no keyed pre-groupby): combine in-group
+        dup = np.r_[True, (codes[1:] != codes[:-1])
+                    | (types[1:] != types[:-1])]
+        cell = np.flatnonzero(dup)
+        c = np.add.reduceat(c, cell)
+        codes, types, keys = codes[cell], types[cell], keys[cell]
         n = len(c)
         first = np.r_[True, codes[1:] != codes[:-1]]
         starts = np.flatnonzero(first)
@@ -1029,11 +1036,10 @@ def type_entropy(events, *, key_col="user_id", type_col="event_type",
                  n_parts: int = 64):
     """Shannon entropy of each key's event-type distribution — the
     label/source-diversity screen of data curation.  Batch-local
-    (key, type) count partials → ONE keyed groupby (aggregate-sized
-    output) → a partition-group close that folds −Σ p·ln p bit-exactly
+    (key, type) count partials flow through ONE partition-group
+    shuffle (aggregate-sized rows; same-cell partials from different
+    blocks merge in-group), and the close folds −Σ p·ln p bit-exactly
     (libm ln, binary type order)."""
-    from ray.data.aggregate import Sum
-
     from .windows import _add_key_partition
 
     def _partial(t: pa.Table) -> pa.Table:
@@ -1055,8 +1061,7 @@ def type_entropy(events, *, key_col="user_id", type_col="event_type",
             type_col: pa.array(tv, pa.string()),
             "c": pa.array(cnt.astype(np.int64))})
 
-    agg = events.map_batches(_partial, batch_format="pyarrow") \
-        .groupby([key_col, type_col]).aggregate(Sum("c", alias_name="c"))
-    return _add_key_partition(agg, key_col, n_parts) \
+    partials = events.map_batches(_partial, batch_format="pyarrow")
+    return _add_key_partition(partials, key_col, n_parts) \
         .groupby("__part").map_groups(
             _EntropyGroup(key_col, type_col), batch_format="pandas")
