@@ -1226,6 +1226,16 @@ def _q_big_orders(sf_dir: str):
     return big_orders(li, orders, cust, min_qty=300.0)
 
 
+def _q_matrix_profile(sf_dir: str):
+    """Exact unnormalized matrix profile per user (w=8): min squared-
+    Euclidean distance from each window to any other window of the
+    same series, smallest-j ties — pure-integer, oracle-exact."""
+    from series_correction_project_updated_ray.stages.tsmining import (
+        matrix_profile)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return matrix_profile(ev, w=8)
+
+
 def _q_type_entropy(sf_dir: str):
     """Shannon entropy of each user's event-type distribution — count
     partials + a bit-exact −Σ p·ln p fold (libm ln, binary type
@@ -1835,7 +1845,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # seasonal_profile cell-count mechanism and its −Σ p·ln p
             # left fold is unigram_logprob's libm-ln ordered fold
             # (kept in-window) — nothing mechanically new to certify
-            "type_entropy"][:n_over]
+            "type_entropy",
+            # matrix_profile enters the window: rate_counter_1h is a
+            # composition of two mechanisms certified harder elsewhere
+            # — its reset-aware conditional delta is cusum_flags' reset
+            # fold in simplest form and its tumbling-window sum-close
+            # is rollup_1h's (both kept); the matrix profile's
+            # pairwise-Gram argmin is a NEW mechanism class
+            "rate_counter_1h"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2045,6 +2062,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "holt_winters_per_user": _q_holt_winters,
         # per-user event-type Shannon entropy — oracle-checked
         "type_entropy": _q_type_entropy,
+        # exact integer matrix profile (nearest-neighbor window
+        # distance per position) — oracle-checked
+        "matrix_profile": _q_matrix_profile,
         # all-pairs hourly-total Pearson correlation between the top-k
         # users (integer matmul moments on the global hour grid) —
         # oracle-checked
@@ -2958,6 +2978,41 @@ SELECT user_id, CAST(n AS BIGINT) AS n, CAST(rn AS BIGINT) AS split_pos,
 FROM sc
 QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY score DESC, rn) = 1
+""",
+        # exact matrix profile: every distance is an integer (HUGEINT
+        # products), min + smallest-j tie via QUALIFY row_number; only
+        # windows fully inside the series pair up, self excluded
+        "matrix_profile": """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events),
+o AS (
+  SELECT user_id, cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY t, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM c),
+w AS (SELECT user_id, rn, cents, n FROM o WHERE rn + 7 <= n),
+p AS (
+  SELECT x.user_id, x.rn AS i, y.rn AS j
+  FROM (SELECT DISTINCT user_id, rn FROM w) x
+  JOIN (SELECT DISTINCT user_id, rn FROM w) y
+    ON x.user_id = y.user_id AND x.rn <> y.rn),
+k AS (SELECT unnest(generate_series(0, 7)) AS k),
+d AS (
+  SELECT p.user_id, p.i, p.j,
+         SUM(CAST(a.cents - b.cents AS HUGEINT)
+             * (a.cents - b.cents)) AS dist2
+  FROM p CROSS JOIN k
+  JOIN o a ON a.user_id = p.user_id AND a.rn = p.i + k.k
+  JOIN o b ON b.user_id = p.user_id AND b.rn = p.j + k.k
+  GROUP BY 1, 2, 3)
+SELECT user_id, CAST(i AS BIGINT) AS pos,
+       CAST(dist2 AS BIGINT) AS mp_dist2, CAST(j AS BIGINT) AS mp_idx
+FROM d
+QUALIFY row_number() OVER (PARTITION BY user_id, i
+                           ORDER BY dist2, j) = 1
 """,
         # Shannon entropy per user: p = c/n doubles, x = p·ln p per row
         # (libm == DuckDB ln), −Σ folded in binary type order via

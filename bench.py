@@ -261,7 +261,12 @@ def run_bench() -> dict:
                   docs_path, columns=["doc_id", "text"])).count())
 
         from series_correction_project_updated_ray.stages.tsmining import (
-            m4_downsample, sax_symbols, threshold_excursions)
+            m4_downsample, matrix_profile, sax_symbols,
+            threshold_excursions)
+
+        timed("matrix_profile",
+              lambda: matrix_profile(rd.read_parquet(
+                  ev_path, columns=ev_cols), w=8).count())
 
         timed("m4_downsample",
               lambda: m4_downsample(rd.read_parquet(

@@ -433,3 +433,88 @@ def dtw_profile_pairs(events, *, k_users: int = 12):
 
     return prof.repartition(1).map_batches(_pairs, batch_format="pyarrow",
                                            batch_size=None)
+
+
+# --- matrix profile (exact, unnormalized) -----------------------------------
+
+class MatrixProfileGroup:
+    """Per-partition kernel: the EXACT unnormalized matrix profile per
+    key (Yeh et al. 2016, ICDM — here the squared-Euclidean variant on
+    integer cents, so every distance is an exact int64 and the oracle
+    is a pure-integer SQL self-join): for each length-``w`` window at
+    position i, the minimum Σ(aₖ−bₖ)² to any OTHER window j ≠ i of the
+    same key, with the smallest j on ties.
+
+    Per key the work is one int64 Gram matmul (dist² = |a|²+|b|²−2a·b)
+    over the (m, w) sliding-window view — the per-key Python loop is
+    justified here because each iteration is an O(m²·w) BLAS-shaped
+    numpy call that dwarfs the loop overhead (unlike per-row kernels,
+    which this module never loops).  Keys with fewer than 2 windows
+    (n < w+1) emit nothing.  Σ window² must not wrap int64; past the
+    bound the Gram falls back to exact object ints (rare)."""
+
+    def __init__(self, w: int = 8):
+        self.w = w
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "pos": pd.Series([], dtype=np.int64),
+            "mp_dist2": pd.Series([], dtype=np.int64),
+            "mp_idx": pd.Series([], dtype=np.int64)})
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        if (codes < 0).any():   # oracle equi-joins drop null keys
+            g = g.iloc[codes >= 0]
+            codes = codes[codes >= 0]
+        if len(g) == 0:
+            return empty
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        keys = g["user_id"].to_numpy()[order]
+        c = scaled_int(g["value"].to_numpy(np.float64))[order]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], len(c)]
+        w = self.w
+        out_k, out_p, out_d, out_j = [], [], [], []
+        for s, e in zip(starts, ends):
+            m = (e - s) - w + 1
+            if m < 2:
+                continue
+            W = np.lib.stride_tricks.sliding_window_view(c[s:e], w)
+            amax = float(np.abs(W).max())
+            if amax and amax * amax * w >= float(1 << 62):
+                W = W.astype(object)        # exact escape hatch
+            G = W @ W.T
+            sq = np.diagonal(G).copy()
+            D = sq[:, None] + sq[None, :] - 2 * G
+            big = (np.iinfo(np.int64).max if D.dtype == np.int64
+                   else float("inf"))
+            np.fill_diagonal(D, big)
+            j = np.argmin(D, axis=1)        # first min == smallest j
+            out_k.append(keys[s:s + m])
+            out_p.append(np.arange(1, m + 1, dtype=np.int64))
+            out_d.append(D[np.arange(m), j].astype(np.int64))
+            out_j.append((j + 1).astype(np.int64))
+        if not out_k:
+            return empty
+        return pd.DataFrame({
+            "user_id": np.concatenate(out_k),
+            "pos": np.concatenate(out_p),
+            "mp_dist2": np.concatenate(out_d),
+            "mp_idx": np.concatenate(out_j),
+        })
+
+
+def matrix_profile(events, *, w: int = 8, n_parts: int = 64):
+    """Exact unnormalized matrix profile per user (window ``w``) — one
+    partition-group shuffle; quadratic in windows per key by the
+    primitive's definition (bound series length upstream for long
+    keys, or use an anchored subset)."""
+    from .timeseries import _prep_events
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(MatrixProfileGroup(w),
+                                      batch_format="pandas")

@@ -336,3 +336,38 @@ def test_tsmining_ray_end_to_end(ray_session):
         "user_a": users[ia], "user_b": users[ja],
         "dtw": np.round(dtw_pairwise_int(mat) / 100.0, 6)})
     _cmp(dtw, ref)
+
+
+def test_matrix_profile_matches_literal():
+    """The Gram-matmul profile equals a literal O(m²w) loop; a planted
+    repeated motif gives distance 0 at both its positions; n < w+1
+    keys emit nothing."""
+    import numpy as np
+    import pandas as pd
+
+    from series_correction_project_updated_ray.stages.tsmining import (
+        MatrixProfileGroup)
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.normal(50, 20, 40), 2)
+    vals[20:28] = vals[4:12]            # planted motif (w=8)
+    df = pd.DataFrame({
+        "user_id": np.r_[np.zeros(40, np.int64), np.full(5, 7, np.int64)],
+        "event_id": np.arange(45, dtype=np.int64),
+        "t": np.r_[np.arange(40), np.arange(5)].astype(np.int64)
+        * 1_000_000,
+        "value": np.r_[vals, np.full(5, 1.0)],
+    })
+    out = MatrixProfileGroup(8)(df)
+    assert set(out["user_id"]) == {0}   # the 5-event key has 0 pairs
+    got = out.set_index("pos")
+    c = np.round(vals * 100).astype(np.int64)
+    m = 40 - 8 + 1
+    W = np.lib.stride_tricks.sliding_window_view(c, 8).astype(np.int64)
+    for i in range(m):
+        d = [(np.sum((W[i] - W[j]) ** 2), j + 1)
+             for j in range(m) if j != i]
+        want_d, want_j = min(d)
+        assert got.loc[i + 1, "mp_dist2"] == want_d
+        assert got.loc[i + 1, "mp_idx"] == want_j
+    assert got.loc[5, "mp_dist2"] == 0 and got.loc[5, "mp_idx"] == 21
+    assert got.loc[21, "mp_dist2"] == 0 and got.loc[21, "mp_idx"] == 5
