@@ -1236,6 +1236,15 @@ def _q_matrix_profile(sf_dir: str):
     return matrix_profile(ev, w=8)
 
 
+def _q_mp_discords(sf_dir: str):
+    """Top discord per user: the window position with the LARGEST
+    nearest-neighbor distance (matrix-profile anomaly read)."""
+    from series_correction_project_updated_ray.stages.tsmining import (
+        mp_discords)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return mp_discords(ev, w=8)
+
+
 def _q_type_entropy(sf_dir: str):
     """Shannon entropy of each user's event-type distribution — count
     partials + a bit-exact −Σ p·ln p fold (libm ln, binary type
@@ -1852,7 +1861,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # fold in simplest form and its tumbling-window sum-close
             # is rollup_1h's (both kept); the matrix profile's
             # pairwise-Gram argmin is a NEW mechanism class
-            "rate_counter_1h"][:n_over]
+            "rate_counter_1h",
+            # mp_discords is oracle-backed but windowed out at birth:
+            # it is matrix_profile (kept) composed with the
+            # topn_per_group rank pick certified by knn_topk /
+            # grouped_quantiles — nothing mechanically new
+            "mp_discords"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2065,6 +2079,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # exact integer matrix profile (nearest-neighbor window
         # distance per position) — oracle-checked
         "matrix_profile": _q_matrix_profile,
+        # top discord per user (max-MP anomaly) — oracle-checked
+        "mp_discords": _q_mp_discords,
         # all-pairs hourly-total Pearson correlation between the top-k
         # users (integer matmul moments on the global hour grid) —
         # oracle-checked
@@ -2337,6 +2353,42 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 # shared by the winnow_fingerprints oracle and the winnow_matches
 # aggregate built on top of it.  The k-gram fold reuses the
 # doc_fingerprints HUGEINT-decomposed uint64 Horner convention.
+# exact matrix profile SQL (shared by matrix_profile and the
+# mp_discords argmax wrapper)
+_MP_SQL = """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events),
+o AS (
+  SELECT user_id, cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY t, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM c),
+w AS (SELECT user_id, rn, cents, n FROM o WHERE rn + 7 <= n),
+p AS (
+  SELECT x.user_id, x.rn AS i, y.rn AS j
+  FROM (SELECT DISTINCT user_id, rn FROM w) x
+  JOIN (SELECT DISTINCT user_id, rn FROM w) y
+    ON x.user_id = y.user_id AND x.rn <> y.rn),
+k AS (SELECT unnest(generate_series(0, 7)) AS k),
+d AS (
+  SELECT p.user_id, p.i, p.j,
+         SUM(CAST(a.cents - b.cents AS HUGEINT)
+             * (a.cents - b.cents)) AS dist2
+  FROM p CROSS JOIN k
+  JOIN o a ON a.user_id = p.user_id AND a.rn = p.i + k.k
+  JOIN o b ON b.user_id = p.user_id AND b.rn = p.j + k.k
+  GROUP BY 1, 2, 3)
+SELECT user_id, CAST(i AS BIGINT) AS pos,
+       CAST(dist2 AS BIGINT) AS mp_dist2, CAST(j AS BIGINT) AS mp_idx
+FROM d
+QUALIFY row_number() OVER (PARTITION BY user_id, i
+                           ORDER BY dist2, j) = 1
+"""
+
+
 # Holt-Winters additive oracle: the recursive CTE carries the m=4
 # seasonal states as SCALAR columns (phase via CASE — no list carry, so
 # the recursion stays on DuckDB's reliable scalar path); the repeated
@@ -2982,38 +3034,11 @@ QUALIFY row_number() OVER (PARTITION BY user_id
         # exact matrix profile: every distance is an integer (HUGEINT
         # products), min + smallest-j tie via QUALIFY row_number; only
         # windows fully inside the series pair up, self excluded
-        "matrix_profile": """
-WITH c AS (
-  SELECT user_id, epoch_us(ts) AS t, event_id,
-         CAST(round(value*100) AS BIGINT) AS cents
-  FROM events),
-o AS (
-  SELECT user_id, cents,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY t, event_id) AS rn,
-         COUNT(*) OVER (PARTITION BY user_id) AS n
-  FROM c),
-w AS (SELECT user_id, rn, cents, n FROM o WHERE rn + 7 <= n),
-p AS (
-  SELECT x.user_id, x.rn AS i, y.rn AS j
-  FROM (SELECT DISTINCT user_id, rn FROM w) x
-  JOIN (SELECT DISTINCT user_id, rn FROM w) y
-    ON x.user_id = y.user_id AND x.rn <> y.rn),
-k AS (SELECT unnest(generate_series(0, 7)) AS k),
-d AS (
-  SELECT p.user_id, p.i, p.j,
-         SUM(CAST(a.cents - b.cents AS HUGEINT)
-             * (a.cents - b.cents)) AS dist2
-  FROM p CROSS JOIN k
-  JOIN o a ON a.user_id = p.user_id AND a.rn = p.i + k.k
-  JOIN o b ON b.user_id = p.user_id AND b.rn = p.j + k.k
-  GROUP BY 1, 2, 3)
-SELECT user_id, CAST(i AS BIGINT) AS pos,
-       CAST(dist2 AS BIGINT) AS mp_dist2, CAST(j AS BIGINT) AS mp_idx
-FROM d
-QUALIFY row_number() OVER (PARTITION BY user_id, i
-                           ORDER BY dist2, j) = 1
-""",
+        "matrix_profile": _MP_SQL,
+        "mp_discords": ("WITH mp AS (" + _MP_SQL + ") "
+                        "SELECT user_id, pos, mp_dist2, mp_idx FROM mp "
+                        "QUALIFY row_number() OVER (PARTITION BY user_id "
+                        "ORDER BY mp_dist2 DESC, pos) = 1"),
         # Shannon entropy per user: p = c/n doubles, x = p·ln p per row
         # (libm == DuckDB ln), −Σ folded in binary type order via
         # list_reduce; null types are excluded on BOTH sides (the

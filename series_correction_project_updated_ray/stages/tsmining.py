@@ -518,3 +518,16 @@ def matrix_profile(events, *, w: int = 8, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(MatrixProfileGroup(w),
                                       batch_format="pandas")
+
+
+def mp_discords(events, *, w: int = 8, n_parts: int = 64):
+    """Top discord per user — the position whose nearest-neighbor
+    window distance is LARGEST (the classic matrix-profile anomaly
+    read, Yeh et al. 2016 §IV): max mp_dist2, earliest position on
+    ties.  Pure composition: :func:`matrix_profile` → the distributed
+    per-group top-1 (no global sort)."""
+    from .windows import topn_per_group
+    prof = matrix_profile(events, w=w, n_parts=n_parts)
+    out = topn_per_group(prof, "user_id", ["mp_dist2", "pos"],
+                         [True, False], 1, n_parts=n_parts)
+    return out.drop_columns(["rn"])
