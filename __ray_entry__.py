@@ -1236,6 +1236,15 @@ def _q_matrix_profile(sf_dir: str):
     return matrix_profile(ev, w=8)
 
 
+def _q_welch(sf_dir: str):
+    """Welch's t between weekend and weekday values per event type —
+    limb-split exact moments, cast-first double close."""
+    from series_correction_project_updated_ray.stages.relational import (
+        welch_ttest_weekend)
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    return welch_ttest_weekend(ev)
+
+
 def _q_mp_discords(sf_dir: str):
     """Top discord per user: the window position with the LARGEST
     nearest-neighbor distance (matrix-profile anomaly read)."""
@@ -1866,7 +1875,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # it is matrix_profile (kept) composed with the
             # topn_per_group rank pick certified by knn_topk /
             # grouped_quantiles — nothing mechanically new
-            "mp_discords"][:n_over]
+            "mp_discords",
+            # welch_ttest_weekend is oracle-backed but windowed out at
+            # birth: limb-split integer moments are zscore_events'
+            # mechanism and the cast-each-stat-first statistical close
+            # is autocorr/corr_pairs' (corr_pairs kept in-window)
+            "welch_ttest_weekend"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2081,6 +2095,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "matrix_profile": _q_matrix_profile,
         # top discord per user (max-MP anomaly) — oracle-checked
         "mp_discords": _q_mp_discords,
+        # weekday/weekend Welch t per event type — oracle-checked
+        "welch_ttest_weekend": _q_welch,
         # all-pairs hourly-total Pearson correlation between the top-k
         # users (integer matmul moments on the global hour grid) —
         # oracle-checked
@@ -3039,6 +3055,56 @@ QUALIFY row_number() OVER (PARTITION BY user_id
                         "SELECT user_id, pos, mp_dist2, mp_idx FROM mp "
                         "QUALIFY row_number() OVER (PARTITION BY user_id "
                         "ORDER BY mp_dist2 DESC, pos) = 1"),
+        # Welch's t: HUGEINT moments per (type, weekend), the close in
+        # doubles cast-each-stat-first; var/n = ((SS − S·S/n)/(n−1))/n;
+        # types missing a cohort drop via the self-join
+        "welch_ttest_weekend": """
+WITH c AS (
+  SELECT event_type,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events),
+s AS (
+  SELECT event_type, we, COUNT(*) AS n, SUM(cents) AS s,
+         SUM(CAST(cents AS HUGEINT)*cents) AS ss
+  FROM c GROUP BY 1, 2),
+p AS (
+  SELECT a.event_type,
+         a.n AS n1, a.s AS s1, a.ss AS ss1,
+         b.n AS n2, b.s AS s2, b.ss AS ss2
+  FROM s a JOIN s b ON a.event_type = b.event_type
+  WHERE a.we = 0 AND b.we = 1)
+SELECT event_type,
+       CAST(n1 AS BIGINT) AS n_weekday,
+       CAST(n2 AS BIGINT) AS n_weekend,
+       round(CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)/100.0, 6)
+         AS mean_weekday,
+       round(CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE)/100.0, 6)
+         AS mean_weekend,
+       CASE WHEN n1 >= 2 AND n2 >= 2 AND
+                 (CAST(ss1 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)
+                    /CAST(n1 AS DOUBLE))
+                 /CAST(n1 - 1 AS DOUBLE)/CAST(n1 AS DOUBLE)
+               + (CAST(ss2 AS DOUBLE)
+                  - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)
+                    /CAST(n2 AS DOUBLE))
+                 /CAST(n2 - 1 AS DOUBLE)/CAST(n2 AS DOUBLE) > 0.0
+            THEN round((CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)
+                        - CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE))
+                       / sqrt((CAST(ss1 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)
+                                 /CAST(n1 AS DOUBLE))
+                              /CAST(n1 - 1 AS DOUBLE)
+                              /CAST(n1 AS DOUBLE)
+                              + (CAST(ss2 AS DOUBLE)
+                                 - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)
+                                   /CAST(n2 AS DOUBLE))
+                                /CAST(n2 - 1 AS DOUBLE)
+                                /CAST(n2 AS DOUBLE)), 6)
+            END AS t_stat
+FROM p
+""",
         # Shannon entropy per user: p = c/n doubles, x = p·ln p per row
         # (libm == DuckDB ln), −Σ folded in binary type order via
         # list_reduce; null types are excluded on BOTH sides (the

@@ -1065,3 +1065,116 @@ def type_entropy(events, *, key_col="user_id", type_col="event_type",
     return _add_key_partition(partials, key_col, n_parts) \
         .groupby("__part").map_groups(
             _EntropyGroup(key_col, type_col), batch_format="pandas")
+
+
+# --- cohort comparison (Welch's t) ------------------------------------------
+
+def welch_ttest_weekend(events):
+    """Welch's unequal-variance t-statistic between WEEKEND and WEEKDAY
+    values per event type — the cohort-comparison / A-B screen.
+
+    One pass of mergeable integer moments per (type, is_weekend) —
+    n, Σcents, Σcents² with the (hi, lo) limb split so the global sums
+    never wrap int64 — then a tiny close that replays the oracle's
+    exact double sequence: mean = S/n, var/n = ((SS − S·S/n)/(n−1))/n,
+    t = (m_wd − m_we)/√(v_wd/n_wd + v_we/n_we) (cents cancel, t is
+    scale-free).  Weekend = DuckDB ``dayofweek(ts) IN (0, 6)`` ==
+    ``(epoch_days + 4) % 7 ∈ {0, 6}`` (verified identical).  Types
+    missing either cohort drop (the oracle's self-join); n < 2 on a
+    side or zero pooled variance emits NULL t."""
+    from ray.data.aggregate import Sum
+
+    def _moments(batch: pa.Table) -> pa.Table:
+        from ..functions.rounding import scaled_int
+        from .windows import _epoch_micros
+        if "event_type" not in batch.column_names or len(batch) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "we": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "sc_hi": pa.array([], pa.int64()),
+                             "sc_lo": pa.array([], pa.int64()),
+                             "sq_hi": pa.array([], pa.int64()),
+                             "sq_lo": pa.array([], pa.int64())})
+        cents = scaled_int(batch["value"].to_numpy(zero_copy_only=False))
+        cf = cents.astype(np.float64)
+        if len(cents) and (np.abs(cents).max() > 3_000_000_000
+                           or float((cf * cf).sum()) > 2**62
+                           or float(np.abs(cf).sum()) > 2**62):
+            raise OverflowError(
+                "welch_ttest_weekend: a single batch's cents moments "
+                "approach int64 — shrink the block size")
+        t_us = np.asarray(_epoch_micros(batch["ts"]))
+        dow = (t_us // 86_400_000_000 + 4) % 7
+        we = ((dow == 0) | (dow == 6)).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pandas().to_numpy(),
+            "we": we, "c": cents, "c2": cents * cents})
+        agg = df.groupby(["event_type", "we"], sort=False).agg(
+            n=("c", "size"), sc=("c", "sum"), sq=("c2", "sum")) \
+            .reset_index()
+        sc_hi, sc_lo = _split_hi_lo(agg["sc"].to_numpy(np.int64))
+        sq_hi, sq_lo = _split_hi_lo(agg["sq"].to_numpy(np.int64))
+        return pa.table({
+            "event_type": pa.array(agg["event_type"], pa.string()),
+            "we": pa.array(agg["we"].to_numpy(np.int64)),
+            "n": pa.array(agg["n"].to_numpy(np.int64)),
+            "sc_hi": pa.array(sc_hi), "sc_lo": pa.array(sc_lo),
+            "sq_hi": pa.array(sq_hi), "sq_lo": pa.array(sq_lo)})
+
+    stats = events.map_batches(_moments, batch_format="pyarrow") \
+        .groupby(["event_type", "we"]).aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sc_hi", alias_name="sc_hi"),
+            Sum("sc_lo", alias_name="sc_lo"),
+            Sum("sq_hi", alias_name="sq_hi"),
+            Sum("sq_lo", alias_name="sq_lo"))
+
+    def _close(t: pa.Table) -> pa.Table:
+        out_ty, out_n1, out_n2 = [], [], []
+        out_m1, out_m2, out_t = [], [], []
+        if len(t) and "event_type" in t.column_names:
+            import math
+            rows: dict[str, dict[int, tuple[int, int, int]]] = {}
+            for i in range(len(t)):
+                ty = t["event_type"][i].as_py()
+                we = int(t["we"][i].as_py())
+                s = (int(t["sc_hi"][i].as_py()) * _HI_LO
+                     + int(t["sc_lo"][i].as_py()))
+                ss = (int(t["sq_hi"][i].as_py()) * _HI_LO
+                      + int(t["sq_lo"][i].as_py()))
+                rows.setdefault(ty, {})[we] = (int(t["n"][i].as_py()),
+                                               s, ss)
+            from ..functions.rounding import round_half_away
+            for ty in sorted(k for k in rows if 0 in rows[k]
+                             and 1 in rows[k]):
+                (n1, s1, ss1), (n2, s2, ss2) = rows[ty][0], rows[ty][1]
+                m1 = float(s1) / float(n1)
+                m2 = float(s2) / float(n2)
+                out_ty.append(ty)
+                out_n1.append(n1)
+                out_n2.append(n2)
+                out_m1.append(round_half_away(
+                    np.float64(m1 / 100.0), 6))
+                out_m2.append(round_half_away(
+                    np.float64(m2 / 100.0), 6))
+                tstat = np.nan
+                if n1 >= 2 and n2 >= 2:
+                    v1n = (float(ss1) - float(s1) * float(s1)
+                           / float(n1)) / float(n1 - 1) / float(n1)
+                    v2n = (float(ss2) - float(s2) * float(s2)
+                           / float(n2)) / float(n2 - 1) / float(n2)
+                    if v1n + v2n > 0.0:
+                        tstat = round_half_away(np.float64(
+                            (m1 - m2) / math.sqrt(v1n + v2n)), 6)
+                out_t.append(tstat)
+        return pa.table({
+            "event_type": pa.array(out_ty, pa.string()),
+            "n_weekday": pa.array(out_n1, pa.int64()),
+            "n_weekend": pa.array(out_n2, pa.int64()),
+            "mean_weekday": pa.array(out_m1, pa.float64()),
+            "mean_weekend": pa.array(out_m2, pa.float64()),
+            "t_stat": pa.array(out_t, pa.float64())})
+
+    return stats.repartition(1).map_batches(_close,
+                                            batch_format="pyarrow",
+                                            batch_size=None)

@@ -1998,3 +1998,35 @@ def test_type_entropy_kernel_known_values():
     assert out.loc[1, "entropy"] == round(math.log(4.0), 6)
     assert out.loc[1, "n_types"] == 4 and out.loc[1, "n_events"] == 20
     assert out.loc[2, "entropy"] == 0.0
+
+
+def test_welch_ttest_edges(ray_session):
+    """Types missing a cohort drop; a 1-event cohort yields NULL t;
+    the full result matches the oracle SQL on the same frame."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        welch_ttest_weekend)
+    ts = pd.to_datetime([
+        "2024-01-01", "2024-01-02", "2024-01-06", "2024-01-07",  # a
+        "2024-01-03", "2024-01-04",                              # b: wd only
+        "2024-01-05", "2024-01-06",                              # c: 1 we
+    ]).astype("datetime64[us]")
+    tbl = pa.table({
+        "event_type": pa.array(list("aaaabbcc")),
+        "ts": pa.array(ts),
+        "value": pa.array([10.0, 20.0, 30.0, 40.0, 5.0, 6.0, 7.0, 9.0]),
+    })
+    got = welch_ttest_weekend(rd.from_arrow(tbl).repartition(3)) \
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    assert got["event_type"].tolist() == ["a", "c"]   # b drops
+    assert np.isnan(got.loc[1, "t_stat"])             # c: n_weekend = 1
+    con = duckdb.connect()
+    con.register("events", tbl)
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["welch_ttest_weekend"]).df() \
+        .sort_values("event_type").reset_index(drop=True)
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(got[cols], want[cols],
+                                  check_dtype=False)
