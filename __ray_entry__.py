@@ -2385,8 +2385,8 @@ o AS (
 w AS (SELECT user_id, rn, cents, n FROM o WHERE rn + 7 <= n),
 p AS (
   SELECT x.user_id, x.rn AS i, y.rn AS j
-  FROM (SELECT DISTINCT user_id, rn FROM w) x
-  JOIN (SELECT DISTINCT user_id, rn FROM w) y
+  FROM (SELECT user_id, rn FROM w) x
+  JOIN (SELECT user_id, rn FROM w) y
     ON x.user_id = y.user_id AND x.rn <> y.rn),
 k AS (SELECT unnest(generate_series(0, 7)) AS k),
 d AS (

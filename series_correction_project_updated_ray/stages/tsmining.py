@@ -485,7 +485,10 @@ class MatrixProfileGroup:
                 continue
             W = np.lib.stride_tricks.sliding_window_view(c[s:e], w)
             amax = float(np.abs(W).max())
-            if amax and amax * amax * w >= float(1 << 62):
+            # dist² = Σ(a−b)² reaches 4·amax²·w (opposite signs), and
+            # the close adds two such magnitudes — fall back to exact
+            # object ints well before THAT wraps, not just the Gram
+            if amax and 4.0 * amax * amax * w >= float(1 << 62):
                 W = W.astype(object)        # exact escape hatch
             G = W @ W.T
             sq = np.diagonal(G).copy()
@@ -494,9 +497,16 @@ class MatrixProfileGroup:
                    else float("inf"))
             np.fill_diagonal(D, big)
             j = np.argmin(D, axis=1)        # first min == smallest j
+            mins = D[np.arange(m), j]
+            if D.dtype == object and int(max(mins)) >= (1 << 63):
+                # the ORACLE's CAST(dist2 AS BIGINT) errors here too —
+                # fail loudly rather than silently wrap the emit
+                raise OverflowError(
+                    "matrix_profile: a nearest-neighbor distance "
+                    "exceeds int64 — rescale the value column")
             out_k.append(keys[s:s + m])
             out_p.append(np.arange(1, m + 1, dtype=np.int64))
-            out_d.append(D[np.arange(m), j].astype(np.int64))
+            out_d.append(mins.astype(np.int64))
             out_j.append((j + 1).astype(np.int64))
         if not out_k:
             return empty

@@ -371,3 +371,33 @@ def test_matrix_profile_matches_literal():
         assert got.loc[i + 1, "mp_idx"] == want_j
     assert got.loc[5, "mp_dist2"] == 0 and got.loc[5, "mp_idx"] == 21
     assert got.loc[21, "mp_dist2"] == 0 and got.loc[21, "mp_idx"] == 5
+
+
+def test_matrix_profile_overflow_fallback_exact():
+    """Opposite-sign cents near the int64 bound (dist² ≈ 4·amax²·w >
+    int64) route through the exact object-int fallback — the review
+    repro that produced a wrapped negative mp_dist2 under the old
+    amax²·w guard."""
+    import numpy as np
+    import pandas as pd
+
+    from series_correction_project_updated_ray.stages.tsmining import (
+        MatrixProfileGroup)
+    amax = 750_000_000                  # amax²·8 < 2^62, 4·amax²·8 > 2^63
+    vals = np.r_[np.full(8, amax), np.full(8, -amax)] / 100.0
+    df = pd.DataFrame({
+        "user_id": np.zeros(16, np.int64),
+        "event_id": np.arange(16, dtype=np.int64),
+        "t": np.arange(16, dtype=np.int64) * 1_000_000,
+        "value": vals,
+    })
+    out = MatrixProfileGroup(8)(df).set_index("pos")
+    assert (out["mp_dist2"] >= 0).all()
+    c = np.round(vals * 100).astype(object)
+    W = [c[i:i + 8] for i in range(9)]
+    for i in range(9):
+        d = [(int(sum((W[i] - W[j]) ** 2)), j + 1)
+             for j in range(9) if j != i]
+        want_d, want_j = min(d)
+        assert int(out.loc[i + 1, "mp_dist2"]) == want_d
+        assert int(out.loc[i + 1, "mp_idx"]) == want_j
