@@ -1236,6 +1236,15 @@ def _q_matrix_profile(sf_dir: str):
     return matrix_profile(ev, w=8)
 
 
+def _q_ks(sf_dir: str):
+    """Two-sample KS test (weekend vs weekday) per event type — pure
+    integer cross-multiplied ECDF argmax, earliest-value ties."""
+    from series_correction_project_updated_ray.stages.relational import (
+        ks_test_weekend)
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    return ks_test_weekend(ev)
+
+
 def _q_welch(sf_dir: str):
     """Welch's t between weekend and weekday values per event type —
     limb-split exact moments, cast-first double close."""
@@ -1880,7 +1889,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # birth: limb-split integer moments are zscore_events'
             # mechanism and the cast-each-stat-first statistical close
             # is autocorr/corr_pairs' (corr_pairs kept in-window)
-            "welch_ttest_weekend"][:n_over]
+            "welch_ttest_weekend",
+            # ks_test_weekend likewise windowed out at birth: the
+            # bounded-domain cumulative rank is value_quartiles' exact
+            # NTILE mechanism, the argmax-with-earliest-tie is
+            # changepoint_user's (kept), and the cohort split is
+            # welch's — the cross-multiplied integer ratio is the only
+            # novelty and it is pure arithmetic
+            "ks_test_weekend"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2097,6 +2113,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mp_discords": _q_mp_discords,
         # weekday/weekend Welch t per event type — oracle-checked
         "welch_ttest_weekend": _q_welch,
+        # weekday/weekend two-sample KS test — oracle-checked
+        "ks_test_weekend": _q_ks,
         # all-pairs hourly-total Pearson correlation between the top-k
         # users (integer matmul moments on the global hour grid) —
         # oracle-checked
@@ -3055,6 +3073,45 @@ QUALIFY row_number() OVER (PARTITION BY user_id
                         "SELECT user_id, pos, mp_dist2, mp_idx FROM mp "
                         "QUALIFY row_number() OVER (PARTITION BY user_id "
                         "ORDER BY mp_dist2 DESC, pos) = 1"),
+        # two-sample KS: integer cohort ECDFs on the shared cents grid,
+        # D's numerator |n2*C1 - n1*C2| exact in HUGEINT, argmax with
+        # the earliest value on ties, ratio closed in doubles
+        "ks_test_weekend": """
+WITH c AS (
+  SELECT event_type,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events WHERE event_type IS NOT NULL),
+g AS (
+  SELECT event_type, cents,
+         SUM(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS c2
+  FROM c GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, cents,
+         SUM(c1) OVER (PARTITION BY event_type ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS C1,
+         SUM(c2) OVER (PARTITION BY event_type ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS C2
+  FROM g),
+n AS (SELECT event_type, MAX(C1) AS n1, MAX(C2) AS n2
+      FROM cum GROUP BY 1),
+d AS (
+  SELECT cum.event_type, cum.cents, n.n1, n.n2,
+         abs(CAST(n.n2 AS HUGEINT) * cum.C1
+             - CAST(n.n1 AS HUGEINT) * cum.C2) AS num
+  FROM cum JOIN n USING (event_type)
+  WHERE n.n1 > 0 AND n.n2 > 0)
+SELECT event_type,
+       CAST(n1 AS BIGINT) AS n_weekday, CAST(n2 AS BIGINT) AS n_weekend,
+       CAST(num AS BIGINT) AS d_num,
+       round(CAST(num AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_stat,
+       round(CAST(cents AS DOUBLE) / 100.0, 6) AS at_value
+FROM d
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY num DESC, cents) = 1
+""",
         # Welch's t: HUGEINT moments per (type, weekend), the close in
         # doubles cast-each-stat-first; var/n = ((SS − S·S/n)/(n−1))/n;
         # types missing a cohort drop via the self-join

@@ -1178,3 +1178,138 @@ def welch_ttest_weekend(events):
     return stats.repartition(1).map_batches(_close,
                                             batch_format="pyarrow",
                                             batch_size=None)
+
+
+# --- Kolmogorov-Smirnov cohort test ----------------------------------------
+
+class _KsGroup:
+    """Per-partition closer for :func:`ks_test_weekend`: each
+    co-located event type's (cents → weekday/weekend counts) rows —
+    per-block partials, merged in-group — become the two-sample KS
+    statistic computed ENTIRELY in integers: at every observed value v,
+    num(v) = |n₂·C₁(v) − n₁·C₂(v)| (cross-multiplied ECDF difference,
+    no float until the output ratio), maximized with the EARLIEST v on
+    ties.  n₁·n₂ past the int64 bound falls back to exact object ints;
+    types missing a cohort emit nothing."""
+
+    def __init__(self, type_col="event_type"):
+        self.type_col = type_col
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.rounding import round_half_away
+        empty = pd.DataFrame({
+            self.type_col: pd.Series([], dtype=object),
+            "n_weekday": pd.Series([], dtype=np.int64),
+            "n_weekend": pd.Series([], dtype=np.int64),
+            "d_num": pd.Series([], dtype=np.int64),
+            "d_stat": pd.Series([], dtype=np.float64),
+            "at_value": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        tcodes, tuniq = pd.factorize(g[self.type_col], sort=False)
+        keep = tcodes >= 0              # null types drop (oracle join)
+        g, tcodes = g.iloc[keep], tcodes[keep]
+        if len(g) == 0:
+            return empty
+        cents = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((cents, tcodes))
+        tcodes, cents = tcodes[order], cents[order]
+        c1 = g["c1"].to_numpy(np.int64)[order]
+        c2 = g["c2"].to_numpy(np.int64)[order]
+        # merge same-(type, cents) partials from different blocks
+        dup = np.r_[True, (tcodes[1:] != tcodes[:-1])
+                    | (cents[1:] != cents[:-1])]
+        cell = np.flatnonzero(dup)
+        c1 = np.add.reduceat(c1, cell)
+        c2 = np.add.reduceat(c2, cell)
+        tcodes, cents = tcodes[cell], cents[cell]
+        n = len(cents)
+        first = np.r_[True, tcodes[1:] != tcodes[:-1]]
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], n]
+        lens = ends - starts
+        off1 = np.cumsum(c1)
+        off2 = np.cumsum(c2)
+        C1 = off1 - np.repeat(off1[starts] - c1[starts], lens)
+        C2 = off2 - np.repeat(off2[starts] - c2[starts], lens)
+        n1 = np.repeat(C1[ends - 1], lens)
+        n2 = np.repeat(C2[ends - 1], lens)
+        if len(n1) and float(n1.max()) * float(n2.max()) >= float(1 << 62):
+            C1, C2 = C1.astype(object), C2.astype(object)
+            n1, n2 = n1.astype(object), n2.astype(object)
+        num = np.abs(n2 * C1 - n1 * C2)
+        valid = (n1 > 0) & (n2 > 0)
+        if not valid.any():
+            return empty
+        numv = num[valid]
+        vcodes = tcodes[valid]
+        vfirst = np.r_[True, vcodes[1:] != vcodes[:-1]]
+        vstarts = np.flatnonzero(vfirst)
+        maxv = np.maximum.reduceat(numv, vstarts)
+        vlens = np.r_[vstarts[1:], len(numv)] - vstarts
+        attain = numv == np.repeat(maxv, vlens)
+        cand = np.where(attain, np.arange(len(numv)), len(numv))
+        pick = np.minimum.reduceat(cand, vstarts)
+        n1p = n1[valid][pick]
+        n2p = n2[valid][pick]
+        d = np.array([float(a) / (float(b) * float(c))
+                      for a, b, c in zip(maxv, n1p, n2p)])
+        return pd.DataFrame({
+            self.type_col: np.asarray(tuniq, object)[vcodes[vstarts]],
+            "n_weekday": np.array([int(x) for x in n1p], dtype=np.int64),
+            "n_weekend": np.array([int(x) for x in n2p], dtype=np.int64),
+            "d_num": np.array([int(x) for x in maxv], dtype=np.int64),
+            "d_stat": round_half_away(d, 6),
+            "at_value": round_half_away(
+                cents[valid][pick].astype(np.float64) / 100.0, 6),
+        })
+
+
+def ks_test_weekend(events, *, n_parts: int = 64):
+    """Two-sample Kolmogorov-Smirnov test between weekend and weekday
+    values per event type — the distribution-shift screen.  Per-block
+    (type, cents) cohort-count partials flow through ONE partition-group
+    shuffle (rows bounded by |types|·|distinct cents|, a VALUE-DOMAIN
+    bound, not a corpus bound) and the close is pure integer arithmetic
+    (cross-multiplied ECDFs) until the output ratio."""
+    from ..functions.rounding import scaled_int
+    from .windows import _add_key_partition, _epoch_micros
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if "event_type" not in t.column_names or len(t) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "cents": pa.array([], pa.int64()),
+                             "c1": pa.array([], pa.int64()),
+                             "c2": pa.array([], pa.int64())})
+        cents = scaled_int(t["value"].to_numpy(zero_copy_only=False))
+        t_us = np.asarray(_epoch_micros(t["ts"]))
+        dow = (t_us // 86_400_000_000 + 4) % 7
+        we = ((dow == 0) | (dow == 6)).astype(np.int64)
+        tc, tuniq = pd.factorize(t["event_type"].to_pandas(), sort=False)
+        ok = tc >= 0
+        tc, cents, we = tc[ok], cents[ok], we[ok]
+        lo = int(cents.min()) if len(cents) else 0
+        span = (int(cents.max()) - lo + 1) if len(cents) else 1
+        cell = (tc.astype(np.int64) * span + (cents - lo)) * 2 + we
+        u, inv = np.unique(cell, return_inverse=True)
+        cnt = np.zeros(len(u), dtype=np.int64)
+        np.add.at(cnt, inv, 1)
+        uwe = u & 1
+        utc = (u >> 1) // span
+        # one row per (type, cents) with both cohort counts
+        pair = utc * span + ((u >> 1) % span)
+        pu, pinv = np.unique(pair, return_inverse=True)
+        c1 = np.zeros(len(pu), dtype=np.int64)
+        c2 = np.zeros(len(pu), dtype=np.int64)
+        np.add.at(c1, pinv, np.where(uwe == 0, cnt, 0))
+        np.add.at(c2, pinv, np.where(uwe == 1, cnt, 0))
+        return pa.table({
+            "event_type": pa.array(
+                np.asarray(tuniq, object)[pu // span], pa.string()),
+            "cents": pa.array(pu % span + lo),
+            "c1": pa.array(c1), "c2": pa.array(c2)})
+
+    partials = events.map_batches(_partial, batch_format="pyarrow")
+    return _add_key_partition(partials, "event_type", n_parts) \
+        .groupby("__part").map_groups(_KsGroup(), batch_format="pandas")

@@ -2030,3 +2030,45 @@ def test_welch_ttest_edges(ray_session):
     cols = sorted(got.columns)
     pd.testing.assert_frame_equal(got[cols], want[cols],
                                   check_dtype=False)
+
+
+def test_ks_kernel_matches_literal():
+    """The integer KS close equals a literal per-value ECDF scan, and
+    identical cohorts give D = 0."""
+    from series_correction_project_updated_ray.stages.relational import (
+        _KsGroup)
+    rng = np.random.default_rng(3)
+    rows = []
+    for ty, shift in (("a", 0), ("b", 30)):
+        wd = rng.integers(0, 100, 40)
+        we = rng.integers(0, 100, 25) + shift
+        for v in wd:
+            rows.append((ty, int(v), 1, 0))
+        for v in we:
+            rows.append((ty, int(v), 0, 1))
+    rows.append(("only_wd", 5, 3, 0))     # single-cohort type drops
+    g = pd.DataFrame(rows, columns=["event_type", "cents", "c1", "c2"])
+    out = _KsGroup()(g).set_index("event_type")
+    assert "only_wd" not in out.index
+    for ty in ("a", "b"):
+        sub = g[g["event_type"] == ty]
+        vals = np.unique(sub["cents"])
+        n1 = sub["c1"].sum()
+        n2 = sub["c2"].sum()
+        best = (-1, None)
+        for v in sorted(vals):
+            C1 = sub[sub["cents"] <= v]["c1"].sum()
+            C2 = sub[sub["cents"] <= v]["c2"].sum()
+            num = abs(int(n2) * int(C1) - int(n1) * int(C2))
+            if num > best[0]:
+                best = (num, v)
+        assert out.loc[ty, "d_num"] == best[0]
+        assert out.loc[ty, "at_value"] == best[1] / 100.0
+        assert out.loc[ty, "d_stat"] == round(
+            best[0] / (float(n1) * float(n2)), 6)
+    # identical cohorts → D = 0 at the earliest value
+    same = pd.DataFrame({
+        "event_type": ["z"] * 3, "cents": [1, 2, 3],
+        "c1": [2, 2, 2], "c2": [2, 2, 2]})
+    z = _KsGroup()(same)
+    assert z["d_num"].iloc[0] == 0 and z["at_value"].iloc[0] == 0.01
