@@ -256,6 +256,17 @@ def run_bench() -> dict:
         from series_correction_project_updated_ray.stages.textstage import (
             unigram_logprob)
 
+        from series_correction_project_updated_ray.stages.relational import (
+            ks_test_weekend, type_entropy, welch_ttest_weekend)
+        timed("type_entropy",
+              lambda: type_entropy(rd.read_parquet(
+                  ev_path, columns=["user_id", "event_type"])).count())
+        timed("welch_ttest_weekend",
+              lambda: welch_ttest_weekend(rd.read_parquet(
+                  ev_path, columns=["event_type", "ts", "value"])).count())
+        timed("ks_test_weekend",
+              lambda: ks_test_weekend(rd.read_parquet(
+                  ev_path, columns=["event_type", "ts", "value"])).count())
         timed("unigram_logprob",
               lambda: unigram_logprob(rd.read_parquet(
                   docs_path, columns=["doc_id", "text"])).count())
