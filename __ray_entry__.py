@@ -1273,6 +1273,17 @@ def _q_type_entropy(sf_dir: str):
     return type_entropy(ev)
 
 
+def _q_spectral(sf_dir: str):
+    """Per-user DFT power at the daily/weekly calendar periods —
+    libm-trig terms (DuckDB cos/sin == math.cos/sin bit-for-bit,
+    0/200k mismatches measured) folded in (t, event_id) order, the
+    list_reduce certification family."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        spectral_power)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return spectral_power(ev)
+
+
 def _q_holt_winters(sf_dir: str):
     """Per-user Holt-Winters additive seasonal smoothing (period 4):
     the (level, trend, 4-phase seasonal) float recursion, bit-exact vs
@@ -1896,7 +1907,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # changepoint_user's (kept), and the cohort split is
             # welch's — the cross-multiplied integer ratio is the only
             # novelty and it is pure arithmetic
-            "ks_test_weekend"][:n_over]
+            "ks_test_weekend",
+            # spectral_power enters the window (round 5): the libm-trig
+            # certification is a NEW mechanism class; demoted to make
+            # room is threshold_excursions, whose boolean run/boundary
+            # scan is the kept interval_coverage's overlap-merge
+            # mechanism and whose threshold comparisons are
+            # cusum_flags' reset-fold comparisons (both kept); its own
+            # excursion-shape battery stays in pytest
+            "threshold_excursions"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2115,6 +2134,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "welch_ttest_weekend": _q_welch,
         # weekday/weekend two-sample KS test — oracle-checked
         "ks_test_weekend": _q_ks,
+        # per-user DFT power at daily/weekly periods (libm-trig terms,
+        # ordered float folds) — oracle-checked bit-exactly
+        "spectral_power": _q_spectral,
         # all-pairs hourly-total Pearson correlation between the top-k
         # users (integer matmul moments on the global hour grid) —
         # oracle-checked
@@ -2460,6 +2482,45 @@ r AS (
 SELECT user_id, event_id, t, round(l, 6) AS level,
        round(b, 6) AS trend, round(s_out, 6) AS seasonal
 FROM r
+"""
+
+# Single-frequency DFT power per key at the daily/weekly calendar
+# periods.  Per-row trig terms use DuckDB cos/sin == glibc libm ==
+# math.cos/sin bit-for-bit (0/200k mismatches measured — the libm-ln
+# verification family); the float sums are ORDERED left folds via
+# list_reduce so the kernel can replay the identical operand order.
+_SPECTRAL_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         epoch_us(ts)//1000000//3600 AS h,
+         CAST(round(value*100) AS BIGINT) AS c
+  FROM events WHERE user_id IS NOT NULL),
+t2 AS (
+  SELECT user_id, event_id, t,
+    CAST(c AS DOUBLE) * cos(((2*pi())*CAST(h%24 AS DOUBLE))/24.0) AS c24,
+    CAST(c AS DOUBLE) * sin(((2*pi())*CAST(h%24 AS DOUBLE))/24.0) AS s24,
+    CAST(c AS DOUBLE) * cos(((2*pi())*CAST(h%168 AS DOUBLE))/168.0)
+      AS c168,
+    CAST(c AS DOUBLE) * sin(((2*pi())*CAST(h%168 AS DOUBLE))/168.0)
+      AS s168
+  FROM e),
+f AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         list_reduce(list(c24 ORDER BY t, event_id), (a,b)->a+b) AS cs24,
+         list_reduce(list(s24 ORDER BY t, event_id), (a,b)->a+b) AS ss24,
+         list_reduce(list(c168 ORDER BY t, event_id), (a,b)->a+b)
+           AS cs168,
+         list_reduce(list(s168 ORDER BY t, event_id), (a,b)->a+b)
+           AS ss168
+  FROM t2 GROUP BY 1)
+SELECT user_id, n_events,
+  round(((cs24*cs24 + ss24*ss24)
+         / (CAST(n_events AS DOUBLE)*CAST(n_events AS DOUBLE)))
+        / 10000.0, 6) AS power_daily,
+  round(((cs168*cs168 + ss168*ss168)
+         / (CAST(n_events AS DOUBLE)*CAST(n_events AS DOUBLE)))
+        / 10000.0, 6) AS power_weekly
+FROM f
 """
 
 _WINNOW_FP_SQL = """
@@ -3162,6 +3223,12 @@ SELECT event_type,
             END AS t_stat
 FROM p
 """,
+        # single-frequency DFT power per user at the daily/weekly
+        # calendar periods: per-row cents·cos/sin terms (DuckDB
+        # cos/sin == glibc libm == math.cos/sin bit-for-bit, measured
+        # 0/200k), ordered left folds via list_reduce, then the
+        # identical double close ((cs²+ss²)/n²)/10⁴ rounded 6dp
+        "spectral_power": _SPECTRAL_SQL,
         # Shannon entropy per user: p = c/n doubles, x = p·ln p per row
         # (libm == DuckDB ln), −Σ folded in binary type order via
         # list_reduce; null types are excluded on BOTH sides (the

@@ -249,6 +249,11 @@ def run_bench() -> dict:
         timed("kalman_per_user",
               lambda: kalman_per_user(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
+        from series_correction_project_updated_ray.stages.timeseries import (
+            spectral_power)
+        timed("spectral_power",
+              lambda: spectral_power(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
         timed("theil_sen_slope",
               lambda: theil_sen(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())

