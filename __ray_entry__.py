@@ -1245,6 +1245,16 @@ def _q_ks(sf_dir: str):
     return ks_test_weekend(ev)
 
 
+def _q_mannwhitney(sf_dir: str):
+    """Mann-Whitney U rank-sum test (weekday vs weekend) per event
+    type — exact integer pair counting with ties over the shared
+    cohort cells, tie-corrected normal z in the close."""
+    from series_correction_project_updated_ray.stages.relational import (
+        mannwhitney_weekend)
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    return mannwhitney_weekend(ev)
+
+
 def _q_welch(sf_dir: str):
     """Welch's t between weekend and weekday values per event type —
     limb-split exact moments, cast-first double close."""
@@ -1915,7 +1925,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # mechanism and whose threshold comparisons are
             # cusum_flags' reset-fold comparisons (both kept); its own
             # excursion-shape battery stays in pytest
-            "threshold_excursions"][:n_over]
+            "threshold_excursions",
+            # mannwhitney_weekend is oracle-backed but windowed out at
+            # birth: it shares ks_test_weekend's cohort-cell partial
+            # verbatim (_weekend_cohort_cells), its integer prefix
+            # counting is changepoint_user's cents-prefix-sum mechanism
+            # (kept) and its cast-first double close is corr_pairs'
+            # (kept); the tie-corrected pair count is the only novelty
+            # and it is pure arithmetic over the same cells
+            "mannwhitney_weekend"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2134,6 +2152,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "welch_ttest_weekend": _q_welch,
         # weekday/weekend two-sample KS test — oracle-checked
         "ks_test_weekend": _q_ks,
+        # weekday/weekend Mann-Whitney U rank-sum test — oracle-checked
+        "mannwhitney_weekend": _q_mannwhitney,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -3172,6 +3192,54 @@ SELECT event_type,
 FROM d
 QUALIFY row_number() OVER (PARTITION BY event_type
                            ORDER BY num DESC, cents) = 1
+""",
+        # Mann-Whitney U: 2·U₁ = Σ(2·c1·C2⁻ + c1·c2) over the shared
+        # (type, cents) cohort cells — exact HUGEINT pair counting with
+        # ties — plus the tie term T = Σ(t³−t); doubles only in the
+        # effect-size ratio and the tie-corrected z, every operand
+        # cast-first in the kernel's exact expression order
+        "mannwhitney_weekend": """
+WITH c AS (
+  SELECT event_type,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events WHERE event_type IS NOT NULL),
+g AS (
+  SELECT event_type, cents,
+         SUM(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS c2
+  FROM c GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, c1, c2,
+         COALESCE(SUM(c2) OVER (PARTITION BY event_type ORDER BY cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS c2b
+  FROM g),
+a AS (
+  SELECT event_type,
+         CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+         SUM(2 * CAST(c1 AS HUGEINT) * c2b + CAST(c1 AS HUGEINT) * c2)
+           AS u2x,
+         SUM(CAST(c1 + c2 AS HUGEINT) * (c1 + c2) * (c1 + c2)
+             - (c1 + c2)) AS tt
+  FROM cum GROUP BY 1),
+v AS (
+  SELECT event_type, n1, n2, u2x,
+         CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+         CAST(n1 + n2 AS DOUBLE) AS nd, CAST(tt AS DOUBLE) AS td
+  FROM a WHERE n1 > 0 AND n2 > 0),
+w AS (
+  SELECT *, CASE WHEN nd >= 2.0 THEN
+           ((n1d*n2d)/12.0) * (((nd*nd*nd - nd) - td) / (nd*(nd-1.0)))
+         END AS var
+  FROM v)
+SELECT event_type, n1 AS n_weekday, n2 AS n_weekend,
+       CAST(u2x AS BIGINT) AS u_num,
+       round((CAST(u2x AS DOUBLE) / 2.0) / (n1d * n2d), 6) AS u_stat,
+       CASE WHEN var > 0.0 THEN
+         round(((CAST(u2x AS DOUBLE) - n1d*n2d) / 2.0) / sqrt(var), 6)
+       END AS z_stat
+FROM w
 """,
         # Welch's t: HUGEINT moments per (type, weekend), the close in
         # doubles cast-each-stat-first; var/n = ((SS − S·S/n)/(n−1))/n;

@@ -272,6 +272,11 @@ def run_bench() -> dict:
         timed("ks_test_weekend",
               lambda: ks_test_weekend(rd.read_parquet(
                   ev_path, columns=["event_type", "ts", "value"])).count())
+        from series_correction_project_updated_ray.stages.relational import (
+            mannwhitney_weekend)
+        timed("mannwhitney_weekend",
+              lambda: mannwhitney_weekend(rd.read_parquet(
+                  ev_path, columns=["event_type", "ts", "value"])).count())
         timed("unigram_logprob",
               lambda: unigram_logprob(rd.read_parquet(
                   docs_path, columns=["doc_id", "text"])).count())

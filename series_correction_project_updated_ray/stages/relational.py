@@ -1266,6 +1266,48 @@ class _KsGroup:
         })
 
 
+def _weekend_cohort_cells(t: pa.Table) -> pa.Table:
+    """Per-block partial shared by the two-sample cohort tests
+    (:func:`ks_test_weekend`, :func:`mannwhitney_weekend`): one row per
+    (event_type, cents) with the weekday (``c1``) and weekend (``c2``)
+    counts.  Output rows are bounded by |types|·|distinct cents| — a
+    VALUE-DOMAIN bound, not a corpus bound."""
+    from ..functions.rounding import scaled_int
+    from .windows import _epoch_micros
+    if "event_type" not in t.column_names or len(t) == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "cents": pa.array([], pa.int64()),
+                         "c1": pa.array([], pa.int64()),
+                         "c2": pa.array([], pa.int64())})
+    cents = scaled_int(t["value"].to_numpy(zero_copy_only=False))
+    t_us = np.asarray(_epoch_micros(t["ts"]))
+    dow = (t_us // 86_400_000_000 + 4) % 7
+    we = ((dow == 0) | (dow == 6)).astype(np.int64)
+    tc, tuniq = pd.factorize(t["event_type"].to_pandas(), sort=False)
+    ok = tc >= 0
+    tc, cents, we = tc[ok], cents[ok], we[ok]
+    lo = int(cents.min()) if len(cents) else 0
+    span = (int(cents.max()) - lo + 1) if len(cents) else 1
+    cell = (tc.astype(np.int64) * span + (cents - lo)) * 2 + we
+    u, inv = np.unique(cell, return_inverse=True)
+    cnt = np.zeros(len(u), dtype=np.int64)
+    np.add.at(cnt, inv, 1)
+    uwe = u & 1
+    utc = (u >> 1) // span
+    # one row per (type, cents) with both cohort counts
+    pair = utc * span + ((u >> 1) % span)
+    pu, pinv = np.unique(pair, return_inverse=True)
+    c1 = np.zeros(len(pu), dtype=np.int64)
+    c2 = np.zeros(len(pu), dtype=np.int64)
+    np.add.at(c1, pinv, np.where(uwe == 0, cnt, 0))
+    np.add.at(c2, pinv, np.where(uwe == 1, cnt, 0))
+    return pa.table({
+        "event_type": pa.array(
+            np.asarray(tuniq, object)[pu // span], pa.string()),
+        "cents": pa.array(pu % span + lo),
+        "c1": pa.array(c1), "c2": pa.array(c2)})
+
+
 def ks_test_weekend(events, *, n_parts: int = 64):
     """Two-sample Kolmogorov-Smirnov test between weekend and weekday
     values per event type — the distribution-shift screen.  Per-block
@@ -1273,43 +1315,122 @@ def ks_test_weekend(events, *, n_parts: int = 64):
     shuffle (rows bounded by |types|·|distinct cents|, a VALUE-DOMAIN
     bound, not a corpus bound) and the close is pure integer arithmetic
     (cross-multiplied ECDFs) until the output ratio."""
-    from ..functions.rounding import scaled_int
-    from .windows import _add_key_partition, _epoch_micros
+    from .windows import _add_key_partition
 
-    def _partial(t: pa.Table) -> pa.Table:
-        if "event_type" not in t.column_names or len(t) == 0:
-            return pa.table({"event_type": pa.array([], pa.string()),
-                             "cents": pa.array([], pa.int64()),
-                             "c1": pa.array([], pa.int64()),
-                             "c2": pa.array([], pa.int64())})
-        cents = scaled_int(t["value"].to_numpy(zero_copy_only=False))
-        t_us = np.asarray(_epoch_micros(t["ts"]))
-        dow = (t_us // 86_400_000_000 + 4) % 7
-        we = ((dow == 0) | (dow == 6)).astype(np.int64)
-        tc, tuniq = pd.factorize(t["event_type"].to_pandas(), sort=False)
-        ok = tc >= 0
-        tc, cents, we = tc[ok], cents[ok], we[ok]
-        lo = int(cents.min()) if len(cents) else 0
-        span = (int(cents.max()) - lo + 1) if len(cents) else 1
-        cell = (tc.astype(np.int64) * span + (cents - lo)) * 2 + we
-        u, inv = np.unique(cell, return_inverse=True)
-        cnt = np.zeros(len(u), dtype=np.int64)
-        np.add.at(cnt, inv, 1)
-        uwe = u & 1
-        utc = (u >> 1) // span
-        # one row per (type, cents) with both cohort counts
-        pair = utc * span + ((u >> 1) % span)
-        pu, pinv = np.unique(pair, return_inverse=True)
-        c1 = np.zeros(len(pu), dtype=np.int64)
-        c2 = np.zeros(len(pu), dtype=np.int64)
-        np.add.at(c1, pinv, np.where(uwe == 0, cnt, 0))
-        np.add.at(c2, pinv, np.where(uwe == 1, cnt, 0))
-        return pa.table({
-            "event_type": pa.array(
-                np.asarray(tuniq, object)[pu // span], pa.string()),
-            "cents": pa.array(pu % span + lo),
-            "c1": pa.array(c1), "c2": pa.array(c2)})
-
-    partials = events.map_batches(_partial, batch_format="pyarrow")
+    partials = events.map_batches(_weekend_cohort_cells,
+                                  batch_format="pyarrow")
     return _add_key_partition(partials, "event_type", n_parts) \
         .groupby("__part").map_groups(_KsGroup(), batch_format="pandas")
+
+
+class _MannWhitneyGroup:
+    """Per-partition closer for :func:`mannwhitney_weekend`: merges the
+    co-located (type, cents) cohort-count cells, then computes the
+    Mann-Whitney U rank-sum statistic ENTIRELY in integers:
+    2·U₁ = Σᵥ (2·c₁(v)·C₂(v⁻) + c₁(v)·c₂(v)) (weekday-over-weekend wins
+    cross-counted against the exclusive weekend ECDF, ties counted once
+    each), plus the tie-correction term T = Σ(t³ − t) over the combined
+    tie groups.  Doubles appear only in the close: the common-language
+    effect size u_stat = U₁/(n₁·n₂) and the tie-corrected normal
+    approximation z = (U₁ − n₁n₂/2) / √(n₁n₂/12 · ((N³−N−T)/(N(N−1)))),
+    each operand cast-first to match the SQL expression bit-for-bit.
+    Moments past the int64 bound fall back to exact object ints; types
+    missing a cohort emit nothing."""
+
+    def __init__(self, type_col="event_type"):
+        self.type_col = type_col
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        from ..functions.rounding import round_half_away
+        empty = pd.DataFrame({
+            self.type_col: pd.Series([], dtype=object),
+            "n_weekday": pd.Series([], dtype=np.int64),
+            "n_weekend": pd.Series([], dtype=np.int64),
+            "u_num": pd.Series([], dtype=np.int64),
+            "u_stat": pd.Series([], dtype=np.float64),
+            "z_stat": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        tcodes, tuniq = pd.factorize(g[self.type_col], sort=False)
+        keep = tcodes >= 0              # null types drop (oracle scan)
+        g, tcodes = g.iloc[keep], tcodes[keep]
+        if len(g) == 0:
+            return empty
+        cents = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((cents, tcodes))
+        tcodes, cents = tcodes[order], cents[order]
+        c1 = g["c1"].to_numpy(np.int64)[order]
+        c2 = g["c2"].to_numpy(np.int64)[order]
+        # merge same-(type, cents) partials from different blocks
+        dup = np.r_[True, (tcodes[1:] != tcodes[:-1])
+                    | (cents[1:] != cents[:-1])]
+        cell = np.flatnonzero(dup)
+        c1 = np.add.reduceat(c1, cell)
+        c2 = np.add.reduceat(c2, cell)
+        tcodes = tcodes[cell]
+        n = len(tcodes)
+        first = np.r_[True, tcodes[1:] != tcodes[:-1]]
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], n]
+        lens = ends - starts
+        n1 = np.add.reduceat(c1, starts)
+        n2 = np.add.reduceat(c2, starts)
+        nn = n1 + n2
+        if len(nn) and (float(nn.max()) ** 3 >= float(1 << 62)
+                        or float(n1.max()) * float(n2.max())
+                        >= float(1 << 61)):
+            c1, c2 = c1.astype(object), c2.astype(object)
+        # exclusive per-type weekend ECDF at each cell
+        excl = np.cumsum(c2) - c2
+        c2b = excl - np.repeat(excl[starts], lens)
+        u2x = np.add.reduceat(2 * c1 * c2b + c1 * c2, starts)
+        t = c1 + c2
+        tt = np.add.reduceat(t * t * t - t, starts)
+        valid = (n1 > 0) & (n2 > 0)
+        if not valid.any():
+            return empty
+        out_z = []
+        for i in np.flatnonzero(valid):
+            n1d, n2d = float(n1[i]), float(n2[i])
+            nd, td = float(int(n1[i]) + int(n2[i])), float(tt[i])
+            z = np.nan
+            if nd >= 2.0:
+                var = ((n1d * n2d) / 12.0) \
+                    * (((nd * nd * nd - nd) - td) / (nd * (nd - 1.0)))
+                if var > 0.0:
+                    z = round_half_away(np.float64(
+                        ((float(u2x[i]) - n1d * n2d) / 2.0)
+                        / math.sqrt(var)), 6)
+            out_z.append(z)
+        vi = np.flatnonzero(valid)
+        u_stat = np.array([
+            round_half_away(np.float64(
+                (float(u2x[i]) / 2.0)
+                / (float(n1[i]) * float(n2[i]))), 6)
+            for i in vi])
+        return pd.DataFrame({
+            self.type_col: np.asarray(tuniq, object)[tcodes[starts][vi]],
+            "n_weekday": n1[vi].astype(np.int64),
+            "n_weekend": n2[vi].astype(np.int64),
+            "u_num": np.array([int(u2x[i]) for i in vi], dtype=np.int64),
+            "u_stat": u_stat,
+            "z_stat": np.array(out_z, dtype=np.float64)})
+
+
+def mannwhitney_weekend(events, *, n_parts: int = 64):
+    """Mann-Whitney U rank-sum test between weekday and weekend values
+    per event type — the nonparametric cohort-shift screen (rank
+    mechanics, complementing Welch's mean test and KS's sup-distance).
+    Shares :func:`_weekend_cohort_cells`' value-domain-bounded partials
+    and ONE partition-group shuffle; the close is exact integer
+    pair-counting with ties, doubles only in the output statistics."""
+    from .windows import _add_key_partition
+
+    partials = events.map_batches(_weekend_cohort_cells,
+                                  batch_format="pyarrow")
+    return _add_key_partition(partials, "event_type", n_parts) \
+        .groupby("__part").map_groups(_MannWhitneyGroup(),
+                                      batch_format="pandas")

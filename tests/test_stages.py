@@ -2072,3 +2072,71 @@ def test_ks_kernel_matches_literal():
         "c1": [2, 2, 2], "c2": [2, 2, 2]})
     z = _KsGroup()(same)
     assert z["d_num"].iloc[0] == 0 and z["at_value"].iloc[0] == 0.01
+
+
+def test_mannwhitney_kernel_matches_literal():
+    """The integer 2·U₁ pair count equals a literal all-pairs scan
+    (wins + half-ties), ties are corrected in z, and single-cohort
+    types drop."""
+    from series_correction_project_updated_ray.stages.relational import (
+        _MannWhitneyGroup)
+    rng = np.random.default_rng(7)
+    rows = []
+    samples = {}
+    for ty, shift in (("a", 0), ("b", 10)):
+        wd = rng.integers(0, 30, 35)           # tie-heavy domain
+        we = rng.integers(0, 30, 20) + shift
+        samples[ty] = (wd, we)
+        for v in wd:
+            rows.append((ty, int(v), 1, 0))
+        for v in we:
+            rows.append((ty, int(v), 0, 1))
+    rows.append(("only_wd", 5, 3, 0))
+    g = pd.DataFrame(rows, columns=["event_type", "cents", "c1", "c2"])
+    out = _MannWhitneyGroup()(g).set_index("event_type")
+    assert "only_wd" not in out.index
+    for ty, (wd, we) in samples.items():
+        u2x = sum(2 if a > b else (1 if a == b else 0)
+                  for a in wd for b in we)
+        assert out.loc[ty, "u_num"] == u2x
+        n1, n2 = len(wd), len(we)
+        assert out.loc[ty, "u_stat"] == round(
+            (u2x / 2.0) / (float(n1) * float(n2)), 6)
+    # identical cohorts → u_stat = 0.5 exactly (all-ties symmetry)
+    same = pd.DataFrame({
+        "event_type": ["z"] * 3, "cents": [1, 2, 3],
+        "c1": [2, 2, 2], "c2": [2, 2, 2]})
+    z = _MannWhitneyGroup()(same)
+    assert z["u_stat"].iloc[0] == 0.5
+
+
+def test_mannwhitney_end_to_end_matches_oracle(ray_session):
+    """Ray pipeline == oracle SQL on a small frame with a weekday-only
+    type (drops) and a constant type (zero variance → NULL z)."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        mannwhitney_weekend)
+    ts = pd.to_datetime([
+        "2024-01-01", "2024-01-02", "2024-01-06", "2024-01-07",  # a
+        "2024-01-03", "2024-01-04",                              # b: wd only
+        "2024-01-05", "2024-01-06",                              # c: const
+    ]).astype("datetime64[us]")
+    tbl = pa.table({
+        "event_type": pa.array(list("aaaabbcc")),
+        "ts": pa.array(ts),
+        "value": pa.array([10.0, 20.0, 30.0, 40.0, 5.0, 6.0, 7.0, 7.0]),
+    })
+    got = mannwhitney_weekend(rd.from_arrow(tbl).repartition(3)) \
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    assert got["event_type"].tolist() == ["a", "c"]   # b drops
+    assert np.isnan(got.loc[1, "z_stat"])             # c: all ties
+    con = duckdb.connect()
+    con.register("events", tbl)
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["mannwhitney_weekend"]).df() \
+        .sort_values("event_type").reset_index(drop=True)
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(got[cols], want[cols],
+                                  check_dtype=False)
