@@ -1201,6 +1201,17 @@ def _q_corr_pairs(sf_dir: str):
     return corr_pairs_hourly(ev, k=20)
 
 
+def _q_xcorr(sf_dir: str):
+    """Best-lag zero-padded cross-correlation (±24 h) between the 20
+    most active users' dense hourly totals — shares corr_pairs' bounded
+    cell plan; (2L+1) integer matmuls, exact-integer argmax with the
+    smallest lag on ties."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        xcorr_best_lag)
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return xcorr_best_lag(ev, k=20, max_lag=24)
+
+
 def _q_unigram_logprob(sf_dir: str):
     """Per-document unigram LM log-likelihood (corpus-level perplexity
     screen): vocab-count shuffle + broadcast scoring; per-term ln via
@@ -1933,7 +1944,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # (kept) and its cast-first double close is corr_pairs'
             # (kept); the tie-corrected pair count is the only novelty
             # and it is pure arithmetic over the same cells
-            "mannwhitney_weekend"][:n_over]
+            "mannwhitney_weekend",
+            # xcorr_best_lag is oracle-backed but windowed out at
+            # birth: it shares corr_pairs_hourly's (kept) topk/bounded
+            # dense-grid/integer-matmul plan verbatim
+            # (_topk_hourly_cells) and its argmax-with-earliest-tie is
+            # changepoint_user's (kept); the lag shift is an index
+            # offset, not a new mechanism
+            "xcorr_best_lag"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2161,6 +2179,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # users (integer matmul moments on the global hour grid) —
         # oracle-checked
         "corr_pairs_hourly": _q_corr_pairs,
+        # best-lag cross-correlation between top-20 users' hourly
+        # totals (±24 h, integer matmuls, smallest-lag tie) —
+        # oracle-checked
+        "xcorr_best_lag": _q_xcorr,
         # per-doc unigram LM log-likelihood (libm ln == DuckDB ln,
         # position-order left fold == list_reduce) — oracle-checked
         "unigram_logprob": _q_unigram_logprob,
@@ -3399,6 +3421,57 @@ FROM p GROUP BY 1
         # HUGEINT cell moments on the global hour grid (absent hours
         # are true zeros, so Σ/Σ²/Σab come from present cells only),
         # the same cast-each-stat-first close as autocorr_lag1
+        # best-lag zero-padded cross-correlation: the same topk/cell
+        # CTEs as corr_pairs_hourly, scores Σₕ aₕ·b₍ₕ₊ₗ₎ as HUGEINT
+        # sums over the present-cell join (absent grid cells are true
+        # zeros so they contribute nothing), the (pair, lag) domain
+        # completed with COALESCE 0, argmax via QUALIFY with the
+        # smallest lag on integer ties; doubles only in r_best
+        "xcorr_best_lag": """
+WITH c AS (
+  SELECT user_id, (epoch_us(ts)//1000000)//3600 AS h,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events),
+topk AS (
+  SELECT user_id FROM (
+    SELECT user_id, COUNT(*) AS cnt FROM c GROUP BY 1
+    ORDER BY cnt DESC, user_id LIMIT 20)),
+cell AS (
+  SELECT user_id, h, SUM(cents) AS v FROM c
+  WHERE user_id IN (SELECT user_id FROM topk) GROUP BY 1, 2),
+en AS (
+  SELECT user_id, SUM(CAST(v AS HUGEINT)*v) AS g FROM cell GROUP BY 1),
+pairs AS (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM topk a JOIN topk b ON a.user_id < b.user_id),
+lags AS (SELECT unnest(generate_series(-24, 24)) AS lag),
+sc AS (
+  SELECT x.user_id AS ua, y.user_id AS ub, l.lag,
+         SUM(CAST(x.v AS HUGEINT)*y.v) AS s
+  FROM cell x
+  CROSS JOIN lags l
+  JOIN cell y ON y.user_id > x.user_id AND y.h = x.h + l.lag
+  GROUP BY 1, 2, 3),
+dom AS (
+  SELECT p.ua, p.ub, l.lag, COALESCE(sc.s, 0) AS s
+  FROM pairs p CROSS JOIN lags l
+  LEFT JOIN sc ON sc.ua = p.ua AND sc.ub = p.ub AND sc.lag = l.lag),
+best AS (
+  SELECT ua, ub, lag, s
+  FROM dom
+  QUALIFY row_number() OVER (PARTITION BY ua, ub
+                             ORDER BY s DESC, lag) = 1)
+SELECT b.ua AS user_a, b.ub AS user_b,
+       CAST(b.lag AS BIGINT) AS best_lag,
+       CAST(b.s AS BIGINT) AS xc_num,
+       CASE WHEN ea.g > 0 AND eb.g > 0 THEN
+         round(CAST(b.s AS DOUBLE)
+               / (sqrt(CAST(ea.g AS DOUBLE))
+                  * sqrt(CAST(eb.g AS DOUBLE))), 6)
+       END AS r_best
+FROM best b JOIN en ea ON ea.user_id = b.ua
+            JOIN en eb ON eb.user_id = b.ub
+""",
         "corr_pairs_hourly": """
 WITH c AS (
   SELECT user_id, (epoch_us(ts)//1000000)//3600 AS h,

@@ -254,6 +254,11 @@ def run_bench() -> dict:
         timed("spectral_power",
               lambda: spectral_power(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
+        from series_correction_project_updated_ray.stages.timeseries import (
+            xcorr_best_lag)
+        timed("xcorr_best_lag",
+              lambda: xcorr_best_lag(rd.read_parquet(
+                  ev_path, columns=["user_id", "ts", "value"])).count())
         timed("theil_sen_slope",
               lambda: theil_sen(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())

@@ -1110,27 +1110,27 @@ class _CorrPairsClose:
         })
 
 
-def corr_pairs_hourly(events, *, k: int = 20):
-    """All-pairs Pearson correlation of hourly value totals between the
-    ``k`` most active users — the cross-series co-movement screen behind
-    correlated-sensor / correlated-metric detection.
+def _topk_hourly_cells(events, k: int):
+    """Shared scaffolding for the top-k cross-series screens
+    (:func:`corr_pairs_hourly`, :func:`xcorr_best_lag`): returns
+    ``(users, hmin, hmax, cells)`` where ``users`` are the ``k`` most
+    active user ids (ties at rank k break by ascending user_id — the
+    oracle's ``ORDER BY cnt DESC, user_id LIMIT k``), ``[hmin, hmax]``
+    the global epoch-hour span over ALL events, and ``cells`` a Dataset
+    of ≤ k·H (user_id, h, v=Σcents) rows — bounded by the user cap ×
+    the corpus hour span, never by corpus size.  ``users`` is empty on
+    an empty corpus (callers emit their typed empty result).
 
-    Scale plan (no all-to-all on the big table): (1) per-block user-count
-    partials → one small groupby → distributed top-k (``topk_by``, never
-    a global sort); (2) the k winners broadcast into a scan-side filter,
-    per-block (user, hour) cents partials → one groupby whose output is
-    ≤ k·H rows; (3) the bounded cell table collapses to one block where
-    a single integer matmul yields every pairwise moment.  The hour span
-    comes from a min/max aggregate over ALL events (the global grid both
-    sides share).  Ties at rank k break by ascending user_id, matching
-    the oracle's ``ORDER BY cnt DESC, user_id LIMIT k``.
-
-    The three consumers (counts, span, cells) share ONE materialized
-    24-byte/row projection instead of re-running the source scan three
-    times — the kmeans/tfidf multi-pass convention; Ray spills it past
-    memory, and at a scale where spilling three passes' worth is worse
-    than re-scanning, drop the ``materialize()`` and let each consumer
-    re-read the pruned columns."""
+    Scale plan (no all-to-all on the big table): per-block user-count
+    partials → one small groupby → distributed top-k (``topk_by``,
+    never a global sort); the k winners broadcast into a scan-side
+    filter; per-block (user, hour) cents partials → one bounded
+    groupby.  The three consumers (counts, span, cells) share ONE
+    materialized 24-byte/row projection instead of re-running the
+    source scan three times — the kmeans/tfidf multi-pass convention;
+    Ray spills it past memory, and at a scale where spilling three
+    passes' worth is worse than re-scanning, drop the ``materialize()``
+    and let each consumer re-read the pruned columns."""
     from ray.data.aggregate import Max, Min, Sum
 
     from .relational import topk_by
@@ -1162,13 +1162,8 @@ def corr_pairs_hourly(events, *, k: int = 20):
     top = topk_by(counts, ["cnt", "user_id"], [True, False], k) \
         .select_columns(["user_id"]).take_all()
     users = np.array([r["user_id"] for r in top], dtype=np.int64)
-    if len(users) == 0:                    # empty corpus → typed empty
-        import ray.data as rd
-        return rd.from_arrow(pa.table({
-            "user_a": pa.array([], pa.int64()),
-            "user_b": pa.array([], pa.int64()),
-            "n_hours": pa.array([], pa.int64()),
-            "r": pa.array([], pa.float64())}))
+    if len(users) == 0:                    # empty corpus
+        return users, 0, -1, None
     span = hourly.aggregate(Min("h"), Max("h"))
     hmin, hmax = int(span["min(h)"]), int(span["max(h)"])
 
@@ -1197,8 +1192,128 @@ def corr_pairs_hourly(events, *, k: int = 20):
 
     cells = hourly.map_batches(_cell_partial, batch_format="pyarrow") \
         .groupby(["user_id", "h"]).aggregate(Sum("v", alias_name="v"))
+    return users, hmin, hmax, cells
+
+
+def corr_pairs_hourly(events, *, k: int = 20):
+    """All-pairs Pearson correlation of hourly value totals between the
+    ``k`` most active users — the cross-series co-movement screen behind
+    correlated-sensor / correlated-metric detection.  The bounded
+    :func:`_topk_hourly_cells` table collapses to one block where a
+    single integer matmul yields every pairwise moment."""
+    users, hmin, hmax, cells = _topk_hourly_cells(events, k)
+    if len(users) == 0:                    # empty corpus → typed empty
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "user_a": pa.array([], pa.int64()),
+            "user_b": pa.array([], pa.int64()),
+            "n_hours": pa.array([], pa.int64()),
+            "r": pa.array([], pa.float64())}))
     return cells.repartition(1).map_batches(
         _CorrPairsClose(users, hmin, hmax),
+        batch_format="pyarrow", batch_size=None)
+
+
+class _XcorrClose:
+    """Closing kernel for :func:`xcorr_best_lag`: the bounded
+    (user, hour, Σcents) cells arrive as ONE block; a dense users×hours
+    int64 matrix (absent hours are true zeros) yields the zero-padded
+    cross-correlation Σₕ aₕ·b₍ₕ₊ₗ₎ for every ordered pair a<b and every
+    lag in [−L, L] as (2L+1) integer matmuls of grid slices, then the
+    per-pair argmax picks the best lag (highest score, SMALLEST lag on
+    ties — exact integer compare, so no float tie hazards).  Doubles
+    appear only in the normalized r = s / (√Σa²·√Σb²), cast-first;
+    a zero-energy side emits NULL r.  Products past the int64 bound
+    fall back to exact object-int matmuls (the oracle sums HUGEINT)."""
+
+    def __init__(self, users: np.ndarray, hmin: int, hmax: int,
+                 max_lag: int):
+        self.users = np.sort(np.asarray(users, dtype=np.int64))
+        self.hmin, self.hmax = int(hmin), int(hmax)
+        self.max_lag = int(max_lag)
+        self.__name__ = type(self).__name__
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        users = self.users
+        ku = len(users)
+        H = self.hmax - self.hmin + 1
+        L = self.max_lag
+        empty = pa.table({"user_a": pa.array([], pa.int64()),
+                          "user_b": pa.array([], pa.int64()),
+                          "best_lag": pa.array([], pa.int64()),
+                          "xc_num": pa.array([], pa.int64()),
+                          "r_best": pa.array([], pa.float64())})
+        if len(t) == 0 or "user_id" not in t.column_names:
+            # a stray empty block must NOT fabricate all-zero pairs —
+            # the single real batch (repartition(1), batch_size=None)
+            # carries every cell
+            return empty
+        M = np.zeros((ku, H), dtype=np.int64)
+        ui = np.searchsorted(users, t["user_id"].to_numpy())
+        hi = t["h"].to_numpy() - self.hmin
+        M[ui, hi] = t["v"].to_numpy()
+        amax = float(np.abs(M).max()) if M.size else 0.0
+        if amax and amax * amax * H >= float(1 << 62):
+            M = M.astype(object)
+        ia, ib = np.triu_indices(ku, k=1)
+        npair = len(ia)
+        if npair == 0:
+            return empty
+        best_s = None
+        best_l = None
+        for lag in range(-L, L + 1):
+            if lag >= 0:
+                G = M[:, :H - lag] @ M[:, lag:].T if lag < H else \
+                    np.zeros((ku, ku), dtype=M.dtype)
+            else:
+                G = M[:, -lag:] @ M[:, :H + lag].T if -lag < H else \
+                    np.zeros((ku, ku), dtype=M.dtype)
+            s = G[ia, ib]
+            if best_s is None:
+                best_s, best_l = s.copy(), np.full(npair, lag,
+                                                   dtype=np.int64)
+            else:
+                win = s > best_s        # strict: ties keep smaller lag
+                best_s[win] = s[win]
+                best_l[win] = lag
+        en = (M * M).sum(axis=1)
+        ea = en[ia].astype(np.float64)
+        eb = en[ib].astype(np.float64)
+        sd = best_s.astype(np.float64)
+        ok = (ea > 0.0) & (eb > 0.0)
+        r = np.full(npair, np.nan)
+        with np.errstate(invalid="ignore"):
+            from ..functions.rounding import round_half_away
+            r[ok] = round_half_away(
+                sd[ok] / (np.sqrt(ea[ok]) * np.sqrt(eb[ok])), 6)
+        return pa.table({
+            "user_a": pa.array(users[ia]),
+            "user_b": pa.array(users[ib]),
+            "best_lag": pa.array(best_l),
+            "xc_num": pa.array(np.array([int(x) for x in best_s],
+                                        dtype=np.int64)),
+            "r_best": pa.array(r)})
+
+
+def xcorr_best_lag(events, *, k: int = 20, max_lag: int = 24):
+    """Best-lag zero-padded cross-correlation between the ``k`` most
+    active users' dense hourly totals — the lead/lag co-movement screen
+    ("does metric A lead metric B by N hours").  Shares
+    :func:`_topk_hourly_cells`' bounded cell plan with
+    :func:`corr_pairs_hourly`; the close is (2·max_lag+1) integer
+    matmuls over the ≤ k·H dense grid, argmax per pair with the
+    smallest lag on exact-integer ties."""
+    users, hmin, hmax, cells = _topk_hourly_cells(events, k)
+    if len(users) == 0:                    # empty corpus → typed empty
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "user_a": pa.array([], pa.int64()),
+            "user_b": pa.array([], pa.int64()),
+            "best_lag": pa.array([], pa.int64()),
+            "xc_num": pa.array([], pa.int64()),
+            "r_best": pa.array([], pa.float64())}))
+    return cells.repartition(1).map_batches(
+        _XcorrClose(users, hmin, hmax, max_lag),
         batch_format="pyarrow", batch_size=None)
 
 

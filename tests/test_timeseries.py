@@ -799,3 +799,62 @@ def test_spectral_power_pure_daily_cycle():
     assert len(out) == 1
     assert out["power_daily"].iloc[0] > 20.0         # ~amp²/4 = 25
     assert out["power_weekly"].iloc[0] < 1.0
+
+
+def test_xcorr_close_matches_literal():
+    """The sliced-matmul lag scores equal a literal per-lag dot scan,
+    ties pick the smallest lag, and zero-energy sides emit NULL r."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        _XcorrClose)
+    rng = np.random.default_rng(11)
+    users = np.array([3, 7, 9], dtype=np.int64)
+    H, L = 40, 5
+    M = rng.integers(-50, 50, (3, H)).astype(np.int64)
+    M[2] = 0                                  # zero-energy user
+    rows = [(int(users[i]), int(h), int(M[i, h]))
+            for i in range(3) for h in range(H) if M[i, h] != 0]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows]),
+                  "h": pa.array([r[1] for r in rows]),
+                  "v": pa.array([r[2] for r in rows])})
+    out = _XcorrClose(users, 0, H - 1, L)(t).to_pandas() \
+        .set_index(["user_a", "user_b"])
+    for i in range(3):
+        for j in range(i + 1, 3):
+            best = None
+            for lag in range(-L, L + 1):
+                s = sum(int(M[i, h]) * int(M[j, h + lag])
+                        for h in range(H) if 0 <= h + lag < H)
+                if best is None or s > best[0]:
+                    best = (s, lag)
+            row = out.loc[(users[i], users[j])]
+            assert row["xc_num"] == best[0]
+            assert row["best_lag"] == best[1]
+            ga = float((M[i].astype(object) ** 2).sum())
+            gb = float((M[j].astype(object) ** 2).sum())
+            if ga > 0 and gb > 0:
+                assert row["r_best"] == round(
+                    best[0] / (np.sqrt(ga) * np.sqrt(gb)), 6)
+            else:
+                assert np.isnan(row["r_best"])
+
+
+def test_xcorr_recovers_known_shift():
+    """b = a delayed by +3 hours ⇒ best_lag(a→b) = 3 with r ≈ 1."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        _XcorrClose)
+    rng = np.random.default_rng(5)
+    H = 200
+    a = rng.integers(1, 100, H).astype(np.int64)
+    b = np.zeros(H, dtype=np.int64)
+    b[3:] = a[:-3]
+    users = np.array([1, 2], dtype=np.int64)
+    rows_u = np.r_[np.full(H, 1), np.full(H, 2)]
+    rows_h = np.r_[np.arange(H), np.arange(H)]
+    rows_v = np.r_[a, b]
+    keep = rows_v != 0
+    t = pa.table({"user_id": pa.array(rows_u[keep]),
+                  "h": pa.array(rows_h[keep]),
+                  "v": pa.array(rows_v[keep])})
+    out = _XcorrClose(users, 0, H - 1, 24)(t).to_pandas()
+    assert out["best_lag"].iloc[0] == 3
+    assert out["r_best"].iloc[0] > 0.97
