@@ -1266,6 +1266,15 @@ def _q_mannwhitney(sf_dir: str):
     return mannwhitney_weekend(ev)
 
 
+def _q_streaks(sf_dir: str):
+    """Longest consecutive-active-day streak per user — gaps-and-
+    islands over distinct (user, day) pairs, earliest start on ties."""
+    from series_correction_project_updated_ray.stages.relational import (
+        active_day_streaks)
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return active_day_streaks(ev)
+
+
 def _q_welch(sf_dir: str):
     """Welch's t between weekend and weekday values per event type —
     limb-split exact moments, cast-first double close."""
@@ -1951,7 +1960,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # (_topk_hourly_cells) and its argmax-with-earliest-tie is
             # changepoint_user's (kept); the lag shift is an index
             # offset, not a new mechanism
-            "xcorr_best_lag"][:n_over]
+            "xcorr_best_lag",
+            # active_day_streaks is oracle-backed but windowed out at
+            # birth: island/run boundary detection is the kept
+            # interval_coverage's overlap-merge mechanism, the
+            # distinct-cell dedup partial is ks/mannwhitney's cohort
+            # cells, and the argmax-with-earliest-tie is
+            # changepoint_user's (kept); the day − row_number() island
+            # id is the only novelty and it is pure arithmetic
+            "active_day_streaks"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2172,6 +2189,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "ks_test_weekend": _q_ks,
         # weekday/weekend Mann-Whitney U rank-sum test — oracle-checked
         "mannwhitney_weekend": _q_mannwhitney,
+        # longest consecutive-active-day streak per user
+        # (gaps-and-islands) — oracle-checked
+        "active_day_streaks": _q_streaks,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -3214,6 +3234,34 @@ SELECT event_type,
 FROM d
 QUALIFY row_number() OVER (PARTITION BY event_type
                            ORDER BY num DESC, cents) = 1
+""",
+        # gaps-and-islands: the kernel's day-delta island boundaries
+        # replicate the SQL day − row_number() island id exactly;
+        # DISTINCT (user, day) both sides, earliest start on tied
+        # lengths, everything integer
+        "active_day_streaks": """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts)//1000000//86400 AS day
+  FROM events WHERE user_id IS NOT NULL),
+g AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS grp
+  FROM d),
+s AS (
+  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+         CAST(MIN(day) AS BIGINT) AS start_day
+  FROM g GROUP BY 1, 2),
+n AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM d GROUP BY 1),
+b AS (
+  SELECT user_id, len AS max_streak, start_day AS streak_start
+  FROM s
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY len DESC, start_day) = 1)
+SELECT n.user_id, n.n_days, b.max_streak, b.streak_start
+FROM n JOIN b USING (user_id)
 """,
         # Mann-Whitney U: 2·U₁ = Σ(2·c1·C2⁻ + c1·c2) over the shared
         # (type, cents) cohort cells — exact HUGEINT pair counting with

@@ -282,6 +282,11 @@ def run_bench() -> dict:
         timed("mannwhitney_weekend",
               lambda: mannwhitney_weekend(rd.read_parquet(
                   ev_path, columns=["event_type", "ts", "value"])).count())
+        from series_correction_project_updated_ray.stages.relational import (
+            active_day_streaks)
+        timed("active_day_streaks",
+              lambda: active_day_streaks(rd.read_parquet(
+                  ev_path, columns=["user_id", "ts"])).count())
         timed("unigram_logprob",
               lambda: unigram_logprob(rd.read_parquet(
                   docs_path, columns=["doc_id", "text"])).count())

@@ -1434,3 +1434,95 @@ def mannwhitney_weekend(events, *, n_parts: int = 64):
     return _add_key_partition(partials, "event_type", n_parts) \
         .groupby("__part").map_groups(_MannWhitneyGroup(),
                                       batch_format="pandas")
+
+
+# --- active-day streaks (gaps-and-islands) ----------------------------------
+
+def _active_day_partial(t: pa.Table) -> pa.Table:
+    """Per-block partial for :func:`active_day_streaks`: the DISTINCT
+    (user_id, epoch-day) pairs — bounded by |users|·|days span|, a
+    calendar-domain bound, not a corpus bound."""
+    from .windows import _epoch_micros
+    if "user_id" not in t.column_names or len(t) == 0:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "day": pa.array([], pa.int64())})
+    u = t["user_id"].to_numpy(zero_copy_only=False)
+    ok = ~pd.isna(u)
+    u = u[ok].astype(np.int64)
+    day = (np.asarray(_epoch_micros(t["ts"]))[ok]
+           // 86_400_000_000).astype(np.int64)
+    # epoch days are small non-negatives: composite id dedups in one pass
+    cell = u * (1 << 24) + day
+    uq = np.unique(cell)
+    return pa.table({"user_id": pa.array(uq >> 24),
+                     "day": pa.array(uq & ((1 << 24) - 1))})
+
+
+class _StreakGroup:
+    """Per-partition closer for :func:`active_day_streaks`: gaps-and-
+    islands over each co-located user's distinct active days — island
+    boundaries where the day delta ≠ 1, the longest island per user
+    with the EARLIEST start on ties.  Pure integer arithmetic; matches
+    the oracle's ``day − row_number()`` island id exactly."""
+
+    def __init__(self, key_col="user_id"):
+        self.key_col = key_col
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            self.key_col: pd.Series([], dtype=np.int64),
+            "n_days": pd.Series([], dtype=np.int64),
+            "max_streak": pd.Series([], dtype=np.int64),
+            "streak_start": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        codes, tuniq = pd.factorize(g[self.key_col], sort=False)
+        keep = codes >= 0
+        g, codes = g.iloc[keep], codes[keep]
+        if len(g) == 0:
+            return empty
+        day = g["day"].to_numpy(np.int64)
+        order = np.lexsort((day, codes))
+        codes, day = codes[order], day[order]
+        # dedup same (user, day) from different blocks
+        uniq = np.r_[True, (codes[1:] != codes[:-1])
+                     | (day[1:] != day[:-1])]
+        codes, day = codes[uniq], day[uniq]
+        n = len(day)
+        # island boundaries: key change or day gap
+        new_isl = np.r_[True, (codes[1:] != codes[:-1])
+                        | (day[1:] != day[:-1] + 1)]
+        istarts = np.flatnonzero(new_isl)
+        ilen = np.diff(np.r_[istarts, n]).astype(np.int64)
+        ikey = codes[istarts]
+        istart_day = day[istarts]
+        kfirst = np.r_[True, ikey[1:] != ikey[:-1]]
+        kstarts = np.flatnonzero(kfirst)
+        klens = np.diff(np.r_[kstarts, len(ikey)])
+        n_days = np.add.reduceat(ilen, kstarts)
+        maxlen = np.maximum.reduceat(ilen, kstarts)
+        # earliest island attaining the max (islands are start-ordered)
+        attain = ilen == np.repeat(maxlen, klens)
+        cand = np.where(attain, np.arange(len(ilen)), len(ilen))
+        pick = np.minimum.reduceat(cand, kstarts)
+        return pd.DataFrame({
+            self.key_col: np.asarray(tuniq)[ikey[kstarts]],
+            "n_days": n_days,
+            "max_streak": maxlen,
+            "streak_start": istart_day[pick]})
+
+
+def active_day_streaks(events, *, n_parts: int = 64):
+    """Longest consecutive-active-day streak per user (gaps-and-islands)
+    — the engagement-continuity screen.  Per-block DISTINCT (user, day)
+    partials (calendar-domain bounded) flow through ONE partition-group
+    shuffle; the close is pure integer island arithmetic with the
+    earliest start on tied lengths."""
+    from .windows import _add_key_partition
+
+    partials = events.map_batches(_active_day_partial,
+                                  batch_format="pyarrow")
+    return _add_key_partition(partials, "user_id", n_parts) \
+        .groupby("__part").map_groups(_StreakGroup(),
+                                      batch_format="pandas")

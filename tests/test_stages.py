@@ -2140,3 +2140,23 @@ def test_mannwhitney_end_to_end_matches_oracle(ray_session):
     cols = sorted(got.columns)
     pd.testing.assert_frame_equal(got[cols], want[cols],
                                   check_dtype=False)
+
+
+def test_streak_kernel_matches_literal():
+    """Island lengths/starts equal a literal scan over distinct days;
+    cross-block duplicate (user, day) rows dedup; earliest tie wins."""
+    from series_correction_project_updated_ray.stages.relational import (
+        _StreakGroup)
+    g = pd.DataFrame({
+        "user_id": [1] * 7 + [2] * 4 + [1],       # trailing dup block row
+        "day": [10, 11, 12, 20, 21, 22, 30,       # u1: 3,3,1 → tie at 10
+                5, 6, 8, 9,                        # u2: 2,2 → tie at 5
+                11],                               # duplicate (1, 11)
+    })
+    out = _StreakGroup()(g).set_index("user_id")
+    assert out.loc[1, "n_days"] == 7
+    assert out.loc[1, "max_streak"] == 3
+    assert out.loc[1, "streak_start"] == 10       # earliest of the tie
+    assert out.loc[2, "n_days"] == 4
+    assert out.loc[2, "max_streak"] == 2
+    assert out.loc[2, "streak_start"] == 5
