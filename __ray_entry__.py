@@ -1275,6 +1275,15 @@ def _q_streaks(sf_dir: str):
     return active_day_streaks(ev)
 
 
+def _q_zipf(sf_dir: str):
+    """Zipf law least-squares fit ln(freq) ≈ a + b·ln(rank) over the
+    corpus top-1000 vocabulary — libm-ln terms, rank-ordered fold."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        zipf_fit)
+    docs = _read(sf_dir, "documents", ["text"])
+    return zipf_fit(docs, top_k=1000)
+
+
 def _q_welch(sf_dir: str):
     """Welch's t between weekend and weekday values per event type —
     limb-split exact moments, cast-first double close."""
@@ -1968,7 +1977,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # cells, and the argmax-with-earliest-tie is
             # changepoint_user's (kept); the day − row_number() island
             # id is the only novelty and it is pure arithmetic
-            "active_day_streaks"][:n_over]
+            "active_day_streaks",
+            # zipf_fit is oracle-backed but windowed out at birth: the
+            # vocab-count shuffle is unigram_logprob's (kept) exact
+            # mechanism, the per-entry libm ln + rank-ordered left
+            # fold is likewise unigram_logprob's certified fold, the
+            # distributed top-k is knn_topk's (kept) topk_by verbatim,
+            # and the least-squares close is pure double arithmetic
+            # over those folds
+            "zipf_fit"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2192,6 +2209,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # longest consecutive-active-day streak per user
         # (gaps-and-islands) — oracle-checked
         "active_day_streaks": _q_streaks,
+        # Zipf law least-squares fit over the corpus top-1000
+        # vocabulary (libm-ln terms, rank-ordered folds) —
+        # oracle-checked bit-exactly
+        "zipf_fit": _q_zipf,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -3595,6 +3616,38 @@ SELECT doc_id, CAST(len(ll) AS BIGINT) AS n_tok,
        round(list_reduce(ll, (a, b) -> a + b) / len(ll), 6)
          AS avg_logprob
 FROM folded
+""",
+        # Zipf law fit: top-1000 vocabulary by (cnt DESC, term), per
+        # rank x=ln(rank) y=ln(cnt) (libm ln == DuckDB ln bitwise),
+        # least-squares sums folded LEFT IN RANK ORDER (list_reduce ==
+        # the kernel's 0.0-seeded += fold), slope/intercept closed in
+        # the kernel's exact double expression order, 6dp both sides
+        "zipf_fit": r"""
+WITH terms AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents),
+totals AS (SELECT term, COUNT(*) AS cnt FROM terms GROUP BY 1),
+top AS (
+  SELECT term, cnt,
+         row_number() OVER (ORDER BY cnt DESC, term) AS rank
+  FROM totals QUALIFY rank <= 1000),
+xy AS (
+  SELECT rank, ln(CAST(rank AS DOUBLE)) AS x,
+         ln(CAST(cnt AS DOUBLE)) AS y
+  FROM top),
+folds AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+         list_reduce(list(x ORDER BY rank), (a, b) -> a + b) AS sx,
+         list_reduce(list(y ORDER BY rank), (a, b) -> a + b) AS sy,
+         list_reduce(list(x*x ORDER BY rank), (a, b) -> a + b) AS sxx,
+         list_reduce(list(x*y ORDER BY rank), (a, b) -> a + b) AS sxy
+  FROM xy)
+SELECT CAST(nd AS BIGINT) AS n_terms,
+       round((nd*sxy - sx*sy) / (nd*sxx - sx*sx), 6) AS slope,
+       round((sy - ((nd*sxy - sx*sy) / (nd*sxx - sx*sx))*sx) / nd, 6)
+         AS intercept
+FROM folds
+WHERE nd >= 2
 """,
         # TPC-H-Q18 shape: exact integer-cents quantity rollup with
         # HAVING, then order/customer attributes; sum_qty closes

@@ -892,3 +892,84 @@ def unigram_logprob(docs, *, text_col="text", id_col="doc_id"):
     # pin the count blocks to the returned lazy pipeline (ray#53727)
     out._graft_pin = cnt_tbl
     return out
+
+
+# --- Zipf law fit over the corpus vocabulary ---------------------------------
+
+class _ZipfClose:
+    """Closing kernel for :func:`zipf_fit`: the ≤ top_k (term, cnt)
+    winners arrive as ONE block; ranks assign by (cnt DESC, term ASC),
+    x = ln(rank) and y = ln(cnt) per entry via ``math.log`` (glibc libm
+    == DuckDB ``ln`` bit-for-bit), and the least-squares sums fold LEFT
+    IN RANK ORDER (bit-identical to the SQL ``list_reduce(list(v ORDER
+    BY rank), (a,b) -> a+b)``), closing slope/intercept in the oracle's
+    exact double expression order.  Fewer than 2 terms emit nothing."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import math
+
+        from ..functions.rounding import round_half_away
+        empty = pa.table({"n_terms": pa.array([], pa.int64()),
+                          "slope": pa.array([], pa.float64()),
+                          "intercept": pa.array([], pa.float64())})
+        if len(t) < 2 or "term" not in t.column_names:
+            return empty
+        cnt = t["cnt"].to_numpy()
+        term = t["term"].to_pandas().to_numpy()
+        order = np.lexsort((term, -cnt))
+        cnt = cnt[order]
+        n = len(cnt)
+        sx = sy = sxx = sxy = 0.0
+        for i in range(n):
+            x = math.log(float(i + 1))
+            y = math.log(float(cnt[i]))
+            sx += x
+            sy += y
+            sxx += x * x
+            sxy += x * y
+        nd = float(n)
+        slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+        intercept = (sy - slope * sx) / nd
+        return pa.table({
+            "n_terms": pa.array([n], pa.int64()),
+            "slope": pa.array([round_half_away(np.float64(slope), 6)]),
+            "intercept": pa.array(
+                [round_half_away(np.float64(intercept), 6)])})
+
+
+def zipf_fit(docs, *, top_k: int = 1000):
+    """Least-squares Zipf law fit ln(freq) ≈ intercept + slope·ln(rank)
+    over the corpus' ``top_k`` most frequent terms — the vocabulary-
+    health screen (natural text sits near slope −1; templated or
+    synthetic corpora flatten).  Per-block vocabulary partials → ONE
+    term groupby → distributed top-k (never a global sort) → a bounded
+    one-block close; ln terms and ordered folds are bit-exact vs the
+    libm-ln ``list_reduce`` oracle."""
+    from ray.data.aggregate import Sum
+
+    from .relational import topk_by
+
+    def _vocab_partial(batch: pa.Table) -> pa.Table:
+        import re
+        from collections import Counter
+        if "text" not in batch.column_names or len(batch) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        rx = re.compile(r"[a-z]+")
+        c: Counter = Counter()
+        for txt in batch["text"].to_pandas():
+            c.update(rx.findall((txt or "").lower()))
+        return pa.table({
+            "term": pa.array(list(c.keys()), pa.string()),
+            "cnt": pa.array(np.fromiter(c.values(), dtype=np.int64,
+                                        count=len(c)))})
+
+    partials = docs.map_batches(_vocab_partial, batch_format="pyarrow")
+    totals = partials.groupby("term").aggregate(
+        Sum("cnt", alias_name="cnt"))
+    top = topk_by(totals, ["cnt", "term"], [True, False], top_k)
+    return top.repartition(1).map_batches(
+        _ZipfClose(), batch_format="pyarrow", batch_size=None)

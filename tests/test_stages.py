@@ -1906,6 +1906,57 @@ def test_unigram_logprob_ray_end_to_end(ray_session):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_zipf_close_rank_order_and_ties():
+    """_ZipfClose ranks by (cnt DESC, term ASC), folds the
+    least-squares sums left in rank order with libm logs, and emits
+    nothing for <2 terms."""
+    import math
+
+    from series_correction_project_updated_ray.stages.textstage import (
+        _ZipfClose)
+    t = pa.table({"term": pa.array(["bb", "aa", "cc"]),
+                  "cnt": pa.array([2, 4, 2], pa.int64())})
+    out = _ZipfClose()(t).to_pandas()
+    # rank order: aa(4), bb(2), cc(2) — tie broken by term ASC
+    xs = [math.log(float(r)) for r in (1, 2, 3)]
+    ys = [math.log(float(c)) for c in (4, 2, 2)]
+    sx = sy = sxx = sxy = 0.0
+    for x, y in zip(xs, ys):
+        sx += x
+        sy += y
+        sxx += x * x
+        sxy += x * y
+    slope = (3.0 * sxy - sx * sy) / (3.0 * sxx - sx * sx)
+    intercept = (sy - slope * sx) / 3.0
+    assert out.loc[0, "n_terms"] == 3
+    assert out.loc[0, "slope"] == round(slope, 6)
+    assert out.loc[0, "intercept"] == round(intercept, 6)
+    one = pa.table({"term": pa.array(["aa"]),
+                    "cnt": pa.array([5], pa.int64())})
+    assert len(_ZipfClose()(one)) == 0
+
+
+def test_zipf_fit_ray_end_to_end(ray_session):
+    """Dataset-level zipf_fit over sf0.001 equals the SQL oracle (the
+    vocab shuffle + distributed top-k must select the same top set)."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.textstage import (
+        zipf_fit)
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    got = zipf_fit(rd.read_parquet(sf, columns=["text"]),
+                   top_k=1000).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}'")
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["zipf_fit"]).df()
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].reset_index(drop=True),
+        want[cols].reset_index(drop=True), check_dtype=False)
+
+
 def test_big_orders_broadcast_join_dtypes(ray_session):
     """The Q18 chained broadcast joins preserve int keys and µs
     timestamps through the arrow→pandas→arrow round trip, fan out
