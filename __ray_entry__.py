@@ -1275,6 +1275,16 @@ def _q_streaks(sf_dir: str):
     return active_day_streaks(ev)
 
 
+def _q_pla(sf_dir: str):
+    """Fixed-width piecewise-linear approximation per user series —
+    per-segment least-squares (slope, intercept) over local position
+    plus the max absolute residual, all integer-exact statistics."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        pla_segments)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return pla_segments(ev, width=16)
+
+
 def _q_zipf(sf_dir: str):
     """Zipf law least-squares fit ln(freq) ≈ a + b·ln(rank) over the
     corpus top-1000 vocabulary — libm-ln terms, rank-ordered fold."""
@@ -1985,7 +1995,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # distributed top-k is knn_topk's (kept) topk_by verbatim,
             # and the least-squares close is pure double arithmetic
             # over those folds
-            "zipf_fit"][:n_over]
+            "zipf_fit",
+            # pla_segments enters the window (per-segment coefficient
+            # fit + join-back residual bound — the downsample tier's
+            # new mechanism); kalman_per_user demotes: its (x, p)
+            # float recursion replay is holt_winters_per_user's (kept)
+            # strictly-larger 6-state recursive-CTE fold and the
+            # division inside the recursion is cusum_flags' (kept)
+            # division-bearing reset fold — no mechanism of its own
+            # loses certification
+            "kalman_per_user"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2213,6 +2232,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # vocabulary (libm-ln terms, rank-ordered folds) —
         # oracle-checked bit-exactly
         "zipf_fit": _q_zipf,
+        # fixed-width piecewise-linear approximation per series
+        # (slope/intercept/max-residual per segment) — oracle-checked
+        "pla_segments": _q_pla,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -3616,6 +3638,53 @@ SELECT doc_id, CAST(len(ll) AS BIGINT) AS n_tok,
        round(list_reduce(ll, (a, b) -> a + b) / len(ll), 6)
          AS avg_logprob
 FROM folded
+""",
+        # fixed-width PLA: positions rn per key in (ts, event_id)
+        # order split into width-16 segments; five exact int64
+        # sufficient statistics per segment (j = local position,
+        # v = cents), slope/intercept closed in the kernel's double op
+        # order, then the residual bound joins the UNROUNDED
+        # coefficients back to the rows (max |cents/100 − (b + a·j)|);
+        # 1-point segments emit NULL fit columns
+        "pla_segments": """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) - 1 AS rn
+  FROM events WHERE user_id IS NOT NULL),
+sg AS (
+  SELECT user_id, rn // 16 AS seg, rn % 16 AS j, t, cents FROM c),
+s AS (
+  SELECT user_id, seg, CAST(COUNT(*) AS BIGINT) AS n,
+         MIN(t) AS t_start, SUM(j) AS sj, SUM(cents) AS sv,
+         SUM(j*cents) AS sjv, SUM(j*j) AS sjj
+  FROM sg GROUP BY 1, 2),
+f AS (
+  SELECT user_id, seg, n, t_start,
+         CAST(n*sjv - sj*sv AS DOUBLE)
+           / CAST(n*sjj - sj*sj AS DOUBLE) / 100.0 AS slope_raw,
+         CAST(sv AS DOUBLE) / n / 100.0
+           - (CAST(n*sjv - sj*sv AS DOUBLE)
+              / CAST(n*sjj - sj*sj AS DOUBLE) / 100.0)
+             * (CAST(sj AS DOUBLE) / n) AS intercept_raw
+  FROM s WHERE n >= 2),
+e AS (
+  SELECT f.user_id, f.seg, f.t_start, f.n, f.slope_raw,
+         f.intercept_raw,
+         MAX(abs(CAST(g.cents AS DOUBLE)/100.0
+                 - (f.intercept_raw + f.slope_raw * g.j))) AS me
+  FROM sg g JOIN f ON g.user_id = f.user_id AND g.seg = f.seg
+  GROUP BY 1, 2, 3, 4, 5, 6)
+SELECT user_id, seg, t_start, n, round(slope_raw, 6) AS slope,
+       round(intercept_raw, 6) AS intercept,
+       round(me, 6) AS max_abs_err
+FROM e
+UNION ALL
+SELECT user_id, seg, t_start, n, CAST(NULL AS DOUBLE) AS slope,
+       CAST(NULL AS DOUBLE) AS intercept,
+       CAST(NULL AS DOUBLE) AS max_abs_err
+FROM s WHERE n < 2
 """,
         # Zipf law fit: top-1000 vocabulary by (cnt DESC, term), per
         # rank x=ln(rank) y=ln(cnt) (libm ln == DuckDB ln bitwise),

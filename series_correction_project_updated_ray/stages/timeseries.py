@@ -1688,3 +1688,108 @@ def spectral_power(events, *, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(SpectralGroup(),
                                       batch_format="pandas")
+
+
+# --- fixed-width piecewise-linear approximation (PLA) -----------------------
+
+class PlaSegmentsGroup:
+    """Per-partition kernel: fixed-width piecewise-linear approximation
+    of every co-located key's series.  Positions rn (0-based, per-key
+    (t, event_id) order) split into width-``w`` segments; each segment
+    gets the least-squares line of value vs LOCAL position j = rn % w
+    (all five sufficient statistics exact int64 over cents × tiny j)
+    plus the max absolute residual — the PLA reconstruction-error bound
+    a downsampling storage tier keeps alongside the coefficients.
+    Slope/intercept/residual run the oracle's exact double op order;
+    1-point segments emit NULL fit columns."""
+
+    def __init__(self, width: int = 16):
+        self.width = width
+        self.__name__ = type(self).__name__
+
+    def _empty(self, g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": g["user_id"],
+            "seg": pd.Series([], dtype=np.int64),
+            "t_start": pd.Series([], dtype=np.int64),
+            "n": pd.Series([], dtype=np.int64),
+            "slope": pd.Series([], dtype=np.float64),
+            "intercept": pd.Series([], dtype=np.float64),
+            "max_abs_err": pd.Series([], dtype=np.float64)})
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return self._empty(g)
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        # NULL keys: defined over non-null keys, like the SQL side
+        if (codes < 0).any():
+            g = g.iloc[codes >= 0]
+            codes = codes[codes >= 0]
+        if len(g) == 0:
+            return self._empty(g)
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        keys = g["user_id"].to_numpy()[order]
+        cents = scaled_int(g["value"].to_numpy(np.float64)[order])
+        n = len(t)
+        w = self.width
+        key_starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        key_cnt = np.diff(np.r_[key_starts, n])
+        rn = np.arange(n, dtype=np.int64) \
+            - np.repeat(key_starts, key_cnt)
+        seg = rn // w
+        j = rn - seg * w
+        brk = np.r_[True, (codes[1:] != codes[:-1])
+                    | (seg[1:] != seg[:-1])]
+        starts = np.flatnonzero(brk)
+        cnt = np.diff(np.r_[starts, n]).astype(np.int64)
+        maxc = int(np.abs(cents).max()) if n else 0
+        # n·Σjv ≤ w²·(w-1)·max|cents| must stay clear of int64
+        if w * w * max(w - 1, 1) * maxc >= (1 << 62):
+            raise OverflowError(
+                "pla_segments: cents magnitude × width³ approaching "
+                "int64 — reduce width or accumulate in (hi, lo) limbs")
+        sj = np.add.reduceat(j, starts)
+        sv = np.add.reduceat(cents, starts)
+        sjv = np.add.reduceat(j * cents, starts)
+        sjj = np.add.reduceat(j * j, starts)
+        nf = cnt.astype(np.float64)
+        ok = cnt >= 2
+        slope = np.full(len(starts), np.nan)
+        intercept = np.full(len(starts), np.nan)
+        with np.errstate(invalid="ignore"):
+            num = (cnt * sjv - sj * sv).astype(np.float64)
+            den = (cnt * sjj - sj * sj).astype(np.float64)
+            slope[ok] = num[ok] / den[ok] / 100.0
+            intercept[ok] = (sv.astype(np.float64)[ok] / nf[ok] / 100.0
+                             - slope[ok]
+                             * (sj.astype(np.float64)[ok] / nf[ok]))
+        # residual bound: |cents/100 − (intercept + slope·j)| per row,
+        # max per segment (NaN coefficients propagate, masked by ok)
+        seg_ids = np.repeat(np.arange(len(starts)), cnt)
+        fitted = intercept[seg_ids] + slope[seg_ids] * j.astype(np.float64)
+        err = np.abs(cents.astype(np.float64) / 100.0 - fitted)
+        me = np.maximum.reduceat(err, starts)
+        return pd.DataFrame({
+            "user_id": keys[starts],
+            "seg": seg[starts],
+            "t_start": t[starts],
+            "n": cnt,
+            "slope": np.where(ok, round_half_away(slope, 6), np.nan),
+            "intercept": np.where(ok, round_half_away(intercept, 6),
+                                  np.nan),
+            "max_abs_err": np.where(ok, round_half_away(me, 6), np.nan),
+        })
+
+
+def pla_segments(events, *, width: int = 16, n_parts: int = 64):
+    """Fixed-width piecewise-linear approximation per series — the
+    linear-coefficient downsample tier (slope, intercept, max abs
+    residual per width-point segment).  One partition-group shuffle;
+    integer-exact sufficient statistics, oracle-exact closes."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(PlaSegmentsGroup(width),
+                                      batch_format="pandas")

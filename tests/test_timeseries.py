@@ -858,3 +858,50 @@ def test_xcorr_recovers_known_shift():
     out = _XcorrClose(users, 0, H - 1, 24)(t).to_pandas()
     assert out["best_lag"].iloc[0] == 3
     assert out["r_best"].iloc[0] > 0.97
+
+
+def test_pla_kernel_segments_and_residuals():
+    """PlaSegmentsGroup: positions assign per key in (t, event_id)
+    order, segments split at width, the fit matches the closed-form
+    least squares, and the residual bound is the max |v − fitted|;
+    1-point tail segments emit NULL fit; null keys drop."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        PlaSegmentsGroup)
+    # one user, 5 points, width 4 → seg 0 has 4 pts, seg 1 has 1
+    g = pd.DataFrame({
+        "user_id": pd.array([1, 1, 1, 1, 1, None], dtype="Int64"),
+        "event_id": np.array([0, 1, 2, 3, 4, 5], dtype=np.int64),
+        "t": np.array([10, 20, 30, 40, 50, 60], dtype=np.int64),
+        "value": np.array([1.0, 3.0, 5.0, 7.25, 9.0, 99.0]),
+    })
+    out = PlaSegmentsGroup(4)(g).sort_values("seg").reset_index(drop=True)
+    assert len(out) == 2                       # null-key row dropped
+    assert out.loc[0, "n"] == 4 and out.loc[1, "n"] == 1
+    assert out.loc[0, "t_start"] == 10 and out.loc[1, "t_start"] == 50
+    # closed-form LS over j=0..3, v=[1,3,5,7.25]
+    jj = np.arange(4.0)
+    vv = np.array([1.0, 3.0, 5.0, 7.25])
+    slope = np.polyfit(jj, vv, 1)[0]
+    assert abs(out.loc[0, "slope"] - slope) < 1e-9
+    fitted = out.loc[0, "intercept"] + out.loc[0, "slope"] * jj
+    assert abs(out.loc[0, "max_abs_err"]
+               - np.abs(vv - fitted).max()) < 1e-5
+    assert pd.isna(out.loc[1, "slope"])
+    assert pd.isna(out.loc[1, "max_abs_err"])
+
+
+def test_pla_order_ties_break_by_event_id():
+    """Equal timestamps order by event_id (the oracle's row_number
+    ORDER BY epoch_us(ts), event_id)."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        PlaSegmentsGroup)
+    g = pd.DataFrame({
+        "user_id": pd.array([7, 7, 7, 7], dtype="Int64"),
+        "event_id": np.array([3, 1, 2, 0], dtype=np.int64),
+        "t": np.array([100, 100, 100, 100], dtype=np.int64),
+        "value": np.array([4.0, 2.0, 3.0, 1.0]),
+    })
+    out = PlaSegmentsGroup(4)(g)
+    # event_id order → values 1,2,3,4 → perfect slope 1, zero residual
+    assert out.loc[0, "slope"] == 1.0
+    assert out.loc[0, "max_abs_err"] == 0.0
