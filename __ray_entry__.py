@@ -1275,6 +1275,15 @@ def _q_streaks(sf_dir: str):
     return active_day_streaks(ev)
 
 
+def _q_gini(sf_dir: str):
+    """Gini coefficient of per-user event counts per event type —
+    integer rank·count sums, one double close."""
+    from series_correction_project_updated_ray.stages.relational import (
+        gini_activity)
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return gini_activity(ev)
+
+
 def _q_pla(sf_dir: str):
     """Fixed-width piecewise-linear approximation per user series —
     per-segment least-squares (slope, intercept) over local position
@@ -2004,7 +2013,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # division inside the recursion is cusum_flags' (kept)
             # division-bearing reset fold — no mechanism of its own
             # loses certification
-            "kalman_per_user"][:n_over]
+            "kalman_per_user",
+            # gini_activity is oracle-backed but windowed out at
+            # birth: the merged (type, user) count partial is
+            # token_vocab_stats' (kept) mergeable count machinery (and
+            # type_entropy's partial verbatim), the ascending-rank
+            # Σi·x_i integer aggregate is grouped_quantiles' (kept)
+            # bounded-rank machinery, and the close is one double
+            # expression over exact integers
+            "gini_activity"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2235,6 +2252,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # fixed-width piecewise-linear approximation per series
         # (slope/intercept/max-residual per segment) — oracle-checked
         "pla_segments": _q_pla,
+        # per-type Gini coefficient of user activity — oracle-checked
+        "gini_activity": _q_gini,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -3638,6 +3657,30 @@ SELECT doc_id, CAST(len(ll) AS BIGINT) AS n_tok,
        round(list_reduce(ll, (a, b) -> a + b) / len(ll), 6)
          AS avg_logprob
 FROM folded
+""",
+        # per-type Gini of user activity: exact integer Σi·x_i over
+        # the ascending per-user counts (rank-tie permutations cancel),
+        # one double close in the kernel's op order
+        "gini_activity": """
+WITH c AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+r AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY x, user_id) AS i
+  FROM c),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(i*x) AS sixi
+  FROM r GROUP BY 1)
+SELECT event_type, n AS n_users, sx AS total_events,
+       round(2.0*CAST(sixi AS DOUBLE)
+               / (CAST(n AS DOUBLE)*CAST(sx AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0)/CAST(n AS DOUBLE), 6) AS gini
+FROM s
 """,
         # fixed-width PLA: positions rn per key in (ts, event_id)
         # order split into width-16 segments; five exact int64

@@ -1526,3 +1526,91 @@ def active_day_streaks(events, *, n_parts: int = 64):
     return _add_key_partition(partials, "user_id", n_parts) \
         .groupby("__part").map_groups(_StreakGroup(),
                                       batch_format="pandas")
+
+
+# --- activity inequality (Gini) ---------------------------------------------
+
+class _GiniGroup:
+    """Per-partition kernel for :func:`gini_activity`: merge the
+    same-(type, user) count partials, sort each type's per-user totals
+    ascending (Σ i·x_i is invariant under permutation within tied x,
+    so no tie-break is needed), and close the Gini coefficient
+    G = 2·Σi·x_i/(n·Σx) − (n+1)/n in the oracle's exact double op
+    order (i is the 1-based ascending rank)."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.rounding import round_half_away
+        empty = pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n_users": pd.Series([], dtype=np.int64),
+            "total_events": pd.Series([], dtype=np.int64),
+            "gini": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        tc, tuniq = pd.factorize(g["event_type"], sort=False)
+        kc, _ = pd.factorize(g["user_id"], sort=False)
+        c = g["c"].to_numpy(np.int64)
+        nu = max(int(kc.max()) + 1, 1) if len(kc) else 1
+        cell = tc.astype(np.int64) * nu + kc
+        u, inv = np.unique(cell, return_inverse=True)
+        x = np.zeros(len(u), dtype=np.int64)
+        np.add.at(x, inv, c)                    # merge block partials
+        tcode = (u // nu).astype(np.int64)
+        order = np.lexsort((x, tcode))
+        tcode, x = tcode[order], x[order]
+        starts = np.flatnonzero(np.r_[True, tcode[1:] != tcode[:-1]])
+        n = np.diff(np.r_[starts, len(x)]).astype(np.int64)
+        sx = np.add.reduceat(x, starts)
+        if float(n.max()) * float(sx.max()) >= float(1 << 62):
+            raise OverflowError(
+                "gini_activity: n·Σx approaching int64 — accumulate "
+                "Σi·x in (hi, lo) limbs")
+        i = np.arange(len(x), dtype=np.int64) \
+            - np.repeat(starts, n) + 1          # 1-based rank in type
+        sixi = np.add.reduceat(i * x, starts)
+        nf = n.astype(np.float64)
+        gini = (2.0 * sixi.astype(np.float64)
+                / (nf * sx.astype(np.float64))
+                - (nf + 1.0) / nf)
+        return pd.DataFrame({
+            "event_type": np.asarray(tuniq, dtype=object)[tcode[starts]],
+            "n_users": n,
+            "total_events": sx,
+            "gini": round_half_away(gini, 6),
+        })
+
+
+def gini_activity(events, *, n_parts: int = 16):
+    """Gini coefficient of per-user event counts per event type — the
+    activity-inequality screen (0 = uniform usage, →1 = a few users
+    dominate the stream).  Batch-local (type, user) count partials
+    flow through ONE partition-group shuffle keyed on event_type; the
+    close sorts each type's per-user totals once, vectorized."""
+    from .windows import _add_key_partition
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if "event_type" not in t.column_names or len(t) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "user_id": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        tc, tuniq = pd.factorize(t["event_type"].to_pandas(), sort=False)
+        kc, kuniq = pd.factorize(t["user_id"].to_pandas(), sort=False)
+        ok = (tc >= 0) & (kc >= 0)              # nulls drop (oracle WHERE)
+        tc, kc = tc[ok], kc[ok]
+        nu = max(len(kuniq), 1)
+        cell = tc.astype(np.int64) * nu + kc
+        u, cnt = np.unique(cell, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(
+                np.asarray(tuniq, dtype=object)[u // nu], pa.string()),
+            "user_id": pa.array(
+                np.asarray(kuniq)[u % nu], pa.int64()),
+            "c": pa.array(cnt.astype(np.int64))})
+
+    partials = events.map_batches(_partial, batch_format="pyarrow")
+    return _add_key_partition(partials, "event_type", n_parts) \
+        .groupby("__part").map_groups(_GiniGroup(),
+                                      batch_format="pandas")

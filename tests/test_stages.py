@@ -2211,3 +2211,26 @@ def test_streak_kernel_matches_literal():
     assert out.loc[2, "n_days"] == 4
     assert out.loc[2, "max_streak"] == 2
     assert out.loc[2, "streak_start"] == 5
+
+
+def test_gini_group_merges_partials_and_closes():
+    """_GiniGroup merges same-(type, user) block partials before
+    ranking, G=0 for uniform counts, and approaches 1 when one user
+    dominates; tied counts are permutation-invariant."""
+    from series_correction_project_updated_ray.stages.relational import (
+        _GiniGroup)
+    g = pd.DataFrame({
+        # 'a': user 1 appears as two partials (3+2), user 2 has 5 →
+        # uniform [5, 5] → gini 0; 'b': [1, 1, 18] dominated
+        "event_type": ["a", "a", "a", "b", "b", "b"],
+        "user_id": np.array([1, 2, 1, 1, 2, 3], dtype=np.int64),
+        "c": np.array([3, 5, 2, 1, 1, 18], dtype=np.int64),
+    })
+    out = _GiniGroup()(g).set_index("event_type")
+    assert out.loc["a", "n_users"] == 2
+    assert out.loc["a", "total_events"] == 10
+    assert out.loc["a", "gini"] == 0.0
+    # b: sorted x=[1,1,18], Σi·x = 1+2+54 = 57, n=3, Σx=20
+    want = round(2.0 * 57 / (3.0 * 20) - 4.0 / 3.0, 6)
+    assert abs(out.loc["b", "gini"] - want) < 1e-12
+    assert out.loc["b", "gini"] > 0.5
