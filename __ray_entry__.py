@@ -1275,6 +1275,16 @@ def _q_streaks(sf_dir: str):
     return active_day_streaks(ev)
 
 
+def _q_trans_entropy(sf_dir: str):
+    """Conditional entropy of per-user event-type transitions —
+    bigram cells, libm-ln ordered fold, bit-exact vs the oracle."""
+    from series_correction_project_updated_ray.stages.relational import (
+        transition_entropy)
+    ev = _read(sf_dir, "events",
+               ["user_id", "event_id", "event_type", "ts"])
+    return transition_entropy(ev)
+
+
 def _q_gini(sf_dir: str):
     """Gini coefficient of per-user event counts per event type —
     integer rank·count sums, one double close."""
@@ -2021,7 +2031,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # Σi·x_i integer aggregate is grouped_quantiles' (kept)
             # bounded-rank machinery, and the close is one double
             # expression over exact integers
-            "gini_activity"][:n_over]
+            "gini_activity",
+            # transition_entropy is oracle-backed but windowed out at
+            # birth: the consecutive-pair construction in (t, event_id)
+            # order is session_cooccurrence's (kept) ordered-pair
+            # mechanism, and the −Σ p·ln p libm fold is
+            # unigram_logprob's (kept) certified fold with the same
+            # per-cell math.log discipline
+            "transition_entropy"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2254,6 +2271,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "pla_segments": _q_pla,
         # per-type Gini coefficient of user activity — oracle-checked
         "gini_activity": _q_gini,
+        # per-user event-type transition (bigram conditional) entropy
+        # — oracle-checked bit-exactly
+        "transition_entropy": _q_trans_entropy,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -3657,6 +3677,44 @@ SELECT doc_id, CAST(len(ll) AS BIGINT) AS n_tok,
        round(list_reduce(ll, (a, b) -> a + b) / len(ll), 6)
          AS avg_logprob
 FROM folded
+""",
+        # per-user transition entropy: bigram cells over consecutive
+        # typed events in (ts, event_id) order, per-cell double term
+        # (c_ab/N)·ln(c_ab/c_a·) with DuckDB ln == libm, folded left
+        # in (ta, tb) order; <2-typed-event users drop via inner joins
+        "transition_entropy": """
+WITH c AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+pairs AS (
+  SELECT a.user_id, a.event_type AS ta, b.event_type AS tb
+  FROM c a JOIN c b ON a.user_id = b.user_id AND b.rn = a.rn + 1),
+cab AS (
+  SELECT user_id, ta, tb, CAST(COUNT(*) AS BIGINT) AS cab
+  FROM pairs GROUP BY 1, 2, 3),
+ca AS (
+  SELECT user_id, ta, SUM(cab) AS ca FROM cab GROUP BY 1, 2),
+nf AS (
+  SELECT user_id, SUM(cab) AS nf FROM cab GROUP BY 1),
+terms AS (
+  SELECT cab.user_id, cab.ta, cab.tb,
+         (CAST(cab.cab AS DOUBLE) / CAST(nf.nf AS DOUBLE))
+           * ln(CAST(cab.cab AS DOUBLE) / CAST(ca.ca AS DOUBLE))
+           AS term
+  FROM cab
+  JOIN ca ON ca.user_id = cab.user_id AND ca.ta = cab.ta
+  JOIN nf ON nf.user_id = cab.user_id),
+folded AS (
+  SELECT user_id,
+         list_reduce(list(term ORDER BY ta, tb), (a, b) -> a + b)
+           AS acc
+  FROM terms GROUP BY 1)
+SELECT f.user_id, CAST(n.nf AS BIGINT) AS n_bigrams,
+       round(-f.acc, 6) AS trans_entropy
+FROM folded f JOIN nf n ON n.user_id = f.user_id
 """,
         # per-type Gini of user activity: exact integer Σi·x_i over
         # the ascending per-user counts (rank-tie permutations cancel),

@@ -1614,3 +1614,111 @@ def gini_activity(events, *, n_parts: int = 16):
     return _add_key_partition(partials, "event_type", n_parts) \
         .groupby("__part").map_groups(_GiniGroup(),
                                       batch_format="pandas")
+
+
+# --- event-type transition entropy ------------------------------------------
+
+class _TransitionEntropyGroup:
+    """Per-partition kernel for :func:`transition_entropy`: order each
+    key's typed events by (t, event_id), count consecutive-pair
+    (prev_type, next_type) bigrams, and close the conditional entropy
+    H(next|prev) = −Σ_ab (c_ab/N)·ln(c_ab/c_a·) with libm ``math.log``
+    per cell and the fold LEFT IN (ta, tb) STRING ORDER — bit-identical
+    to the SQL ``list_reduce(list(term ORDER BY ta, tb))``.  Keys with
+    fewer than 2 typed events emit nothing (the oracle's inner joins)."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        from ..functions.rounding import round_half_away
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "n_bigrams": pd.Series([], dtype=np.int64),
+            "trans_entropy": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        ucodes, uuniq = pd.factorize(g["user_id"], sort=False)
+        tcodes, tuniq = pd.factorize(g["event_type"], sort=False)
+        ok = (ucodes >= 0) & (tcodes >= 0)
+        if not ok.all():
+            g = g.iloc[ok]
+            ucodes, tcodes = ucodes[ok], tcodes[ok]
+        if len(g) < 2:
+            return empty
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, ucodes))
+        ucodes, tcodes = ucodes[order], tcodes[order]
+        same = ucodes[1:] == ucodes[:-1]
+        if not same.any():
+            return empty
+        uu0 = ucodes[:-1][same].astype(np.int64)
+        a0 = tcodes[:-1][same].astype(np.int64)
+        b0 = tcodes[1:][same].astype(np.int64)
+        nt = max(len(tuniq), 1)
+        cell = (uu0 * nt + a0) * nt + b0
+        uc, cnt = np.unique(cell, return_counts=True)
+        uu = uc // (nt * nt)
+        aa = (uc // nt) % nt
+        bb = uc % nt
+        # c_a· per (user, prev) and N per user, broadcast to cells
+        ka, inva = np.unique(uu * nt + aa, return_inverse=True)
+        ca = np.zeros(len(ka), dtype=np.int64)
+        np.add.at(ca, inva, cnt)
+        ca_cell = ca[inva]
+        ku, invu = np.unique(uu, return_inverse=True)
+        nf = np.zeros(len(ku), dtype=np.int64)
+        np.add.at(nf, invu, cnt)
+        nf_cell = nf[invu]
+        # fold in (user, ta, tb) STRING order
+        sa = np.asarray(tuniq, dtype=object)[aa]
+        sb = np.asarray(tuniq, dtype=object)[bb]
+        o2 = np.lexsort((sb, sa, uu))
+        uu, cnt = uu[o2], cnt[o2]
+        ca_cell, nf_cell = ca_cell[o2], nf_cell[o2]
+        out_u, out_n, out_h = [], [], []
+        prev_u, acc = -1, 0.0
+        for i in range(len(uu)):
+            if uu[i] != prev_u:
+                if prev_u >= 0:
+                    out_h.append(-acc)
+                prev_u, acc = uu[i], 0.0
+                out_u.append(prev_u)
+                out_n.append(int(nf_cell[i]))
+            acc += (float(cnt[i]) / float(nf_cell[i])) \
+                * math.log(float(cnt[i]) / float(ca_cell[i]))
+        out_h.append(-acc)
+        return pd.DataFrame({
+            "user_id": np.asarray(uuniq)[np.array(out_u, dtype=np.int64)],
+            "n_bigrams": np.array(out_n, dtype=np.int64),
+            "trans_entropy": round_half_away(
+                np.array(out_h, dtype=np.float64), 6),
+        })
+
+
+def transition_entropy(events, *, n_parts: int = 64):
+    """Conditional entropy of each user's event-type TRANSITIONS
+    (H(next|prev) over consecutive typed events) — the sequence-
+    predictability screen (0 = deterministic flows, ln|types| =
+    memoryless).  One partition-group shuffle; the bigram cells per
+    key are bounded by |types|², so the libm close is tiny."""
+    from .windows import _add_key_partition, _epoch_micros
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        if "ts" not in batch.column_names or len(batch) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "t": pa.array([], pa.int64())})
+        return pa.table({"user_id": batch["user_id"],
+                         "event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "t": pa.array(_epoch_micros(batch["ts"]))})
+
+    prepped = events.map_batches(_prep, batch_format="pyarrow")
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(_TransitionEntropyGroup(),
+                                      batch_format="pandas")

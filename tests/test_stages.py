@@ -2234,3 +2234,25 @@ def test_gini_group_merges_partials_and_closes():
     want = round(2.0 * 57 / (3.0 * 20) - 4.0 / 3.0, 6)
     assert abs(out.loc["b", "gini"] - want) < 1e-12
     assert out.loc["b", "gini"] > 0.5
+
+
+def test_transition_entropy_kernel_semantics():
+    """_TransitionEntropyGroup: deterministic alternation → H = 0,
+    null-type rows break adjacency by removal (the oracle's WHERE
+    before row_number), <2-event users emit nothing."""
+    from series_correction_project_updated_ray.stages.relational import (
+        _TransitionEntropyGroup)
+    g = pd.DataFrame({
+        # user 1: a→b→a→b deterministic; user 2: one event only;
+        # user 3: a→(null dropped)→b — still one bigram a→b
+        "user_id": pd.array([1, 1, 1, 1, 2, 3, 3, 3], dtype="Int64"),
+        "event_id": np.arange(8, dtype=np.int64),
+        "event_type": ["a", "b", "a", "b", "a", "a", None, "b"],
+        "t": np.arange(8, dtype=np.int64) * 1_000_000,
+    })
+    out = _TransitionEntropyGroup()(g).set_index("user_id")
+    assert 2 not in out.index
+    assert out.loc[1, "n_bigrams"] == 3
+    assert out.loc[1, "trans_entropy"] == 0.0   # fully deterministic
+    assert out.loc[3, "n_bigrams"] == 1
+    assert out.loc[3, "trans_entropy"] == 0.0
