@@ -1275,6 +1275,15 @@ def _q_streaks(sf_dir: str):
     return active_day_streaks(ev)
 
 
+def _q_benford(sf_dir: str):
+    """Benford first-digit χ² per event type — integer digit
+    extraction, 9 libm terms per type folded in digit order."""
+    from series_correction_project_updated_ray.stages.relational import (
+        benford_digits)
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return benford_digits(ev)
+
+
 def _q_trans_entropy(sf_dir: str):
     """Conditional entropy of per-user event-type transitions —
     bigram cells, libm-ln ordered fold, bit-exact vs the oracle."""
@@ -2038,7 +2047,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # mechanism, and the −Σ p·ln p libm fold is
             # unigram_logprob's (kept) certified fold with the same
             # per-cell math.log discipline
-            "transition_entropy"][:n_over]
+            "transition_entropy",
+            # benford_digits is oracle-backed but windowed out at
+            # birth: the digit-cell count partial is
+            # token_vocab_stats' (kept) mergeable count machinery, the
+            # libm-ln expected terms + ordered fold are
+            # unigram_logprob's (kept) certified discipline, and the
+            # χ² close is welch's cast-first statistical close family
+            # (whose moments stay certified by corr_pairs_hourly,
+            # kept)
+            "benford_digits"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2274,6 +2292,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # per-user event-type transition (bigram conditional) entropy
         # — oracle-checked bit-exactly
         "transition_entropy": _q_trans_entropy,
+        # Benford first-digit χ² per event type — oracle-checked
+        "benford_digits": _q_benford,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -3677,6 +3697,40 @@ SELECT doc_id, CAST(len(ll) AS BIGINT) AS n_tok,
        round(list_reduce(ll, (a, b) -> a + b) / len(ll), 6)
          AS avg_logprob
 FROM folded
+""",
+        # Benford first-digit χ²: first digit of the cents integer by
+        # repeated div-10 (== substr of its decimal string), dense
+        # 9-digit grid per type, per-digit double term
+        # (o − n·(ln(1+1/d)/ln(10)))²/(n·…) folded left in digit order
+        "benford_digits": """
+WITH c AS (
+  SELECT event_type, CAST(round(abs(value)*100) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+    AND CAST(round(abs(value)*100) AS BIGINT) > 0),
+obs AS (
+  SELECT event_type,
+         CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM c GROUP BY 1, 2),
+n AS (SELECT event_type, SUM(o) AS n FROM obs GROUP BY 1),
+grid AS (
+  SELECT n.event_type, gs.d, n.n, COALESCE(obs.o, 0) AS o
+  FROM n
+  CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS d) gs
+  LEFT JOIN obs ON obs.event_type = n.event_type AND obs.d = gs.d),
+terms AS (
+  SELECT event_type, d, n,
+         (CAST(o AS DOUBLE)
+            - CAST(n AS DOUBLE) * (ln(1.0 + 1.0/d) / ln(10.0)))
+         * (CAST(o AS DOUBLE)
+            - CAST(n AS DOUBLE) * (ln(1.0 + 1.0/d) / ln(10.0)))
+         / (CAST(n AS DOUBLE) * (ln(1.0 + 1.0/d) / ln(10.0))) AS term
+  FROM grid)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       round(list_reduce(list(term ORDER BY d), (a, b) -> a + b), 6)
+         AS chi2
+FROM terms GROUP BY 1
 """,
         # per-user transition entropy: bigram cells over consecutive
         # typed events in (ts, event_id) order, per-cell double term

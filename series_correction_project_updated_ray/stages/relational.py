@@ -1722,3 +1722,93 @@ def transition_entropy(events, *, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(_TransitionEntropyGroup(),
                                       batch_format="pandas")
+
+
+# --- Benford first-digit screen ---------------------------------------------
+
+class _BenfordGroup:
+    """Per-partition kernel for :func:`benford_digits`: merge the
+    (type, digit) count partials, densify to the 9-digit grid, and
+    close χ² = Σ_d (o_d − n·p_d)²/(n·p_d) with Benford
+    p_d = ln(1+1/d)/ln(10) — libm ``math.log`` per digit (== DuckDB
+    ``ln`` bitwise) and the fold left in digit order, matching the SQL
+    ``list_reduce(list(term ORDER BY d))``."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        from ..functions.rounding import round_half_away
+        empty = pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64),
+            "chi2": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        tc, tuniq = pd.factorize(g["event_type"], sort=False)
+        d = g["d"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        nt = len(tuniq)
+        mat = np.zeros((nt, 9), dtype=np.int64)
+        np.add.at(mat, (tc, d - 1), c)
+        n = mat.sum(axis=1)
+        ln10 = math.log(10.0)
+        out_t, out_n, out_chi = [], [], []
+        for ti in range(nt):
+            nf = float(n[ti])
+            if nf == 0.0:
+                continue
+            acc = 0.0
+            for dd in range(1, 10):
+                p = math.log(1.0 + 1.0 / float(dd)) / ln10
+                e = nf * p
+                diff = float(mat[ti, dd - 1]) - e
+                acc += diff * diff / e
+            out_t.append(tuniq[ti])
+            out_n.append(int(n[ti]))
+            out_chi.append(acc)
+        return pd.DataFrame({
+            "event_type": np.asarray(out_t, dtype=object),
+            "n": np.array(out_n, dtype=np.int64),
+            "chi2": round_half_away(
+                np.array(out_chi, dtype=np.float64), 6),
+        })
+
+
+def benford_digits(events, *, n_parts: int = 16):
+    """Benford's-law first-digit χ² per event type — the fabricated /
+    synthetic-numerics screen.  The first significant digit comes from
+    the cents integer by repeated div-10 (exact, no float log); zero
+    cents are excluded.  Batch-local (type, digit) count partials
+    through ONE tiny partition-group shuffle; the close is 9 libm
+    terms per type."""
+    from ..functions.rounding import scaled_int
+    from .windows import _add_key_partition
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if "event_type" not in t.column_names or len(t) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "d": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        tc, tuniq = pd.factorize(t["event_type"].to_pandas(), sort=False)
+        v = t["value"].to_pandas().to_numpy(np.float64)
+        cents = scaled_int(np.abs(v))
+        ok = (tc >= 0) & np.isfinite(v) & (cents > 0)
+        tc, cents = tc[ok], cents[ok]
+        while (cents >= 10).any():              # ≤7 vectorized rounds
+            big = cents >= 10
+            cents[big] //= 10
+        cell = tc.astype(np.int64) * 9 + (cents - 1)
+        u, cnt = np.unique(cell, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(
+                np.asarray(tuniq, dtype=object)[u // 9], pa.string()),
+            "d": pa.array((u % 9 + 1).astype(np.int64)),
+            "c": pa.array(cnt.astype(np.int64))})
+
+    partials = events.map_batches(_partial, batch_format="pyarrow")
+    return _add_key_partition(partials, "event_type", n_parts) \
+        .groupby("__part").map_groups(_BenfordGroup(),
+                                      batch_format="pandas")

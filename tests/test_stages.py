@@ -2256,3 +2256,32 @@ def test_transition_entropy_kernel_semantics():
     assert out.loc[1, "trans_entropy"] == 0.0   # fully deterministic
     assert out.loc[3, "n_bigrams"] == 1
     assert out.loc[3, "trans_entropy"] == 0.0
+
+
+def test_benford_kernel_digits_and_chi2():
+    """_BenfordGroup: digit cells merge across partials, missing
+    digits contribute (0 − e)²/e, and a perfectly Benford-weighted
+    sample scores near 0."""
+    import math
+
+    from series_correction_project_updated_ray.stages.relational import (
+        _BenfordGroup)
+    # counts proportional to Benford probabilities (scaled by 1e6)
+    p = [math.log(1 + 1 / d) / math.log(10) for d in range(1, 10)]
+    counts = np.round(np.array(p) * 1_000_000).astype(np.int64)
+    g = pd.DataFrame({
+        "event_type": ["x"] * 9 + ["y"],
+        "d": np.r_[np.arange(1, 10), [1]].astype(np.int64),
+        "c": np.r_[counts, [100]].astype(np.int64),
+    })
+    out = _BenfordGroup()(g).set_index("event_type")
+    assert out.loc["x", "n"] == counts.sum()
+    assert out.loc["x", "chi2"] < 1.0           # near-perfect fit
+    # y: all mass on digit 1 → χ² = Σ terms with 8 zero cells
+    nf = 100.0
+    acc = 0.0
+    for dd in range(1, 10):
+        e = nf * (math.log(1 + 1 / dd) / math.log(10))
+        o = 100.0 if dd == 1 else 0.0
+        acc += (o - e) ** 2 / e
+    assert abs(out.loc["y", "chi2"] - round(acc, 6)) < 1e-12
