@@ -1275,6 +1275,15 @@ def _q_streaks(sf_dir: str):
     return active_day_streaks(ev)
 
 
+def _q_pmi(sf_dir: str):
+    """PMI between top-50-DF term pairs — broadcast vocabulary,
+    mergeable k×k presence-matmul partials, libm-ln close."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        pmi_pairs)
+    docs = _read(sf_dir, "documents", ["text"])
+    return pmi_pairs(docs, top_k=50, min_cooc=5)
+
+
 def _q_benford(sf_dir: str):
     """Benford first-digit χ² per event type — integer digit
     extraction, 9 libm terms per type folded in digit order."""
@@ -2056,7 +2065,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # χ² close is welch's cast-first statistical close family
             # (whose moments stay certified by corr_pairs_hourly,
             # kept)
-            "benford_digits"][:n_over]
+            "benford_digits",
+            # pmi_pairs is oracle-backed but windowed out at birth:
+            # the DF pass + broadcast-vocabulary scoring is
+            # token_vocab_stats' + remove_common_ngrams' (both kept)
+            # mechanism, the integer presence-matmul partial is
+            # corr_pairs_hourly's (kept) integer-matmul close, and the
+            # per-pair libm ln is unigram_logprob's (kept) discipline
+            "pmi_pairs"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2294,6 +2310,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "transition_entropy": _q_trans_entropy,
         # Benford first-digit χ² per event type — oracle-checked
         "benford_digits": _q_benford,
+        # PMI between top-DF term pairs (broadcast vocab, mergeable
+        # k×k matmul partials) — oracle-checked
+        "pmi_pairs": _q_pmi,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -3697,6 +3716,42 @@ SELECT doc_id, CAST(len(ll) AS BIGINT) AS n_tok,
        round(list_reduce(ll, (a, b) -> a + b) / len(ll), 6)
          AS avg_logprob
 FROM folded
+""",
+        # PMI of top-50-DF term pairs: distinct-per-doc presence, df
+        # top-k by (df DESC, term), pair counts from the presence
+        # self-join, pmi = ln(c_ab·N/(c_a·c_b)) in the kernel's double
+        # op order; pairs ordered term_a < term_b, support ≥ 5
+        "pmi_pairs": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+           AS term
+  FROM documents),
+pres0 AS (SELECT DISTINCT doc_id, term FROM toks),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pres0 GROUP BY 1),
+top AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY df DESC, term) AS r
+    FROM df) WHERE r <= 50),
+pres AS (SELECT p.doc_id, p.term FROM pres0 p JOIN top USING (term)),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+ca AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM pres GROUP BY 1),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM pres a JOIN pres b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2)
+SELECT p.term_a, p.term_b, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+       round(ln(CAST(p.c_ab AS DOUBLE) * CAST(n.n AS DOUBLE)
+                / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))), 6)
+         AS pmi
+FROM pairs p
+JOIN ca ON ca.term = p.term_a
+JOIN ca cb ON cb.term = p.term_b
+CROSS JOIN n
+WHERE p.c_ab >= 5
 """,
         # Benford first-digit χ²: first digit of the cents integer by
         # repeated div-10 (== substr of its decimal string), dense

@@ -973,3 +973,146 @@ def zipf_fit(docs, *, top_k: int = 1000):
     top = topk_by(totals, ["cnt", "term"], [True, False], top_k)
     return top.repartition(1).map_batches(
         _ZipfClose(), batch_format="pyarrow", batch_size=None)
+
+
+# --- PMI of top-vocabulary term pairs ----------------------------------------
+
+class _PmiPresence:
+    """Presence-matrix partial stage for :func:`pmi_pairs`: each batch
+    builds the docs × k boolean presence matrix over the broadcast
+    top-k vocabulary and emits the nonzero cells of its k × k
+    co-occurrence partial C = Pᵀ·P (upper triangle + diagonal, exact
+    int64) — fixed-size mergeable output regardless of batch size."""
+
+    def __init__(self, vocab_ref):
+        import re
+
+        import ray
+        vocab = ray.get(vocab_ref)
+        self.k = len(vocab)
+        self.index = {t: i for i, t in enumerate(vocab)}
+        self.rx = re.compile(r"[a-z]+")
+        self.__name__ = type(self).__name__
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"i": pa.array([], pa.int64()),
+                          "j": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if "text" not in batch.column_names or len(batch) == 0:
+            return empty
+        texts = batch["text"].to_pandas()
+        rows, cols = [], []
+        for di, txt in enumerate(texts):
+            seen = {self.index[t]
+                    for t in set(self.rx.findall((txt or "").lower()))
+                    if t in self.index}
+            rows.extend([di] * len(seen))
+            cols.extend(seen)
+        if not rows:
+            return empty
+        P = np.zeros((len(texts), self.k), dtype=np.int64)
+        P[np.array(rows), np.array(cols)] = 1
+        C = P.T @ P
+        iu, ju = np.triu_indices(self.k)
+        cc = C[iu, ju]
+        nz = cc > 0
+        return pa.table({"i": pa.array(iu[nz].astype(np.int64)),
+                         "j": pa.array(ju[nz].astype(np.int64)),
+                         "c": pa.array(cc[nz])})
+
+
+class _PmiClose:
+    """Closing kernel for :func:`pmi_pairs`: the summed (i, j, c)
+    cells arrive as ONE block; pmi = ln(c_ab·N/(c_a·c_b)) per i<j pair
+    with c_ab ≥ min_cooc, computed with libm ``math.log`` in the
+    oracle's exact double op order."""
+
+    def __init__(self, vocab_ref, n_docs: int, min_cooc: int):
+        import ray
+        self.vocab = list(ray.get(vocab_ref))
+        self.n_docs = n_docs
+        self.min_cooc = min_cooc
+        self.__name__ = type(self).__name__
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import math
+
+        from ..functions.rounding import round_half_away
+        empty = pa.table({"term_a": pa.array([], pa.string()),
+                          "term_b": pa.array([], pa.string()),
+                          "c_ab": pa.array([], pa.int64()),
+                          "c_a": pa.array([], pa.int64()),
+                          "c_b": pa.array([], pa.int64()),
+                          "pmi": pa.array([], pa.float64())})
+        if len(t) == 0 or "i" not in t.column_names:
+            return empty
+        k = len(self.vocab)
+        C = np.zeros((k, k), dtype=np.int64)
+        i = t["i"].to_numpy()
+        j = t["j"].to_numpy()
+        C[i, j] = t["c"].to_numpy()
+        diag = np.diag(C)
+        iu, ju = np.triu_indices(k, 1)
+        cab = C[iu, ju]
+        keep = cab >= self.min_cooc
+        iu, ju, cab = iu[keep], ju[keep], cab[keep]
+        nf = float(self.n_docs)
+        pmi = np.array([
+            math.log(float(c) * nf / (float(diag[a]) * float(diag[b])))
+            for a, b, c in zip(iu, ju, cab)], dtype=np.float64)
+        vocab = np.asarray(self.vocab, dtype=object)
+        return pa.table({
+            "term_a": pa.array(vocab[iu], pa.string()),
+            "term_b": pa.array(vocab[ju], pa.string()),
+            "c_ab": pa.array(cab.astype(np.int64)),
+            "c_a": pa.array(diag[iu].astype(np.int64)),
+            "c_b": pa.array(diag[ju].astype(np.int64)),
+            "pmi": pa.array(round_half_away(pmi, 6))})
+
+
+def pmi_pairs(docs, *, top_k: int = 50, min_cooc: int = 5):
+    """Pointwise mutual information between every pair of the corpus'
+    ``top_k`` highest-document-frequency terms — the collocation /
+    template-phrase screen.  Three bounded stages: a DF shuffle picks
+    the vocabulary (distributed top-k, never a global sort), the
+    vocabulary broadcasts once per actor, and each batch emits a
+    fixed-size k×k co-occurrence partial merged by ONE tiny keyed
+    groupby; the close is k(k−1)/2 libm terms."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    import re
+
+    word_re = re.compile(r"[a-z]+")
+
+    def _doc_terms(batch: pa.Table) -> pa.Table:
+        if "text" not in batch.column_names or len(batch) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        terms: dict[str, int] = {}
+        for txt in batch["text"].to_pandas():
+            for t in set(word_re.findall((txt or "").lower())):
+                terms[t] = terms.get(t, 0) + 1
+        return pa.table({
+            "term": pa.array(list(terms.keys()), pa.string()),
+            "df": pa.array(np.fromiter(terms.values(), dtype=np.int64,
+                                       count=len(terms)))})
+
+    from .relational import topk_by
+
+    docs = docs.materialize()
+    n_docs = docs.count()
+    df_tbl = docs.map_batches(_doc_terms, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df", alias_name="df"))
+    top = topk_by(df_tbl, ["df", "term"], [True, False], top_k) \
+        .take_all()                     # ≤ top_k rows — driver-safe
+    vocab = sorted(r["term"] for r in top)   # index order == string order
+    ref = ray.put(vocab)
+    from .taskcache import class_task
+    partials = docs.map_batches(class_task(_PmiPresence, ref),
+                                batch_format="pyarrow")
+    summed = partials.groupby(["i", "j"]).aggregate(
+        Sum("c", alias_name="c"))
+    return summed.repartition(1).map_batches(
+        class_task(_PmiClose, ref, n_docs, min_cooc),
+        batch_format="pyarrow", batch_size=None)

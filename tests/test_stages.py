@@ -2285,3 +2285,31 @@ def test_benford_kernel_digits_and_chi2():
         o = 100.0 if dd == 1 else 0.0
         acc += (o - e) ** 2 / e
     assert abs(out.loc["y", "chi2"] - round(acc, 6)) < 1e-12
+
+
+def test_pmi_presence_partial_and_close():
+    """_PmiPresence emits mergeable upper-triangle cells; _PmiClose
+    merges, applies the support floor, and computes ln(c·N/(ca·cb))."""
+    import math
+
+    import ray
+
+    from series_correction_project_updated_ray.stages.textstage import (
+        _PmiClose, _PmiPresence)
+    ref = ray.put(["alpha", "beta", "gamma"])
+    b1 = pa.table({"text": pa.array(
+        ["alpha beta", "alpha beta gamma", "alpha x"])})
+    b2 = pa.table({"text": pa.array(["beta alpha", None])})
+    p1 = _PmiPresence(ref)(b1).to_pandas()
+    p2 = _PmiPresence(ref)(b2).to_pandas()
+    merged = pd.concat([p1, p2]).groupby(["i", "j"], as_index=False) \
+        .agg(c=("c", "sum"))
+    out = _PmiClose(ref, 5, 3)(
+        pa.Table.from_pandas(merged)).to_pandas()
+    # alpha∩beta appears 3× (≥ min_cooc 3); pairs with gamma only 1×
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["term_a"], r["term_b"]) == ("alpha", "beta")
+    assert r["c_ab"] == 3 and r["c_a"] == 4 and r["c_b"] == 3
+    want = round(math.log(3.0 * 5.0 / (4.0 * 3.0)), 6)
+    assert r["pmi"] == want
