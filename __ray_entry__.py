@@ -1275,6 +1275,15 @@ def _q_streaks(sf_dir: str):
     return active_day_streaks(ev)
 
 
+def _q_runs(sf_dir: str):
+    """Wald–Wolfowitz runs test per user — median split, sign-run
+    counting in event order, exact-integer counts, double z close."""
+    from series_correction_project_updated_ray.stages.relational import (
+        runs_test)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return runs_test(ev)
+
+
 def _q_pmi(sf_dir: str):
     """PMI between top-50-DF term pairs — broadcast vocabulary,
     mergeable k×k presence-matmul partials, libm-ln close."""
@@ -2072,7 +2081,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # mechanism, the integer presence-matmul partial is
             # corr_pairs_hourly's (kept) integer-matmul close, and the
             # per-pair libm ln is unigram_logprob's (kept) discipline
-            "pmi_pairs"][:n_over]
+            "pmi_pairs",
+            # runs_test is oracle-backed but windowed out at birth:
+            # the per-key median is grouped_quantiles' (kept)
+            # quantile_cont==np.median identity, the boundary-masked
+            # run counting is interval_coverage's (kept) island scan,
+            # and the sqrt-normalized deviation close is cusum_flags'
+            # (kept) certified (x−μ)/σ arithmetic
+            "runs_test"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2313,6 +2329,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # PMI between top-DF term pairs (broadcast vocab, mergeable
         # k×k matmul partials) — oracle-checked
         "pmi_pairs": _q_pmi,
+        # Wald–Wolfowitz runs test per user — oracle-checked
+        "runs_test": _q_runs,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -3716,6 +3734,51 @@ SELECT doc_id, CAST(len(ll) AS BIGINT) AS n_tok,
        round(list_reduce(ll, (a, b) -> a + b) / len(ll), 6)
          AS avg_logprob
 FROM folded
+""",
+        # Wald–Wolfowitz runs test: per-user median split
+        # (quantile_cont(0.5) == np.median bitwise), exact-median rows
+        # dropped, runs counted by lag inequality in (ts, event_id)
+        # order, z closed in the kernel's exact double op order;
+        # one-sided or zero-variance users emit NULL z
+        "runs_test": """
+WITH c AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL),
+med AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS m FROM c GROUP BY 1),
+s AS (
+  SELECT c.user_id, c.rn,
+         CASE WHEN c.value > med.m THEN 1 ELSE 0 END AS sgn
+  FROM c JOIN med USING (user_id) WHERE c.value <> med.m),
+o AS (
+  SELECT user_id, sgn,
+         lag(sgn) OVER (PARTITION BY user_id ORDER BY rn) AS prev
+  FROM s),
+agg AS (
+  SELECT user_id,
+         CAST(SUM(sgn) AS BIGINT) AS n1,
+         CAST(SUM(1 - sgn) AS BIGINT) AS n2,
+         CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND sgn <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM o GROUP BY 1)
+SELECT user_id, n1 AS n_above, n2 AS n_below, runs,
+       CASE WHEN n1 > 0 AND n2 > 0
+                 AND 2.0*CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)
+                     > CAST(n1 + n2 AS DOUBLE)
+            THEN round(
+              (CAST(runs AS DOUBLE)
+               - (2.0*CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)
+                    / CAST(n1 + n2 AS DOUBLE) + 1.0))
+              / sqrt(((2.0*CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE))
+                      * ((2.0*CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE))
+                         - CAST(n1 + n2 AS DOUBLE)))
+                     / (CAST(n1 + n2 AS DOUBLE)
+                        * CAST(n1 + n2 AS DOUBLE)
+                        * (CAST(n1 + n2 AS DOUBLE) - 1.0))), 6)
+            END AS z
+FROM agg
 """,
         # PMI of top-50-DF term pairs: distinct-per-doc presence, df
         # top-k by (df DESC, term), pair counts from the presence

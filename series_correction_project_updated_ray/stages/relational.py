@@ -1812,3 +1812,111 @@ def benford_digits(events, *, n_parts: int = 16):
     return _add_key_partition(partials, "event_type", n_parts) \
         .groupby("__part").map_groups(_BenfordGroup(),
                                       batch_format="pandas")
+
+
+# --- Wald–Wolfowitz runs test -----------------------------------------------
+
+class _RunsTestGroup:
+    """Per-partition kernel for :func:`runs_test`: per key, median of
+    the values ((lo+hi)/2 on even counts == DuckDB quantile_cont(0.5)
+    bitwise), drop exact-median rows, then count sign runs in
+    (t, event_id) order and close the normal z in the oracle's exact
+    double op order.  Keys losing every row to the median filter emit
+    nothing; one-sided keys (n1·n2 = 0, or n1 = n2 = 1 where the
+    variance is zero) emit NULL z."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def _empty(self, g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "n_above": pd.Series([], dtype=np.int64),
+            "n_below": pd.Series([], dtype=np.int64),
+            "runs": pd.Series([], dtype=np.int64),
+            "z": pd.Series([], dtype=np.float64)})
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        from ..functions.rounding import round_half_away
+        if len(g) == 0:
+            return self._empty(g)
+        codes, uniq = pd.factorize(g["user_id"], sort=False)
+        if (codes < 0).any():
+            g = g.iloc[codes >= 0]
+            codes = codes[codes >= 0]
+        if len(g) == 0:
+            return self._empty(g)
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        v = g["value"].to_numpy(np.float64)
+        order = np.lexsort((ids, t, codes))
+        codes, t, v = codes[order], t[order], v[order]
+        keys = g["user_id"].to_numpy()[order]
+        n = len(v)
+        # per-key median from the value-sorted layout
+        vo = np.lexsort((v, codes))
+        cv, vv = codes[vo], v[vo]
+        ks = np.flatnonzero(np.r_[True, cv[1:] != cv[:-1]])
+        kc = np.diff(np.r_[ks, n])
+        med = (vv[ks + (kc - 1) // 2] + vv[ks + kc // 2]) / 2.0
+        med_by_code = np.empty(int(codes.max()) + 1, dtype=np.float64)
+        med_by_code[cv[ks]] = med
+        # event-order pass: drop exact-median rows, count runs
+        m_row = med_by_code[codes]
+        keep = v != m_row
+        codes2, v2, keys2 = codes[keep], v[keep], keys[keep]
+        m2 = m_row[keep]
+        if len(v2) == 0:
+            return self._empty(g.iloc[:0])
+        sgn = (v2 > m2).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, codes2[1:] != codes2[:-1]])
+        cnt = np.diff(np.r_[starts, len(v2)]).astype(np.int64)
+        chg = np.r_[0, (sgn[1:] != sgn[:-1]).astype(np.int64)]
+        chg[starts] = 0
+        cchg = np.concatenate([[0], np.cumsum(chg)])
+        runs = 1 + (cchg[np.r_[starts[1:], len(v2)]] - cchg[starts])
+        cs = np.concatenate([[0], np.cumsum(sgn)])
+        n1 = cs[np.r_[starts[1:], len(v2)]] - cs[starts]
+        n2 = cnt - n1
+        n1f, n2f = n1.astype(np.float64), n2.astype(np.float64)
+        nf = n1f + n2f
+        two = 2.0 * n1f * n2f
+        ok = (n1 > 0) & (n2 > 0) & (two > nf)
+        z = np.full(len(starts), np.nan)
+        for i in np.flatnonzero(ok):
+            mu = two[i] / nf[i] + 1.0
+            z[i] = (float(runs[i]) - mu) / math.sqrt(
+                (two[i] * (two[i] - nf[i]))
+                / (nf[i] * nf[i] * (nf[i] - 1.0)))
+        return pd.DataFrame({
+            "user_id": keys2[starts],
+            "n_above": n1,
+            "n_below": n2,
+            "runs": runs.astype(np.int64),
+            "z": np.where(ok, round_half_away(z, 6), np.nan)})
+
+
+def runs_test(events, *, n_parts: int = 64):
+    """Wald–Wolfowitz runs test per user — is the value sequence
+    random around its median, or does it trend/oscillate?  One
+    partition-group shuffle; medians, run counting and the z close
+    are all vectorized across co-located keys."""
+    from .windows import _add_key_partition, _epoch_micros
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        if "ts" not in batch.column_names or len(batch) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_id": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.float64()),
+                             "t": pa.array([], pa.int64())})
+        return pa.table({"user_id": batch["user_id"],
+                         "event_id": batch["event_id"],
+                         "value": batch["value"],
+                         "t": pa.array(_epoch_micros(batch["ts"]))})
+
+    prepped = events.map_batches(_prep, batch_format="pyarrow")
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(_RunsTestGroup(),
+                                      batch_format="pandas")

@@ -2313,3 +2313,28 @@ def test_pmi_presence_partial_and_close():
     assert r["c_ab"] == 3 and r["c_a"] == 4 and r["c_b"] == 3
     want = round(math.log(3.0 * 5.0 / (4.0 * 3.0)), 6)
     assert r["pmi"] == want
+
+
+def test_runs_test_kernel_semantics():
+    """_RunsTestGroup: alternating signs give maximal runs (positive
+    z), blocky signs give few runs (negative z), exact-median rows
+    drop, all-equal users vanish, one-sided users get NULL z."""
+    from series_correction_project_updated_ray.stages.relational import (
+        _RunsTestGroup)
+    # u1: alternation 1,9,1,9… (median 5, runs = n) → z > 0
+    # u2: block 1,1,1,9,9,9 (runs = 2) → z < 0
+    # u3: constant → all rows equal median → absent
+    # u4: 5,5,9 → median 5 drops two rows → n_below 0 → NULL z
+    vals = {1: [1.0, 9.0] * 5, 2: [1.0] * 5 + [9.0] * 5,
+            3: [4.0] * 4, 4: [5.0, 5.0, 9.0]}
+    rows = [(u, i, float(i), v) for u, vs in vals.items()
+            for i, v in enumerate(vs)]
+    g = pd.DataFrame(rows, columns=["user_id", "event_id", "t", "value"])
+    g["t"] = (g["t"] * 1e6).astype(np.int64)
+    g["event_id"] = np.arange(len(g), dtype=np.int64)
+    out = _RunsTestGroup()(g).set_index("user_id")
+    assert 3 not in out.index
+    assert out.loc[1, "runs"] == 10 and out.loc[1, "z"] > 2.0
+    assert out.loc[2, "runs"] == 2 and out.loc[2, "z"] < -2.0
+    assert out.loc[4, "n_above"] == 1 and out.loc[4, "n_below"] == 0
+    assert pd.isna(out.loc[4, "z"])
