@@ -1275,6 +1275,15 @@ def _q_streaks(sf_dir: str):
     return active_day_streaks(ev)
 
 
+def _q_fano(sf_dir: str):
+    """Fano factor of hourly event counts per user — dense-grid
+    moments from present cells only, one double close."""
+    from series_correction_project_updated_ray.stages.relational import (
+        fano_factor)
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return fano_factor(ev)
+
+
 def _q_runs(sf_dir: str):
     """Wald–Wolfowitz runs test per user — median split, sign-run
     counting in event order, exact-integer counts, double z close."""
@@ -2088,7 +2097,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # run counting is interval_coverage's (kept) island scan,
             # and the sqrt-normalized deviation close is cusum_flags'
             # (kept) certified (x−μ)/σ arithmetic
-            "runs_test"][:n_over]
+            "runs_test",
+            # fano_factor is oracle-backed but windowed out at birth:
+            # the merged (user, hour) count partial and dense-zero
+            # present-cells-only moment convention are
+            # corr_pairs_hourly's (kept) certified machinery, and the
+            # variance-to-mean close is one double expression over
+            # exact integers
+            "fano_factor"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2331,6 +2347,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "pmi_pairs": _q_pmi,
         # Wald–Wolfowitz runs test per user — oracle-checked
         "runs_test": _q_runs,
+        # Fano factor (hourly burstiness) per user — oracle-checked
+        "fano_factor": _q_fano,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -3734,6 +3752,29 @@ SELECT doc_id, CAST(len(ll) AS BIGINT) AS n_tok,
        round(list_reduce(ll, (a, b) -> a + b) / len(ll), 6)
          AS avg_logprob
 FROM folded
+""",
+        # Fano factor: (user, hour) cells, population variance/mean
+        # over the FULL [min_hour, max_hour] span (absent cells are
+        # exact zeros — moments need present cells only), closed in
+        # the kernel's double op order
+        "fano_factor": """
+WITH c AS (
+  SELECT user_id, epoch_us(ts)//1000000//3600 AS h
+  FROM events WHERE user_id IS NOT NULL),
+cell AS (
+  SELECT user_id, h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM c GROUP BY 1, 2),
+s AS (
+  SELECT user_id, SUM(c) AS n, SUM(c*c) AS sq,
+         MAX(h) - MIN(h) + 1 AS span
+  FROM cell GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CAST(span AS BIGINT) AS span_hours,
+       round((CAST(sq AS DOUBLE)/CAST(span AS DOUBLE)
+              - (CAST(n AS DOUBLE)/CAST(span AS DOUBLE))
+                * (CAST(n AS DOUBLE)/CAST(span AS DOUBLE)))
+             / (CAST(n AS DOUBLE)/CAST(span AS DOUBLE)), 6) AS fano
+FROM s
 """,
         # Wald–Wolfowitz runs test: per-user median split
         # (quantile_cont(0.5) == np.median bitwise), exact-median rows

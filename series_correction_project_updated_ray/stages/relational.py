@@ -1920,3 +1920,90 @@ def runs_test(events, *, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(_RunsTestGroup(),
                                       batch_format="pandas")
+
+
+# --- burstiness (Fano factor) -----------------------------------------------
+
+class _FanoGroup:
+    """Per-partition kernel for :func:`fano_factor`: merge the
+    (user, hour) count partials, then per user over its FULL hourly
+    span [min_hour, max_hour] (absent cells are exact zeros, so Σc and
+    Σc² come from present cells alone) close the population
+    variance-to-mean ratio in the oracle's double op order."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.rounding import round_half_away
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "n_events": pd.Series([], dtype=np.int64),
+            "span_hours": pd.Series([], dtype=np.int64),
+            "fano": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        uc, uniq = pd.factorize(g["user_id"], sort=False)
+        h = g["h"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        order = np.lexsort((h, uc))
+        uc, h, c = uc[order], h[order], c[order]
+        # merge same-(user, hour) partials from different blocks
+        cb = np.r_[True, (uc[1:] != uc[:-1]) | (h[1:] != h[:-1])]
+        cs = np.flatnonzero(cb)
+        cm = np.add.reduceat(c, cs)
+        ucm, hm = uc[cs], h[cs]
+        if float(np.abs(cm).max()) ** 2 * len(cm) >= float(1 << 62):
+            raise OverflowError(
+                "fano_factor: Σc² approaching int64 — accumulate in "
+                "(hi, lo) limbs")
+        us = np.flatnonzero(np.r_[True, ucm[1:] != ucm[:-1]])
+        ends = np.r_[us[1:], len(ucm)]
+        n = np.add.reduceat(cm, us)
+        sq = np.add.reduceat(cm * cm, us)
+        span = hm[ends - 1] - hm[us] + 1
+        nf, sqf = n.astype(np.float64), sq.astype(np.float64)
+        spanf = span.astype(np.float64)
+        mean = nf / spanf
+        fano = (sqf / spanf - mean * mean) / mean
+        return pd.DataFrame({
+            "user_id": np.asarray(uniq)[ucm[us]],
+            "n_events": n,
+            "span_hours": span.astype(np.int64),
+            "fano": round_half_away(fano, 6)})
+
+
+def fano_factor(events, *, n_parts: int = 64):
+    """Fano factor (variance-to-mean of hourly event counts over each
+    user's active span) — the burstiness screen: ≈1 Poisson, ≫1
+    bursty, <1 metronomic.  Batch-local (user, hour) count partials
+    through ONE partition-group shuffle; the dense-grid moments need
+    only the present cells."""
+    from .windows import _add_key_partition, _epoch_micros
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if "ts" not in t.column_names or len(t) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        uc, uniq = pd.factorize(t["user_id"].to_pandas(), sort=False)
+        h = np.asarray(_epoch_micros(t["ts"])) // 1_000_000 // 3600
+        ok = uc >= 0
+        uc, h = uc[ok], h[ok]
+        if len(uc) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        hmin = h.min()
+        nh = int(h.max() - hmin) + 1
+        cell = uc.astype(np.int64) * nh + (h - hmin)
+        u, cnt = np.unique(cell, return_counts=True)
+        return pa.table({
+            "user_id": pa.array(np.asarray(uniq)[u // nh], pa.int64()),
+            "h": pa.array((u % nh + hmin).astype(np.int64)),
+            "c": pa.array(cnt.astype(np.int64))})
+
+    partials = events.map_batches(_partial, batch_format="pyarrow")
+    return _add_key_partition(partials, "user_id", n_parts) \
+        .groupby("__part").map_groups(_FanoGroup(),
+                                      batch_format="pandas")

@@ -2338,3 +2338,28 @@ def test_runs_test_kernel_semantics():
     assert out.loc[2, "runs"] == 2 and out.loc[2, "z"] < -2.0
     assert out.loc[4, "n_above"] == 1 and out.loc[4, "n_below"] == 0
     assert pd.isna(out.loc[4, "z"])
+
+
+def test_fano_kernel_merges_and_spans():
+    """_FanoGroup merges same-(user, hour) partials, spans include
+    empty hours as zero cells, uniform-dense series → fano 0, a
+    single burst hour in a long span → fano ≈ count."""
+    from series_correction_project_updated_ray.stages.relational import (
+        _FanoGroup)
+    g = pd.DataFrame({
+        # u1: hours 0,1,2 (hour 1 arrives as two partials 1+0)
+        # u2: 10 events in hour 5, 1 in hour 14 → span 10
+        "user_id": np.array([1, 1, 1, 1, 2, 2], dtype=np.int64),
+        "h": np.array([0, 1, 1, 2, 5, 14], dtype=np.int64),
+        "c": np.array([1, 1, 0, 1, 10, 1], dtype=np.int64),
+    })
+    out = _FanoGroup()(g).set_index("user_id")
+    assert out.loc[1, "n_events"] == 3      # 1+(1+0)+1 merged
+    assert out.loc[1, "span_hours"] == 3
+    # u1 merged cells [1,1,1] over span 3 → variance 0
+    assert out.loc[1, "fano"] == 0.0
+    # u2: cells 10 and 1 over span 10: mean 1.1, var 10.1/10·... 
+    n, sq, span = 11.0, 101.0, 10.0
+    mean = n / span
+    want = round((sq / span - mean * mean) / mean, 6)
+    assert out.loc[2, "fano"] == want
