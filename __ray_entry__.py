@@ -2713,7 +2713,7 @@ WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS t,
          epoch_us(ts)//1000000//3600 AS h,
          CAST(round(value*100) AS BIGINT) AS c
-  FROM events WHERE user_id IS NOT NULL),
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
 t2 AS (
   SELECT user_id, event_id, t,
     CAST(c AS DOUBLE) * cos(((2*pi())*CAST(h%24 AS DOUBLE))/24.0) AS c24,
@@ -3361,7 +3361,7 @@ WITH c AS (
   SELECT event_type,
          CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we,
          CAST(round(value*100) AS BIGINT) AS cents
-  FROM events WHERE event_type IS NOT NULL),
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
 g AS (
   SELECT event_type, cents,
          SUM(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS c1,
@@ -3430,7 +3430,7 @@ WITH c AS (
   SELECT event_type,
          CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we,
          CAST(round(value*100) AS BIGINT) AS cents
-  FROM events WHERE event_type IS NOT NULL),
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
 g AS (
   SELECT event_type, cents,
          SUM(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS c1,
@@ -3786,7 +3786,7 @@ WITH c AS (
   SELECT user_id, event_id, value,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY epoch_us(ts), event_id) AS rn
-  FROM events WHERE user_id IS NOT NULL),
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
 med AS (
   SELECT user_id, quantile_cont(value, 0.5) AS m FROM c GROUP BY 1),
 s AS (
@@ -3966,7 +3966,7 @@ WITH c AS (
          CAST(round(value*100) AS BIGINT) AS cents,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY epoch_us(ts), event_id) - 1 AS rn
-  FROM events WHERE user_id IS NOT NULL),
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
 sg AS (
   SELECT user_id, rn // 16 AS seg, rn % 16 AS j, t, cents FROM c),
 s AS (

@@ -1279,12 +1279,15 @@ def _weekend_cohort_cells(t: pa.Table) -> pa.Table:
                          "cents": pa.array([], pa.int64()),
                          "c1": pa.array([], pa.int64()),
                          "c2": pa.array([], pa.int64())})
-    cents = scaled_int(t["value"].to_numpy(zero_copy_only=False))
+    v = t["value"].to_numpy(zero_copy_only=False)
+    cents = scaled_int(v)
     t_us = np.asarray(_epoch_micros(t["ts"]))
     dow = (t_us // 86_400_000_000 + 4) % 7
     we = ((dow == 0) | (dow == 6)).astype(np.int64)
     tc, tuniq = pd.factorize(t["event_type"].to_pandas(), sort=False)
-    ok = tc >= 0
+    # NULL/NaN values drop (the oracle's WHERE value IS NOT NULL) —
+    # scaled_int(NaN) is INT64_MIN and would blow up the domain span
+    ok = (tc >= 0) & np.isfinite(v)
     tc, cents, we = tc[ok], cents[ok], we[ok]
     lo = int(cents.min()) if len(cents) else 0
     span = (int(cents.max()) - lo + 1) if len(cents) else 1
@@ -1451,7 +1454,15 @@ def _active_day_partial(t: pa.Table) -> pa.Table:
     u = u[ok].astype(np.int64)
     day = (np.asarray(_epoch_micros(t["ts"]))[ok]
            // 86_400_000_000).astype(np.int64)
-    # epoch days are small non-negatives: composite id dedups in one pass
+    # epoch days are small non-negatives: composite id dedups in one
+    # pass — loud guard instead of silent wraparound for ids/dates
+    # outside the packing's domain (hashed ids, pre-1970 timestamps)
+    if len(u) and (int(u.max()) >= (1 << 39) or int(u.min()) < 0
+                   or int(day.min()) < 0):
+        raise OverflowError(
+            "active_day_streaks: user_id beyond 2^39 or pre-1970 "
+            "timestamp breaks the 24-bit day packing — widen the "
+            "composite or dedup via np.unique over (u, day) pairs")
     cell = u * (1 << 24) + day
     uq = np.unique(cell)
     return pa.table({"user_id": pa.array(uq >> 24),
@@ -1843,9 +1854,13 @@ class _RunsTestGroup:
         if len(g) == 0:
             return self._empty(g)
         codes, uniq = pd.factorize(g["user_id"], sort=False)
-        if (codes < 0).any():
-            g = g.iloc[codes >= 0]
-            codes = codes[codes >= 0]
+        # NULL keys and NULL/NaN values drop (the oracle's WHERE; a
+        # NaN would survive the v != median filter as "below")
+        ok = (codes >= 0) & np.isfinite(
+            g["value"].to_numpy(np.float64))
+        if not ok.all():
+            g = g.iloc[ok]
+            codes = codes[ok]
         if len(g) == 0:
             return self._empty(g)
         t = g["t"].to_numpy(np.int64)

@@ -841,6 +841,26 @@ class _UnigramScore:
         })
 
 
+def _vocab_count_partial(batch: pa.Table, text_col: str = "text") \
+        -> pa.Table:
+    """Batch-local (term, cnt) vocabulary partial — ALL occurrences of
+    the ``[a-z]+`` lowercased tokens (the convention every vocabulary
+    oracle replays with ``regexp_extract_all(lower(text), '[a-z]+')``).
+    Shared by :func:`unigram_logprob` and :func:`zipf_fit` so the two
+    queries can never tokenize differently."""
+    from collections import Counter
+    import re
+    word_re = re.compile(r"[a-z]+")
+    c: "Counter[str]" = Counter()
+    if text_col in batch.column_names:
+        for txt in batch[text_col].to_pandas():
+            c.update(word_re.findall((txt or "").lower()))
+    return pa.table({
+        "term": pa.array(list(c.keys()), pa.string()),
+        "cnt": pa.array(np.fromiter(c.values(), dtype=np.int64,
+                                    count=len(c)))})
+
+
 def unigram_logprob(docs, *, text_col="text", id_col="doc_id"):
     """Per-document unigram language-model log-likelihood — the classic
     corpus-level quality/perplexity screen (a KenLM-style LM score is
@@ -854,25 +874,16 @@ def unigram_logprob(docs, *, text_col="text", id_col="doc_id"):
     calls per worker, not |tokens|).  Emits (doc_id, n_tok, logprob,
     avg_logprob); empty-token docs are dropped (no unnest rows in the
     oracle)."""
+    import functools
+
     from ray.data.aggregate import Sum
 
     from .taskcache import class_task
 
-    def _vocab_partial(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-        import re
-        word_re = re.compile(r"[a-z]+")
-        c: "Counter[str]" = Counter()
-        if text_col in batch.column_names:
-            for txt in batch[text_col].to_pandas():
-                c.update(word_re.findall((txt or "").lower()))
-        return pa.table({
-            "term": pa.array(list(c.keys()), pa.string()),
-            "cnt": pa.array(np.fromiter(c.values(), dtype=np.int64,
-                                        count=len(c)))})
-
     docs = docs.materialize()
-    cnt_tbl = docs.map_batches(_vocab_partial, batch_format="pyarrow") \
+    cnt_tbl = docs.map_batches(
+        functools.partial(_vocab_count_partial, text_col=text_col),
+        batch_format="pyarrow") \
         .groupby("term").aggregate(Sum("cnt", alias_name="cnt")) \
         .materialize()
     total = cnt_tbl.sum("cnt")
@@ -952,22 +963,8 @@ def zipf_fit(docs, *, top_k: int = 1000):
 
     from .relational import topk_by
 
-    def _vocab_partial(batch: pa.Table) -> pa.Table:
-        import re
-        from collections import Counter
-        if "text" not in batch.column_names or len(batch) == 0:
-            return pa.table({"term": pa.array([], pa.string()),
-                             "cnt": pa.array([], pa.int64())})
-        rx = re.compile(r"[a-z]+")
-        c: Counter = Counter()
-        for txt in batch["text"].to_pandas():
-            c.update(rx.findall((txt or "").lower()))
-        return pa.table({
-            "term": pa.array(list(c.keys()), pa.string()),
-            "cnt": pa.array(np.fromiter(c.values(), dtype=np.int64,
-                                        count=len(c)))})
-
-    partials = docs.map_batches(_vocab_partial, batch_format="pyarrow")
+    partials = docs.map_batches(_vocab_count_partial,
+                                batch_format="pyarrow")
     totals = partials.groupby("term").aggregate(
         Sum("cnt", alias_name="cnt"))
     top = topk_by(totals, ["cnt", "term"], [True, False], top_k)

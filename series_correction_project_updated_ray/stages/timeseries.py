@@ -1173,11 +1173,15 @@ def _topk_hourly_cells(events, k: int):
                              "h": pa.array([], pa.int64()),
                              "v": pa.array([], pa.int64())})
         u = b["user_id"].to_numpy()
-        keep = np.isin(u, users)
+        v = b["value"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        # NULL/NaN values drop — scaled_int(NaN) is INT64_MIN and
+        # would poison the cents sums (and Ray's Sum would promote
+        # the overflowing column to pickled objects downstream)
+        keep = np.isin(u, users) & np.isfinite(v)
         u = u[keep]
         h = b["h"].to_numpy()[keep]
-        c = scaled_int(b["value"].to_numpy(zero_copy_only=False)
-                       .astype(np.float64)[keep])
+        c = scaled_int(v[keep])
         # composite (user, hour) cell id: hours are non-negative epoch
         # hours, users a dense ≤ k index
         ui = np.searchsorted(np.sort(users), u)
@@ -1626,9 +1630,13 @@ class SpectralGroup:
         if len(g) == 0:
             return empty
         codes, _ = pd.factorize(g["user_id"], sort=False)
-        if (codes < 0).any():
-            g = g.iloc[codes >= 0]
-            codes = codes[codes >= 0]
+        # NULL keys and NULL/NaN values drop (oracle WHERE; a NaN's
+        # scaled_int sentinel would poison the folded sums)
+        ok = (codes >= 0) & np.isfinite(
+            g["value"].to_numpy(np.float64))
+        if not ok.all():
+            g = g.iloc[ok]
+            codes = codes[ok]
             if len(g) == 0:
                 return empty
         t = g["t"].to_numpy(np.int64)
@@ -1721,10 +1729,14 @@ class PlaSegmentsGroup:
         if len(g) == 0:
             return self._empty(g)
         codes, _ = pd.factorize(g["user_id"], sort=False)
-        # NULL keys: defined over non-null keys, like the SQL side
-        if (codes < 0).any():
-            g = g.iloc[codes >= 0]
-            codes = codes[codes >= 0]
+        # NULL keys and NULL/NaN values drop, like the SQL side's
+        # WHERE before row_number (scaled_int(NaN) is INT64_MIN and
+        # would poison the integer sufficient statistics)
+        ok = (codes >= 0) & np.isfinite(
+            g["value"].to_numpy(np.float64))
+        if not ok.all():
+            g = g.iloc[ok]
+            codes = codes[ok]
         if len(g) == 0:
             return self._empty(g)
         t = g["t"].to_numpy(np.int64)
