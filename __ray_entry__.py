@@ -1275,6 +1275,15 @@ def _q_streaks(sf_dir: str):
     return active_day_streaks(ev)
 
 
+def _q_source_kl(sf_dir: str):
+    """Per-source KL divergence from the corpus unigram distribution —
+    vocab-bounded cells, libm-ln ordered fold."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        source_kl)
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    return source_kl(docs)
+
+
 def _q_fano(sf_dir: str):
     """Fano factor of hourly event counts per user — dense-grid
     moments from present cells only, one double close."""
@@ -2104,7 +2113,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # corr_pairs_hourly's (kept) certified machinery, and the
             # variance-to-mean close is one double expression over
             # exact integers
-            "fano_factor"][:n_over]
+            "fano_factor",
+            # source_kl is oracle-backed but windowed out at birth:
+            # the (source, term) count shuffle is term_frequencies' /
+            # token_vocab_stats' (kept) mechanism, and the p·ln(p/q)
+            # libm fold in term order is unigram_logprob's (kept)
+            # certified discipline — only the q denominator differs
+            "source_kl"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2349,6 +2364,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "runs_test": _q_runs,
         # Fano factor (hourly burstiness) per user — oracle-checked
         "fano_factor": _q_fano,
+        # per-source KL divergence from the corpus term distribution
+        # — oracle-checked bit-exactly
+        "source_kl": _q_source_kl,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -3752,6 +3770,33 @@ SELECT doc_id, CAST(len(ll) AS BIGINT) AS n_tok,
        round(list_reduce(ll, (a, b) -> a + b) / len(ll), 6)
          AS avg_logprob
 FROM folded
+""",
+        # per-source KL from the corpus distribution: (source, term)
+        # counts, per-cell double term (c_st/N_s)·ln((c_st/N_s)/(c_t/N))
+        # with DuckDB ln == libm, folded left in term order per source
+        "source_kl": r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+           AS term
+  FROM documents WHERE source IS NOT NULL),
+cst AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2),
+ct AS (SELECT term, SUM(c) AS ct FROM cst GROUP BY 1),
+ns AS (SELECT source, SUM(c) AS ns FROM cst GROUP BY 1),
+n AS (SELECT SUM(c) AS n FROM cst),
+terms AS (
+  SELECT cst.source, cst.term,
+         (CAST(cst.c AS DOUBLE)/CAST(ns.ns AS DOUBLE))
+           * ln((CAST(cst.c AS DOUBLE)/CAST(ns.ns AS DOUBLE))
+                / (CAST(ct.ct AS DOUBLE)/CAST(n.n AS DOUBLE)))
+           AS term_v
+  FROM cst JOIN ct USING (term) JOIN ns USING (source) CROSS JOIN n)
+SELECT t.source, CAST(ns.ns AS BIGINT) AS n_tokens,
+       round(list_reduce(list(t.term_v ORDER BY t.term),
+                         (a, b) -> a + b), 6) AS kl
+FROM terms t JOIN ns ON ns.source = t.source
+GROUP BY 1, 2
 """,
         # Fano factor: (user, hour) cells, population variance/mean
         # over the FULL [min_hour, max_hour] span (absent cells are

@@ -1113,3 +1113,102 @@ def pmi_pairs(docs, *, top_k: int = 50, min_cooc: int = 5):
     return summed.repartition(1).map_batches(
         class_task(_PmiClose, ref, n_docs, min_cooc),
         batch_format="pyarrow", batch_size=None)
+
+
+# --- per-source KL divergence from the corpus distribution -------------------
+
+class _SourceKlClose:
+    """Closing kernel for :func:`source_kl`: the summed (source, term,
+    c) vocabulary cells arrive as ONE vocab-bounded block; corpus
+    totals, per-source totals and the KL fold all derive from it.
+    KL(p_s ‖ q) = Σ_t p·ln(p/q) with p = c_st/N_s, q = c_t/N — libm
+    ``math.log`` per cell, folded LEFT IN TERM ORDER per source
+    (== the SQL ``list_reduce(list(term_v ORDER BY term))``)."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import math
+
+        from ..functions.rounding import round_half_away
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "kl": pa.array([], pa.float64())})
+        if len(t) == 0 or "source" not in t.column_names:
+            return empty
+        sc, suniq = pd.factorize(t["source"].to_pandas(), sort=False)
+        term = t["term"].to_pandas().to_numpy()
+        c = t["c"].to_numpy()
+        ok = sc >= 0
+        sc, term, c = sc[ok], term[ok], c[ok]
+        if len(c) == 0:
+            return empty
+        # corpus totals per term and per source
+        tc, _ = pd.factorize(term, sort=False)
+        ct = np.zeros(tc.max() + 1, dtype=np.int64)
+        np.add.at(ct, tc, c)
+        ns = np.zeros(sc.max() + 1, dtype=np.int64)
+        np.add.at(ns, sc, c)
+        nf = float(c.sum())
+        order = np.lexsort((term, sc))
+        sc, c, tc = sc[order], c[order], tc[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        ends = np.r_[starts[1:], len(sc)]
+        out_s, out_n, out_kl = [], [], []
+        for si, (a, b) in enumerate(zip(starts, ends)):
+            nsf = float(ns[sc[a]])
+            acc = 0.0
+            for i in range(a, b):
+                p = float(c[i]) / nsf
+                q = float(ct[tc[i]]) / nf
+                acc += p * math.log(p / q)
+            out_s.append(suniq[sc[a]])
+            out_n.append(int(ns[sc[a]]))
+            out_kl.append(acc)
+        return pa.table({
+            "source": pa.array(np.asarray(out_s, dtype=object),
+                               pa.string()),
+            "n_tokens": pa.array(np.array(out_n, dtype=np.int64)),
+            "kl": pa.array(round_half_away(
+                np.array(out_kl, dtype=np.float64), 6))})
+
+
+def source_kl(docs):
+    """KL divergence of each source's unigram term distribution from
+    the whole-corpus distribution — the domain-shift / mixture-drift
+    screen of training-data curation.  Batch-local (source, term)
+    count partials → ONE keyed groupby (the token stream never
+    shuffles) → a vocab×|sources|-bounded single-block close (a
+    VOCABULARY bound, not a corpus bound — at truly open vocabularies
+    cap the close's input with a DF floor upstream)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import re
+        word_re = re.compile(r"[a-z]+")
+        out_s, out_t, out_c = [], [], []
+        if "text" in batch.column_names:
+            src = batch["source"].to_pandas()
+            txt = batch["text"].to_pandas()
+            per: dict[str, Counter] = {}
+            for s, x in zip(src, txt):
+                if s is None:
+                    continue
+                per.setdefault(s, Counter()).update(
+                    word_re.findall((x or "").lower()))
+            for s, cnt in per.items():
+                out_s.extend([s] * len(cnt))
+                out_t.extend(cnt.keys())
+                out_c.extend(cnt.values())
+        return pa.table({
+            "source": pa.array(out_s, pa.string()),
+            "term": pa.array(out_t, pa.string()),
+            "c": pa.array(np.array(out_c, dtype=np.int64))})
+
+    cells = docs.map_batches(_partial, batch_format="pyarrow") \
+        .groupby(["source", "term"]).aggregate(Sum("c", alias_name="c"))
+    return cells.repartition(1).map_batches(
+        _SourceKlClose(), batch_format="pyarrow", batch_size=None)

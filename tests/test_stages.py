@@ -2363,3 +2363,27 @@ def test_fano_kernel_merges_and_spans():
     mean = n / span
     want = round((sq / span - mean * mean) / mean, 6)
     assert out.loc[2, "fano"] == want
+
+
+def test_source_kl_close_semantics():
+    """_SourceKlClose: a source matching the corpus distribution has
+    KL ≈ 0 (exactly 0 when it IS the corpus), a skewed source is
+    positive, and null sources drop."""
+    import math
+
+    from series_correction_project_updated_ray.stages.textstage import (
+        _SourceKlClose)
+    t = pa.table({
+        "source": pa.array(["a", "a", "b", None], pa.string()),
+        "term": pa.array(["x", "y", "x", "x"], pa.string()),
+        "c": pa.array([3, 1, 4, 9], pa.int64()),
+    })
+    out = _SourceKlClose()(t).to_pandas().set_index("source")
+    assert list(out.index) == ["a", "b"]       # null source dropped
+    assert out.loc["a", "n_tokens"] == 4
+    # corpus: x=7, y=1, N=8; a: p_x=3/4, p_y=1/4
+    kl_a = 0.75 * math.log(0.75 / (7 / 8)) + 0.25 * math.log(0.25 / (1 / 8))
+    kl_b = 1.0 * math.log(1.0 / (7 / 8))
+    assert abs(out.loc["a", "kl"] - round(kl_a, 6)) < 1e-12
+    assert abs(out.loc["b", "kl"] - round(kl_b, 6)) < 1e-12
+    assert out.loc["b", "kl"] > 0
