@@ -291,6 +291,43 @@ def run_bench() -> dict:
               lambda: unigram_logprob(rd.read_parquet(
                   docs_path, columns=["doc_id", "text"])).count())
 
+        # round-5 additions
+        from series_correction_project_updated_ray.stages.relational import (
+            benford_digits, fano_factor, gini_activity, runs_test,
+            transition_entropy)
+        timed("gini_activity",
+              lambda: gini_activity(rd.read_parquet(
+                  ev_path, columns=["event_type", "user_id"])).count())
+        timed("transition_entropy",
+              lambda: transition_entropy(rd.read_parquet(
+                  ev_path, columns=["user_id", "event_id", "event_type",
+                                    "ts"])).count())
+        timed("benford_digits",
+              lambda: benford_digits(rd.read_parquet(
+                  ev_path, columns=["event_type", "value"])).count())
+        timed("runs_test",
+              lambda: runs_test(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
+        timed("fano_factor",
+              lambda: fano_factor(rd.read_parquet(
+                  ev_path, columns=["user_id", "ts"])).count())
+        from series_correction_project_updated_ray.stages.timeseries import (
+            pla_segments)
+        timed("pla_segments",
+              lambda: pla_segments(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
+        from series_correction_project_updated_ray.stages.textstage import (
+            pmi_pairs, source_kl, zipf_fit)
+        timed("zipf_fit",
+              lambda: zipf_fit(rd.read_parquet(
+                  docs_path, columns=["text"])).count())
+        timed("pmi_pairs",
+              lambda: pmi_pairs(rd.read_parquet(
+                  docs_path, columns=["text"])).count())
+        timed("source_kl",
+              lambda: source_kl(rd.read_parquet(
+                  docs_path, columns=["source", "text"])).count())
+
         from series_correction_project_updated_ray.stages.tsmining import (
             m4_downsample, matrix_profile, sax_symbols,
             threshold_excursions)
