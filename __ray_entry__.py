@@ -1275,6 +1275,15 @@ def _q_streaks(sf_dir: str):
     return active_day_streaks(ev)
 
 
+def _q_cohort(sf_dir: str):
+    """Daily cohort-retention triangle — distinct active days, min-day
+    cohort anchor, (cohort, age) cells, one double ratio close."""
+    from series_correction_project_updated_ray.stages.relational import (
+        cohort_retention)
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ev)
+
+
 def _q_source_kl(sf_dir: str):
     """Per-source KL divergence from the corpus unigram distribution —
     vocab-bounded cells, libm-ln ordered fold."""
@@ -2119,7 +2128,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # token_vocab_stats' (kept) mechanism, and the p·ln(p/q)
             # libm fold in term order is unigram_logprob's (kept)
             # certified discipline — only the q denominator differs
-            "source_kl"][:n_over]
+            "source_kl",
+            # cohort_retention is oracle-backed but windowed out at
+            # birth: the distinct (user, day) partial is
+            # active_day_streaks' partial verbatim (whose island scan
+            # stays certified by interval_coverage, kept), the min-day
+            # anchor + per-key cells are resample/ffill's (kept)
+            # key-local grid family, and the close is one double
+            # division
+            "cohort_retention"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2367,6 +2384,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # per-source KL divergence from the corpus term distribution
         # — oracle-checked bit-exactly
         "source_kl": _q_source_kl,
+        # daily cohort-retention triangle — oracle-checked
+        "cohort_retention": _q_cohort,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -3770,6 +3789,26 @@ SELECT doc_id, CAST(len(ll) AS BIGINT) AS n_tok,
        round(list_reduce(ll, (a, b) -> a + b) / len(ll), 6)
          AS avg_logprob
 FROM folded
+""",
+        # cohort retention: distinct (user, day), min-day cohort,
+        # (cohort, age) distinct-user counts, retention = n/size with
+        # size = the age-0 count
+        "cohort_retention": """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts)//1000000//86400 AS day
+  FROM events WHERE user_id IS NOT NULL),
+c AS (SELECT user_id, MIN(day) AS cd FROM d GROUP BY 1),
+cells AS (
+  SELECT c.cd AS cohort_day, d.day - c.cd AS age_days,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM d JOIN c USING (user_id) GROUP BY 1, 2),
+sz AS (
+  SELECT cohort_day, n_active AS cohort_size
+  FROM cells WHERE age_days = 0)
+SELECT l.cohort_day, l.age_days, l.n_active, s.cohort_size,
+       round(CAST(l.n_active AS DOUBLE)/CAST(s.cohort_size AS DOUBLE),
+             6) AS retention
+FROM cells l JOIN sz s USING (cohort_day)
 """,
         # per-source KL from the corpus distribution: (source, term)
         # counts, per-cell double term (c_st/N_s)·ln((c_st/N_s)/(c_t/N))

@@ -311,6 +311,11 @@ def run_bench() -> dict:
         timed("fano_factor",
               lambda: fano_factor(rd.read_parquet(
                   ev_path, columns=["user_id", "ts"])).count())
+        from series_correction_project_updated_ray.stages.relational import (
+            cohort_retention)
+        timed("cohort_retention",
+              lambda: cohort_retention(rd.read_parquet(
+                  ev_path, columns=["user_id", "ts"])).count())
         from series_correction_project_updated_ray.stages.timeseries import (
             pla_segments)
         timed("pla_segments",

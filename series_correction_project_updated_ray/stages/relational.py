@@ -2022,3 +2022,101 @@ def fano_factor(events, *, n_parts: int = 64):
     return _add_key_partition(partials, "user_id", n_parts) \
         .groupby("__part").map_groups(_FanoGroup(),
                                       batch_format="pandas")
+
+
+# --- cohort retention triangle ----------------------------------------------
+
+class _CohortCellsGroup:
+    """Per-partition kernel for :func:`cohort_retention` (stage 2):
+    every key's distinct active days are co-located; the key's cohort
+    is its MIN day and each active day emits one (cohort_day,
+    age_days) cell — already user-distinct by construction."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "cohort_day": pd.Series([], dtype=np.int64),
+            "age_days": pd.Series([], dtype=np.int64),
+            "n": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        day = g["day"].to_numpy(np.int64)
+        order = np.lexsort((day, codes))
+        codes, day = codes[order], day[order]
+        # the same (user, day) can arrive from several blocks'
+        # partials — dedup before counting
+        first = np.r_[True, (codes[1:] != codes[:-1])
+                      | (day[1:] != day[:-1])]
+        codes, day = codes[first], day[first]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        cnt = np.diff(np.r_[starts, len(day)])
+        cohort = np.repeat(day[starts], cnt)    # min day per key
+        age = day - cohort
+        # count per (cohort, age) cell — ages are bounded by the span
+        span = int(age.max()) + 1 if len(age) else 1
+        cell = cohort * span + age
+        u, c = np.unique(cell, return_counts=True)
+        return pd.DataFrame({
+            "cohort_day": (u // span).astype(np.int64),
+            "age_days": (u % span).astype(np.int64),
+            "n": c.astype(np.int64)})
+
+
+class _CohortClose:
+    """Closing kernel for :func:`cohort_retention`: the summed
+    (cohort_day, age_days, n) cells arrive as ONE calendar-bounded
+    block; cohort size is the age-0 count (every user is active on
+    its own cohort day) and retention closes as one double division."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+        empty = pa.table({"cohort_day": pa.array([], pa.int64()),
+                          "age_days": pa.array([], pa.int64()),
+                          "n_active": pa.array([], pa.int64()),
+                          "cohort_size": pa.array([], pa.int64()),
+                          "retention": pa.array([], pa.float64())})
+        if len(t) == 0 or "cohort_day" not in t.column_names:
+            return empty
+        co = t["cohort_day"].to_numpy()
+        age = t["age_days"].to_numpy()
+        n = t["n"].to_numpy()
+        uc, inv = np.unique(co, return_inverse=True)
+        size = np.zeros(len(uc), dtype=np.int64)
+        base = age == 0
+        size[inv[base]] = n[base]
+        cohort_size = size[inv]
+        ret = n.astype(np.float64) / cohort_size.astype(np.float64)
+        return pa.table({
+            "cohort_day": pa.array(co.astype(np.int64)),
+            "age_days": pa.array(age.astype(np.int64)),
+            "n_active": pa.array(n.astype(np.int64)),
+            "cohort_size": pa.array(cohort_size),
+            "retention": pa.array(round_half_away(ret, 6))})
+
+
+def cohort_retention(events, *, n_parts: int = 64):
+    """Daily cohort-retention triangle — the product-analytics
+    staple: for each signup-day cohort (a user's first active day),
+    the share of the cohort active at each later age.  Three bounded
+    stages: distinct (user, day) partials (calendar-domain bound),
+    one partition-group shuffle by user to anchor cohorts, one tiny
+    keyed groupby of (cohort, age) cells, a single-block close."""
+    from ray.data.aggregate import Sum
+
+    from .windows import _add_key_partition
+
+    partials = events.map_batches(_active_day_partial,
+                                  batch_format="pyarrow")
+    cells = _add_key_partition(partials, "user_id", n_parts) \
+        .groupby("__part").map_groups(_CohortCellsGroup(),
+                                      batch_format="pandas")
+    summed = cells.groupby(["cohort_day", "age_days"]).aggregate(
+        Sum("n", alias_name="n"))
+    return summed.repartition(1).map_batches(
+        _CohortClose(), batch_format="pyarrow", batch_size=None)

@@ -2387,3 +2387,24 @@ def test_source_kl_close_semantics():
     assert abs(out.loc["a", "kl"] - round(kl_a, 6)) < 1e-12
     assert abs(out.loc["b", "kl"] - round(kl_b, 6)) < 1e-12
     assert out.loc["b", "kl"] > 0
+
+
+def test_cohort_cells_dedup_and_close():
+    """_CohortCellsGroup dedups cross-block (user, day) repeats and
+    anchors each user at its min day; _CohortClose derives cohort size
+    from the age-0 cell."""
+    from series_correction_project_updated_ray.stages.relational import (
+        _CohortCellsGroup, _CohortClose)
+    g = pd.DataFrame({
+        # u1 first day 10 (day 10 repeated from two blocks), active 10+12
+        # u2 first day 12, active 12 only
+        "user_id": np.array([1, 1, 1, 2], dtype=np.int64),
+        "day": np.array([10, 10, 12, 12], dtype=np.int64),
+    })
+    cells = _CohortCellsGroup()(g)
+    got = cells.set_index(["cohort_day", "age_days"])["n"].to_dict()
+    assert got == {(10, 0): 1, (10, 2): 1, (12, 0): 1}
+    out = _CohortClose()(pa.Table.from_pandas(cells)).to_pandas()
+    out = out.set_index(["cohort_day", "age_days"])
+    assert out.loc[(10, 2), "cohort_size"] == 1
+    assert out.loc[(10, 2), "retention"] == 1.0
