@@ -293,8 +293,8 @@ def run_bench() -> dict:
 
         # round-5 additions
         from series_correction_project_updated_ray.stages.relational import (
-            benford_digits, fano_factor, gini_activity, runs_test,
-            transition_entropy)
+            benford_digits, cohort_retention, fano_factor, gini_activity,
+            runs_test, transition_entropy)
         timed("gini_activity",
               lambda: gini_activity(rd.read_parquet(
                   ev_path, columns=["event_type", "user_id"])).count())
@@ -311,8 +311,6 @@ def run_bench() -> dict:
         timed("fano_factor",
               lambda: fano_factor(rd.read_parquet(
                   ev_path, columns=["user_id", "ts"])).count())
-        from series_correction_project_updated_ray.stages.relational import (
-            cohort_retention)
         timed("cohort_retention",
               lambda: cohort_retention(rd.read_parquet(
                   ev_path, columns=["user_id", "ts"])).count())

@@ -2043,6 +2043,10 @@ class _CohortCellsGroup:
         if len(g) == 0:
             return empty
         codes, _ = pd.factorize(g["user_id"], sort=False)
+        keep = codes >= 0              # NULL user ids never anchor a cohort
+        g, codes = g.iloc[keep], codes[keep]
+        if len(g) == 0:
+            return empty
         day = g["day"].to_numpy(np.int64)
         order = np.lexsort((day, codes))
         codes, day = codes[order], day[order]

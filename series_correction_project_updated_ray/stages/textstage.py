@@ -1182,33 +1182,21 @@ def source_kl(docs):
     shuffles) → a vocab×|sources|-bounded single-block close (a
     VOCABULARY bound, not a corpus bound — at truly open vocabularies
     cap the close's input with a DF floor upstream)."""
-    from collections import Counter
-
     from ray.data.aggregate import Sum
 
+    tf = TermFreqPartial()             # the ONE shared tokenizer partial
+
     def _partial(batch: pa.Table) -> pa.Table:
-        import re
-        word_re = re.compile(r"[a-z]+")
-        out_s, out_t, out_c = [], [], []
-        if "text" in batch.column_names:
-            src = batch["source"].to_pandas()
-            txt = batch["text"].to_pandas()
-            per: dict[str, Counter] = {}
-            for s, x in zip(src, txt):
-                if s is None:
-                    continue
-                per.setdefault(s, Counter()).update(
-                    word_re.findall((x or "").lower()))
-            for s, cnt in per.items():
-                out_s.extend([s] * len(cnt))
-                out_t.extend(cnt.keys())
-                out_c.extend(cnt.values())
-        return pa.table({
-            "source": pa.array(out_s, pa.string()),
-            "term": pa.array(out_t, pa.string()),
-            "c": pa.array(np.array(out_c, dtype=np.int64))})
+        if "text" not in batch.column_names:   # empty blocks lose columns
+            return pa.table({"source": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        out = tf(batch)
+        # NULL sources are out of scope (and would break the keyed
+        # groupby's Python boundary comparison) — drop before shuffle
+        return out.filter(pc.is_valid(out["source"]))
 
     cells = docs.map_batches(_partial, batch_format="pyarrow") \
-        .groupby(["source", "term"]).aggregate(Sum("c", alias_name="c"))
+        .groupby(["source", "term"]).aggregate(Sum("cnt", alias_name="c"))
     return cells.repartition(1).map_batches(
         _SourceKlClose(), batch_format="pyarrow", batch_size=None)
