@@ -1284,6 +1284,25 @@ def _q_cohort(sf_dir: str):
     return cohort_retention(ev)
 
 
+def _q_page_hinkley(sf_dir: str):
+    """Per-user two-sided Page-Hinkley drift test: exact integer
+    running mean (cents cumsum, one double division), recursive-CTE-
+    certified deviation folds, raw-double alarm threshold."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        page_hinkley)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return page_hinkley(ev)
+
+
+def _q_variance_ratio(sf_dir: str):
+    """Per-user Lo–MacKinlay variance-ratio random-walk test (q=4,
+    overlapping diffs): integer-exact moments, one double ratio."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        variance_ratio)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return variance_ratio(ev)
+
+
 def _q_source_kl(sf_dir: str):
     """Per-source KL divergence from the corpus unigram distribution —
     vocab-bounded cells, libm-ln ordered fold."""
@@ -2136,7 +2155,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # anchor + per-key cells are resample/ffill's (kept)
             # key-local grid family, and the close is one double
             # division
-            "cohort_retention"][:n_over]
+            "cohort_retention",
+            # page_hinkley is oracle-backed but windowed out at birth:
+            # the position-major float recursion replay is
+            # holt_winters_per_user's (kept) strictly-larger certified
+            # fold, the running min/max carry is cusum_flags' (kept)
+            # extremum-tracking fold, and the exact integer running
+            # mean is one windowed BIGINT cumsum — pure int arithmetic
+            "page_hinkley",
+            # variance_ratio is oracle-backed but windowed out at
+            # birth: the integer Σd/Σd² moments of key-local lag
+            # diffs are autocorr_lag1's (kept) HUGEINT moment
+            # machinery (lag-q instead of lag-1), and the close is one
+            # cast-first double ratio like welch_ttest's (certified by
+            # ks_test_weekend, kept)
+            "variance_ratio"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2386,6 +2419,12 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "source_kl": _q_source_kl,
         # daily cohort-retention triangle — oracle-checked
         "cohort_retention": _q_cohort,
+        # two-sided Page-Hinkley drift test per user — oracle-checked
+        # bit-exactly (recursive-CTE deviation folds)
+        "page_hinkley": _q_page_hinkley,
+        # Lo–MacKinlay variance-ratio random-walk test per user —
+        # oracle-checked (integer moments, one double ratio)
+        "variance_ratio": _q_variance_ratio,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -3789,6 +3828,80 @@ SELECT doc_id, CAST(len(ll) AS BIGINT) AS n_tok,
        round(list_reduce(ll, (a, b) -> a + b) / len(ll), 6)
          AS avg_logprob
 FROM folded
+""",
+        # Page-Hinkley: running mean from an EXACT windowed BIGINT
+        # cents cumsum (safe under any aggregation order) divided once
+        # per row; the two drift folds and their running extrema
+        # replay the kernel's operand order in a recursive CTE; the
+        # alarm compares the RAW cents statistic (bit-identical)
+        "page_hinkley": """
+WITH RECURSIVE c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER
+                (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id)
+           AS xbar
+  FROM events WHERE user_id IS NOT NULL),
+r AS (
+  SELECT user_id, event_id, t, rn,
+         (CAST(cents AS DOUBLE) - xbar) - 100.0 AS m,
+         (CAST(cents AS DOUBLE) - xbar) - 100.0 AS mn,
+         (CAST(cents AS DOUBLE) - xbar) + 100.0 AS m2,
+         (CAST(cents AS DOUBLE) - xbar) + 100.0 AS mx
+  FROM c WHERE rn = 1
+  UNION ALL
+  SELECT c.user_id, c.event_id, c.t, c.rn,
+         r.m + ((CAST(c.cents AS DOUBLE) - c.xbar) - 100.0),
+         LEAST(r.mn,
+               r.m + ((CAST(c.cents AS DOUBLE) - c.xbar) - 100.0)),
+         r.m2 + ((CAST(c.cents AS DOUBLE) - c.xbar) + 100.0),
+         GREATEST(r.mx,
+                  r.m2 + ((CAST(c.cents AS DOUBLE) - c.xbar) + 100.0))
+  FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
+SELECT user_id, event_id, t,
+       round((m - mn) / 100.0, 6) AS ph_inc,
+       round((mx - m2) / 100.0, 6) AS ph_dec,
+       CAST(CASE WHEN (m - mn) > 50000.0 OR (mx - m2) > 50000.0
+                 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+FROM r
+""",
+        # variance ratio: overlapping 1-step and q-step cent diffs via
+        # rn self-joins, HUGEINT moments, population-variance integer
+        # numerators N = n·Σd² − (Σd)², one cast-first double ratio;
+        # zero-variance keys filtered by the exact integer predicate
+        "variance_ratio": """
+WITH c AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL),
+d1 AS (
+  SELECT a.user_id, b.cents - a.cents AS d
+  FROM c a JOIN c b ON a.user_id = b.user_id AND b.rn = a.rn + 1),
+dq AS (
+  SELECT a.user_id, b.cents - a.cents AS d
+  FROM c a JOIN c b ON a.user_id = b.user_id AND b.rn = a.rn + 4),
+s1 AS (
+  SELECT user_id, COUNT(*) AS n1, SUM(CAST(d AS HUGEINT)) AS sd,
+         SUM(CAST(d AS HUGEINT)*d) AS sdd
+  FROM d1 GROUP BY 1),
+sq AS (
+  SELECT user_id, COUNT(*) AS nq, SUM(CAST(d AS HUGEINT)) AS sd,
+         SUM(CAST(d AS HUGEINT)*d) AS sdd
+  FROM dq GROUP BY 1)
+SELECT s1.user_id, CAST(s1.n1 + 1 AS BIGINT) AS n,
+       round((CAST(sq.nq*sq.sdd - sq.sd*sq.sd AS DOUBLE)
+                / ((CAST(sq.nq AS DOUBLE) * sq.nq) * 4.0))
+             / (CAST(s1.n1*s1.sdd - s1.sd*s1.sd AS DOUBLE)
+                / (CAST(s1.n1 AS DOUBLE) * s1.n1)), 6) AS vr
+FROM s1 JOIN sq USING (user_id)
+WHERE s1.n1*s1.sdd - s1.sd*s1.sd > 0
 """,
         # cohort retention: distinct (user, day), min-day cohort,
         # (cohort, age) distinct-user counts, retention = n/size with

@@ -262,6 +262,14 @@ def run_bench() -> dict:
         timed("theil_sen_slope",
               lambda: theil_sen(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
+        from series_correction_project_updated_ray.stages.timeseries import (
+            page_hinkley, variance_ratio)
+        timed("page_hinkley",
+              lambda: page_hinkley(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
+        timed("variance_ratio",
+              lambda: variance_ratio(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
 
         from series_correction_project_updated_ray.stages.textstage import (
             unigram_logprob)

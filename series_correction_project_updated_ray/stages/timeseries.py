@@ -1805,3 +1805,216 @@ def pla_segments(events, *, width: int = 16, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(PlaSegmentsGroup(width),
                                       batch_format="pandas")
+
+
+# --- Page-Hinkley drift test -------------------------------------------------
+
+class PageHinkleyGroup:
+    """Per-partition kernel: two-sided Page-Hinkley mean-drift test
+    (Page 1954; Hinkley 1971) per key in (t, event_id) order over
+    CENTS —
+
+        d_t  = cents_t − S_t/t                (running-mean deviation)
+        m⁺_t = m⁺_{t−1} + (d_t − δ);  PH⁺_t = m⁺_t − min_{i≤t} m⁺_i
+        m⁻_t = m⁻_{t−1} + (d_t + δ);  PH⁻_t = max_{i≤t} m⁻_i − m⁻_t
+
+    with an alarm when either PH statistic exceeds λ (δ, λ in cents).
+    The running mean is EXACT — an int64 cents cumsum with ONE double
+    division S/t, replayed by the oracle as
+    ``CAST(sum OVER rows AS DOUBLE) / rn`` — so unlike a float cumsum
+    it is safe under ANY aggregation order; the two (m, extremum)
+    folds then run in the oracle CTE's exact operand order, vectorized
+    ACROSS keys position-major (four state vectors).  The alarm
+    compares the RAW cents statistic (bit-identical doubles on both
+    sides), so the flag needs no tolerance; PH outputs are /100 back
+    to value units and 6dp-rounded."""
+
+    def __init__(self, delta: float = 100.0, lam: float = 50000.0):
+        self.delta, self.lam = delta, lam
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        if (codes < 0).any():   # recursive-CTE equality join drops nulls
+            g = g.iloc[codes >= 0]
+            codes = codes[codes >= 0]
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": g["user_id"],
+                "event_id": pd.Series([], dtype=np.int64),
+                "t": pd.Series([], dtype=np.int64),
+                "ph_inc": pd.Series([], dtype=np.float64),
+                "ph_dec": pd.Series([], dtype=np.float64),
+                "alarm": pd.Series([], dtype=np.int64)})
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        keys = g["user_id"].to_numpy()[order]
+        c = scaled_int(g["value"].to_numpy(np.float64)[order])
+        n = len(t)
+        pm, offs = _pos_major_layout(codes, n)
+        c_pm = c[pm]
+        phi_pm = np.empty(n)
+        phd_pm = np.empty(n)
+        al_pm = np.empty(n, dtype=np.int64)
+        max_len = len(offs) - 1
+        c0 = c_pm[offs[0]:offs[1]]
+        S = c0.copy()                       # exact int64 running sum
+        d = c0.astype(np.float64) - S.astype(np.float64) / 1.0
+        M = d - self.delta                  # anchor: direct expressions
+        MN = M.copy()
+        M2 = d + self.delta
+        MX = M2.copy()
+        phi_pm[offs[0]:offs[1]] = M - MN
+        phd_pm[offs[0]:offs[1]] = MX - M2
+        al_pm[offs[0]:offs[1]] = (((M - MN) > self.lam)
+                                  | ((MX - M2) > self.lam))
+        for j in range(1, max_len):
+            w = offs[j + 1] - offs[j]
+            ck = c_pm[offs[j]:offs[j + 1]]
+            S = S[:w] + ck
+            d = ck.astype(np.float64) \
+                - S.astype(np.float64) / np.float64(j + 1)
+            Mk = M[:w] + (d - self.delta)
+            MNk = np.minimum(MN[:w], Mk)
+            M2k = M2[:w] + (d + self.delta)
+            MXk = np.maximum(MX[:w], M2k)
+            M, MN, M2, MX = Mk, MNk, M2k, MXk
+            phi = Mk - MNk
+            phd = MXk - M2k
+            phi_pm[offs[j]:offs[j + 1]] = phi
+            phd_pm[offs[j]:offs[j + 1]] = phd
+            al_pm[offs[j]:offs[j + 1]] = ((phi > self.lam)
+                                          | (phd > self.lam))
+        phi = np.empty(n)
+        phd = np.empty(n)
+        al = np.empty(n, dtype=np.int64)
+        phi[pm] = phi_pm
+        phd[pm] = phd_pm
+        al[pm] = al_pm
+        return pd.DataFrame({
+            "user_id": keys,
+            "event_id": ids[order],
+            "t": t,
+            "ph_inc": round_half_away(phi / 100.0, 6),
+            "ph_dec": round_half_away(phd / 100.0, 6),
+            "alarm": al,
+        })
+
+
+def page_hinkley(events, *, delta: float = 100.0, lam: float = 50000.0,
+                 n_parts: int = 64):
+    """Per-user two-sided Page-Hinkley drift detection — the streaming
+    mean-shift monitor of a training-data ingest pipeline (has this
+    source's value distribution drifted since the cohort started?).
+    One partition-group shuffle; the running-mean deviation folds are
+    recursive-CTE-certified bit-exactly."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(PageHinkleyGroup(delta, lam),
+                                      batch_format="pandas")
+
+
+# --- variance-ratio random-walk test ----------------------------------------
+
+class VarianceRatioGroup:
+    """Per-partition kernel: Lo–MacKinlay variance-ratio test (Lo &
+    MacKinlay 1988) per key over the (t, event_id)-ordered cents
+    sequence —
+
+        VR(q) = (Var[x_{i+q} − x_i] / q) / Var[x_{i+1} − x_i]
+
+    with OVERLAPPING q-step differences and population variances.
+    Every moment is an exact integer: per-key Σd and Σd² of int64
+    cent diffs, so the variance numerators N = n·Σd² − (Σd)² are
+    computed in Python ints (the oracle uses HUGEINT) and only the
+    final ratio close is double — each stat CAST FIRST, one fixed
+    operand order both sides.  Keys with n ≤ q rows or a zero 1-step
+    variance emit nothing (the oracle filters the same integer
+    predicate N1 > 0 — exact, no tolerance)."""
+
+    def __init__(self, q: int = 4):
+        self.q = q
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": g["user_id"].iloc[:0],
+            "n": pd.Series([], dtype=np.int64),
+            "vr": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        keep = codes >= 0
+        g, codes = g.iloc[keep], codes[keep]
+        if len(g) == 0:
+            return empty
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        keys = g["user_id"].to_numpy()[order]
+        c = scaled_int(g["value"].to_numpy(np.float64)[order])
+        n = len(c)
+        q = self.q
+        K = int(codes.max()) + 1
+        lens = np.bincount(codes, minlength=K)
+        amax = int(np.abs(c).max()) if n else 0
+        # per-key moment bound: n_k · (2·amax)² must fit int64
+        if amax and int(lens.max()) * 4 * amax * amax >= 2 ** 62:
+            raise OverflowError(
+                "variance_ratio: per-key Σd² may exceed int64 "
+                f"(max key len {int(lens.max())}, |cents| ≤ {amax})")
+        out_rows = []
+        for lag in (1, q):
+            ok = np.zeros(n, dtype=bool)
+            ok[:n - lag] = codes[lag:] == codes[:-lag] if lag < n \
+                else False
+            a = np.flatnonzero(ok)
+            d = c[a + lag] - c[a]
+            kd = codes[a]
+            cnt = np.bincount(kd, minlength=K)
+            sd = np.zeros(K, dtype=np.int64)
+            sdd = np.zeros(K, dtype=np.int64)
+            np.add.at(sd, kd, d)
+            np.add.at(sdd, kd, d * d)
+            out_rows.append((cnt, sd, sdd))
+        (n1, s1, ss1), (nq, sq_, ssq) = out_rows
+        first = np.r_[True, codes[1:] != codes[:-1]]
+        kidx = codes[first]
+        key_of = keys[first]
+        res_u, res_n, res_vr = [], [], []
+        for i, k in enumerate(kidx):
+            if nq[k] < 1:
+                continue
+            # exact integer variance numerators (HUGEINT in the oracle)
+            n1k, nqk = int(n1[k]), int(nq[k])
+            num1 = n1k * int(ss1[k]) - int(s1[k]) * int(s1[k])
+            numq = nqk * int(ssq[k]) - int(sq_[k]) * int(sq_[k])
+            if num1 <= 0:
+                continue
+            vr = (float(numq) / ((float(nqk) * nqk) * float(q))) \
+                / (float(num1) / (float(n1k) * n1k))
+            res_u.append(key_of[i])
+            res_n.append(n1k + 1)
+            res_vr.append(vr)
+        return pd.DataFrame({
+            "user_id": np.asarray(res_u, dtype=key_of.dtype)
+            if res_u else key_of[:0],
+            "n": np.asarray(res_n, dtype=np.int64),
+            "vr": round_half_away(np.asarray(res_vr, dtype=np.float64),
+                                  6) if res_vr
+            else np.array([], dtype=np.float64),
+        })
+
+
+def variance_ratio(events, *, q: int = 4, n_parts: int = 64):
+    """Per-user Lo–MacKinlay variance-ratio test: is the series a
+    random walk (VR≈1), mean-reverting (VR<1) or trending (VR>1)?
+    One partition-group shuffle; integer-exact moments, one double
+    ratio close."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(VarianceRatioGroup(q),
+                                      batch_format="pandas")

@@ -905,3 +905,139 @@ def test_pla_order_ties_break_by_event_id():
     # event_id order → values 1,2,3,4 → perfect slope 1, zero residual
     assert out.loc[0, "slope"] == 1.0
     assert out.loc[0, "max_abs_err"] == 0.0
+
+
+def test_page_hinkley_kernel_matches_recursive_sql():
+    """The two-sided PH folds (running-mean deviation, running
+    extrema) are bit-identical to the recursive CTE replaying the
+    same operand order over the EXACT windowed-cumsum mean; null keys
+    drop; the raw-cents alarm threshold needs no tolerance."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        PageHinkleyGroup)
+    df = _mk(with_null=True)
+    got = PageHinkleyGroup()(df)
+    want = _duck(df, """
+WITH RECURSIVE c AS (
+  SELECT user_id, event_id, t,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY t, event_id) AS rn,
+         CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER
+                (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / row_number() OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) AS xbar
+  FROM ev WHERE user_id IS NOT NULL),
+r AS (
+  SELECT user_id, event_id, t, rn,
+         (CAST(cents AS DOUBLE) - xbar) - 100.0 AS m,
+         (CAST(cents AS DOUBLE) - xbar) - 100.0 AS mn,
+         (CAST(cents AS DOUBLE) - xbar) + 100.0 AS m2,
+         (CAST(cents AS DOUBLE) - xbar) + 100.0 AS mx
+  FROM c WHERE rn = 1
+  UNION ALL
+  SELECT c.user_id, c.event_id, c.t, c.rn,
+         r.m + ((CAST(c.cents AS DOUBLE) - c.xbar) - 100.0),
+         LEAST(r.mn,
+               r.m + ((CAST(c.cents AS DOUBLE) - c.xbar) - 100.0)),
+         r.m2 + ((CAST(c.cents AS DOUBLE) - c.xbar) + 100.0),
+         GREATEST(r.mx,
+                  r.m2 + ((CAST(c.cents AS DOUBLE) - c.xbar) + 100.0))
+  FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
+SELECT user_id, event_id, t,
+       round((m - mn) / 100.0, 6) AS ph_inc,
+       round((mx - m2) / 100.0, 6) AS ph_dec,
+       CAST(CASE WHEN (m - mn) > 50000.0 OR (mx - m2) > 50000.0
+                 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+FROM r""")
+    _cmp(got, want)
+
+
+def test_page_hinkley_detects_step_shift():
+    """A clean upward level shift fires the increase alarm after the
+    shift (and only after); a stationary prefix stays silent."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        PageHinkleyGroup)
+    n = 100
+    df = pd.DataFrame({
+        "user_id": np.zeros(n, np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": np.arange(n, dtype=np.int64) * 1_000_000,
+        "value": np.r_[np.full(50, 10.0), np.full(50, 100.0)],
+    })
+    out = PageHinkleyGroup(delta=100.0, lam=1000.0)(df) \
+        .sort_values("t").reset_index(drop=True)
+    assert out["alarm"].iloc[:50].sum() == 0
+    assert out["alarm"].iloc[-1] == 1
+    assert out["ph_inc"].iloc[-1] > out["ph_inc"].iloc[49]
+
+
+def test_variance_ratio_kernel_matches_sql():
+    """Integer moments of overlapping 1- and 4-step diffs and the
+    cast-first double ratio match the HUGEINT oracle; short keys
+    (n<=q) and zero-variance keys emit nothing; null keys drop."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        VarianceRatioGroup)
+    df = _mk(with_null=True)
+    # a constant-value user: zero 1-step variance must filter, not 1/0
+    extra = pd.DataFrame({
+        "user_id": pd.array([77] * 8, dtype="Int64"),
+        "event_id": np.arange(1000, 1008, dtype=np.int64),
+        "t": np.arange(8, dtype=np.int64) * 1_000_000,
+        "value": np.full(8, 5.0),
+    })
+    # a too-short user (n == 4 <= q) must emit nothing
+    short = pd.DataFrame({
+        "user_id": pd.array([88] * 4, dtype="Int64"),
+        "event_id": np.arange(2000, 2004, dtype=np.int64),
+        "t": np.arange(4, dtype=np.int64) * 1_000_000,
+        "value": [1.0, 7.0, 2.0, 9.0],
+    })
+    df = pd.concat([df, extra, short], ignore_index=True)
+    got = VarianceRatioGroup(4)(df)
+    assert 77 not in set(got["user_id"])
+    assert 88 not in set(got["user_id"])
+    want = _duck(df, """
+WITH c AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY t, event_id) AS rn
+  FROM ev WHERE user_id IS NOT NULL),
+d1 AS (
+  SELECT a.user_id, b.cents - a.cents AS d
+  FROM c a JOIN c b ON a.user_id = b.user_id AND b.rn = a.rn + 1),
+dq AS (
+  SELECT a.user_id, b.cents - a.cents AS d
+  FROM c a JOIN c b ON a.user_id = b.user_id AND b.rn = a.rn + 4),
+s1 AS (
+  SELECT user_id, COUNT(*) AS n1, SUM(CAST(d AS HUGEINT)) AS sd,
+         SUM(CAST(d AS HUGEINT)*d) AS sdd FROM d1 GROUP BY 1),
+sq AS (
+  SELECT user_id, COUNT(*) AS nq, SUM(CAST(d AS HUGEINT)) AS sd,
+         SUM(CAST(d AS HUGEINT)*d) AS sdd FROM dq GROUP BY 1)
+SELECT s1.user_id, CAST(s1.n1 + 1 AS BIGINT) AS n,
+       round((CAST(sq.nq*sq.sdd - sq.sd*sq.sd AS DOUBLE)
+                / ((CAST(sq.nq AS DOUBLE) * sq.nq) * 4.0))
+             / (CAST(s1.n1*s1.sdd - s1.sd*s1.sd AS DOUBLE)
+                / (CAST(s1.n1 AS DOUBLE) * s1.n1)), 6) AS vr
+FROM s1 JOIN sq USING (user_id)
+WHERE s1.n1*s1.sdd - s1.sd*s1.sd > 0""")
+    _cmp(got, want)
+
+
+def test_variance_ratio_mean_reverting_is_zero():
+    """A period-2 oscillation has all-zero 4-step diffs: VR == 0.0
+    exactly (the mean-reversion extreme)."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        VarianceRatioGroup)
+    n = 9
+    df = pd.DataFrame({
+        "user_id": np.zeros(n, np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": np.arange(n, dtype=np.int64) * 1_000_000,
+        "value": (np.arange(n) % 2).astype(np.float64),
+    })
+    out = VarianceRatioGroup(4)(df)
+    assert len(out) == 1
+    assert out["vr"].iloc[0] == 0.0
+    assert out["n"].iloc[0] == n
