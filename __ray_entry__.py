@@ -1284,6 +1284,15 @@ def _q_cohort(sf_dir: str):
     return cohort_retention(ev)
 
 
+def _q_lexical_richness(sf_dir: str):
+    """Per-source lexical richness (type-token ratio, hapax share) —
+    vocab-cells shuffle shared with source_kl, integer-exact close."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        lexical_richness)
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    return lexical_richness(docs)
+
+
 def _q_page_hinkley(sf_dir: str):
     """Per-user two-sided Page-Hinkley drift test: exact integer
     running mean (cents cumsum, one double division), recursive-CTE-
@@ -2169,7 +2178,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # machinery (lag-q instead of lag-1), and the close is one
             # cast-first double ratio like welch_ttest's (certified by
             # ks_test_weekend, kept)
-            "variance_ratio"][:n_over]
+            "variance_ratio",
+            # lexical_richness is oracle-backed but windowed out at
+            # birth: the (source, term) vocab-cells shuffle is
+            # term_frequencies' (kept) mechanism shared verbatim via
+            # TermFreqPartial, and the close is three integer
+            # bincount reductions + two double divisions — no float
+            # fold to certify
+            "lexical_richness"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2425,6 +2441,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # Lo–MacKinlay variance-ratio random-walk test per user —
         # oracle-checked (integer moments, one double ratio)
         "variance_ratio": _q_variance_ratio,
+        # per-source lexical richness (TTR, hapax share) —
+        # oracle-checked (integer-exact vocab-cell reductions)
+        "lexical_richness": _q_lexical_richness,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -3828,6 +3847,28 @@ SELECT doc_id, CAST(len(ll) AS BIGINT) AS n_tok,
        round(list_reduce(ll, (a, b) -> a + b) / len(ll), 6)
          AS avg_logprob
 FROM folded
+""",
+        # lexical richness: the same (source, term) count cells as
+        # source_kl; types/tokens/hapax are integer reductions, the
+        # two ratios close as single cast-first double divisions
+        "lexical_richness": r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+           AS term
+  FROM documents WHERE source IS NOT NULL),
+cst AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax,
+       round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+         AS ttr,
+       round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
+FROM cst GROUP BY 1
 """,
         # Page-Hinkley: running mean from an EXACT windowed BIGINT
         # cents cumsum (safe under any aggregation order) divided once

@@ -328,7 +328,7 @@ def run_bench() -> dict:
               lambda: pla_segments(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
         from series_correction_project_updated_ray.stages.textstage import (
-            pmi_pairs, source_kl, zipf_fit)
+            lexical_richness, pmi_pairs, source_kl, zipf_fit)
         timed("zipf_fit",
               lambda: zipf_fit(rd.read_parquet(
                   docs_path, columns=["text"])).count())
@@ -337,6 +337,9 @@ def run_bench() -> dict:
                   docs_path, columns=["text"])).count())
         timed("source_kl",
               lambda: source_kl(rd.read_parquet(
+                  docs_path, columns=["source", "text"])).count())
+        timed("lexical_richness",
+              lambda: lexical_richness(rd.read_parquet(
                   docs_path, columns=["source", "text"])).count())
 
         from series_correction_project_updated_ray.stages.tsmining import (

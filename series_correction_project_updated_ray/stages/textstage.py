@@ -1200,3 +1200,73 @@ def source_kl(docs):
         .groupby(["source", "term"]).aggregate(Sum("cnt", alias_name="c"))
     return cells.repartition(1).map_batches(
         _SourceKlClose(), batch_format="pyarrow", batch_size=None)
+
+
+# --- per-source lexical richness ---------------------------------------------
+
+class _LexicalRichnessClose:
+    """Closing kernel for :func:`lexical_richness`: the summed
+    (source, term, c) vocabulary cells arrive as ONE vocab-bounded
+    block; types, tokens, hapax count and the two ratio closes are
+    all per-source reductions over it (integer-exact, two double
+    divisions rounded 6dp)."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+        empty = pa.table({"source": pa.array([], pa.string()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "n_types": pa.array([], pa.int64()),
+                          "n_hapax": pa.array([], pa.int64()),
+                          "ttr": pa.array([], pa.float64()),
+                          "hapax_ratio": pa.array([], pa.float64())})
+        if len(t) == 0 or "source" not in t.column_names:
+            return empty
+        sc, suniq = pd.factorize(t["source"].to_pandas(), sort=False)
+        c = t["c"].to_numpy()
+        ok = sc >= 0
+        sc, c = sc[ok], c[ok]
+        if len(c) == 0:
+            return empty
+        K = int(sc.max()) + 1
+        tokens = np.zeros(K, dtype=np.int64)
+        np.add.at(tokens, sc, c)
+        types = np.bincount(sc, minlength=K).astype(np.int64)
+        hapax = np.bincount(sc[c == 1], minlength=K).astype(np.int64)
+        ttr = types.astype(np.float64) / tokens.astype(np.float64)
+        hr = hapax.astype(np.float64) / types.astype(np.float64)
+        return pa.table({
+            "source": pa.array(np.asarray(suniq[:K], dtype=object),
+                               pa.string()),
+            "n_tokens": pa.array(tokens),
+            "n_types": pa.array(types),
+            "n_hapax": pa.array(hapax),
+            "ttr": pa.array(round_half_away(ttr, 6)),
+            "hapax_ratio": pa.array(round_half_away(hr, 6))})
+
+
+def lexical_richness(docs):
+    """Per-source lexical-richness screen (type-token ratio, hapax
+    share) — the vocabulary-health / synthetic-text smell test of
+    training-data curation (template-generated text has a cratered
+    TTR; boilerplate-free natural text keeps hapax share high).
+    Shares :class:`TermFreqPartial` (the one tokenizer) and the
+    vocab-cells shuffle with :func:`source_kl` / term_frequencies."""
+    from ray.data.aggregate import Sum
+
+    tf = TermFreqPartial()
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if "text" not in batch.column_names:   # empty blocks lose columns
+            return pa.table({"source": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        out = tf(batch)
+        return out.filter(pc.is_valid(out["source"]))
+
+    cells = docs.map_batches(_partial, batch_format="pyarrow") \
+        .groupby(["source", "term"]).aggregate(Sum("cnt", alias_name="c"))
+    return cells.repartition(1).map_batches(
+        _LexicalRichnessClose(), batch_format="pyarrow", batch_size=None)

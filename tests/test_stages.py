@@ -2408,3 +2408,26 @@ def test_cohort_cells_dedup_and_close():
     out = out.set_index(["cohort_day", "age_days"])
     assert out.loc[(10, 2), "cohort_size"] == 1
     assert out.loc[(10, 2), "retention"] == 1.0
+
+
+def test_lexical_richness_close_semantics():
+    """_LexicalRichnessClose: types/tokens/hapax are per-source
+    integer reductions over the vocab cells; ratios are exact single
+    divisions; null sources drop."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        _LexicalRichnessClose)
+    t = pa.table({
+        "source": pa.array(["a", "a", "a", "b", None], pa.string()),
+        "term": pa.array(["x", "y", "z", "x", "x"], pa.string()),
+        "c": pa.array([3, 1, 1, 4, 9], pa.int64()),
+    })
+    out = _LexicalRichnessClose()(t).to_pandas().set_index("source")
+    assert list(out.index) == ["a", "b"]       # null source dropped
+    assert out.loc["a", "n_tokens"] == 5
+    assert out.loc["a", "n_types"] == 3
+    assert out.loc["a", "n_hapax"] == 2
+    assert out.loc["a", "ttr"] == 0.6
+    assert abs(out.loc["a", "hapax_ratio"] - round(2 / 3, 6)) < 1e-12
+    assert out.loc["b", "n_hapax"] == 0
+    assert out.loc["b", "hapax_ratio"] == 0.0
+    assert out.loc["b", "ttr"] == 0.25
