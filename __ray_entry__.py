@@ -3888,7 +3888,7 @@ WITH RECURSIVE c AS (
            / row_number() OVER (PARTITION BY user_id
                                 ORDER BY epoch_us(ts), event_id)
            AS xbar
-  FROM events WHERE user_id IS NOT NULL),
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
 r AS (
   SELECT user_id, event_id, t, rn,
          (CAST(cents AS DOUBLE) - xbar) - 100.0 AS m,
@@ -3921,7 +3921,7 @@ WITH c AS (
   SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY epoch_us(ts), event_id) AS rn
-  FROM events WHERE user_id IS NOT NULL),
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
 d1 AS (
   SELECT a.user_id, b.cents - a.cents AS d
   FROM c a JOIN c b ON a.user_id = b.user_id AND b.rn = a.rn + 1),

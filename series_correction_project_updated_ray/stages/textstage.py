@@ -1174,6 +1174,29 @@ class _SourceKlClose:
                 np.array(out_kl, dtype=np.float64), 6))})
 
 
+def _source_term_cells(docs):
+    """The shared (source, term) vocabulary-cells builder behind
+    :func:`source_kl` and :func:`lexical_richness`: batch-local
+    :class:`TermFreqPartial` counts (THE one tokenizer — the token
+    stream never shuffles) with NULL sources dropped before the keyed
+    groupby (out of scope, and they would break the Python boundary
+    comparison), summed to one (source, term, c) cell per pair."""
+    from ray.data.aggregate import Sum
+
+    tf = TermFreqPartial()
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if "text" not in batch.column_names:   # empty blocks lose columns
+            return pa.table({"source": pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        out = tf(batch)
+        return out.filter(pc.is_valid(out["source"]))
+
+    return docs.map_batches(_partial, batch_format="pyarrow") \
+        .groupby(["source", "term"]).aggregate(Sum("cnt", alias_name="c"))
+
+
 def source_kl(docs):
     """KL divergence of each source's unigram term distribution from
     the whole-corpus distribution — the domain-shift / mixture-drift
@@ -1182,23 +1205,7 @@ def source_kl(docs):
     shuffles) → a vocab×|sources|-bounded single-block close (a
     VOCABULARY bound, not a corpus bound — at truly open vocabularies
     cap the close's input with a DF floor upstream)."""
-    from ray.data.aggregate import Sum
-
-    tf = TermFreqPartial()             # the ONE shared tokenizer partial
-
-    def _partial(batch: pa.Table) -> pa.Table:
-        if "text" not in batch.column_names:   # empty blocks lose columns
-            return pa.table({"source": pa.array([], pa.string()),
-                             "term": pa.array([], pa.string()),
-                             "cnt": pa.array([], pa.int64())})
-        out = tf(batch)
-        # NULL sources are out of scope (and would break the keyed
-        # groupby's Python boundary comparison) — drop before shuffle
-        return out.filter(pc.is_valid(out["source"]))
-
-    cells = docs.map_batches(_partial, batch_format="pyarrow") \
-        .groupby(["source", "term"]).aggregate(Sum("cnt", alias_name="c"))
-    return cells.repartition(1).map_batches(
+    return _source_term_cells(docs).repartition(1).map_batches(
         _SourceKlClose(), batch_format="pyarrow", batch_size=None)
 
 
@@ -1252,21 +1259,7 @@ def lexical_richness(docs):
     share) — the vocabulary-health / synthetic-text smell test of
     training-data curation (template-generated text has a cratered
     TTR; boilerplate-free natural text keeps hapax share high).
-    Shares :class:`TermFreqPartial` (the one tokenizer) and the
-    vocab-cells shuffle with :func:`source_kl` / term_frequencies."""
-    from ray.data.aggregate import Sum
-
-    tf = TermFreqPartial()
-
-    def _partial(batch: pa.Table) -> pa.Table:
-        if "text" not in batch.column_names:   # empty blocks lose columns
-            return pa.table({"source": pa.array([], pa.string()),
-                             "term": pa.array([], pa.string()),
-                             "cnt": pa.array([], pa.int64())})
-        out = tf(batch)
-        return out.filter(pc.is_valid(out["source"]))
-
-    cells = docs.map_batches(_partial, batch_format="pyarrow") \
-        .groupby(["source", "term"]).aggregate(Sum("cnt", alias_name="c"))
-    return cells.repartition(1).map_batches(
+    Shares :func:`_source_term_cells` (one tokenizer, one cells
+    builder) with :func:`source_kl` / term_frequencies."""
+    return _source_term_cells(docs).repartition(1).map_batches(
         _LexicalRichnessClose(), batch_format="pyarrow", batch_size=None)

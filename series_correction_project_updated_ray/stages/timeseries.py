@@ -1835,9 +1835,12 @@ class PageHinkleyGroup:
 
     def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
         codes, _ = pd.factorize(g["user_id"], sort=False)
-        if (codes < 0).any():   # recursive-CTE equality join drops nulls
-            g = g.iloc[codes >= 0]
-            codes = codes[codes >= 0]
+        # NULL keys and NULL/NaN values drop (oracle WHERE; a NaN's
+        # scaled_int sentinel would poison the exact cents cumsum)
+        ok = (codes >= 0) & np.isfinite(g["value"].to_numpy(np.float64))
+        if not ok.all():
+            g = g.iloc[ok]
+            codes = codes[ok]
         if len(g) == 0:
             return pd.DataFrame({
                 "user_id": g["user_id"],
@@ -1946,7 +1949,9 @@ class VarianceRatioGroup:
         if len(g) == 0:
             return empty
         codes, _ = pd.factorize(g["user_id"], sort=False)
-        keep = codes >= 0
+        # NULL keys and NULL/NaN values drop (oracle WHERE; a NaN's
+        # scaled_int sentinel would silently wrap the diff moments)
+        keep = (codes >= 0) & np.isfinite(g["value"].to_numpy(np.float64))
         g, codes = g.iloc[keep], codes[keep]
         if len(g) == 0:
             return empty
@@ -1959,13 +1964,6 @@ class VarianceRatioGroup:
         n = len(c)
         q = self.q
         K = int(codes.max()) + 1
-        lens = np.bincount(codes, minlength=K)
-        amax = int(np.abs(c).max()) if n else 0
-        # per-key moment bound: n_k · (2·amax)² must fit int64
-        if amax and int(lens.max()) * 4 * amax * amax >= 2 ** 62:
-            raise OverflowError(
-                "variance_ratio: per-key Σd² may exceed int64 "
-                f"(max key len {int(lens.max())}, |cents| ≤ {amax})")
         out_rows = []
         for lag in (1, q):
             ok = np.zeros(n, dtype=bool)
@@ -1975,8 +1973,19 @@ class VarianceRatioGroup:
             d = c[a + lag] - c[a]
             kd = codes[a]
             cnt = np.bincount(kd, minlength=K)
-            sd = np.zeros(K, dtype=np.int64)
-            sdd = np.zeros(K, dtype=np.int64)
+            # Σd² per key must not wrap int64 (the oracle's HUGEINT
+            # can't): the bound uses the ACTUAL diffs — a high LEVEL
+            # with small steps stays on the fast path; past the bound
+            # accumulate exact Python ints via object arrays (same
+            # values, rare path)
+            dmax = int(np.abs(d).max()) if len(d) else 0
+            if dmax and dmax * dmax * len(d) >= (1 << 62):
+                d = d.astype(object)
+                sd = np.zeros(K, dtype=object)
+                sdd = np.zeros(K, dtype=object)
+            else:
+                sd = np.zeros(K, dtype=np.int64)
+                sdd = np.zeros(K, dtype=np.int64)
             np.add.at(sd, kd, d)
             np.add.at(sdd, kd, d * d)
             out_rows.append((cnt, sd, sdd))

@@ -915,6 +915,7 @@ def test_page_hinkley_kernel_matches_recursive_sql():
     from series_correction_project_updated_ray.stages.timeseries import (
         PageHinkleyGroup)
     df = _mk(with_null=True)
+    df.loc[df.index[10:12], "value"] = np.nan   # NULL values drop too
     got = PageHinkleyGroup()(df)
     want = _duck(df, """
 WITH RECURSIVE c AS (
@@ -927,7 +928,7 @@ WITH RECURSIVE c AS (
                  ROWS UNBOUNDED PRECEDING) AS DOUBLE)
            / row_number() OVER (PARTITION BY user_id
                                 ORDER BY t, event_id) AS xbar
-  FROM ev WHERE user_id IS NOT NULL),
+  FROM ev WHERE user_id IS NOT NULL AND value IS NOT NULL),
 r AS (
   SELECT user_id, event_id, t, rn,
          (CAST(cents AS DOUBLE) - xbar) - 100.0 AS m,
@@ -979,6 +980,7 @@ def test_variance_ratio_kernel_matches_sql():
     from series_correction_project_updated_ray.stages.timeseries import (
         VarianceRatioGroup)
     df = _mk(with_null=True)
+    df.loc[df.index[10:12], "value"] = np.nan   # NULL values drop too
     # a constant-value user: zero 1-step variance must filter, not 1/0
     extra = pd.DataFrame({
         "user_id": pd.array([77] * 8, dtype="Int64"),
@@ -1002,7 +1004,7 @@ WITH c AS (
   SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
          row_number() OVER (PARTITION BY user_id
                             ORDER BY t, event_id) AS rn
-  FROM ev WHERE user_id IS NOT NULL),
+  FROM ev WHERE user_id IS NOT NULL AND value IS NOT NULL),
 d1 AS (
   SELECT a.user_id, b.cents - a.cents AS d
   FROM c a JOIN c b ON a.user_id = b.user_id AND b.rn = a.rn + 1),
@@ -1041,3 +1043,46 @@ def test_variance_ratio_mean_reverting_is_zero():
     assert len(out) == 1
     assert out["vr"].iloc[0] == 0.0
     assert out["n"].iloc[0] == n
+
+
+def test_variance_ratio_high_level_small_steps():
+    """A large absolute LEVEL with small steps must stay on the exact
+    fast path (the overflow bound uses actual diffs, not values) and
+    match the HUGEINT oracle."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        VarianceRatioGroup)
+    n = 12
+    df = pd.DataFrame({
+        "user_id": np.zeros(n, np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": np.arange(n, dtype=np.int64) * 1_000_000,
+        "value": 2.0e7 + 0.01 * np.array(
+            [0, 1, 3, 2, 5, 4, 8, 6, 9, 7, 11, 10], dtype=np.float64),
+    })
+    got = VarianceRatioGroup(4)(df)
+    want = _duck(df, """
+WITH c AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY t, event_id) AS rn
+  FROM ev WHERE user_id IS NOT NULL AND value IS NOT NULL),
+d1 AS (
+  SELECT a.user_id, b.cents - a.cents AS d
+  FROM c a JOIN c b ON a.user_id = b.user_id AND b.rn = a.rn + 1),
+dq AS (
+  SELECT a.user_id, b.cents - a.cents AS d
+  FROM c a JOIN c b ON a.user_id = b.user_id AND b.rn = a.rn + 4),
+s1 AS (
+  SELECT user_id, COUNT(*) AS n1, SUM(CAST(d AS HUGEINT)) AS sd,
+         SUM(CAST(d AS HUGEINT)*d) AS sdd FROM d1 GROUP BY 1),
+sq AS (
+  SELECT user_id, COUNT(*) AS nq, SUM(CAST(d AS HUGEINT)) AS sd,
+         SUM(CAST(d AS HUGEINT)*d) AS sdd FROM dq GROUP BY 1)
+SELECT s1.user_id, CAST(s1.n1 + 1 AS BIGINT) AS n,
+       round((CAST(sq.nq*sq.sdd - sq.sd*sq.sd AS DOUBLE)
+                / ((CAST(sq.nq AS DOUBLE) * sq.nq) * 4.0))
+             / (CAST(s1.n1*s1.sdd - s1.sd*s1.sd AS DOUBLE)
+                / (CAST(s1.n1 AS DOUBLE) * s1.n1)), 6) AS vr
+FROM s1 JOIN sq USING (user_id)
+WHERE s1.n1*s1.sdd - s1.sd*s1.sd > 0""")
+    _cmp(got, want)
