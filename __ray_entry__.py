@@ -1284,6 +1284,16 @@ def _q_cohort(sf_dir: str):
     return cohort_retention(ev)
 
 
+def _q_ewm_bands(sf_dir: str):
+    """Per-user EWMA control chart with EW-variance bands: the (l, v)
+    recursion INCLUDING the per-row sqrt band test is bit-exact vs a
+    recursive CTE (IEEE sqrt is correctly rounded on both sides)."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        ewm_bands)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return ewm_bands(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2185,7 +2195,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # TermFreqPartial, and the close is three integer
             # bincount reductions + two double divisions — no float
             # fold to certify
-            "lexical_richness"][:n_over]
+            "lexical_richness",
+            # ewm_bands is oracle-backed but windowed out at birth:
+            # the (l, v) two-state float recursion replay is
+            # holt_winters_per_user's (kept) strictly-larger certified
+            # fold and the anchor/level mechanism is ewma's (certified
+            # via the kept recursion family); the per-row sqrt is
+            # IEEE-correctly-rounded on both sides (no fold of its
+            # own), and the raw-double flag compare is page_hinkley's
+            # alarm convention
+            "ewm_bands"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2444,6 +2463,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # per-source lexical richness (TTR, hapax share) —
         # oracle-checked (integer-exact vocab-cell reductions)
         "lexical_richness": _q_lexical_richness,
+        # EWMA control chart with EW-variance bands — oracle-checked
+        # bit-exactly (sqrt-bearing recursive-CTE fold)
+        "ewm_bands": _q_ewm_bands,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -3869,6 +3891,33 @@ SELECT source,
        round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
 FROM cst GROUP BY 1
+""",
+        # EWM control bands: the (l, v) double recursion in the
+        # kernel's exact operand order; sqrt is IEEE correctly rounded
+        # (DuckDB sqrt == np.sqrt bitwise) so the per-row band test
+        # and the emitted ewm_std certify exactly; anchor v is
+        # CAST(0.0 AS DOUBLE) (the DECIMAL-anchor trap)
+        "ewm_bands": """
+WITH RECURSIVE c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+r AS (
+  SELECT user_id, event_id, t, rn, value AS l,
+         CAST(0.0 AS DOUBLE) AS v, CAST(0 AS BIGINT) AS flag
+  FROM c WHERE rn = 1
+  UNION ALL
+  SELECT c.user_id, c.event_id, c.t, c.rn,
+         r.l + 0.25 * (c.value - r.l),
+         0.75 * (r.v + 0.25 * ((c.value - r.l) * (c.value - r.l))),
+         CAST(CASE WHEN r.v > 0.0
+                    AND abs(c.value - r.l) > 3.0 * sqrt(r.v)
+              THEN 1 ELSE 0 END AS BIGINT)
+  FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
+SELECT user_id, event_id, t, round(l, 6) AS level,
+       round(sqrt(v), 6) AS ewm_std, flag
+FROM r
 """,
         # Page-Hinkley: running mean from an EXACT windowed BIGINT
         # cents cumsum (safe under any aggregation order) divided once

@@ -2027,3 +2027,107 @@ def variance_ratio(events, *, q: int = 4, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(VarianceRatioGroup(q),
                                       batch_format="pandas")
+
+
+# --- EWM control bands (EWMA level + EW variance) ---------------------------
+
+class EwmBandsGroup:
+    """Per-partition kernel: exponentially-weighted control bands
+    (the EWMA control chart of Roberts 1959 with an EW variance
+    estimate) per key in (t, event_id) order —
+
+        pe_t   = x_t − l_{t−1}                    (prediction error)
+        flag_t = v_{t−1} > 0  AND  |pe_t| > k·sqrt(v_{t−1})
+        l_t    = l_{t−1} + α·pe_t
+        v_t    = (1−α)·(v_{t−1} + α·(pe_t·pe_t))
+
+    seeded l₁ = x₁, v₁ = 0 (the anchor never flags).  The recursion is
+    pure double arithmetic in a FIXED operand order and ``sqrt`` is
+    IEEE-754 correctly rounded — DuckDB ``sqrt`` == ``np.sqrt`` bit for
+    bit — so the whole fold, including the per-row square root in the
+    band test, is recursive-CTE-certified exactly; the flag compares
+    raw doubles and needs no tolerance.  Vectorized ACROSS keys via the
+    position-major layout (two state vectors)."""
+
+    def __init__(self, alpha: float = 0.25, k: float = 3.0):
+        self.alpha, self.k = alpha, k
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": g["user_id"].iloc[:0],
+            "event_id": pd.Series([], dtype=np.int64),
+            "t": pd.Series([], dtype=np.int64),
+            "level": pd.Series([], dtype=np.float64),
+            "ewm_std": pd.Series([], dtype=np.float64),
+            "flag": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        # NULL keys and NULL/NaN values drop (oracle WHERE; a NaN
+        # would poison the recursion with NaN≠NULL semantics)
+        ok = (codes >= 0) & np.isfinite(g["value"].to_numpy(np.float64))
+        if not ok.all():
+            g = g.iloc[ok]
+            codes = codes[ok]
+        if len(g) == 0:
+            return empty
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        keys = g["user_id"].to_numpy()[order]
+        x = g["value"].to_numpy(np.float64)[order]
+        n = len(t)
+        pm, offs = _pos_major_layout(codes, n)
+        x_pm = x[pm]
+        lv_pm = np.empty(n)
+        sd_pm = np.empty(n)
+        fl_pm = np.empty(n, dtype=np.int64)
+        a, am, kk = self.alpha, 1.0 - self.alpha, self.k
+        max_len = len(offs) - 1
+        L = x_pm[offs[0]:offs[1]].copy()
+        V = np.zeros(len(L))
+        lv_pm[offs[0]:offs[1]] = L
+        sd_pm[offs[0]:offs[1]] = 0.0
+        fl_pm[offs[0]:offs[1]] = 0
+        for j in range(1, max_len):
+            w = offs[j + 1] - offs[j]
+            xj = x_pm[offs[j]:offs[j + 1]]
+            pe = xj - L[:w]
+            # flag from the PRE-update state: |pe| > k·sqrt(v_prev)
+            fl = (V[:w] > 0.0) & (np.abs(pe) > kk * np.sqrt(V[:w]))
+            Lk = L[:w] + a * pe
+            Vk = am * (V[:w] + a * (pe * pe))
+            L, V = Lk, Vk
+            lv_pm[offs[j]:offs[j + 1]] = Lk
+            sd_pm[offs[j]:offs[j + 1]] = np.sqrt(Vk)
+            fl_pm[offs[j]:offs[j + 1]] = fl
+        lv = np.empty(n)
+        sd = np.empty(n)
+        fl = np.empty(n, dtype=np.int64)
+        lv[pm] = lv_pm
+        sd[pm] = sd_pm
+        fl[pm] = fl_pm
+        return pd.DataFrame({
+            "user_id": keys,
+            "event_id": ids[order],
+            "t": t,
+            "level": round_half_away(lv, 6),
+            "ewm_std": round_half_away(sd, 6),
+            "flag": fl,
+        })
+
+
+def ewm_bands(events, *, alpha: float = 0.25, k: float = 3.0,
+              n_parts: int = 64):
+    """Per-user EWMA control chart with exponentially-weighted
+    variance bands — the streaming per-point anomaly monitor (is THIS
+    observation surprising given the series so far?), complementing
+    page_hinkley's cumulative mean-drift view.  One partition-group
+    shuffle; the (l, v) recursion INCLUDING the per-row sqrt band test
+    is recursive-CTE-certified bit-exactly."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(EwmBandsGroup(alpha, k),
+                                      batch_format="pandas")

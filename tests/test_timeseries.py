@@ -1086,3 +1086,60 @@ SELECT s1.user_id, CAST(s1.n1 + 1 AS BIGINT) AS n,
 FROM s1 JOIN sq USING (user_id)
 WHERE s1.n1*s1.sdd - s1.sd*s1.sd > 0""")
     _cmp(got, want)
+
+
+def test_ewm_bands_kernel_matches_recursive_sql():
+    """The (l, v) EWM recursion including the per-row sqrt band test
+    is bit-identical to the recursive CTE (IEEE sqrt is correctly
+    rounded on both sides); null keys and NULL values drop; the
+    anchor never flags."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        EwmBandsGroup)
+    df = _mk(with_null=True)
+    df.loc[df.index[10:12], "value"] = np.nan   # NULL values drop too
+    got = EwmBandsGroup()(df)
+    want = _duck(df, """
+WITH RECURSIVE c AS (
+  SELECT user_id, event_id, t, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY t, event_id) AS rn
+  FROM ev WHERE user_id IS NOT NULL AND value IS NOT NULL),
+r AS (
+  SELECT user_id, event_id, t, rn, value AS l,
+         CAST(0.0 AS DOUBLE) AS v, CAST(0 AS BIGINT) AS flag
+  FROM c WHERE rn = 1
+  UNION ALL
+  SELECT c.user_id, c.event_id, c.t, c.rn,
+         r.l + 0.25 * (c.value - r.l),
+         0.75 * (r.v + 0.25 * ((c.value - r.l) * (c.value - r.l))),
+         CAST(CASE WHEN r.v > 0.0
+                    AND abs(c.value - r.l) > 3.0 * sqrt(r.v)
+              THEN 1 ELSE 0 END AS BIGINT)
+  FROM c JOIN r ON c.user_id = r.user_id AND c.rn = r.rn + 1)
+SELECT user_id, event_id, t, round(l, 6) AS level,
+       round(sqrt(v), 6) AS ewm_std, flag
+FROM r""")
+    _cmp(got, want)
+
+
+def test_ewm_bands_flags_spike_only():
+    """A lone spike in an otherwise noisy-stationary series flags at
+    the spike (and the steady prefix does not)."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        EwmBandsGroup)
+    rng = np.random.default_rng(7)
+    n = 80
+    vals = np.round(rng.normal(50, 1.0, n), 2)
+    vals[60] = 200.0                            # 150σ spike
+    df = pd.DataFrame({
+        "user_id": np.zeros(n, np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": np.arange(n, dtype=np.int64) * 1_000_000,
+        "value": vals,
+    })
+    out = EwmBandsGroup()(df).sort_values("t").reset_index(drop=True)
+    assert out["flag"].iloc[60] == 1
+    # an α=0.25 chart (≈7-point effective variance window) has a
+    # nonzero background rate on pure noise — the spike must still
+    # stand far out of it
+    assert out["flag"].sum() <= 8
