@@ -1284,6 +1284,15 @@ def _q_cohort(sf_dir: str):
     return cohort_retention(ev)
 
 
+def _q_seasonal_decompose(sf_dir: str):
+    """Per-user classic additive decomposition: 2×m centered-MA
+    detrend (integer-exact via 2m-scaling), per-phase seasonal means."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        seasonal_decompose)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return seasonal_decompose(ev)
+
+
 def _q_ewm_bands(sf_dir: str):
     """Per-user EWMA control chart with EW-variance bands: the (l, v)
     recursion INCLUDING the per-row sqrt band test is bit-exact vs a
@@ -2204,7 +2213,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # IEEE-correctly-rounded on both sides (no fold of its
             # own), and the raw-double flag compare is page_hinkley's
             # alarm convention
-            "ewm_bands"][:n_over]
+            "ewm_bands",
+            # seasonal_decompose is oracle-backed but windowed out at
+            # birth: the windowed integer sums are twa/ohlc's (kept)
+            # anchored-window machinery, the phase bucketing is
+            # seasonal_profile's (kept) mechanism, and the 2m-scaled
+            # detrend keeps the whole pipe in exact integers until one
+            # double chain per cell — no novel float fold
+            "seasonal_decompose"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2466,6 +2482,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # EWMA control chart with EW-variance bands — oracle-checked
         # bit-exactly (sqrt-bearing recursive-CTE fold)
         "ewm_bands": _q_ewm_bands,
+        # classic additive seasonal decomposition — oracle-checked
+        # (integer-exact 2×m MA detrend, one double close per cell)
+        "seasonal_decompose": _q_seasonal_decompose,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -3891,6 +3910,35 @@ SELECT source,
        round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
 FROM cst GROUP BY 1
+""",
+        # classic decomposition: the 2×m centered-MA numerator is a
+        # windowed BIGINT sum + lag/lead endpoint corrections (exact
+        # in any order), the detrend is 2m-scaled into pure integers,
+        # and the per-(user, phase) close is one double chain over a
+        # HUGEINT sum — full-window rows only (rn in [h+1, n−h])
+        "seasonal_decompose": """
+WITH c AS (
+  SELECT user_id, event_id,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS nk,
+         SUM(CAST(round(value*100) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+            ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS wsum,
+         lag(CAST(round(value*100) AS BIGINT), 12) OVER w AS cl,
+         lead(CAST(round(value*100) AS BIGINT), 12) OVER w AS cr
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id)),
+d AS (
+  SELECT user_id, (rn - 1) % 24 AS phase,
+         48*cents - (2*wsum - cl - cr) AS dd
+  FROM c WHERE rn > 12 AND rn <= nk - 12)
+SELECT user_id, CAST(phase AS BIGINT) AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(((CAST(SUM(CAST(dd AS HUGEINT)) AS DOUBLE) / COUNT(*))
+                / 48.0) / 100.0, 6) AS seasonal
+FROM d GROUP BY 1, 2
 """,
         # EWM control bands: the (l, v) double recursion in the
         # kernel's exact operand order; sqrt is IEEE correctly rounded

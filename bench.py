@@ -263,9 +263,12 @@ def run_bench() -> dict:
               lambda: theil_sen(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
         from series_correction_project_updated_ray.stages.timeseries import (
-            ewm_bands, page_hinkley, variance_ratio)
+            ewm_bands, page_hinkley, seasonal_decompose, variance_ratio)
         timed("ewm_bands",
               lambda: ewm_bands(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
+        timed("seasonal_decompose",
+              lambda: seasonal_decompose(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
         timed("page_hinkley",
               lambda: page_hinkley(rd.read_parquet(

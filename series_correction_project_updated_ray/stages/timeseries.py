@@ -2131,3 +2131,93 @@ def ewm_bands(events, *, alpha: float = 0.25, k: float = 3.0,
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(EwmBandsGroup(alpha, k),
                                       batch_format="pandas")
+
+
+# --- classic additive seasonal decomposition --------------------------------
+
+class SeasonalDecomposeGroup:
+    """Per-partition kernel: the classic additive decomposition's
+    seasonal extraction (the 2×m centered moving average of Macaulay
+    1931 / the 'classical decomposition') per key over the
+    (t, event_id)-ordered cents sequence, period ``m`` observations —
+
+        T'_i = c_{i−h} + 2·Σ_{|j|<h} c_{i+j} + c_{i+h}   (h = m/2;
+               the 2×m MA numerator, total weight 2m)
+        d'_i = 2m·c_i − T'_i                (detrended, SCALED by 2m)
+        seasonal(key, p) = mean of d' over phase p = (i mod m),
+               full-window rows only
+
+    Everything up to the close is INTEGER-EXACT — the 2m-scaling
+    clears the half-weights and the trend division, so no float enters
+    until one (Σd'/n)/2m/100 close per (key, phase) cell (HUGEINT sums
+    in the oracle).  Emits the trend-adjusted seasonal profile — the
+    dual of ``seasonal_profile``'s raw phase means, immune to trends
+    that alias into fake seasonality there."""
+
+    def __init__(self, m: int = 24):
+        assert m % 2 == 0, "classic decomposition needs an even period"
+        self.m = m
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": g["user_id"].iloc[:0],
+            "phase": pd.Series([], dtype=np.int64),
+            "n": pd.Series([], dtype=np.int64),
+            "seasonal": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        ok = (codes >= 0) & np.isfinite(g["value"].to_numpy(np.float64))
+        if not ok.all():
+            g = g.iloc[ok]
+            codes = codes[ok]
+        if len(g) == 0:
+            return empty
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        keys = g["user_id"].to_numpy()[order]
+        c = scaled_int(g["value"].to_numpy(np.float64)[order])
+        n = len(c)
+        m, h = self.m, self.m // 2
+        K = int(codes.max()) + 1
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        # full-window rows: local position in [h, len-1-h]
+        local = np.arange(n) - np.repeat(starts, lens)
+        valid = (local >= h) & (local <= np.repeat(lens, lens) - 1 - h)
+        i = np.flatnonzero(valid)
+        if len(i) == 0:
+            return empty
+        cs0 = np.concatenate([[0], np.cumsum(c)])
+        wsum = cs0[i + h + 1] - cs0[i - h]   # windows never cross keys
+        tnum = 2 * wsum - c[i - h] - c[i + h]
+        d = 2 * m * c[i] - tnum              # exact scaled detrend
+        phase = local[i] % m
+        slot = codes[i] * m + phase
+        cnt = np.bincount(slot, minlength=K * m)
+        sd = np.zeros(K * m, dtype=np.int64)
+        np.add.at(sd, slot, d)
+        hit = np.flatnonzero(cnt)
+        first_of_key = keys[starts]
+        return pd.DataFrame({
+            "user_id": first_of_key[hit // m],
+            "phase": (hit % m).astype(np.int64),
+            "n": cnt[hit].astype(np.int64),
+            "seasonal": round_half_away(
+                ((sd[hit].astype(np.float64) / cnt[hit]) / float(2 * m))
+                / 100.0, 6),
+        })
+
+
+def seasonal_decompose(events, *, m: int = 24, n_parts: int = 64):
+    """Per-user classic additive seasonal decomposition (period ``m``
+    observations): 2×m centered-MA detrend — integer-exact via the
+    2m-scaling — then per-phase seasonal means.  One partition-group
+    shuffle; the close is one double chain per (user, phase) cell."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(SeasonalDecomposeGroup(m),
+                                      batch_format="pandas")

@@ -1143,3 +1143,67 @@ def test_ewm_bands_flags_spike_only():
     # nonzero background rate on pure noise — the spike must still
     # stand far out of it
     assert out["flag"].sum() <= 8
+
+
+def test_seasonal_decompose_kernel_matches_sql():
+    """The integer 2×m-scaled detrend and per-phase close match the
+    HUGEINT oracle exactly; short keys (n < m+1) emit nothing; null
+    keys and NULL values drop."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        SeasonalDecomposeGroup)
+    df = _mk(n=400, users=4, with_null=True)
+    df.loc[df.index[10:12], "value"] = np.nan   # NULL values drop too
+    short = pd.DataFrame({
+        "user_id": pd.array([88] * 24, dtype="Int64"),
+        "event_id": np.arange(2000, 2024, dtype=np.int64),
+        "t": np.arange(24, dtype=np.int64) * 1_000_000,
+        "value": np.arange(24, dtype=np.float64),
+    })
+    df = pd.concat([df, short], ignore_index=True)
+    got = SeasonalDecomposeGroup(24)(df)
+    assert 88 not in set(got["user_id"])   # no full window at n == m
+    want = _duck(df, """
+WITH c AS (
+  SELECT user_id, event_id,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS nk,
+         SUM(CAST(round(value*100) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY t, event_id
+            ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS wsum,
+         lag(CAST(round(value*100) AS BIGINT), 12) OVER w AS cl,
+         lead(CAST(round(value*100) AS BIGINT), 12) OVER w AS cr
+  FROM ev WHERE user_id IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+d AS (
+  SELECT user_id, (rn - 1) % 24 AS phase,
+         48*cents - (2*wsum - cl - cr) AS dd
+  FROM c WHERE rn > 12 AND rn <= nk - 12)
+SELECT user_id, CAST(phase AS BIGINT) AS phase,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(((CAST(SUM(CAST(dd AS HUGEINT)) AS DOUBLE) / COUNT(*))
+                / 48.0) / 100.0, 6) AS seasonal
+FROM d GROUP BY 1, 2""")
+    _cmp(got, want)
+
+
+def test_seasonal_decompose_recovers_planted_cycle():
+    """A pure period-24 sawtooth on a steep linear trend: the
+    trend-adjusted seasonal must track the sawtooth's shape (top
+    phase > bottom phase), which raw phase means on the TREND alone
+    would not produce."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        SeasonalDecomposeGroup)
+    n = 240
+    pos = np.arange(n)
+    season = (pos % 24).astype(np.float64) - 11.5   # mean-zero sawtooth
+    df = pd.DataFrame({
+        "user_id": np.zeros(n, np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": pos.astype(np.int64) * 1_000_000,
+        "value": 1000.0 + 5.0 * pos + season,
+    })
+    out = SeasonalDecomposeGroup(24)(df).set_index("phase")
+    assert out.loc[23, "seasonal"] > out.loc[0, "seasonal"]
+    assert abs(out.loc[23, "seasonal"] - out.loc[0, "seasonal"]
+               - 23.0) < 0.5                        # sawtooth amplitude
