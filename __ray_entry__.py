@@ -1284,6 +1284,15 @@ def _q_cohort(sf_dir: str):
     return cohort_retention(ev)
 
 
+def _q_tukey(sf_dir: str):
+    """Per-user Tukey box-plot screen: exact quartiles (calibrated
+    quantile_cont lerp) + the 1.5·IQR fence outlier count."""
+    from series_correction_project_updated_ray.stages.rollup import (
+        tukey_fences)
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    return tukey_fences(ev)
+
+
 def _q_seasonal_decompose(sf_dir: str):
     """Per-user classic additive decomposition: 2×m centered-MA
     detrend (integer-exact via 2m-scaling), per-phase seasonal means."""
@@ -2220,7 +2229,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # seasonal_profile's (kept) mechanism, and the 2m-scaled
             # detrend keeps the whole pipe in exact integers until one
             # double chain per cell — no novel float fold
-            "seasonal_decompose"][:n_over]
+            "seasonal_decompose",
+            # tukey_fences is oracle-backed but windowed out at birth:
+            # the exact quantile lerp is grouped_quantiles' (kept)
+            # calibrated kernel verbatim, the fence count is one
+            # raw-double compare per row (winsorize_events, kept,
+            # certifies the percentile-clip sibling), and no new fold
+            # or shuffle mechanism appears
+            "tukey_fences"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2485,6 +2501,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # classic additive seasonal decomposition — oracle-checked
         # (integer-exact 2×m MA detrend, one double close per cell)
         "seasonal_decompose": _q_seasonal_decompose,
+        # Tukey 1.5·IQR fence screen per user — oracle-checked
+        # (exact quartile lerp, raw-double fence compares)
+        "tukey_fences": _q_tukey,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -3910,6 +3929,25 @@ SELECT source,
        round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
 FROM cst GROUP BY 1
+""",
+        # Tukey fences: quantile_cont == the kernel's calibrated lerp
+        # bitwise, so the fence expressions (q1 − 1.5·(q3−q1), q3 +
+        # 1.5·(q3−q1)) compare raw doubles identically on both sides
+        "tukey_fences": """
+WITH c AS (
+  SELECT user_id, value FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+q AS (
+  SELECT user_id, quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM c GROUP BY 1)
+SELECT q.user_id, q.n, round(q.q1, 6) AS q1, round(q.q3, 6) AS q3,
+       CAST(COUNT(*) FILTER (c.value < q.q1 - 1.5*(q.q3 - q.q1)
+              OR c.value > q.q3 + 1.5*(q.q3 - q.q1)) AS BIGINT)
+         AS n_outliers
+FROM q JOIN c USING (user_id)
+GROUP BY 1, 2, 3, 4
 """,
         # classic decomposition: the 2×m centered-MA numerator is a
         # windowed BIGINT sum + lag/lead endpoint corrections (exact

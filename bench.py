@@ -270,6 +270,11 @@ def run_bench() -> dict:
         timed("seasonal_decompose",
               lambda: seasonal_decompose(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
+        from series_correction_project_updated_ray.stages.rollup import (
+            tukey_fences)
+        timed("tukey_fences",
+              lambda: tukey_fences(rd.read_parquet(
+                  ev_path, columns=["user_id", "value"])).count())
         timed("page_hinkley",
               lambda: page_hinkley(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())

@@ -601,3 +601,79 @@ def rollup_quantiles(events, *, key_col: str = "event_type",
 
     return partial.groupby([key_col, "window_start"]) \
         .map_groups(_merge, batch_format="pandas")
+
+
+class TukeyFencesGroup:
+    """Per-PARTITION kernel: exact per-key quartiles (the calibrated
+    ``GroupedQuantiles`` lerp — bit-identical to SQL quantile_cont)
+    plus the Tukey 1.5·IQR fence outlier count.  The fences compare
+    RAW doubles (``q1 − 1.5·(q3−q1)`` in the oracle's exact operand
+    order) so the count needs no tolerance; NULL keys and NULL/NaN
+    values drop (oracle WHERE)."""
+
+    def __init__(self, key_col: str = "user_id", k: float = 1.5):
+        self.key_col, self.k = key_col, k
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            self.key_col: g[self.key_col].iloc[:0],
+            "n": pd.Series([], dtype=np.int64),
+            "q1": pd.Series([], dtype=np.float64),
+            "q3": pd.Series([], dtype=np.float64),
+            "n_outliers": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        codes, _ = pd.factorize(g[self.key_col], sort=False)
+        val = g["value"].to_numpy(np.float64)
+        ok = (codes >= 0) & np.isfinite(val)
+        if not ok.all():
+            g, codes, val = g.iloc[ok], codes[ok], val[ok]
+        if len(g) == 0:
+            return empty
+        order = np.lexsort((val, codes))
+        codes, val = codes[order], val[order]
+        keys = g[self.key_col].to_numpy()[order]
+        starts, ends = _segment_starts(codes)
+        length = ends - starts
+        qs = {}
+        for p in (0.25, 0.75):
+            pos = (length - 1) * p
+            lo = np.floor(pos).astype(np.int64)
+            frac = pos - lo
+            hi = np.minimum(lo + 1, length - 1)
+            a, b = val[starts + lo], val[starts + hi]
+            diff = b - a
+            q = a + diff * frac
+            np.subtract(b, diff * (1 - frac), out=q, where=frac >= 0.5)
+            qs[p] = q
+        q1, q3 = qs[0.25], qs[0.75]
+        iqr = q3 - q1
+        lo_f = q1 - self.k * iqr
+        hi_f = q3 + self.k * iqr
+        seg = np.repeat(np.arange(len(starts)), length)
+        out_mask = (val < lo_f[seg]) | (val > hi_f[seg])
+        n_out = np.add.reduceat(out_mask, starts)
+        n_out[length == 0] = 0
+        return pd.DataFrame({
+            self.key_col: keys[starts],
+            "n": length.astype(np.int64),
+            "q1": round_half_away(q1, 6),
+            "q3": round_half_away(q3, 6),
+            "n_outliers": n_out.astype(np.int64),
+        })
+
+
+def tukey_fences(events, *, key_col: str = "user_id", k: float = 1.5,
+                 value_col: str = "value", n_parts: int = 64):
+    """Per-key Tukey box-plot screen: exact quartiles + the count of
+    values outside the 1.5·IQR fences — the distribution-free outlier
+    budget per series.  One partition-group shuffle."""
+    def _proj(t: pa.Table) -> pa.Table:
+        part = (stable_hash_array(t[key_col])
+                % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({key_col: t[key_col], "value": t[value_col],
+                         "__part": pa.array(part)})
+    proj = events.map_batches(_proj, batch_format="pyarrow")
+    return proj.groupby("__part").map_groups(
+        TukeyFencesGroup(key_col, k), batch_format="pandas")

@@ -2431,3 +2431,45 @@ def test_lexical_richness_close_semantics():
     assert out.loc["b", "n_hapax"] == 0
     assert out.loc["b", "hapax_ratio"] == 0.0
     assert out.loc["b", "ttr"] == 0.25
+
+
+def test_tukey_fences_kernel_matches_sql():
+    """Exact quartile lerp + raw-double fence counts match DuckDB
+    quantile_cont; NULL keys and NaN values drop; a lone extreme
+    point counts as the outlier."""
+    import duckdb
+
+    from series_correction_project_updated_ray.stages.rollup import (
+        TukeyFencesGroup)
+    rng = np.random.default_rng(11)
+    n = 300
+    g = pd.DataFrame({
+        "user_id": pd.array(rng.integers(0, 6, n), dtype="Int64"),
+        "value": np.round(rng.normal(50, 10, n), 2),
+    })
+    g.loc[g.index[:2], "user_id"] = pd.NA
+    g.loc[g.index[5:7], "value"] = np.nan
+    g.loc[g.index[10], "value"] = 5000.0       # guaranteed outlier
+    got = TukeyFencesGroup()(g)
+    con = duckdb.connect()
+    con.register("ev", g)
+    want = con.execute("""
+WITH c AS (
+  SELECT user_id, value FROM ev
+  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+q AS (
+  SELECT user_id, quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM c GROUP BY 1)
+SELECT q.user_id, q.n, round(q.q1, 6) AS q1, round(q.q3, 6) AS q3,
+       CAST(COUNT(*) FILTER (c.value < q.q1 - 1.5*(q.q3 - q.q1)
+              OR c.value > q.q3 + 1.5*(q.q3 - q.q1)) AS BIGINT)
+         AS n_outliers
+FROM q JOIN c USING (user_id)
+GROUP BY 1, 2, 3, 4""").df()
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["n_outliers"].sum() >= 1
