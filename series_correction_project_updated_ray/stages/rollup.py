@@ -328,6 +328,36 @@ def rollup_tiers_cascade(events, key_col: str = "event_type",
     return out
 
 
+def _quantile_lerp(val: np.ndarray, starts: np.ndarray,
+                   length: np.ndarray, p: float) -> np.ndarray:
+    """One exact linear-interpolated quantile per sorted segment —
+    numpy's _lerp exactly (a + diff*t, switching to the b-anchored
+    form for t >= 0.5): bit-identical to np.quantile(method='linear')
+    AND to DuckDB quantile_cont (the oracle guarantee was calibrated
+    against this form).  THE one copy — every quantile-bearing kernel
+    must route through it or the calibration can silently fork."""
+    pos = (length - 1) * p
+    lo = np.floor(pos).astype(np.int64)
+    frac = pos - lo
+    hi = np.minimum(lo + 1, length - 1)
+    a, b = val[starts + lo], val[starts + hi]
+    diff = b - a
+    q = a + diff * frac
+    np.subtract(b, diff * (1 - frac), out=q, where=frac >= 0.5)
+    return q
+
+
+def _quantile_proj(key_col: str, value_col: str, n_parts: int):
+    """The shared hash-partition projection of the quantile kernels:
+    (key, value, __part = stable_hash(key) % n_parts)."""
+    def _proj(t: pa.Table) -> pa.Table:
+        part = (stable_hash_array(t[key_col])
+                % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({key_col: t[key_col], "value": t[value_col],
+                         "__part": pa.array(part)})
+    return _proj
+
+
 class GroupedQuantiles:
     """Per-PARTITION kernel: exact multi-quantile for every key in one
     partition group, vectorized over sorted runs (position + linear
@@ -354,18 +384,7 @@ class GroupedQuantiles:
         # GroupedMedian (factorize codes null keys as -1)
         row = {self.key_col: keys[starts]}
         for p in self.probs:
-            pos = (length - 1) * p
-            lo = np.floor(pos).astype(np.int64)
-            frac = pos - lo
-            hi = np.minimum(lo + 1, length - 1)
-            a, b = val[starts + lo], val[starts + hi]
-            # numpy's _lerp exactly (a + diff*t, switching to the
-            # b-anchored form for t >= 0.5): bit-identical to
-            # np.quantile(method='linear'), which the oracle guarantee
-            # was calibrated against
-            diff = b - a
-            q = a + diff * frac
-            np.subtract(b, diff * (1 - frac), out=q, where=frac >= 0.5)
+            q = _quantile_lerp(val, starts, length, p)
             q[has_nan] = np.nan
             row[f"p{int(p * 100)}"] = round_half_away(q, self.round_to)
         return pd.DataFrame(row)
@@ -374,12 +393,8 @@ class GroupedQuantiles:
 def grouped_quantiles(events, key_col="event_type", value_col="value",
                       probs=(0.5, 0.9, 0.95, 0.99), n_parts: int = 64):
     """Exact p50/p90/p95/p99 per key."""
-    def _proj(t: pa.Table) -> pa.Table:
-        part = (stable_hash_array(t[key_col])
-                % np.uint64(n_parts)).astype(np.int64)
-        return pa.table({key_col: t[key_col], "value": t[value_col],
-                         "__part": pa.array(part)})
-    proj = events.map_batches(_proj, batch_format="pyarrow")
+    proj = events.map_batches(_quantile_proj(key_col, value_col, n_parts),
+                              batch_format="pyarrow")
     return proj.groupby("__part").map_groups(
         GroupedQuantiles(key_col, probs), batch_format="pandas")
 
@@ -636,25 +651,14 @@ class TukeyFencesGroup:
         keys = g[self.key_col].to_numpy()[order]
         starts, ends = _segment_starts(codes)
         length = ends - starts
-        qs = {}
-        for p in (0.25, 0.75):
-            pos = (length - 1) * p
-            lo = np.floor(pos).astype(np.int64)
-            frac = pos - lo
-            hi = np.minimum(lo + 1, length - 1)
-            a, b = val[starts + lo], val[starts + hi]
-            diff = b - a
-            q = a + diff * frac
-            np.subtract(b, diff * (1 - frac), out=q, where=frac >= 0.5)
-            qs[p] = q
-        q1, q3 = qs[0.25], qs[0.75]
+        q1 = _quantile_lerp(val, starts, length, 0.25)
+        q3 = _quantile_lerp(val, starts, length, 0.75)
         iqr = q3 - q1
         lo_f = q1 - self.k * iqr
         hi_f = q3 + self.k * iqr
         seg = np.repeat(np.arange(len(starts)), length)
         out_mask = (val < lo_f[seg]) | (val > hi_f[seg])
         n_out = np.add.reduceat(out_mask, starts)
-        n_out[length == 0] = 0
         return pd.DataFrame({
             self.key_col: keys[starts],
             "n": length.astype(np.int64),
@@ -669,11 +673,7 @@ def tukey_fences(events, *, key_col: str = "user_id", k: float = 1.5,
     """Per-key Tukey box-plot screen: exact quartiles + the count of
     values outside the 1.5·IQR fences — the distribution-free outlier
     budget per series.  One partition-group shuffle."""
-    def _proj(t: pa.Table) -> pa.Table:
-        part = (stable_hash_array(t[key_col])
-                % np.uint64(n_parts)).astype(np.int64)
-        return pa.table({key_col: t[key_col], "value": t[value_col],
-                         "__part": pa.array(part)})
-    proj = events.map_batches(_proj, batch_format="pyarrow")
+    proj = events.map_batches(_quantile_proj(key_col, value_col, n_parts),
+                              batch_format="pyarrow")
     return proj.groupby("__part").map_groups(
         TukeyFencesGroup(key_col, k), batch_format="pandas")

@@ -2182,7 +2182,6 @@ class SeasonalDecomposeGroup:
         c = scaled_int(g["value"].to_numpy(np.float64)[order])
         n = len(c)
         m, h = self.m, self.m // 2
-        K = int(codes.max()) + 1
         starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
         lens = np.diff(np.r_[starts, n])
         # full-window rows: local position in [h, len-1-h]
@@ -2196,9 +2195,21 @@ class SeasonalDecomposeGroup:
         tnum = 2 * wsum - c[i - h] - c[i + h]
         d = 2 * m * c[i] - tnum              # exact scaled detrend
         phase = local[i] % m
-        slot = codes[i] * m + phase
-        cnt = np.bincount(slot, minlength=K * m)
-        sd = np.zeros(K * m, dtype=np.int64)
+        # slot by SEGMENT index, not factorize code — the NaN-value
+        # filter can vanish a code entirely, leaving codes[] values
+        # that no longer align with the surviving segments
+        seg_of = np.repeat(np.arange(len(starts)), lens)
+        nseg = len(starts)
+        slot = seg_of[i] * m + phase
+        cnt = np.bincount(slot, minlength=nseg * m)
+        # Σd per cell must not wrap int64 (the oracle sums HUGEINT):
+        # past the |d|-bounded fast path accumulate exact Python ints
+        dmax = int(np.abs(d).max()) if len(d) else 0
+        if dmax and dmax * len(d) >= (1 << 62):
+            d = d.astype(object)
+            sd = np.zeros(nseg * m, dtype=object)
+        else:
+            sd = np.zeros(nseg * m, dtype=np.int64)
         np.add.at(sd, slot, d)
         hit = np.flatnonzero(cnt)
         first_of_key = keys[starts]

@@ -1207,3 +1207,34 @@ def test_seasonal_decompose_recovers_planted_cycle():
     assert out.loc[23, "seasonal"] > out.loc[0, "seasonal"]
     assert abs(out.loc[23, "seasonal"] - out.loc[0, "seasonal"]
                - 23.0) < 0.5                        # sawtooth amplitude
+
+
+def test_seasonal_decompose_all_nan_user_does_not_shift_segments():
+    """A user whose values are ALL NaN vanishes entirely after the
+    value filter; the surviving users' cells must keep their own ids
+    (segment-indexed, not factorize-code-indexed)."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        SeasonalDecomposeGroup)
+    n = 60
+    mk = lambda uid, vals: pd.DataFrame({
+        "user_id": pd.array([uid] * n, dtype="Int64"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": np.arange(n, dtype=np.int64) * 1_000_000,
+        "value": vals})
+    rng = np.random.default_rng(5)
+    df = pd.concat([
+        mk(1, np.full(n, np.nan)),                   # vanishes
+        mk(2, np.round(rng.normal(50, 10, n), 2)),
+        mk(3, np.round(rng.normal(50, 10, n), 2)),
+    ], ignore_index=True)
+    out = SeasonalDecomposeGroup(24)(df)
+    assert set(out["user_id"]) == {2, 3}
+    # each survivor's cells match running it alone
+    for uid in (2, 3):
+        alone = SeasonalDecomposeGroup(24)(
+            df[df["user_id"] == uid].reset_index(drop=True))
+        sub = out[out["user_id"] == uid].reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            sub.sort_values("phase").reset_index(drop=True),
+            alone.sort_values("phase").reset_index(drop=True),
+            check_dtype=False)
