@@ -1312,6 +1312,15 @@ def _q_ewm_bands(sf_dir: str):
     return ewm_bands(ev)
 
 
+def _q_peak_detection(sf_dir: str):
+    """Per-user strict local maxima with a prominence floor — raw
+    lag/lead double compares, no float fold."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        peak_detection)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return peak_detection(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2236,7 +2245,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # raw-double compare per row (winsorize_events, kept,
             # certifies the percentile-clip sibling), and no new fold
             # or shuffle mechanism appears
-            "tukey_fences"][:n_over]
+            "tukey_fences",
+            # peak_detection is oracle-backed but windowed out at
+            # birth: the lag/lead boundary-safe shifts are
+            # lag_deltas_per_user's (kept) mechanism and every compare
+            # is on raw doubles — no fold, no new shuffle shape
+            "peak_detection"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2504,6 +2518,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # Tukey 1.5·IQR fence screen per user — oracle-checked
         # (exact quartile lerp, raw-double fence compares)
         "tukey_fences": _q_tukey,
+        # strict local-maxima peaks with a prominence floor —
+        # oracle-checked (raw lag/lead double compares)
+        "peak_detection": _q_peak_detection,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -3948,6 +3965,21 @@ SELECT q.user_id, q.n, round(q.q1, 6) AS q1, round(q.q3, 6) AS q3,
          AS n_outliers
 FROM q JOIN c USING (user_id)
 GROUP BY 1, 2, 3, 4
+""",
+        # peaks: lag/lead window compares + one double subtraction per
+        # row, all on raw doubles — no float fold to certify
+        "peak_detection": """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, value,
+         lag(value) OVER w AS pv, lead(value) OVER w AS nv
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+SELECT user_id, event_id, t, value,
+       round(value - GREATEST(pv, nv), 6) AS prom
+FROM c
+WHERE pv IS NOT NULL AND nv IS NOT NULL
+  AND value > pv AND value > nv
+  AND value - GREATEST(pv, nv) >= 0.5
 """,
         # classic decomposition: the 2×m centered-MA numerator is a
         # windowed BIGINT sum + lag/lead endpoint corrections (exact

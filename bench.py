@@ -281,6 +281,11 @@ def run_bench() -> dict:
         timed("variance_ratio",
               lambda: variance_ratio(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
+        from series_correction_project_updated_ray.stages.timeseries import (
+            peak_detection)
+        timed("peak_detection",
+              lambda: peak_detection(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
 
         from series_correction_project_updated_ray.stages.textstage import (
             unigram_logprob)

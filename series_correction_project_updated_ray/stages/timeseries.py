@@ -2232,3 +2232,72 @@ def seasonal_decompose(events, *, m: int = 24, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(SeasonalDecomposeGroup(m),
                                       batch_format="pandas")
+
+
+# --- peak detection ----------------------------------------------------------
+
+class PeakDetectGroup:
+    """Per-partition kernel: strict local maxima per key in
+    (t, event_id) order with a prominence floor — row i is a peak when
+    ``v_i > v_{i-1}``, ``v_i > v_{i+1}`` and
+    ``v_i - max(v_{i-1}, v_{i+1}) >= min_prom``, all on RAW doubles
+    (lag/lead compares and one subtraction — no float fold, so the SQL
+    window twin is bit-identical).  Key endpoints never qualify (SQL
+    lag/lead NULLs).  Vectorized: one lexsort, shifted views with
+    key-boundary invalidation."""
+
+    def __init__(self, min_prom: float = 0.5):
+        self.min_prom = min_prom
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": g["user_id"].iloc[:0],
+            "event_id": pd.Series([], dtype=np.int64),
+            "t": pd.Series([], dtype=np.int64),
+            "value": pd.Series([], dtype=np.float64),
+            "prom": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        vals = g["value"].to_numpy(np.float64)
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        keep = (codes >= 0) & ~np.isnan(vals)
+        g, codes = g.iloc[keep], codes[keep]
+        if len(g) == 0:
+            return empty
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t, ids = codes[order], t[order], ids[order]
+        keys = g["user_id"].to_numpy()[order]
+        v = vals[keep][order]
+        n = len(v)
+        interior = np.zeros(n, dtype=bool)
+        if n >= 3:
+            same_prev = np.r_[False, codes[1:] == codes[:-1]]
+            same_next = np.r_[codes[:-1] == codes[1:], False]
+            interior = same_prev & same_next
+        i = np.flatnonzero(interior)
+        if len(i) == 0:
+            return empty
+        pv, nv = v[i - 1], v[i + 1]
+        hi = np.maximum(pv, nv)
+        is_peak = (v[i] > pv) & (v[i] > nv) & (v[i] - hi >= self.min_prom)
+        i = i[is_peak]
+        return pd.DataFrame({
+            "user_id": keys[i],
+            "event_id": ids[i].astype(np.int64),
+            "t": t[i],
+            "value": v[i],
+            "prom": round_half_away(v[i] - np.maximum(v[i - 1], v[i + 1]), 6),
+        })
+
+
+def peak_detection(events, *, min_prom: float = 0.5, n_parts: int = 64):
+    """Per-user strict local maxima with a prominence floor — the
+    event-stream spike inventory (alerting / motif seeding).  One
+    partition-group shuffle; raw-double compares only."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(PeakDetectGroup(min_prom),
+                                      batch_format="pandas")

@@ -1238,3 +1238,61 @@ def test_seasonal_decompose_all_nan_user_does_not_shift_segments():
             sub.sort_values("phase").reset_index(drop=True),
             alone.sort_values("phase").reset_index(drop=True),
             check_dtype=False)
+
+
+def test_peak_detection_kernel_matches_sql():
+    """Strict local maxima with prominence floor match the DuckDB
+    lag/lead window twin; NULL keys / NaN values drop; key endpoints
+    never qualify."""
+    import duckdb
+
+    from series_correction_project_updated_ray.stages.timeseries import (
+        PeakDetectGroup)
+    rng = np.random.default_rng(23)
+    n = 400
+    g = pd.DataFrame({
+        "user_id": pd.array(rng.integers(0, 5, n), dtype="Int64"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": rng.integers(0, 10**9, n).astype(np.int64),
+        "value": np.round(rng.normal(50, 10, n), 2),
+    })
+    g.loc[g.index[:2], "user_id"] = pd.NA
+    g.loc[g.index[5:7], "value"] = np.nan
+    got = PeakDetectGroup()(g)
+    con = duckdb.connect()
+    con.register("ev", g)
+    want = con.execute("""
+WITH c AS (
+  SELECT user_id, event_id, t, value,
+         lag(value) OVER w AS pv, lead(value) OVER w AS nv
+  FROM ev WHERE user_id IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+SELECT user_id, event_id, t, value,
+       round(value - GREATEST(pv, nv), 6) AS prom
+FROM c
+WHERE pv IS NOT NULL AND nv IS NOT NULL
+  AND value > pv AND value > nv
+  AND value - GREATEST(pv, nv) >= 0.5""").df()
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 10
+
+
+def test_peak_detection_prominence_floor():
+    """A bump below the prominence floor is not a peak; a bump at or
+    above it is; plateaus (equal neighbor) never qualify."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        PeakDetectGroup)
+    g = pd.DataFrame({
+        "user_id": pd.array([1] * 9, dtype="Int64"),
+        "event_id": np.arange(9, dtype=np.int64),
+        "t": np.arange(9, dtype=np.int64) * 1000,
+        "value": [1.0, 1.3, 1.0,     # prom 0.3 < 0.5 → no
+                  1.0, 2.0, 1.0,     # prom 1.0 → yes
+                  1.0, 2.0, 2.0],    # trailing plateau → no
+    })
+    got = PeakDetectGroup()(g)
+    assert list(got["event_id"]) == [4]
+    assert got["prom"].iloc[0] == 1.0
