@@ -1321,6 +1321,15 @@ def _q_peak_detection(sf_dir: str):
     return peak_detection(ev)
 
 
+def _q_haar_energy(sf_dir: str):
+    """Per-user Haar wavelet detail energies, levels 1-3 —
+    integer-exact cents lifting, one double divide per cell."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        haar_energy)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return haar_energy(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2250,7 +2259,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # birth: the lag/lead boundary-safe shifts are
             # lag_deltas_per_user's (kept) mechanism and every compare
             # is on raw doubles — no fold, no new shuffle shape
-            "peak_detection"][:n_over]
+            "peak_detection",
+            # haar_energy is oracle-backed but windowed out at birth:
+            # the pairwise integer lifting is exact in any order (the
+            # HUGEINT Σd² is fano_factor's, kept, moment machinery)
+            # and the close is one double divide per cell — no float
+            # fold, no new shuffle shape
+            "haar_energy"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2521,6 +2536,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # strict local-maxima peaks with a prominence floor —
         # oracle-checked (raw lag/lead double compares)
         "peak_detection": _q_peak_detection,
+        # Haar wavelet detail energy per level (multi-resolution
+        # variance split) — oracle-checked (integer-exact lifting)
+        "haar_energy": _q_haar_energy,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -3980,6 +3998,43 @@ FROM c
 WHERE pv IS NOT NULL AND nv IS NOT NULL
   AND value > pv AND value > nv
   AND value - GREATEST(pv, nv) >= 0.5
+""",
+        # Haar lifting: pair sums/differences are exact BIGINT cents,
+        # Σd² is HUGEINT, the close is one double divide per cell
+        "haar_energy": """
+WITH c AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS nk
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+base AS (SELECT user_id, cents, rn FROM c WHERE rn <= nk - nk % 8),
+l1 AS (
+  SELECT user_id, (rn + 1) // 2 AS rn, SUM(cents) AS s,
+         SUM(CASE WHEN rn % 2 = 1 THEN cents ELSE -cents END) AS d
+  FROM base GROUP BY 1, 2),
+l2 AS (
+  SELECT user_id, (rn + 1) // 2 AS rn, SUM(s) AS s,
+         SUM(CASE WHEN rn % 2 = 1 THEN s ELSE -s END) AS d
+  FROM l1 GROUP BY 1, 2),
+l3 AS (
+  SELECT user_id, (rn + 1) // 2 AS rn, SUM(s) AS s,
+         SUM(CASE WHEN rn % 2 = 1 THEN s ELSE -s END) AS d
+  FROM l2 GROUP BY 1, 2),
+e AS (
+  SELECT user_id, 1 AS level, COUNT(*) AS n_coef,
+         SUM(CAST(d AS HUGEINT) * d) AS e2 FROM l1 GROUP BY 1
+  UNION ALL
+  SELECT user_id, 2, COUNT(*), SUM(CAST(d AS HUGEINT) * d)
+  FROM l2 GROUP BY 1
+  UNION ALL
+  SELECT user_id, 3, COUNT(*), SUM(CAST(d AS HUGEINT) * d)
+  FROM l3 GROUP BY 1)
+SELECT user_id, CAST(level AS BIGINT) AS level,
+       CAST(n_coef AS BIGINT) AS n_coef,
+       round(CAST(e2 AS DOUBLE)
+               / (CAST(1 << level AS DOUBLE) * 10000.0), 6) AS energy
+FROM e
 """,
         # classic decomposition: the 2×m centered-MA numerator is a
         # windowed BIGINT sum + lag/lead endpoint corrections (exact

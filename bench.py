@@ -282,9 +282,12 @@ def run_bench() -> dict:
               lambda: variance_ratio(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
         from series_correction_project_updated_ray.stages.timeseries import (
-            peak_detection)
+            haar_energy, peak_detection)
         timed("peak_detection",
               lambda: peak_detection(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
+        timed("haar_energy",
+              lambda: haar_energy(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
 
         from series_correction_project_updated_ray.stages.textstage import (

@@ -2301,3 +2301,90 @@ def peak_detection(events, *, min_prom: float = 0.5, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(PeakDetectGroup(min_prom),
                                       batch_format="pandas")
+
+
+# --- Haar wavelet energies ---------------------------------------------------
+
+class HaarEnergyGroup:
+    """Per-partition kernel: unnormalized Haar lifting over each key's
+    cents series in (t, event_id) order, truncated to a multiple of 8
+    so three detail levels exist; pair sums/differences stay exact
+    int64 (``s = a+b``, ``d = a-b``), the orthonormal energy per level
+    is ``Σ d² / 2^level`` closed with ONE double divide per cell
+    (÷ 2^level·10⁴ back to value units).  Keys shorter than 8 rows
+    emit nothing (no level-3 coefficient).  Σd² guards int64 overflow
+    with an exact Python-int fallback, mirroring the HUGEINT oracle."""
+
+    LEVELS = 3
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": g["user_id"].iloc[:0],
+            "level": pd.Series([], dtype=np.int64),
+            "n_coef": pd.Series([], dtype=np.int64),
+            "energy": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        vals = g["value"].to_numpy(np.float64)
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        keep = (codes >= 0) & ~np.isnan(vals)
+        g, codes = g.iloc[keep], codes[keep]
+        if len(g) == 0:
+            return empty
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes = codes[order]
+        keys = g["user_id"].to_numpy()[order]
+        x = scaled_int(vals[keep][order])
+        n = len(x)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        trunc = lens - lens % (1 << self.LEVELS)
+        local = np.arange(n) - np.repeat(starts, lens)
+        kept = local < np.repeat(trunc, lens)
+        x = x[kept]
+        seg_keys = keys[starts][trunc > 0]
+        lens = trunc[trunc > 0]
+        if len(lens) == 0:
+            return empty
+        out_user, out_level, out_ncoef, out_energy = [], [], [], []
+        for level in range(1, self.LEVELS + 1):
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            local = np.arange(len(x)) - np.repeat(starts, lens)
+            first = np.flatnonzero(local % 2 == 0)
+            d = x[first] - x[first + 1]
+            x = x[first] + x[first + 1]          # next level's input
+            lens = lens // 2
+            dstarts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            dmax = int(np.abs(d).max()) if len(d) else 0
+            if dmax and dmax * dmax * len(d) >= (1 << 62):
+                e2 = np.array([sum(int(v) * int(v) for v in seg)
+                               for seg in np.split(d, dstarts[1:])],
+                              dtype=np.float64)
+            else:
+                e2 = np.add.reduceat(d * d, dstarts).astype(np.float64)
+            out_user.append(seg_keys)
+            out_level.append(np.full(len(lens), level, dtype=np.int64))
+            out_ncoef.append(lens.astype(np.int64))
+            out_energy.append(round_half_away(
+                e2 / (float(1 << level) * 10000.0), 6))
+        return pd.DataFrame({
+            "user_id": np.concatenate(out_user),
+            "level": np.concatenate(out_level),
+            "n_coef": np.concatenate(out_ncoef),
+            "energy": np.concatenate(out_energy)})
+
+
+def haar_energy(events, *, n_parts: int = 64):
+    """Per-user Haar wavelet detail energy at levels 1–3 — the classic
+    multi-resolution variance split (which timescale carries the
+    signal's power).  One partition-group shuffle, integer-exact
+    lifting, one double divide per output cell."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(HaarEnergyGroup(),
+                                      batch_format="pandas")

@@ -1296,3 +1296,93 @@ def test_peak_detection_prominence_floor():
     got = PeakDetectGroup()(g)
     assert list(got["event_id"]) == [4]
     assert got["prom"].iloc[0] == 1.0
+
+
+def test_haar_energy_kernel_matches_sql():
+    """Integer Haar lifting + HUGEINT Σd² match the chained-CTE DuckDB
+    twin; series truncate to a multiple of 8; short keys emit nothing."""
+    import duckdb
+
+    from series_correction_project_updated_ray.stages.timeseries import (
+        HaarEnergyGroup)
+    rng = np.random.default_rng(31)
+    n = 500
+    g = pd.DataFrame({
+        "user_id": pd.array(rng.integers(0, 6, n), dtype="Int64"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": rng.integers(0, 10**9, n).astype(np.int64),
+        "value": np.round(rng.normal(50, 10, n), 2),
+    })
+    g.loc[g.index[:2], "user_id"] = pd.NA
+    g.loc[g.index[5:7], "value"] = np.nan
+    # a short key (< 8 rows) that must emit nothing
+    short = pd.DataFrame({
+        "user_id": pd.array([99] * 5, dtype="Int64"),
+        "event_id": np.arange(1000, 1005, dtype=np.int64),
+        "t": np.arange(5, dtype=np.int64),
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    g = pd.concat([g, short], ignore_index=True)
+    got = HaarEnergyGroup()(g)
+    assert 99 not in set(got["user_id"])
+    con = duckdb.connect()
+    con.register("ev", g)
+    want = con.execute("""
+WITH c AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS nk
+  FROM ev WHERE user_id IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+base AS (SELECT user_id, cents, rn FROM c WHERE rn <= nk - nk % 8),
+l1 AS (
+  SELECT user_id, (rn + 1) // 2 AS rn, SUM(cents) AS s,
+         SUM(CASE WHEN rn % 2 = 1 THEN cents ELSE -cents END) AS d
+  FROM base GROUP BY 1, 2),
+l2 AS (
+  SELECT user_id, (rn + 1) // 2 AS rn, SUM(s) AS s,
+         SUM(CASE WHEN rn % 2 = 1 THEN s ELSE -s END) AS d
+  FROM l1 GROUP BY 1, 2),
+l3 AS (
+  SELECT user_id, (rn + 1) // 2 AS rn, SUM(s) AS s,
+         SUM(CASE WHEN rn % 2 = 1 THEN s ELSE -s END) AS d
+  FROM l2 GROUP BY 1, 2),
+e AS (
+  SELECT user_id, 1 AS level, COUNT(*) AS n_coef,
+         SUM(CAST(d AS HUGEINT) * d) AS e2 FROM l1 GROUP BY 1
+  UNION ALL
+  SELECT user_id, 2, COUNT(*), SUM(CAST(d AS HUGEINT) * d)
+  FROM l2 GROUP BY 1
+  UNION ALL
+  SELECT user_id, 3, COUNT(*), SUM(CAST(d AS HUGEINT) * d)
+  FROM l3 GROUP BY 1)
+SELECT user_id, CAST(level AS BIGINT) AS level,
+       CAST(n_coef AS BIGINT) AS n_coef,
+       round(CAST(e2 AS DOUBLE)
+               / (CAST(1 << level AS DOUBLE) * 10000.0), 6) AS energy
+FROM e""").df()
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0
+
+
+def test_haar_energy_hand_vector():
+    """Parseval sanity on a hand vector: 8 samples, known detail
+    energies at each level (values in cents to stay exact)."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        HaarEnergyGroup)
+    x = [4.0, 2.0, 5.0, 1.0, 0.0, 6.0, 3.0, 3.0]
+    g = pd.DataFrame({
+        "user_id": pd.array([7] * 8, dtype="Int64"),
+        "event_id": np.arange(8, dtype=np.int64),
+        "t": np.arange(8, dtype=np.int64),
+        "value": x})
+    got = HaarEnergyGroup()(g).set_index("level")
+    # level 1 raw d (cents): 200, 400, -600, 0 -> Σd²=5.6e5 /2/1e4=28.0
+    assert got.loc[1, "energy"] == 28.0
+    assert got.loc[1, "n_coef"] == 4
+    # level 1 s: 600,600,600,600 -> level 2 d: 0,0 -> 0
+    assert got.loc[2, "energy"] == 0.0
+    # level 3 d: 1200-1200=0
+    assert got.loc[3, "energy"] == 0.0
