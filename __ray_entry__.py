@@ -1330,6 +1330,15 @@ def _q_haar_energy(sf_dir: str):
     return haar_energy(ev)
 
 
+def _q_ljung_box(sf_dir: str):
+    """Per-user Ljung-Box Q over lags 1-5 — n-scaled integer ACF
+    moments, double-identical ascending-lag fold."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        ljung_box)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return ljung_box(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2265,7 +2274,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # HUGEINT Σd² is fano_factor's, kept, moment machinery)
             # and the close is one double divide per cell — no float
             # fold, no new shuffle shape
-            "haar_energy"][:n_over]
+            "haar_energy",
+            # ljung_box is oracle-backed but windowed out at birth:
+            # the n-scaled integer moments are autocorr_lag1's (kept)
+            # HUGEINT machinery at lags 1..5 and the ascending-lag
+            # close is variance_ratio's (kept) cast-first double chain
+            "ljung_box"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2539,6 +2553,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # Haar wavelet detail energy per level (multi-resolution
         # variance split) — oracle-checked (integer-exact lifting)
         "haar_energy": _q_haar_energy,
+        # Ljung-Box white-noise portmanteau test per user —
+        # oracle-checked (integer ACF moments, ordered 5-term fold)
+        "ljung_box": _q_ljung_box,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -4035,6 +4052,52 @@ SELECT user_id, CAST(level AS BIGINT) AS level,
        round(CAST(e2 AS DOUBLE)
                / (CAST(1 << level AS DOUBLE) * 10000.0), 6) AS energy
 FROM e
+""",
+        # Ljung-Box: y = n·c − Σc keeps mean-centering in exact
+        # integers (n² cancels in ρ); lag moments are HUGEINT; the
+        # close casts each moment to double first and folds the five
+        # terms ascending — the kernel's exact operand order
+        "ljung_box": """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         COUNT(*) OVER (PARTITION BY user_id) AS nk,
+         SUM(CAST(round(value*100) AS BIGINT))
+           OVER (PARTITION BY user_id) AS s
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+y AS (
+  SELECT user_id, nk, event_id, t,
+         CAST(nk AS HUGEINT) * cents - s AS y
+  FROM c),
+p AS (
+  SELECT user_id, nk, y,
+         lead(y, 1) OVER w AS y1, lead(y, 2) OVER w AS y2,
+         lead(y, 3) OVER w AS y3, lead(y, 4) OVER w AS y4,
+         lead(y, 5) OVER w AS y5
+  FROM y WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+s AS (
+  SELECT user_id, MAX(nk) AS n, SUM(y*y) AS d,
+         SUM(y*y1) AS m1, SUM(y*y2) AS m2, SUM(y*y3) AS m3,
+         SUM(y*y4) AS m4, SUM(y*y5) AS m5
+  FROM p GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       round(CAST(n*(n+2) AS DOUBLE) *
+             (((((CAST(m1 AS DOUBLE)/CAST(d AS DOUBLE))
+                 *(CAST(m1 AS DOUBLE)/CAST(d AS DOUBLE))
+                 /CAST(n-1 AS DOUBLE)
+               + (CAST(m2 AS DOUBLE)/CAST(d AS DOUBLE))
+                 *(CAST(m2 AS DOUBLE)/CAST(d AS DOUBLE))
+                 /CAST(n-2 AS DOUBLE))
+               + (CAST(m3 AS DOUBLE)/CAST(d AS DOUBLE))
+                 *(CAST(m3 AS DOUBLE)/CAST(d AS DOUBLE))
+                 /CAST(n-3 AS DOUBLE))
+               + (CAST(m4 AS DOUBLE)/CAST(d AS DOUBLE))
+                 *(CAST(m4 AS DOUBLE)/CAST(d AS DOUBLE))
+                 /CAST(n-4 AS DOUBLE))
+               + (CAST(m5 AS DOUBLE)/CAST(d AS DOUBLE))
+                 *(CAST(m5 AS DOUBLE)/CAST(d AS DOUBLE))
+                 /CAST(n-5 AS DOUBLE)), 6) AS q_stat
+FROM s WHERE n >= 10 AND d > 0
 """,
         # classic decomposition: the 2×m centered-MA numerator is a
         # windowed BIGINT sum + lag/lead endpoint corrections (exact

@@ -289,6 +289,11 @@ def run_bench() -> dict:
         timed("haar_energy",
               lambda: haar_energy(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
+        from series_correction_project_updated_ray.stages.timeseries import (
+            ljung_box)
+        timed("ljung_box",
+              lambda: ljung_box(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
 
         from series_correction_project_updated_ray.stages.textstage import (
             unigram_logprob)

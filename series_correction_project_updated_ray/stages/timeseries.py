@@ -2388,3 +2388,83 @@ def haar_energy(events, *, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(HaarEnergyGroup(),
                                       batch_format="pandas")
+
+
+# --- Ljung-Box portmanteau test ---------------------------------------------
+
+class LjungBoxGroup:
+    """Per-partition kernel: the Ljung-Box white-noise portmanteau
+    statistic ``Q = n(n+2)·Σ_{k=1..K} ρ_k²/(n-k)`` per key over lags
+    1..K.  Mean-centering is n-scaled into exact integers
+    (``y_t = n·c_t − Σc`` — the n² cancels inside ρ), lag products and
+    Σy² reduce exactly (Python-int fallback past the int64 bound, the
+    oracle's HUGEINT), and the close casts each statistic to double
+    FIRST then folds the K terms in ascending-lag order — the SQL
+    twin's exact operand order.  Keys with n < 10 or zero variance
+    emit nothing."""
+
+    def __init__(self, lags: int = 5):
+        self.lags = lags
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": g["user_id"].iloc[:0],
+            "n": pd.Series([], dtype=np.int64),
+            "q_stat": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        vals = g["value"].to_numpy(np.float64)
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        keep = (codes >= 0) & ~np.isnan(vals)
+        g, codes = g.iloc[keep], codes[keep]
+        if len(g) == 0:
+            return empty
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes = codes[order]
+        keys = g["user_id"].to_numpy()[order]
+        c = scaled_int(vals[keep][order])
+        n = len(c)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        nk_row = np.repeat(lens, lens)
+        s_row = np.repeat(np.add.reduceat(c, starts), lens)
+        y = nk_row * c - s_row
+        ymax = int(np.abs(y).max()) if n else 0
+        if ymax and ymax * ymax * n >= (1 << 62):
+            y = y.astype(object)
+        d = np.add.reduceat(y * y, starts)
+        nums = []
+        for k in range(1, self.lags + 1):
+            a = np.zeros(n, dtype=y.dtype)
+            if n > k:
+                a[k:] = y[:-k]
+                a[k:][codes[k:] != codes[:-k]] = 0
+            nums.append(np.add.reduceat(a * y, starts))
+        sel = (lens >= 10) & (d.astype(np.float64) > 0)
+        if not sel.any():
+            return empty
+        nd = lens[sel]
+        dd = d[sel].astype(np.float64)
+        acc = np.zeros(len(nd))
+        for k in range(1, self.lags + 1):
+            rk = nums[k - 1][sel].astype(np.float64) / dd
+            acc = acc + (rk * rk) / (nd - k).astype(np.float64)
+        q = (nd * (nd + 2)).astype(np.float64) * acc
+        return pd.DataFrame({
+            "user_id": keys[starts][sel],
+            "n": nd.astype(np.int64),
+            "q_stat": round_half_away(q, 6)})
+
+
+def ljung_box(events, *, lags: int = 5, n_parts: int = 64):
+    """Per-user Ljung-Box portmanteau white-noise test over lags
+    1..``lags`` — the classic residual-autocorrelation screen.  One
+    partition-group shuffle, integer-exact moments, double-identical
+    ascending-lag closing fold."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(LjungBoxGroup(lags),
+                                      batch_format="pandas")

@@ -1386,3 +1386,97 @@ def test_haar_energy_hand_vector():
     assert got.loc[2, "energy"] == 0.0
     # level 3 d: 1200-1200=0
     assert got.loc[3, "energy"] == 0.0
+
+
+def test_ljung_box_kernel_matches_sql():
+    """Integer n-scaled ACF moments + ordered 5-term fold match the
+    DuckDB twin bit-for-bit at 6dp; short / constant keys drop."""
+    import duckdb
+
+    from series_correction_project_updated_ray.stages.timeseries import (
+        LjungBoxGroup)
+    rng = np.random.default_rng(37)
+    n = 600
+    g = pd.DataFrame({
+        "user_id": pd.array(rng.integers(0, 6, n), dtype="Int64"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": rng.integers(0, 10**9, n).astype(np.int64),
+        "value": np.round(rng.normal(50, 10, n), 2),
+    })
+    g.loc[g.index[:2], "user_id"] = pd.NA
+    g.loc[g.index[5:7], "value"] = np.nan
+    # constant series (zero variance) must drop; 5-row series too short
+    extra = pd.DataFrame({
+        "user_id": pd.array([77] * 12 + [88] * 5, dtype="Int64"),
+        "event_id": np.arange(2000, 2017, dtype=np.int64),
+        "t": np.arange(17, dtype=np.int64),
+        "value": [3.0] * 12 + [1.0, 2.0, 1.0, 2.0, 1.0]})
+    g = pd.concat([g, extra], ignore_index=True)
+    got = LjungBoxGroup()(g)
+    assert 77 not in set(got["user_id"]) and 88 not in set(got["user_id"])
+    con = duckdb.connect()
+    con.register("ev", g)
+    want = con.execute("""
+WITH c AS (
+  SELECT user_id, event_id, t,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         COUNT(*) OVER (PARTITION BY user_id) AS nk,
+         SUM(CAST(round(value*100) AS BIGINT))
+           OVER (PARTITION BY user_id) AS s
+  FROM ev WHERE user_id IS NOT NULL AND value IS NOT NULL),
+y AS (
+  SELECT user_id, nk, event_id, t,
+         CAST(nk AS HUGEINT) * cents - s AS y
+  FROM c),
+p AS (
+  SELECT user_id, nk, y,
+         lead(y, 1) OVER w AS y1, lead(y, 2) OVER w AS y2,
+         lead(y, 3) OVER w AS y3, lead(y, 4) OVER w AS y4,
+         lead(y, 5) OVER w AS y5
+  FROM y WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+s AS (
+  SELECT user_id, MAX(nk) AS n, SUM(y*y) AS d,
+         SUM(y*y1) AS m1, SUM(y*y2) AS m2, SUM(y*y3) AS m3,
+         SUM(y*y4) AS m4, SUM(y*y5) AS m5
+  FROM p GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       round(CAST(n*(n+2) AS DOUBLE) *
+             (((((CAST(m1 AS DOUBLE)/CAST(d AS DOUBLE))
+                 *(CAST(m1 AS DOUBLE)/CAST(d AS DOUBLE))
+                 /CAST(n-1 AS DOUBLE)
+               + (CAST(m2 AS DOUBLE)/CAST(d AS DOUBLE))
+                 *(CAST(m2 AS DOUBLE)/CAST(d AS DOUBLE))
+                 /CAST(n-2 AS DOUBLE))
+               + (CAST(m3 AS DOUBLE)/CAST(d AS DOUBLE))
+                 *(CAST(m3 AS DOUBLE)/CAST(d AS DOUBLE))
+                 /CAST(n-3 AS DOUBLE))
+               + (CAST(m4 AS DOUBLE)/CAST(d AS DOUBLE))
+                 *(CAST(m4 AS DOUBLE)/CAST(d AS DOUBLE))
+                 /CAST(n-4 AS DOUBLE))
+               + (CAST(m5 AS DOUBLE)/CAST(d AS DOUBLE))
+                 *(CAST(m5 AS DOUBLE)/CAST(d AS DOUBLE))
+                 /CAST(n-5 AS DOUBLE)), 6) AS q_stat
+FROM s WHERE n >= 10 AND d > 0""").df()
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) >= 4
+
+
+def test_ljung_box_white_noise_small():
+    """IID noise keeps Q small relative to a strongly autocorrelated
+    ramp (sanity on the statistic's direction)."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        LjungBoxGroup)
+    rng = np.random.default_rng(5)
+    n = 200
+    g = pd.DataFrame({
+        "user_id": pd.array([1] * n + [2] * n, dtype="Int64"),
+        "event_id": np.arange(2 * n, dtype=np.int64),
+        "t": np.concatenate([np.arange(n), np.arange(n)]).astype(np.int64),
+        "value": np.concatenate([
+            np.round(rng.normal(0, 1, n), 2),          # white noise
+            np.round(np.sin(np.arange(n) / 6.0) * 10, 2)])})  # smooth
+    got = LjungBoxGroup()(g).set_index("user_id")
+    assert got.loc[2, "q_stat"] > 10 * got.loc[1, "q_stat"]
