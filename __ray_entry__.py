@@ -1339,6 +1339,15 @@ def _q_ljung_box(sf_dir: str):
     return ljung_box(ev)
 
 
+def _q_sample_entropy(sf_dir: str):
+    """Per-user SampEn(m=2, r=2.00) — integer template-match counts,
+    one libm ln per key."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        sample_entropy)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return sample_entropy(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2279,7 +2288,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # the n-scaled integer moments are autocorr_lag1's (kept)
             # HUGEINT machinery at lags 1..5 and the ascending-lag
             # close is variance_ratio's (kept) cast-first double chain
-            "ljung_box"][:n_over]
+            "ljung_box",
+            # sample_entropy is oracle-backed but windowed out at
+            # birth: exact integer pair counts (dtw_profile_pairs',
+            # kept, quadratic-compare discipline) closed by one libm
+            # ln — unigram_logprob's (kept) certified primitive
+            "sample_entropy"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2556,6 +2570,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # Ljung-Box white-noise portmanteau test per user —
         # oracle-checked (integer ACF moments, ordered 5-term fold)
         "ljung_box": _q_ljung_box,
+        # sample entropy SampEn(m=2, r) per user — oracle-checked
+        # (integer Chebyshev match counts, one libm ln per key)
+        "sample_entropy": _q_sample_entropy,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -4098,6 +4115,37 @@ SELECT user_id, CAST(n AS BIGINT) AS n,
                  *(CAST(m5 AS DOUBLE)/CAST(d AS DOUBLE))
                  /CAST(n-5 AS DOUBLE)), 6) AS q_stat
 FROM s WHERE n >= 10 AND d > 0
+""",
+        # SampEn: A/B template-match pair counts are pure integer
+        # Chebyshev compares over the self-join i<j<=n-2; the close is
+        # one libm ln (glibc == DuckDB bit-for-bit), NULL on zero
+        "sample_entropy": """
+WITH c AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS nk
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+v AS (
+  SELECT user_id, rn, nk, cents,
+         lead(cents, 1) OVER w2 AS c1, lead(cents, 2) OVER w2 AS c2
+  FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)),
+p AS (
+  SELECT a.user_id, MAX(a.nk) AS n,
+         CAST(COUNT(*) FILTER (abs(a.cents - b.cents) <= 200
+                AND abs(a.c1 - b.c1) <= 200) AS BIGINT) AS b_cnt,
+         CAST(COUNT(*) FILTER (abs(a.cents - b.cents) <= 200
+                AND abs(a.c1 - b.c1) <= 200
+                AND abs(a.c2 - b.c2) <= 200) AS BIGINT) AS a_cnt
+  FROM v a JOIN v b ON a.user_id = b.user_id AND a.rn < b.rn
+  WHERE a.rn <= a.nk - 2 AND b.rn <= b.nk - 2
+  GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n, b_cnt, a_cnt,
+       CASE WHEN a_cnt > 0 AND b_cnt > 0
+            THEN round(-ln(CAST(a_cnt AS DOUBLE)
+                           / CAST(b_cnt AS DOUBLE)), 6)
+       END AS sampen
+FROM p
 """,
         # classic decomposition: the 2×m centered-MA numerator is a
         # windowed BIGINT sum + lag/lead endpoint corrections (exact

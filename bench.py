@@ -294,6 +294,11 @@ def run_bench() -> dict:
         timed("ljung_box",
               lambda: ljung_box(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
+        from series_correction_project_updated_ray.stages.timeseries import (
+            sample_entropy)
+        timed("sample_entropy",
+              lambda: sample_entropy(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
 
         from series_correction_project_updated_ray.stages.textstage import (
             unigram_logprob)

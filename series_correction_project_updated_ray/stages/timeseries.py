@@ -2468,3 +2468,94 @@ def ljung_box(events, *, lags: int = 5, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(LjungBoxGroup(lags),
                                       batch_format="pandas")
+
+
+# --- sample entropy ----------------------------------------------------------
+
+class SampleEntropyGroup:
+    """Per-partition kernel: Richman-Moorman sample entropy per key,
+    template length m=2, Chebyshev radius ``r`` in exact integer cents.
+    A and B count template-match pairs ``i < j <= n-2`` (length-2 and
+    length-3 matches respectively) — pure integer compares, so the SQL
+    self-join twin is exact; the close is one ``-ln(A/B)`` via
+    ``math.log`` (glibc libm == DuckDB ``ln`` bit-for-bit), NULL when
+    either count is zero.  Quadratic in each key's length BY DEFINITION
+    — vectorized row-chunked broadcasting bounds the working set, and
+    the partitioning assumption (bounded per-key series, the package's
+    per-series contract) is documented in :func:`sample_entropy`."""
+
+    CHUNK = 1024
+
+    def __init__(self, r_cents: int = 200):
+        self.r = int(r_cents)
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        import math
+        empty = pd.DataFrame({
+            "user_id": g["user_id"].iloc[:0],
+            "n": pd.Series([], dtype=np.int64),
+            "b_cnt": pd.Series([], dtype=np.int64),
+            "a_cnt": pd.Series([], dtype=np.int64),
+            "sampen": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        vals = g["value"].to_numpy(np.float64)
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        keep = (codes >= 0) & ~np.isnan(vals)
+        g, codes = g.iloc[keep], codes[keep]
+        if len(g) == 0:
+            return empty
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes = codes[order]
+        keys = g["user_id"].to_numpy()[order]
+        x = scaled_int(vals[keep][order])
+        n = len(x)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], n]
+        out_key, out_n, out_b, out_a, out_s = [], [], [], [], []
+        for s, e in zip(starts, ends):
+            L = (e - s) - 2
+            if L < 2:
+                continue
+            xs = x[s:e]
+            a0, a1, a2 = xs[:L], xs[1:L + 1], xs[2:L + 2]
+            b_cnt = a_cnt = 0
+            for lo in range(0, L, self.CHUNK):
+                hi = min(lo + self.CHUNK, L)
+                m01 = ((np.abs(a0[lo:hi, None] - a0[None, :]) <= self.r)
+                       & (np.abs(a1[lo:hi, None] - a1[None, :]) <= self.r))
+                # keep only j > i (strict upper triangle of the full mat)
+                m01 &= np.arange(L)[None, :] > np.arange(lo, hi)[:, None]
+                b_cnt += int(m01.sum())
+                m01 &= np.abs(a2[lo:hi, None] - a2[None, :]) <= self.r
+                a_cnt += int(m01.sum())
+            out_key.append(keys[s])
+            out_n.append(e - s)
+            out_b.append(b_cnt)
+            out_a.append(a_cnt)
+            out_s.append(round_half_away(-math.log(a_cnt / b_cnt), 6)
+                         if a_cnt > 0 and b_cnt > 0 else np.nan)
+        if not out_key:
+            return empty
+        return pd.DataFrame({
+            "user_id": np.array(out_key),
+            "n": np.array(out_n, dtype=np.int64),
+            "b_cnt": np.array(out_b, dtype=np.int64),
+            "a_cnt": np.array(out_a, dtype=np.int64),
+            "sampen": np.array(out_s, dtype=np.float64)})
+
+
+def sample_entropy(events, *, r_cents: int = 200, n_parts: int = 64):
+    """Per-user sample entropy SampEn(m=2, r) — the regularity /
+    predictability score of each series.  One partition-group shuffle;
+    integer-exact match counts, one libm ln per key.  PARTITIONING
+    ASSUMPTION: per-key series are bounded (the package-wide per-series
+    contract) — the match count is quadratic in series length by
+    definition, computed in CHUNK-row vectorized slabs."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(SampleEntropyGroup(r_cents),
+                                      batch_format="pandas")

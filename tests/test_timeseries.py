@@ -1480,3 +1480,82 @@ def test_ljung_box_white_noise_small():
             np.round(np.sin(np.arange(n) / 6.0) * 10, 2)])})  # smooth
     got = LjungBoxGroup()(g).set_index("user_id")
     assert got.loc[2, "q_stat"] > 10 * got.loc[1, "q_stat"]
+
+
+def test_sample_entropy_kernel_matches_sql():
+    """Integer Chebyshev template-match counts + libm ln close match
+    the DuckDB self-join twin; chunked slabs agree with one-shot."""
+    import duckdb
+
+    from series_correction_project_updated_ray.stages.timeseries import (
+        SampleEntropyGroup)
+    rng = np.random.default_rng(41)
+    n = 500
+    g = pd.DataFrame({
+        "user_id": pd.array(rng.integers(0, 5, n), dtype="Int64"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": rng.integers(0, 10**9, n).astype(np.int64),
+        "value": np.round(rng.normal(50, 3, n), 2),
+    })
+    g.loc[g.index[:2], "user_id"] = pd.NA
+    g.loc[g.index[5:7], "value"] = np.nan
+    got = SampleEntropyGroup()(g)
+    # tiny chunk must give identical counts (slab boundary correctness)
+    small = SampleEntropyGroup()
+    small.CHUNK = 7
+    got_small = small(g)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), got_small.reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("ev", g)
+    want = con.execute("""
+WITH c AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS nk
+  FROM ev WHERE user_id IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+v AS (
+  SELECT user_id, rn, nk, cents,
+         lead(cents, 1) OVER w2 AS c1, lead(cents, 2) OVER w2 AS c2
+  FROM c WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)),
+p AS (
+  SELECT a.user_id, MAX(a.nk) AS n,
+         CAST(COUNT(*) FILTER (abs(a.cents - b.cents) <= 200
+                AND abs(a.c1 - b.c1) <= 200) AS BIGINT) AS b_cnt,
+         CAST(COUNT(*) FILTER (abs(a.cents - b.cents) <= 200
+                AND abs(a.c1 - b.c1) <= 200
+                AND abs(a.c2 - b.c2) <= 200) AS BIGINT) AS a_cnt
+  FROM v a JOIN v b ON a.user_id = b.user_id AND a.rn < b.rn
+  WHERE a.rn <= a.nk - 2 AND b.rn <= b.nk - 2
+  GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n, b_cnt, a_cnt,
+       CASE WHEN a_cnt > 0 AND b_cnt > 0
+            THEN round(-ln(CAST(a_cnt AS DOUBLE)
+                           / CAST(b_cnt AS DOUBLE)), 6)
+       END AS sampen
+FROM p""").df()
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["b_cnt"].sum() > 0
+
+
+def test_sample_entropy_regular_vs_noise():
+    """A perfectly periodic series is maximally regular (A == B →
+    sampen == 0); matched-radius noise scores higher."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        SampleEntropyGroup)
+    rng = np.random.default_rng(9)
+    n = 120
+    g = pd.DataFrame({
+        "user_id": pd.array([1] * n + [2] * n, dtype="Int64"),
+        "event_id": np.arange(2 * n, dtype=np.int64),
+        "t": np.concatenate([np.arange(n), np.arange(n)]).astype(np.int64),
+        "value": np.concatenate([
+            np.tile([10.0, 20.0, 30.0], n // 3),
+            np.round(rng.uniform(0, 60, n), 2)])})
+    got = SampleEntropyGroup()(g).set_index("user_id")
+    assert got.loc[1, "sampen"] == 0.0
+    assert got.loc[2, "sampen"] > 0.1
