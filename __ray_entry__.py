@@ -1348,6 +1348,15 @@ def _q_sample_entropy(sf_dir: str):
     return sample_entropy(ev)
 
 
+def _q_bigram_logprob(sf_dir: str):
+    """Per-document add-one bigram LM log-likelihood — two |vocab|-row
+    groupbys + broadcast scoring, position-ordered libm fold."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        bigram_logprob)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_logprob(docs)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2293,7 +2302,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # birth: exact integer pair counts (dtw_profile_pairs',
             # kept, quadratic-compare discipline) closed by one libm
             # ln — unigram_logprob's (kept) certified primitive
-            "sample_entropy"][:n_over]
+            "sample_entropy",
+            # bigram_logprob is oracle-backed but windowed out at
+            # birth: the pair-count shuffle is token_bigrams' (kept)
+            # mechanism over string terms and the position-ordered
+            # libm fold is unigram_logprob's (kept) certified fold —
+            # only the smoothing numerator differs
+            "bigram_logprob"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2573,6 +2588,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # sample entropy SampEn(m=2, r) per user — oracle-checked
         # (integer Chebyshev match counts, one libm ln per key)
         "sample_entropy": _q_sample_entropy,
+        # add-one bigram LM fluency score per document —
+        # oracle-checked (position-ordered libm fold)
+        "bigram_logprob": _q_bigram_logprob,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -3972,6 +3990,41 @@ lp AS (
 folded AS (
   SELECT doc_id, list(lp ORDER BY pos) AS ll FROM lp GROUP BY 1)
 SELECT doc_id, CAST(len(ll) AS BIGINT) AS n_tok,
+       round(list_reduce(ll, (a, b) -> a + b), 6) AS logprob,
+       round(list_reduce(ll, (a, b) -> a + b) / len(ll), 6)
+         AS avg_logprob
+FROM folded
+""",
+        # bigram LM: add-one conditional probs from exact corpus
+        # counts; the per-pair ln and the position-ordered left fold
+        # replay the kernel's operand order exactly
+        "bigram_logprob": r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(l) AS term,
+         unnest(generate_series(1, len(l))) AS pos
+  FROM d WHERE len(l) > 0),
+bg AS (
+  SELECT doc_id, pos, term AS w2,
+         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+  FROM toks),
+bgc AS (
+  SELECT w1, w2, COUNT(*) AS cb FROM bg
+  WHERE w1 IS NOT NULL GROUP BY 1, 2),
+uc AS (SELECT term, COUNT(*) AS cu FROM toks GROUP BY 1),
+v AS (SELECT COUNT(*) AS v FROM uc),
+lp AS (
+  SELECT b.doc_id, b.pos,
+         ln(CAST(c.cb + 1 AS DOUBLE)
+            / CAST(u.cu + (SELECT v FROM v) AS DOUBLE)) AS lp
+  FROM bg b
+  JOIN bgc c ON b.w1 = c.w1 AND b.w2 = c.w2
+  JOIN uc u ON u.term = b.w1),
+folded AS (
+  SELECT doc_id, list(lp ORDER BY pos) AS ll FROM lp GROUP BY 1)
+SELECT doc_id, CAST(len(ll) AS BIGINT) AS n_pairs,
        round(list_reduce(ll, (a, b) -> a + b), 6) AS logprob,
        round(list_reduce(ll, (a, b) -> a + b) / len(ll), 6)
          AS avg_logprob

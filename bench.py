@@ -327,6 +327,11 @@ def run_bench() -> dict:
         timed("unigram_logprob",
               lambda: unigram_logprob(rd.read_parquet(
                   docs_path, columns=["doc_id", "text"])).count())
+        from series_correction_project_updated_ray.stages.textstage import (
+            bigram_logprob)
+        timed("bigram_logprob",
+              lambda: bigram_logprob(rd.read_parquet(
+                  docs_path, columns=["doc_id", "text"])).count())
 
         # round-5 additions
         from series_correction_project_updated_ray.stages.relational import (

@@ -1263,3 +1263,142 @@ def lexical_richness(docs):
     builder) with :func:`source_kl` / term_frequencies."""
     return _source_term_cells(docs).repartition(1).map_batches(
         _LexicalRichnessClose(), batch_format="pyarrow", batch_size=None)
+
+
+# --- bigram language-model scoring -------------------------------------------
+
+def _bigram_count_partial(batch: pa.Table, text_col: str = "text") \
+        -> pa.Table:
+    """Batch-local ((w1, w2), cnt) partial over within-document adjacent
+    token pairs — same ``[a-z]+`` lowercased tokens as
+    :func:`_vocab_count_partial` so the bigram and unigram tables can
+    never tokenize differently."""
+    from collections import Counter
+    import re
+    word_re = re.compile(r"[a-z]+")
+    c: "Counter[tuple]" = Counter()
+    if text_col in batch.column_names:
+        for txt in batch[text_col].to_pandas():
+            w = word_re.findall((txt or "").lower())
+            c.update(zip(w, w[1:]))
+    w1, w2 = ([], []) if not c else map(list, zip(*c.keys()))
+    return pa.table({
+        "w1": pa.array(w1, pa.string()),
+        "w2": pa.array(w2, pa.string()),
+        "cnt": pa.array(np.fromiter(c.values(), dtype=np.int64,
+                                    count=len(c)))})
+
+
+class _BigramScore:
+    """Task-cached scoring stage for :func:`bigram_logprob`: the corpus
+    bigram and unigram count tables ship once per worker; the add-one
+    conditional log-probability ``ln((c(w1,w2)+1)/(c(w1)+V))`` is
+    computed ONCE PER BIGRAM-VOCAB ENTRY with ``math.log`` (libm ==
+    DuckDB ``ln``), and each document folds its pairs' log-probs left
+    to right in position order — the oracle's ``list_reduce`` operand
+    order — position-major across the batch."""
+
+    def __init__(self, bg_refs, uni_refs, v_size: int,
+                 text_col="text", id_col="doc_id"):
+        import math
+        import re
+
+        import ray
+        cu: dict = {}
+        for t in ray.get(list(uni_refs)):
+            if t is None or "term" not in t.column_names:
+                continue
+            cu.update(zip(t["term"].to_pylist(),
+                          t["cnt"].to_numpy(zero_copy_only=False)))
+        self.lp: dict = {}
+        v = int(v_size)
+        for t in ray.get(list(bg_refs)):
+            if t is None or "w1" not in t.column_names:
+                continue
+            w1s = t["w1"].to_pylist()
+            w2s = t["w2"].to_pylist()
+            cbs = t["cnt"].to_numpy(zero_copy_only=False)
+            for w1, w2, cb in zip(w1s, w2s, cbs):
+                self.lp[(w1, w2)] = math.log(
+                    (int(cb) + 1) / (int(cu[w1]) + v))
+        self.re = re.compile(r"[a-z]+")
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+        texts = batch[self.text_col].to_pandas()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        lp = self.lp
+        lps: list[np.ndarray] = []
+        lens = np.zeros(len(texts), dtype=np.int64)
+        for i, txt in enumerate(texts):
+            w = self.re.findall((txt or "").lower())
+            lens[i] = max(len(w) - 1, 0)
+            if len(w) > 1:
+                lps.append(np.array(
+                    [lp[p] for p in zip(w, w[1:])], dtype=np.float64))
+        keep = lens > 0
+        ids, lens = ids[keep], lens[keep]
+        if len(lens) == 0:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64()),
+                             "logprob": pa.array([], pa.float64()),
+                             "avg_logprob": pa.array([], pa.float64())})
+        flat = np.concatenate(lps)
+        offs = np.r_[0, np.cumsum(lens)][:-1]
+        acc = np.zeros(len(lens), dtype=np.float64)
+        for j in range(int(lens.max())):
+            m = lens > j
+            acc[m] += flat[offs[m] + j]
+        return pa.table({
+            self.id_col: pa.array(ids),
+            "n_pairs": pa.array(lens),
+            "logprob": pa.array(round_half_away(acc, 6)),
+            "avg_logprob": pa.array(round_half_away(acc / lens, 6))})
+
+
+def bigram_logprob(docs, *, text_col="text", id_col="doc_id"):
+    """Per-document add-one-smoothed BIGRAM language-model
+    log-likelihood — the next step up from :func:`unigram_logprob`
+    toward a KenLM-style fluency screen: ``p(w_t|w_{t-1}) =
+    (c(w_{t-1} w_t)+1) / (c(w_{t-1})+V)`` with corpus-wide counts, doc
+    score = Σ ln p over adjacent pairs in position order.
+
+    Scale shape mirrors the unigram twin: batch-local pair/vocab
+    partials → two |vocab|-row groupbys (the token stream never
+    shuffles); both count tables broadcast once per worker; scoring is
+    one vectorized position-major fold.  Docs with < 2 tokens drop
+    (no pair rows in the oracle)."""
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    from .taskcache import class_task
+
+    docs = docs.materialize()
+    bg_tbl = docs.map_batches(
+        functools.partial(_bigram_count_partial, text_col=text_col),
+        batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).aggregate(Sum("cnt", alias_name="cnt")) \
+        .materialize()
+    uni_tbl = docs.map_batches(
+        functools.partial(_vocab_count_partial, text_col=text_col),
+        batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("cnt", alias_name="cnt")) \
+        .materialize()
+    v_size = uni_tbl.count()
+    if v_size == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_pairs": pa.array([], pa.int64()),
+            "logprob": pa.array([], pa.float64()),
+            "avg_logprob": pa.array([], pa.float64())}))
+    out = docs.map_batches(
+        class_task(_BigramScore, bg_tbl.to_arrow_refs(),
+                   uni_tbl.to_arrow_refs(), v_size,
+                   text_col=text_col, id_col=id_col),
+        batch_format="pyarrow")
+    # pin the count blocks to the returned lazy pipeline (ray#53727)
+    out._graft_pin = (bg_tbl, uni_tbl)
+    return out

@@ -2473,3 +2473,57 @@ GROUP BY 1, 2, 3, 4""").df()
     want = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got["n_outliers"].sum() >= 1
+
+
+def test_bigram_score_kernel_fold_order():
+    """The per-doc fold is left-to-right over adjacent pairs in
+    position order with libm logs of add-one conditionals; docs with
+    < 2 tokens drop; n_pairs counts pair positions."""
+    import math
+
+    import ray
+
+    from series_correction_project_updated_ray.stages.textstage import (
+        _BigramScore)
+    # corpus: "aa bb aa" + "aa" → unigrams aa:3 bb:1 (V=2),
+    # bigrams (aa,bb):1 (bb,aa):1
+    bg = pa.table({"w1": pa.array(["aa", "bb"]),
+                   "w2": pa.array(["bb", "aa"]),
+                   "cnt": pa.array([1, 1], pa.int64())})
+    uni = pa.table({"term": pa.array(["aa", "bb"]),
+                    "cnt": pa.array([3, 1], pa.int64())})
+    docs = pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": pa.array(["aa bb aa", "aa", "!!"]),
+    })
+    out = _BigramScore([ray.put(bg)], [ray.put(uni)], 2)(docs) \
+        .to_pandas().set_index("doc_id")
+    lp_ab = math.log((1 + 1) / (3 + 2))
+    lp_ba = math.log((1 + 1) / (1 + 2))
+    assert out.loc[10, "n_pairs"] == 2
+    assert out.loc[10, "logprob"] == round(lp_ab + lp_ba, 6)
+    assert out.loc[10, "avg_logprob"] == round((lp_ab + lp_ba) / 2, 6)
+    assert 11 not in out.index          # single token → no pairs
+    assert 12 not in out.index
+
+
+def test_bigram_logprob_ray_end_to_end(ray_session):
+    """Dataset-level bigram_logprob over sf0.001 equals the SQL oracle
+    (two count shuffles + broadcast scoring must not disturb the fold)."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.textstage import (
+        bigram_logprob)
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    got = bigram_logprob(
+        rd.read_parquet(sf, columns=["doc_id", "text"])).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}'")
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["bigram_logprob"]).df()
+    cols = sorted(got.columns)
+    got = got[cols].sort_values("doc_id").reset_index(drop=True)
+    want = want[cols].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0
