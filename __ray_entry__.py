@@ -1357,6 +1357,15 @@ def _q_bigram_logprob(sf_dir: str):
     return bigram_logprob(docs)
 
 
+def _q_dup_span_stats(sf_dir: str):
+    """Exact duplicated k-token span stats per document (Lee et al.
+    2022 exact-substring dedup signal) — one span-keyed shuffle."""
+    from series_correction_project_updated_ray.stages.dedup import (
+        dup_span_stats)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_span_stats(docs)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2308,7 +2317,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # mechanism over string terms and the position-ordered
             # libm fold is unigram_logprob's (kept) certified fold —
             # only the smoothing numerator differs
-            "bigram_logprob"][:n_over]
+            "bigram_logprob",
+            # dup_span_stats is oracle-backed but windowed out at
+            # birth: the span-keyed distinct-doc groupby is
+            # winnow_matches' (kept) mechanism over exact strings, the
+            # zero-padded union+Sum close is funnel-family machinery,
+            # and the only float op is one rounded division
+            "dup_span_stats"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2591,6 +2606,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # add-one bigram LM fluency score per document —
         # oracle-checked (position-ordered libm fold)
         "bigram_logprob": _q_bigram_logprob,
+        # exact duplicated-span stats (Lee et al. exact-substring
+        # dedup signal) — oracle-checked (integer counts + one divide)
+        "dup_span_stats": _q_dup_span_stats,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -4029,6 +4047,32 @@ SELECT doc_id, CAST(len(ll) AS BIGINT) AS n_pairs,
        round(list_reduce(ll, (a, b) -> a + b) / len(ll), 6)
          AS avg_logprob
 FROM folded
+""",
+        # duplicated spans: a k-token window is DUP when it occurs in
+        # >= 2 distinct docs; per-doc counts are exact integers, the
+        # close is one rounded double division
+        "dup_span_stats": r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '\s+') AS l,
+         len(regexp_split_to_array(text, '\s+')) AS n
+  FROM documents),
+s AS (
+  SELECT doc_id, l,
+         unnest(generate_series(1, n - 7)) AS i
+  FROM t WHERE n >= 8),
+sp AS (
+  SELECT doc_id, array_to_string(l[i : i + 7], ' ') AS span FROM s),
+d AS (
+  SELECT span FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+per AS (
+  SELECT sp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(COUNT(*) FILTER (d.span IS NOT NULL) AS BIGINT) AS n_dup
+  FROM sp LEFT JOIN d ON sp.span = d.span
+  GROUP BY 1)
+SELECT doc_id, n_spans, n_dup,
+       round(CAST(n_dup AS DOUBLE) / CAST(n_spans AS DOUBLE), 6)
+         AS dup_frac
+FROM per
 """,
         # lexical richness: the same (source, term) count cells as
         # source_kl; types/tokens/hapax are integer reductions, the

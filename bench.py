@@ -332,6 +332,11 @@ def run_bench() -> dict:
         timed("bigram_logprob",
               lambda: bigram_logprob(rd.read_parquet(
                   docs_path, columns=["doc_id", "text"])).count())
+        from series_correction_project_updated_ray.stages.dedup import (
+            dup_span_stats)
+        timed("dup_span_stats",
+              lambda: dup_span_stats(rd.read_parquet(
+                  docs_path, columns=["doc_id", "text"])).count())
 
         # round-5 additions
         from series_correction_project_updated_ray.stages.relational import (

@@ -1067,3 +1067,135 @@ def embedding_near_dup(embeddings, *, vec_col="embedding", id_col="vec_id",
     # set is unique by construction
     return bucketed.map_batches(_part, batch_format="pyarrow") \
         .groupby("__part").map_groups(_pairs, batch_format="pyarrow")
+
+
+# --- exact duplicated-span statistics (Lee et al. 2022 shape) ----------------
+
+def _span_pairs_partial(batch: pa.Table, k: int, text_col: str,
+                        id_col: str) -> pa.Table:
+    """Batch-local distinct ``(span, doc_id, pos_cnt)`` triples: every
+    k-token window of every document (whitespace tokens, RE2
+    ``regexp_split_to_array(text, '\\s+')`` semantics — the package's
+    chunking convention), joined with single spaces.  A document's rows
+    live in exactly ONE input block, so the triples are unique
+    corpus-wide by construction — the span groupby sees each (span,
+    doc) once and its row count IS the distinct-doc count."""
+    from collections import Counter
+
+    from ..functions.text import RE2_WS_RE
+    spans: "Counter[tuple]" = Counter()
+    if text_col in batch.column_names:
+        ids = batch[id_col].to_pandas().to_numpy()
+        for d, txt in zip(ids, batch[text_col].to_pandas()):
+            toks = RE2_WS_RE.split(txt or "")
+            for i in range(len(toks) - k + 1):
+                spans[(" ".join(toks[i:i + k]), d)] += 1
+    sp, ids_out = ([], []) if not spans else map(list, zip(*spans.keys()))
+    return pa.table({
+        "span": pa.array(sp, pa.string()),
+        id_col: pa.array(ids_out, pa.int64()),
+        "pos_cnt": pa.array(np.fromiter(spans.values(), dtype=np.int64,
+                                        count=len(spans)))})
+
+
+def _span_totals_partial(batch: pa.Table, k: int, text_col: str,
+                         id_col: str) -> pa.Table:
+    """Per-document span-position totals ``n_spans = max(n_tok-k+1, 0)``
+    — same tokenizer as :func:`_span_pairs_partial`, map-only."""
+    from ..functions.text import RE2_WS_RE
+    if text_col not in batch.column_names or len(batch) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "n_spans": pa.array([], pa.int64()),
+                         "n_dup": pa.array([], pa.int64())})
+    texts = batch[text_col].to_pandas()
+    n = np.fromiter((len(RE2_WS_RE.split(t or "")) for t in texts),
+                    dtype=np.int64, count=len(texts))
+    n_spans = np.maximum(n - k + 1, 0)
+    keep = n_spans > 0
+    return pa.table({
+        id_col: batch[id_col].filter(pa.array(keep)),
+        "n_spans": pa.array(n_spans[keep]),
+        "n_dup": pa.array(np.zeros(int(keep.sum()), dtype=np.int64))})
+
+
+class _DupSpanEmit:
+    """Per-partition kernel over span-keyed groups: dictionary-encode
+    spans, count rows per span (== distinct docs, see the partial's
+    uniqueness invariant), and emit each doc's position count for every
+    span held by ≥ 2 documents — the duplicated-span contributions.
+    Arrow in/out so the result unions with the Arrow totals table."""
+
+    def __init__(self, id_col: str):
+        self.id_col = id_col
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if len(g) == 0:
+            return pa.table({
+                self.id_col: pa.array([], pa.int64()),
+                "n_spans": pa.array([], pa.int64()),
+                "n_dup": pa.array([], pa.int64())})
+        codes = pc.dictionary_encode(g["span"].combine_chunks()) \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        docs_per_span = np.bincount(codes)
+        dup = pa.array(docs_per_span[codes] >= 2)
+        out_ids = g[self.id_col].filter(dup)
+        out_cnt = g["pos_cnt"].filter(dup)
+        return pa.table({
+            self.id_col: out_ids,
+            "n_spans": pa.array(np.zeros(len(out_ids), dtype=np.int64)),
+            "n_dup": out_cnt})
+
+
+def dup_span_stats(docs, *, k: int = 8, text_col: str = "text",
+                   id_col: str = "doc_id", n_parts: int = 64):
+    """Exact duplicated-substring statistics per document — the
+    grouped-span form of Lee et al. 2022's exact-substring dedup signal
+    (arXiv:2107.06499): a span is DUPLICATED when the identical k-token
+    window occurs in ≥ 2 distinct documents; each document reports its
+    span-position total, duplicated-position count and duplicated
+    fraction (the retrain-or-drop screen).
+
+    Scale shape: batch-local distinct (span, doc) triples → ONE
+    span-keyed partition-group shuffle (the canonical grouped-spans
+    alternative to a distributed suffix array; the span stream is the
+    shuffle — k·tokens bytes worst case) → doc-keyed Sum groupby over
+    zero-padded partials (|docs| rows).  No driver-side materialization
+    at any point."""
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    from .windows import _add_key_partition
+
+    docs = docs.materialize()
+    pairs = docs.map_batches(
+        functools.partial(_span_pairs_partial, k=k, text_col=text_col,
+                          id_col=id_col),
+        batch_format="pyarrow")
+    dup_rows = _add_key_partition(pairs, "span", n_parts) \
+        .groupby("__part").map_groups(_DupSpanEmit(id_col),
+                                      batch_format="pyarrow")
+    totals = docs.map_batches(
+        functools.partial(_span_totals_partial, k=k, text_col=text_col,
+                          id_col=id_col),
+        batch_format="pyarrow")
+    combined = totals.union(dup_rows).groupby(id_col).aggregate(
+        Sum("n_spans", alias_name="n_spans"),
+        Sum("n_dup", alias_name="n_dup"))
+
+    def _close(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+        ns = t["n_spans"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = t["n_dup"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ns > 0                      # short docs have no spans
+        return pa.table({
+            id_col: t[id_col].filter(pa.array(keep)),
+            "n_spans": pa.array(ns[keep]),
+            "n_dup": pa.array(nd[keep]),
+            "dup_frac": pa.array(round_half_away(
+                nd[keep].astype(np.float64) / ns[keep].astype(np.float64),
+                6))})
+
+    return combined.map_batches(_close, batch_format="pyarrow")

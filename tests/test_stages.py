@@ -2527,3 +2527,46 @@ def test_bigram_logprob_ray_end_to_end(ray_session):
     want = want[cols].sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert len(got) > 0
+
+
+def test_dup_span_stats_ray_end_to_end(ray_session):
+    """Dataset-level dup_span_stats over sf0.001 equals the SQL oracle
+    (span shuffle + zero-padded Sum close), and planted duplicate spans
+    across synthetic docs are found."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.dedup import dup_span_stats
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    got = dup_span_stats(
+        rd.read_parquet(sf, columns=["doc_id", "text"])).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}'")
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["dup_span_stats"]).df()
+    cols = sorted(got.columns)
+    got = got[cols].sort_values("doc_id").reset_index(drop=True)
+    want = want[cols].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0
+
+
+def test_dup_span_stats_planted_duplicates(ray_session):
+    """A verbatim 8-token run shared by two docs is flagged in both;
+    a unique doc scores zero; docs under 8 tokens drop."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.dedup import dup_span_stats
+    shared = "alpha beta gamma delta epsilon zeta eta theta"   # 8 tokens
+    docs = rd.from_items([
+        {"doc_id": 1, "text": shared + " tail one"},
+        {"doc_id": 2, "text": "head two " + shared},
+        {"doc_id": 3, "text": "entirely different words with no overlap at all"},
+        {"doc_id": 4, "text": "too short"},
+    ])
+    got = dup_span_stats(docs).to_pandas().set_index("doc_id")
+    assert got.loc[1, "n_dup"] == 1 and got.loc[2, "n_dup"] == 1
+    assert got.loc[3, "n_dup"] == 0
+    assert 4 not in got.index
+    # doc 1: 10 tokens -> 3 spans, 1 dup
+    assert got.loc[1, "n_spans"] == 3
+    assert got.loc[1, "dup_frac"] == round(1 / 3, 6)
