@@ -1366,6 +1366,15 @@ def _q_dup_span_stats(sf_dir: str):
     return dup_span_stats(docs)
 
 
+def _q_bm25_topk(sf_dir: str):
+    """BM25 top-10 retrieval for the fixed query-term set — tiny
+    global stats aggregate + vectorized scoring + distributed top-k."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        bm25_topk)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(docs)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2323,7 +2332,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # winnow_matches' (kept) mechanism over exact strings, the
             # zero-padded union+Sum close is funnel-family machinery,
             # and the only float op is one rounded division
-            "dup_span_stats"][:n_over]
+            "dup_span_stats",
+            # bm25_topk is oracle-backed but windowed out at birth:
+            # the tf/df sufficient-statistic pass is quality_features'
+            # (kept) Counter discipline, the per-term ln and the
+            # fixed-order 4-term fold are zipf_fit's (kept) certified
+            # libm chain, and top-k is top_users_by_value's (kept)
+            # partial top-k mechanism
+            "bm25_topk"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2609,6 +2625,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # exact duplicated-span stats (Lee et al. exact-substring
         # dedup signal) — oracle-checked (integer counts + one divide)
         "dup_span_stats": _q_dup_span_stats,
+        # BM25 lexical retrieval, fixed query, Lucene +1 idf —
+        # oracle-checked (fixed-term-order score fold, top-k)
+        "bm25_topk": _q_bm25_topk,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -4073,6 +4092,58 @@ SELECT doc_id, n_spans, n_dup,
        round(CAST(n_dup AS DOUBLE) / CAST(n_spans AS DOUBLE), 6)
          AS dup_frac
 FROM per
+""",
+        # BM25: idf = ln(1 + (N-df+0.5)/(df+0.5)) per term (libm), the
+        # per-doc score folds the four terms in fixed order; ordering
+        # uses the RAW double (ties → doc_id) exactly like the kernel
+        "bm25_topk": r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+  FROM documents),
+st AS (
+  SELECT doc_id, len(l) AS dl,
+         len(list_filter(l, x -> x = 'hash'))   AS tf0,
+         len(list_filter(l, x -> x = 'join'))   AS tf1,
+         len(list_filter(l, x -> x = 'sort'))   AS tf2,
+         len(list_filter(l, x -> x = 'window')) AS tf3
+  FROM d),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(dl) AS tot,
+         COUNT(*) FILTER (tf0 > 0) AS df0,
+         COUNT(*) FILTER (tf1 > 0) AS df1,
+         COUNT(*) FILTER (tf2 > 0) AS df2,
+         COUNT(*) FILTER (tf3 > 0) AS df3
+  FROM st),
+terms AS (
+  SELECT doc_id,
+         ln(1.0 + (CAST(g.n - g.df0 AS DOUBLE) + 0.5)
+                  / (CAST(g.df0 AS DOUBLE) + 0.5))
+         * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0)
+            / (CAST(tf0 AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+               + 0.75 * (CAST(dl AS DOUBLE)
+                 / (CAST(g.tot AS DOUBLE) / CAST(g.n AS DOUBLE)))))) AS s0,
+         ln(1.0 + (CAST(g.n - g.df1 AS DOUBLE) + 0.5)
+                  / (CAST(g.df1 AS DOUBLE) + 0.5))
+         * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0)
+            / (CAST(tf1 AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+               + 0.75 * (CAST(dl AS DOUBLE)
+                 / (CAST(g.tot AS DOUBLE) / CAST(g.n AS DOUBLE)))))) AS s1,
+         ln(1.0 + (CAST(g.n - g.df2 AS DOUBLE) + 0.5)
+                  / (CAST(g.df2 AS DOUBLE) + 0.5))
+         * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0)
+            / (CAST(tf2 AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+               + 0.75 * (CAST(dl AS DOUBLE)
+                 / (CAST(g.tot AS DOUBLE) / CAST(g.n AS DOUBLE)))))) AS s2,
+         ln(1.0 + (CAST(g.n - g.df3 AS DOUBLE) + 0.5)
+                  / (CAST(g.df3 AS DOUBLE) + 0.5))
+         * (CAST(tf3 AS DOUBLE) * (1.2 + 1.0)
+            / (CAST(tf3 AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+               + 0.75 * (CAST(dl AS DOUBLE)
+                 / (CAST(g.tot AS DOUBLE) / CAST(g.n AS DOUBLE)))))) AS s3
+  FROM st, g),
+sc AS (SELECT doc_id, (((s0 + s1) + s2) + s3) AS raw FROM terms)
+SELECT doc_id, round(raw, 6) AS score
+FROM sc ORDER BY raw DESC, doc_id LIMIT 10
 """,
         # lexical richness: the same (source, term) count cells as
         # source_kl; types/tokens/hapax are integer reductions, the

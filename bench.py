@@ -337,6 +337,11 @@ def run_bench() -> dict:
         timed("dup_span_stats",
               lambda: dup_span_stats(rd.read_parquet(
                   docs_path, columns=["doc_id", "text"])).count())
+        from series_correction_project_updated_ray.stages.textstage import (
+            bm25_topk)
+        timed("bm25_topk",
+              lambda: bm25_topk(rd.read_parquet(
+                  docs_path, columns=["doc_id", "text"])).count())
 
         # round-5 additions
         from series_correction_project_updated_ray.stages.relational import (

@@ -1402,3 +1402,97 @@ def bigram_logprob(docs, *, text_col="text", id_col="doc_id"):
     # pin the count blocks to the returned lazy pipeline (ray#53727)
     out._graft_pin = (bg_tbl, uni_tbl)
     return out
+
+
+# --- BM25 retrieval -----------------------------------------------------------
+
+#: fixed retrieval query — deterministic, mirrored literally in the SQL
+#: oracle (term order is the score-fold order)
+BM25_QUERY_TERMS = ("hash", "join", "sort", "window")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def _bm25_tf_partial(batch: pa.Table, terms, text_col: str,
+                     id_col: str) -> pa.Table:
+    """Per-document length + query-term frequencies (one Counter pass
+    per doc, ``[a-z]+`` lowercased tokens) plus df indicator columns —
+    the mergeable sufficient statistics of BM25."""
+    from collections import Counter
+    import re
+    word_re = re.compile(r"[a-z]+")
+    texts = (batch[text_col].to_pandas() if text_col in batch.column_names
+             else [])
+    n = len(texts)
+    dl = np.zeros(n, dtype=np.int64)
+    tfs = np.zeros((len(terms), n), dtype=np.int64)
+    for i, txt in enumerate(texts):
+        c = Counter(word_re.findall((txt or "").lower()))
+        dl[i] = sum(c.values())
+        for j, term in enumerate(terms):
+            tfs[j, i] = c.get(term, 0)
+    cols = {id_col: (batch[id_col] if n else pa.array([], pa.int64())),
+            "dl": pa.array(dl)}
+    for j, term in enumerate(terms):
+        cols[f"tf_{j}"] = pa.array(tfs[j])
+        cols[f"has_{j}"] = pa.array((tfs[j] > 0).astype(np.int64))
+    return pa.table(cols)
+
+
+def bm25_topk(docs, *, terms=BM25_QUERY_TERMS, k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id"):
+    """BM25 (Lucene ``+1`` idf variant) top-k retrieval of documents
+    for a fixed query-term set — the classic lexical search scorer:
+    ``score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`` with
+    ``idf = ln(1 + (N-df+0.5)/(df+0.5))``.
+
+    Scale shape: one map pass emits per-doc sufficient statistics
+    (dl, per-term tf/df indicators), ONE tiny global aggregate closes
+    N/avgdl/df (constants, not a table), scoring is a vectorized map
+    with the per-term folds in fixed term order (the oracle's operand
+    order), and top-k is per-block partial → single-block final — the
+    full corpus is never sorted or collected."""
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    from .relational import topk_by
+
+    stats = docs.map_batches(
+        lambda b: _bm25_tf_partial(b, terms, text_col, id_col),
+        batch_format="pyarrow").materialize()
+    aggs = [Count(), Sum("dl", alias_name="tot")]
+    for j in range(len(terms)):
+        aggs.append(Sum(f"has_{j}", alias_name=f"df_{j}"))
+    g = stats.aggregate(*aggs)
+    n_docs = int(g["count()"])
+    if n_docs == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64())}))
+    tot = int(g["tot"] or 0)
+    avgdl = float(tot) / float(n_docs)
+    idf = [math.log(1.0 + (float(n_docs - int(g[f"df_{j}"])) + 0.5)
+                    / (float(int(g[f"df_{j}"])) + 0.5))
+           for j in range(len(terms))]
+    k1, b = BM25_K1, BM25_B
+
+    def _score(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dln = dl / avgdl
+        score = np.zeros(len(t))
+        for j in range(len(terms)):
+            tf = t[f"tf_{j}"].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            score = score + idf[j] * (
+                tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dln)))
+        return pa.table({
+            id_col: t[id_col],
+            "raw": pa.array(score),
+            "score": pa.array(round_half_away(score, 6))})
+
+    scored = stats.map_batches(_score, batch_format="pyarrow")
+    top = topk_by(scored, ["raw", id_col], [True, False], k)
+    return top.map_batches(
+        lambda t: t.drop_columns(["raw"]), batch_format="pyarrow")

@@ -2570,3 +2570,41 @@ def test_dup_span_stats_planted_duplicates(ray_session):
     # doc 1: 10 tokens -> 3 spans, 1 dup
     assert got.loc[1, "n_spans"] == 3
     assert got.loc[1, "dup_frac"] == round(1 / 3, 6)
+
+
+def test_bm25_topk_ray_end_to_end(ray_session):
+    """Dataset-level BM25 top-10 over sf0.001 equals the SQL oracle
+    (global stats aggregate + fixed-order fold + distributed top-k)."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.textstage import bm25_topk
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    got = bm25_topk(
+        rd.read_parquet(sf, columns=["doc_id", "text"])).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}'")
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["bm25_topk"]).df()
+    cols = sorted(got.columns)
+    got = got[cols].sort_values("doc_id").reset_index(drop=True)
+    want = want[cols].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) == 10
+
+
+def test_bm25_ranking_semantics(ray_session):
+    """A document stuffed with every query term outranks one with a
+    single term; a doc with no query terms scores 0 and never enters
+    the top-k above scorers."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.textstage import bm25_topk
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "hash join sort window hash join"},
+        {"doc_id": 2, "text": "hash plus a lot of other filler words here"},
+        {"doc_id": 3, "text": "completely unrelated prose about rivers"},
+    ])
+    got = bm25_topk(docs, k=3).to_pandas()
+    assert list(got["doc_id"]) == [1, 2, 3]
+    assert got["score"].iloc[0] > got["score"].iloc[1] > 0
+    assert got["score"].iloc[2] == 0.0
