@@ -1375,6 +1375,15 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(docs)
 
 
+def _q_croston_demand(sf_dir: str):
+    """Per-user Croston intermittent-demand forecast — bit-exact
+    two-state recursion over the hourly demand grid."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        croston_demand)
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return croston_demand(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2339,7 +2348,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # fixed-order 4-term fold are zipf_fit's (kept) certified
             # libm chain, and top-k is top_users_by_value's (kept)
             # partial top-k mechanism
-            "bm25_topk"][:n_over]
+            "bm25_topk",
+            # croston_demand is oracle-backed but windowed out at
+            # birth: the (l, v)-style two-state float recursion replay
+            # is holt_winters_per_user's (kept) strictly-larger
+            # certified fold and the hourly demand cells are
+            # rollup_1h's (kept) grid mechanism
+            "croston_demand"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2628,6 +2643,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # BM25 lexical retrieval, fixed query, Lucene +1 idf —
         # oracle-checked (fixed-term-order score fold, top-k)
         "bm25_topk": _q_bm25_topk,
+        # Croston intermittent-demand forecast per user —
+        # oracle-checked bit-exactly (two-state recursive-CTE fold)
+        "croston_demand": _q_croston_demand,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -4144,6 +4162,38 @@ terms AS (
 sc AS (SELECT doc_id, (((s0 + s1) + s2) + s3) AS raw FROM terms)
 SELECT doc_id, round(raw, 6) AS score
 FROM sc ORDER BY raw DESC, doc_id LIMIT 10
+""",
+        # Croston: the two-state (z, p) recursion anchors at the
+        # SECOND demand hour and replays the kernel's operand order;
+        # demand sizes and hour gaps are exact integers cast once
+        "croston_demand": """
+WITH RECURSIVE h AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hr,
+         CAST(COUNT(*) AS BIGINT) AS d
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1, 2),
+o AS (
+  SELECT user_id, hr, d,
+         row_number() OVER w AS rn,
+         lag(d) OVER w AS pd,
+         hr - lag(hr) OVER w AS q,
+         COUNT(*) OVER (PARTITION BY user_id) AS nh
+  FROM h WINDOW w AS (PARTITION BY user_id ORDER BY hr)),
+r AS (
+  SELECT user_id, rn, nh,
+         CAST(pd AS DOUBLE)
+           + 0.2 * (CAST(d AS DOUBLE) - CAST(pd AS DOUBLE)) AS z,
+         CAST(q AS DOUBLE) AS p
+  FROM o WHERE rn = 2
+  UNION ALL
+  SELECT o.user_id, o.rn, o.nh,
+         r.z + 0.2 * (CAST(o.d AS DOUBLE) - r.z),
+         r.p + 0.2 * (CAST(o.q AS DOUBLE) - r.p)
+  FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+SELECT user_id, CAST(nh AS BIGINT) AS n_hours,
+       round(z, 6) AS level, round(p, 6) AS smooth_interval,
+       round(z / p, 6) AS forecast
+FROM r WHERE rn = nh
 """,
         # lexical richness: the same (source, term) count cells as
         # source_kl; types/tokens/hapax are integer reductions, the

@@ -299,6 +299,11 @@ def run_bench() -> dict:
         timed("sample_entropy",
               lambda: sample_entropy(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
+        from series_correction_project_updated_ray.stages.timeseries import (
+            croston_demand)
+        timed("croston_demand",
+              lambda: croston_demand(rd.read_parquet(
+                  ev_path, columns=["user_id", "ts"])).count())
 
         from series_correction_project_updated_ray.stages.textstage import (
             unigram_logprob)

@@ -2559,3 +2559,106 @@ def sample_entropy(events, *, r_cents: int = 200, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(SampleEntropyGroup(r_cents),
                                       batch_format="pandas")
+
+
+# --- Croston intermittent-demand forecast ------------------------------------
+
+class CrostonGroup:
+    """Per-partition kernel: Croston's method per key over the key's
+    demand hours (hour cells with ≥ 1 event; the demand grid is sparse
+    BY CONSTRUCTION, intermittence lives in the hour gaps).  With the
+    demand sizes ``d_i`` and inter-demand intervals ``q_i = hr_i −
+    hr_{i−1}`` in hour order, the two exponential recursions anchor at
+    the SECOND demand hour (``z = d₁ + α(d₂ − d₁)``, ``p = q₂``) and
+    fold ``z += α(d−z)``, ``p += α(q−p)`` — exactly that operand
+    order, so the doubles are bit-identical to a recursive-CTE oracle.
+    Forecast per key = ``z/p`` demand per hour.  Keys with < 2 demand
+    hours emit nothing.  Vectorized across keys via the position-major
+    layout (state is one vector per key rank)."""
+
+    def __init__(self, alpha: float = 0.2):
+        self.alpha = alpha
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": g["user_id"].iloc[:0],
+            "n_hours": pd.Series([], dtype=np.int64),
+            "level": pd.Series([], dtype=np.float64),
+            "smooth_interval": pd.Series([], dtype=np.float64),
+            "forecast": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        if (codes < 0).any():
+            g = g.iloc[codes >= 0]
+            codes = codes[codes >= 0]
+        if len(g) == 0:
+            return empty
+        t = g["t"].to_numpy(np.int64)
+        hour = t // 3_600_000_000
+        keys_all = g["user_id"].to_numpy()
+        order = np.lexsort((hour, codes))
+        codes, hour, keys_all = codes[order], hour[order], keys_all[order]
+        # collapse to (key, hour) demand cells with counts
+        cell_first = np.r_[True, (codes[1:] != codes[:-1])
+                                 | (hour[1:] != hour[:-1])]
+        cs = np.flatnonzero(cell_first)
+        d = np.diff(np.r_[cs, len(codes)]).astype(np.float64)
+        ccodes, chour, ckeys = codes[cs], hour[cs], keys_all[cs]
+        n2 = len(cs)
+        pm, offs = _pos_major_layout(ccodes, n2)
+        d_pm, h_pm = d[pm], chour[pm]
+        max_len = len(offs) - 1
+        if max_len < 2:
+            return empty
+        m0 = offs[1] - offs[0]
+        rank_keys = ckeys[pm[offs[0]:offs[1]]]
+        lens = np.zeros(m0, dtype=np.int64)
+        z = np.full(m0, np.nan)
+        p = np.full(m0, np.nan)
+        last_h = h_pm[offs[0]:offs[1]].astype(np.float64)
+        prev_d = d_pm[offs[0]:offs[1]].copy()
+        lens[:m0] = 1
+        a = self.alpha
+        for k in range(1, max_len):
+            m = offs[k + 1] - offs[k]
+            dk = d_pm[offs[k]:offs[k + 1]]
+            hk = h_pm[offs[k]:offs[k + 1]].astype(np.float64)
+            q = hk - last_h[:m]
+            if k == 1:
+                z[:m] = prev_d[:m] + a * (dk - prev_d[:m])
+                p[:m] = q
+            else:
+                z[:m] = z[:m] + a * (dk - z[:m])
+                p[:m] = p[:m] + a * (q - p[:m])
+            last_h[:m] = hk
+            lens[:m] += 1
+        sel = lens >= 2
+        if not sel.any():
+            return empty
+        return pd.DataFrame({
+            "user_id": rank_keys[sel],
+            "n_hours": lens[sel],
+            "level": round_half_away(z[sel], 6),
+            "smooth_interval": round_half_away(p[sel], 6),
+            "forecast": round_half_away(z[sel] / p[sel], 6)})
+
+
+def croston_demand(events, *, alpha: float = 0.2, n_parts: int = 64):
+    """Per-user Croston intermittent-demand forecast over the hourly
+    demand grid — the standard sparse-demand smoother (demand size and
+    inter-demand interval smoothed separately).  One partition-group
+    shuffle; bit-exact vs a recursive-CTE oracle."""
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        if "ts" not in batch.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64())})
+        return pa.table({"user_id": batch["user_id"],
+                         "t": pa.array(_epoch_micros(batch["ts"]))})
+
+    prepped = events.map_batches(_prep, batch_format="pyarrow")
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(CrostonGroup(alpha),
+                                      batch_format="pandas")

@@ -1559,3 +1559,81 @@ def test_sample_entropy_regular_vs_noise():
     got = SampleEntropyGroup()(g).set_index("user_id")
     assert got.loc[1, "sampen"] == 0.0
     assert got.loc[2, "sampen"] > 0.1
+
+
+def test_croston_kernel_matches_sql():
+    """The two-state (z, p) Croston recursion is bit-identical to the
+    recursive-CTE twin over hourly demand cells; keys with < 2 demand
+    hours drop; NULL keys drop."""
+    import duckdb
+
+    from series_correction_project_updated_ray.stages.timeseries import (
+        CrostonGroup)
+    rng = np.random.default_rng(47)
+    n = 800
+    g = pd.DataFrame({
+        "user_id": pd.array(rng.integers(0, 6, n), dtype="Int64"),
+        "t": (rng.integers(0, 400, n) * 3_600_000_000
+              + rng.integers(0, 3_600_000_000, n)).astype(np.int64),
+    })
+    g.loc[g.index[:3], "user_id"] = pd.NA
+    single = pd.DataFrame({
+        "user_id": pd.array([55], dtype="Int64"),
+        "t": np.array([7_200_000_000], dtype=np.int64)})
+    g = pd.concat([g, single], ignore_index=True)
+    got = CrostonGroup()(g)
+    assert 55 not in set(got["user_id"])
+    con = duckdb.connect()
+    con.register("ev", g)
+    want = con.execute("""
+WITH RECURSIVE h AS (
+  SELECT user_id, t // 3600000000 AS hr,
+         CAST(COUNT(*) AS BIGINT) AS d
+  FROM ev WHERE user_id IS NOT NULL
+  GROUP BY 1, 2),
+o AS (
+  SELECT user_id, hr, d,
+         row_number() OVER w AS rn,
+         lag(d) OVER w AS pd,
+         hr - lag(hr) OVER w AS q,
+         COUNT(*) OVER (PARTITION BY user_id) AS nh
+  FROM h WINDOW w AS (PARTITION BY user_id ORDER BY hr)),
+r AS (
+  SELECT user_id, rn, nh,
+         CAST(pd AS DOUBLE)
+           + 0.2 * (CAST(d AS DOUBLE) - CAST(pd AS DOUBLE)) AS z,
+         CAST(q AS DOUBLE) AS p
+  FROM o WHERE rn = 2
+  UNION ALL
+  SELECT o.user_id, o.rn, o.nh,
+         r.z + 0.2 * (CAST(o.d AS DOUBLE) - r.z),
+         r.p + 0.2 * (CAST(o.q AS DOUBLE) - r.p)
+  FROM o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+SELECT user_id, CAST(nh AS BIGINT) AS n_hours,
+       round(z, 6) AS level, round(p, 6) AS smooth_interval,
+       round(z / p, 6) AS forecast
+FROM r WHERE rn = nh""").df()
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) >= 5
+
+
+def test_croston_hand_vector():
+    """Hand-checked Croston on a tiny sparse series: demands 2@h0,
+    1@h5, 3@h7 with alpha 0.2."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        CrostonGroup)
+    H = 3_600_000_000
+    ts = [0, 1, 5 * H, 7 * H, 7 * H + 1, 7 * H + 2]
+    g = pd.DataFrame({
+        "user_id": pd.array([1] * 6, dtype="Int64"),
+        "t": np.array(ts, dtype=np.int64)})
+    got = CrostonGroup()(g)
+    # anchor at 2nd demand hour: z = 2 + .2*(1-2) = 1.8, p = 5
+    # step 3: z = 1.8 + .2*(3-1.8) = 2.04, p = 5 + .2*(2-5) = 4.4
+    assert got["n_hours"].iloc[0] == 3
+    assert got["level"].iloc[0] == 2.04
+    assert got["smooth_interval"].iloc[0] == 4.4
+    assert got["forecast"].iloc[0] == round(2.04 / 4.4, 6)
