@@ -1384,6 +1384,15 @@ def _q_croston_demand(sf_dir: str):
     return croston_demand(ev)
 
 
+def _q_dsir_weights(sf_dir: str):
+    """Per-document DSIR importance weights vs the lang='en' target
+    slice — two vocab groupbys + broadcast position-ordered fold."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        dsir_weights)
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return dsir_weights(docs)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2354,7 +2363,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # is holt_winters_per_user's (kept) strictly-larger
             # certified fold and the hourly demand cells are
             # rollup_1h's (kept) grid mechanism
-            "croston_demand"][:n_over]
+            "croston_demand",
+            # dsir_weights is oracle-backed but windowed out at birth:
+            # both count shuffles and the position-ordered libm fold
+            # are unigram_logprob's (kept) certified machinery — only
+            # the per-vocab λ (a difference of two certified lns)
+            # differs
+            "dsir_weights"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2646,6 +2661,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # Croston intermittent-demand forecast per user —
         # oracle-checked bit-exactly (two-state recursive-CTE fold)
         "croston_demand": _q_croston_demand,
+        # DSIR importance-resampling weights vs a target slice —
+        # oracle-checked (per-vocab log-ratio, position-ordered fold)
+        "dsir_weights": _q_dsir_weights,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -4194,6 +4212,40 @@ SELECT user_id, CAST(nh AS BIGINT) AS n_hours,
        round(z, 6) AS level, round(p, 6) AS smooth_interval,
        round(z / p, 6) AS forecast
 FROM r WHERE rn = nh
+""",
+        # DSIR: per-term λ = ln(p_target) − ln(p_raw) (two libm lns,
+        # add-one smoothing over the shared vocab), folded per doc in
+        # position order — the kernel's exact operand order
+        "dsir_weights": r"""
+WITH d AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z]+') AS l
+  FROM documents),
+toks AS (
+  SELECT doc_id, lang, unnest(l) AS term,
+         unnest(generate_series(1, len(l))) AS pos
+  FROM d WHERE len(l) > 0),
+rc AS (SELECT term, COUNT(*) AS cr FROM toks GROUP BY 1),
+tc AS (SELECT term, COUNT(*) AS ct FROM toks
+       WHERE lang = 'en' GROUP BY 1),
+consts AS (
+  SELECT (SELECT COUNT(*) FROM rc) AS v,
+         (SELECT SUM(cr) FROM rc) AS nr,
+         (SELECT COALESCE(SUM(ct), 0) FROM tc) AS nt),
+lam AS (
+  SELECT rc.term,
+         ln(CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE)
+            / CAST(c.nt + c.v AS DOUBLE))
+         - ln(CAST(rc.cr + 1 AS DOUBLE)
+              / CAST(c.nr + c.v AS DOUBLE)) AS lam
+  FROM rc LEFT JOIN tc USING (term), consts c),
+lp AS (SELECT t.doc_id, t.pos, l.lam FROM toks t JOIN lam l USING (term)),
+folded AS (
+  SELECT doc_id, list(lam ORDER BY pos) AS ll FROM lp GROUP BY 1)
+SELECT doc_id, CAST(len(ll) AS BIGINT) AS n_tok,
+       round(list_reduce(ll, (a, b) -> a + b), 6) AS log_weight,
+       round(list_reduce(ll, (a, b) -> a + b) / len(ll), 6)
+         AS avg_log_weight
+FROM folded
 """,
         # lexical richness: the same (source, term) count cells as
         # source_kl; types/tokens/hapax are integer reductions, the

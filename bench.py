@@ -347,6 +347,12 @@ def run_bench() -> dict:
         timed("bm25_topk",
               lambda: bm25_topk(rd.read_parquet(
                   docs_path, columns=["doc_id", "text"])).count())
+        from series_correction_project_updated_ray.stages.textstage import (
+            dsir_weights)
+        timed("dsir_weights",
+              lambda: dsir_weights(rd.read_parquet(
+                  docs_path,
+                  columns=["doc_id", "lang", "text"])).count())
 
         # round-5 additions
         from series_correction_project_updated_ray.stages.relational import (

@@ -1496,3 +1496,127 @@ def bm25_topk(docs, *, terms=BM25_QUERY_TERMS, k: int = 10,
     top = topk_by(scored, ["raw", id_col], [True, False], k)
     return top.map_batches(
         lambda t: t.drop_columns(["raw"]), batch_format="pyarrow")
+
+
+# --- DSIR importance weights --------------------------------------------------
+
+class _DsirScore:
+    """Task-cached scoring stage for :func:`dsir_weights`: the target
+    and raw unigram count tables ship once per worker; the per-term
+    log-ratio ``λ(w) = ln((c_t+1)/(N_t+V)) − ln((c_r+1)/(N_r+V))`` is
+    computed ONCE PER VOCAB ENTRY with ``math.log`` (libm == DuckDB
+    ``ln``), and each document folds its tokens' λs left to right in
+    position order — the oracle's ``list_reduce`` operand order —
+    position-major across the batch."""
+
+    def __init__(self, raw_refs, tgt_refs, n_raw: int, n_tgt: int,
+                 v_size: int, text_col="text", id_col="doc_id"):
+        import math
+        import re
+
+        import ray
+        ct: dict = {}
+        for t in ray.get(list(tgt_refs)):
+            if t is None or "term" not in t.column_names:
+                continue
+            ct.update(zip(t["term"].to_pylist(),
+                          t["cnt"].to_numpy(zero_copy_only=False)))
+        v = int(v_size)
+        dt = float(n_tgt + v)
+        dr = float(n_raw + v)
+        self.lam: dict = {}
+        for t in ray.get(list(raw_refs)):
+            if t is None or "term" not in t.column_names:
+                continue
+            for w, cr in zip(t["term"].to_pylist(),
+                             t["cnt"].to_numpy(zero_copy_only=False)):
+                self.lam[w] = (math.log((int(ct.get(w, 0)) + 1) / dt)
+                               - math.log((int(cr) + 1) / dr))
+        self.re = re.compile(r"[a-z]+")
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+        texts = batch[self.text_col].to_pandas()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        lam = self.lam
+        ls: list[np.ndarray] = []
+        lens = np.zeros(len(texts), dtype=np.int64)
+        for i, txt in enumerate(texts):
+            w = self.re.findall((txt or "").lower())
+            lens[i] = len(w)
+            if w:
+                ls.append(np.array([lam[x] for x in w], dtype=np.float64))
+        keep = lens > 0
+        ids, lens = ids[keep], lens[keep]
+        if len(lens) == 0:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "n_tok": pa.array([], pa.int64()),
+                             "log_weight": pa.array([], pa.float64()),
+                             "avg_log_weight": pa.array([], pa.float64())})
+        flat = np.concatenate(ls)
+        offs = np.r_[0, np.cumsum(lens)][:-1]
+        acc = np.zeros(len(lens), dtype=np.float64)
+        for j in range(int(lens.max())):
+            m = lens > j
+            acc[m] += flat[offs[m] + j]
+        return pa.table({
+            self.id_col: pa.array(ids),
+            "n_tok": pa.array(lens),
+            "log_weight": pa.array(round_half_away(acc, 6)),
+            "avg_log_weight": pa.array(round_half_away(acc / lens, 6))})
+
+
+def dsir_weights(docs, *, target_lang: str = "en", text_col="text",
+                 lang_col: str = "lang", id_col="doc_id"):
+    """Per-document DSIR importance weights (Xie et al. 2023,
+    arXiv:2302.03169 shape): log-likelihood ratio of each document
+    under an add-one unigram model of the TARGET slice (here
+    ``lang = target_lang``) vs the RAW corpus — the importance-
+    resampling score that tilts a pretraining mixture toward a target
+    domain.
+
+    Scale shape mirrors :func:`unigram_logprob`: batch-local vocab
+    partials → two |vocab|-row groupbys (raw and target-filtered — the
+    token stream never shuffles), both tables broadcast once per
+    worker, scoring is one vectorized position-major fold."""
+    import functools
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .taskcache import class_task
+
+    docs = docs.materialize()
+    raw_tbl = docs.map_batches(
+        functools.partial(_vocab_count_partial, text_col=text_col),
+        batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("cnt", alias_name="cnt")) \
+        .materialize()
+
+    def _tgt_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t[lang_col], target_lang))
+
+    tgt_tbl = docs.map_batches(_tgt_filter, batch_format="pyarrow") \
+        .map_batches(
+            functools.partial(_vocab_count_partial, text_col=text_col),
+            batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("cnt", alias_name="cnt")) \
+        .materialize()
+    v_size = raw_tbl.count()
+    if v_size == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_tok": pa.array([], pa.int64()),
+            "log_weight": pa.array([], pa.float64()),
+            "avg_log_weight": pa.array([], pa.float64())}))
+    n_raw = int(raw_tbl.sum("cnt") or 0)
+    n_tgt = int(tgt_tbl.sum("cnt") or 0) if tgt_tbl.count() else 0
+    out = docs.map_batches(
+        class_task(_DsirScore, raw_tbl.to_arrow_refs(),
+                   tgt_tbl.to_arrow_refs(), n_raw, n_tgt, v_size,
+                   text_col=text_col, id_col=id_col),
+        batch_format="pyarrow")
+    out._graft_pin = (raw_tbl, tgt_tbl)
+    return out

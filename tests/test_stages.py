@@ -2608,3 +2608,58 @@ def test_bm25_ranking_semantics(ray_session):
     assert list(got["doc_id"]) == [1, 2, 3]
     assert got["score"].iloc[0] > got["score"].iloc[1] > 0
     assert got["score"].iloc[2] == 0.0
+
+
+def test_dsir_score_kernel_semantics():
+    """λ(w) is the add-one log-ratio of target vs raw unigram models
+    over the shared vocab; the per-doc fold is position-ordered; a
+    target-favored term gets positive λ."""
+    import math
+
+    import ray
+
+    from series_correction_project_updated_ray.stages.textstage import (
+        _DsirScore)
+    raw = pa.table({"term": pa.array(["aa", "bb"]),
+                    "cnt": pa.array([4, 4], pa.int64())})
+    tgt = pa.table({"term": pa.array(["aa"]),
+                    "cnt": pa.array([4], pa.int64())})
+    # V=2, N_raw=8, N_tgt=4
+    sc = _DsirScore([ray.put(raw)], [ray.put(tgt)], 8, 4, 2)
+    lam_aa = math.log((4 + 1) / (4 + 2)) - math.log((4 + 1) / (8 + 2))
+    lam_bb = math.log((0 + 1) / (4 + 2)) - math.log((4 + 1) / (8 + 2))
+    assert lam_aa > 0 > lam_bb
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["aa bb", "??"])})
+    out = sc(docs).to_pandas().set_index("doc_id")
+    assert out.loc[1, "log_weight"] == round(lam_aa + lam_bb, 6)
+    assert out.loc[1, "n_tok"] == 2
+    assert 2 not in out.index
+
+
+def test_dsir_weights_ray_end_to_end(ray_session):
+    """Dataset-level dsir_weights over sf0.001 equals the SQL oracle,
+    and en docs average higher weights than non-en docs (the tilt the
+    op exists to produce)."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.textstage import (
+        dsir_weights)
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    got = dsir_weights(rd.read_parquet(
+        sf, columns=["doc_id", "lang", "text"])).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}'")
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["dsir_weights"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values("doc_id").reset_index(drop=True)
+    w = want[cols].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    langs = pd.read_parquet(sf, columns=["doc_id", "lang"])
+    m = got.merge(langs, on="doc_id")
+    en = m.loc[m["lang"] == "en", "avg_log_weight"].mean()
+    rest = m.loc[m["lang"] != "en", "avg_log_weight"].mean()
+    assert en > rest
