@@ -1393,6 +1393,15 @@ def _q_dsir_weights(sf_dir: str):
     return dsir_weights(docs)
 
 
+def _q_hurst_rs(sf_dir: str):
+    """Per-user rescaled-range Hurst exponent (windows 8/16/32) —
+    integer block stats, ordered folds, 3-point log-log slope."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        hurst_rs)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return hurst_rs(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2369,7 +2378,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # are unigram_logprob's (kept) certified machinery — only
             # the per-vocab λ (a difference of two certified lns)
             # differs
-            "dsir_weights"][:n_over]
+            "dsir_weights",
+            # hurst_rs is oracle-backed but windowed out at birth: the
+            # w-scaled integer centering is ljung_box's (kept via the
+            # autocorr family) n-scaling trick, the block-ordered R/S
+            # fold is zipf_fit's (kept) ordered-fold discipline, and
+            # the 3-point close is zipf_fit's exact LS expression
+            "hurst_rs"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2664,6 +2679,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # DSIR importance-resampling weights vs a target slice —
         # oracle-checked (per-vocab log-ratio, position-ordered fold)
         "dsir_weights": _q_dsir_weights,
+        # rescaled-range Hurst exponent per user — oracle-checked
+        # (integer block stats, ordered folds, 3-point LS slope)
+        "hurst_rs": _q_hurst_rs,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -4246,6 +4264,63 @@ SELECT doc_id, CAST(len(ll) AS BIGINT) AS n_tok,
        round(list_reduce(ll, (a, b) -> a + b) / len(ll), 6)
          AS avg_log_weight
 FROM folded
+""",
+        # Hurst R/S: w-scaled centering keeps every block statistic in
+        # exact integers (y sums to zero per block), R/S closes as a
+        # fixed double chain, block means fold in blk order, and the
+        # 3-point slope replays the kernel's exact expression
+        "hurst_rs": """
+WITH c AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS nk
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+ws AS (SELECT unnest([8, 16, 32]) AS w),
+b AS (
+  SELECT c.user_id, ws.w, c.cents, c.rn, c.nk,
+         (c.rn - 1) // ws.w AS blk
+  FROM c, ws WHERE c.rn <= (c.nk // ws.w) * ws.w),
+yb AS (
+  SELECT user_id, w, blk, rn, nk,
+         CAST(w AS BIGINT) * cents
+           - SUM(cents) OVER (PARTITION BY user_id, w, blk) AS y
+  FROM b),
+cd AS (
+  SELECT user_id, w, blk, nk, y,
+         SUM(y) OVER (PARTITION BY user_id, w, blk ORDER BY rn
+                      ROWS UNBOUNDED PRECEDING) AS cdev
+  FROM yb),
+blkstat AS (
+  SELECT user_id, w, blk, MAX(nk) AS nk,
+         MAX(cdev) - MIN(cdev) AS rng,
+         SUM(CAST(y AS HUGEINT) * y) AS ss
+  FROM cd GROUP BY 1, 2, 3),
+rs AS (
+  SELECT user_id, w, blk, nk,
+         (CAST(rng AS DOUBLE) / CAST(w AS DOUBLE))
+           / sqrt(CAST(ss AS DOUBLE) / CAST(w*w*w AS DOUBLE)) AS rs
+  FROM blkstat WHERE ss > 0),
+mw AS (
+  SELECT user_id, w, MAX(nk) AS nk,
+         list_reduce(list(rs ORDER BY blk), (a, b) -> a + b)
+           / COUNT(*) AS mean_rs
+  FROM rs GROUP BY 1, 2),
+piv AS (
+  SELECT user_id, MAX(nk) AS n,
+         MAX(CASE WHEN w = 8 THEN ln(mean_rs) END) AS y1,
+         MAX(CASE WHEN w = 16 THEN ln(mean_rs) END) AS y2,
+         MAX(CASE WHEN w = 32 THEN ln(mean_rs) END) AS y3
+  FROM mw GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       round((3.0 * ((ln(8.0)*y1 + ln(16.0)*y2) + ln(32.0)*y3)
+              - ((ln(8.0)+ln(16.0))+ln(32.0)) * ((y1+y2)+y3))
+             / (3.0 * ((ln(8.0)*ln(8.0) + ln(16.0)*ln(16.0))
+                       + ln(32.0)*ln(32.0))
+                - ((ln(8.0)+ln(16.0))+ln(32.0))
+                  * ((ln(8.0)+ln(16.0))+ln(32.0))), 6) AS hurst
+FROM piv
+WHERE y1 IS NOT NULL AND y2 IS NOT NULL AND y3 IS NOT NULL
 """,
         # lexical richness: the same (source, term) count cells as
         # source_kl; types/tokens/hapax are integer reductions, the

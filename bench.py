@@ -304,6 +304,11 @@ def run_bench() -> dict:
         timed("croston_demand",
               lambda: croston_demand(rd.read_parquet(
                   ev_path, columns=["user_id", "ts"])).count())
+        from series_correction_project_updated_ray.stages.timeseries import (
+            hurst_rs)
+        timed("hurst_rs",
+              lambda: hurst_rs(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
 
         from series_correction_project_updated_ray.stages.textstage import (
             unigram_logprob)

@@ -2662,3 +2662,120 @@ def croston_demand(events, *, alpha: float = 0.2, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(CrostonGroup(alpha),
                                       batch_format="pandas")
+
+
+# --- Hurst exponent (rescaled range) -----------------------------------------
+
+class HurstRSGroup:
+    """Per-partition kernel: rescaled-range Hurst exponent per key.
+    For window sizes w ∈ {8, 16, 32}, the key's series (t, event_id
+    order, cents) splits into ⌊n/w⌋ consecutive blocks; per block the
+    mean-centering is w-scaled into exact integers (``y = w·c − Σc``,
+    which sums to ZERO per block so the segmented cumsum stays small),
+    R = (max−min of the cumulative y) / w and S = √(Σy²/w³) close as
+    fixed double chains, and the per-(key, w) mean of R/S folds LEFT
+    IN BLOCK ORDER (the oracle's ``list_reduce`` operand order).
+    Hurst = the 3-point least-squares slope of ln(mean R/S) on ln(w),
+    closed in the zipf_fit expression order with libm logs.  Blocks
+    with zero variance drop; keys missing any of the three sizes (or
+    with every block degenerate) emit nothing."""
+
+    SIZES = (8, 16, 32)
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        import math
+        empty = pd.DataFrame({
+            "user_id": g["user_id"].iloc[:0],
+            "n": pd.Series([], dtype=np.int64),
+            "hurst": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        vals = g["value"].to_numpy(np.float64)
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        keep = (codes >= 0) & ~np.isnan(vals)
+        g, codes = g.iloc[keep], codes[keep]
+        if len(g) == 0:
+            return empty
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes = codes[order]
+        keys = g["user_id"].to_numpy()[order]
+        x = scaled_int(vals[keep][order])
+        n = len(x)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        K = len(starts)
+        # per-key (w -> (mean_rs or None))
+        means: list[dict] = [dict() for _ in range(K)]
+        for w in self.SIZES:
+            nblk = lens // w
+            kept = np.flatnonzero(nblk > 0)
+            if len(kept) == 0:
+                continue
+            local = np.arange(n) - np.repeat(starts, lens)
+            valid = local < np.repeat(nblk * w, lens)
+            xv = x[valid]
+            bstarts = np.arange(0, len(xv), w)
+            s_blk = np.add.reduceat(xv, bstarts)
+            y = w * xv - np.repeat(s_blk, w)
+            ymax = int(np.abs(y).max()) if len(y) else 0
+            if ymax and ymax * ymax * w >= (1 << 62):
+                y = y.astype(object)
+            cs = np.cumsum(y)
+            base = cs[bstarts] - y[bstarts]
+            c_dev = cs - np.repeat(base, w)
+            rng = (np.maximum.reduceat(c_dev, bstarts)
+                   - np.minimum.reduceat(c_dev, bstarts))
+            ss = np.add.reduceat(y * y, bstarts)
+            ok = ss.astype(np.float64) > 0
+            r_part = rng.astype(np.float64) / float(w)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                rs = r_part / np.sqrt(ss.astype(np.float64)
+                                      / float(w ** 3))
+            bounds = np.r_[0, np.cumsum(nblk[kept])]
+            for i, ki in enumerate(kept):
+                vals_k = rs[bounds[i]:bounds[i + 1]]
+                ok_k = ok[bounds[i]:bounds[i + 1]]
+                sel = vals_k[ok_k]
+                if len(sel) == 0:
+                    continue
+                acc = 0.0
+                for v in sel:               # left fold in block order
+                    acc += float(v)
+                means[ki][w] = acc / len(sel)
+        out_key, out_n, out_h = [], [], []
+        x1, x2, x3 = (math.log(float(w)) for w in self.SIZES)
+        sx = (x1 + x2) + x3
+        sxx = ((x1 * x1 + x2 * x2) + x3 * x3)
+        for ki in range(K):
+            m = means[ki]
+            if len(m) != len(self.SIZES):
+                continue
+            y1, y2, y3 = (math.log(m[w]) for w in self.SIZES)
+            sy = (y1 + y2) + y3
+            sxy = ((x1 * y1 + x2 * y2) + x3 * y3)
+            slope = (3.0 * sxy - sx * sy) / (3.0 * sxx - sx * sx)
+            out_key.append(keys[starts[ki]])
+            out_n.append(lens[ki])
+            out_h.append(round_half_away(slope, 6))
+        if not out_key:
+            return empty
+        return pd.DataFrame({
+            "user_id": np.array(out_key),
+            "n": np.array(out_n, dtype=np.int64),
+            "hurst": np.array(out_h, dtype=np.float64)})
+
+
+def hurst_rs(events, *, n_parts: int = 64):
+    """Per-user rescaled-range Hurst exponent over window sizes
+    8/16/32 — the long-memory / trend-persistence score.  One
+    partition-group shuffle; integer-exact block statistics, ordered
+    double folds, 3-point log-log least squares."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(HurstRSGroup(),
+                                      batch_format="pandas")

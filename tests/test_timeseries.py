@@ -1637,3 +1637,108 @@ def test_croston_hand_vector():
     assert got["level"].iloc[0] == 2.04
     assert got["smooth_interval"].iloc[0] == 4.4
     assert got["forecast"].iloc[0] == round(2.04 / 4.4, 6)
+
+
+def test_hurst_rs_kernel_matches_sql():
+    """Integer block R/S stats + ordered folds + 3-point LS slope
+    match the DuckDB twin; keys shorter than the largest window drop."""
+    import duckdb
+
+    from series_correction_project_updated_ray.stages.timeseries import (
+        HurstRSGroup)
+    rng = np.random.default_rng(53)
+    n = 700
+    g = pd.DataFrame({
+        "user_id": pd.array(rng.integers(0, 5, n), dtype="Int64"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": rng.integers(0, 10**9, n).astype(np.int64),
+        "value": np.round(rng.normal(50, 10, n), 2),
+    })
+    g.loc[g.index[:2], "user_id"] = pd.NA
+    g.loc[g.index[5:7], "value"] = np.nan
+    short = pd.DataFrame({
+        "user_id": pd.array([66] * 20, dtype="Int64"),
+        "event_id": np.arange(9000, 9020, dtype=np.int64),
+        "t": np.arange(20, dtype=np.int64),
+        "value": np.round(rng.normal(10, 2, 20), 2)})
+    g = pd.concat([g, short], ignore_index=True)
+    got = HurstRSGroup()(g)
+    assert 66 not in set(got["user_id"])   # < 32 rows: no w=32 block
+    con = duckdb.connect()
+    con.register("ev", g)
+    want = con.execute("""
+WITH c AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS nk
+  FROM ev WHERE user_id IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+ws AS (SELECT unnest([8, 16, 32]) AS w),
+b AS (
+  SELECT c.user_id, ws.w, c.cents, c.rn, c.nk,
+         (c.rn - 1) // ws.w AS blk
+  FROM c, ws WHERE c.rn <= (c.nk // ws.w) * ws.w),
+yb AS (
+  SELECT user_id, w, blk, rn, nk,
+         CAST(w AS BIGINT) * cents
+           - SUM(cents) OVER (PARTITION BY user_id, w, blk) AS y
+  FROM b),
+cd AS (
+  SELECT user_id, w, blk, nk, y,
+         SUM(y) OVER (PARTITION BY user_id, w, blk ORDER BY rn
+                      ROWS UNBOUNDED PRECEDING) AS cdev
+  FROM yb),
+blkstat AS (
+  SELECT user_id, w, blk, MAX(nk) AS nk,
+         MAX(cdev) - MIN(cdev) AS rng,
+         SUM(CAST(y AS HUGEINT) * y) AS ss
+  FROM cd GROUP BY 1, 2, 3),
+rs AS (
+  SELECT user_id, w, blk, nk,
+         (CAST(rng AS DOUBLE) / CAST(w AS DOUBLE))
+           / sqrt(CAST(ss AS DOUBLE) / CAST(w*w*w AS DOUBLE)) AS rs
+  FROM blkstat WHERE ss > 0),
+mw AS (
+  SELECT user_id, w, MAX(nk) AS nk,
+         list_reduce(list(rs ORDER BY blk), (a, b) -> a + b)
+           / COUNT(*) AS mean_rs
+  FROM rs GROUP BY 1, 2),
+piv AS (
+  SELECT user_id, MAX(nk) AS n,
+         MAX(CASE WHEN w = 8 THEN ln(mean_rs) END) AS y1,
+         MAX(CASE WHEN w = 16 THEN ln(mean_rs) END) AS y2,
+         MAX(CASE WHEN w = 32 THEN ln(mean_rs) END) AS y3
+  FROM mw GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       round((3.0 * ((ln(8.0)*y1 + ln(16.0)*y2) + ln(32.0)*y3)
+              - ((ln(8.0)+ln(16.0))+ln(32.0)) * ((y1+y2)+y3))
+             / (3.0 * ((ln(8.0)*ln(8.0) + ln(16.0)*ln(16.0))
+                       + ln(32.0)*ln(32.0))
+                - ((ln(8.0)+ln(16.0))+ln(32.0))
+                  * ((ln(8.0)+ln(16.0))+ln(32.0))), 6) AS hurst
+FROM piv
+WHERE y1 IS NOT NULL AND y2 IS NOT NULL AND y3 IS NOT NULL""").df()
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) >= 4
+
+
+def test_hurst_rs_direction():
+    """A strongly trending (persistent) series scores a higher Hurst
+    exponent than an alternating (anti-persistent) one."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        HurstRSGroup)
+    n = 128
+    rng = np.random.default_rng(3)
+    g = pd.DataFrame({
+        "user_id": pd.array([1] * n + [2] * n, dtype="Int64"),
+        "event_id": np.arange(2 * n, dtype=np.int64),
+        "t": np.concatenate([np.arange(n), np.arange(n)]).astype(np.int64),
+        "value": np.concatenate([
+            np.round(np.arange(n) * 0.5 + rng.normal(0, 0.1, n), 2),
+            np.round(np.where(np.arange(n) % 2 == 0, 1.0, -1.0), 2)])})
+    got = HurstRSGroup()(g).set_index("user_id")
+    assert got.loc[1, "hurst"] > 0.8
+    assert got.loc[2, "hurst"] < 0.3
