@@ -1402,6 +1402,15 @@ def _q_hurst_rs(sf_dir: str):
     return hurst_rs(ev)
 
 
+def _q_mann_kendall(sf_dir: str):
+    """Per-user Mann-Kendall S statistic + Kendall tau-a — exact
+    integer pair signs, one double close."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        mann_kendall)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return mann_kendall(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2384,7 +2393,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # autocorr family) n-scaling trick, the block-ordered R/S
             # fold is zipf_fit's (kept) ordered-fold discipline, and
             # the 3-point close is zipf_fit's exact LS expression
-            "hurst_rs"][:n_over]
+            "hurst_rs",
+            # mann_kendall is oracle-backed but windowed out at birth:
+            # the chunk-vectorized integer pair compares are
+            # sample_entropy's (demoted for the same reason) and
+            # dtw_profile_pairs' (kept) quadratic-compare discipline,
+            # closed by one exact-int double division
+            "mann_kendall"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2682,6 +2697,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # rescaled-range Hurst exponent per user — oracle-checked
         # (integer block stats, ordered folds, 3-point LS slope)
         "hurst_rs": _q_hurst_rs,
+        # Mann-Kendall monotone-trend test per user — oracle-checked
+        # (exact integer pair signs, tau-a close)
+        "mann_kendall": _q_mann_kendall,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -4321,6 +4339,27 @@ SELECT user_id, CAST(n AS BIGINT) AS n,
                   * ((ln(8.0)+ln(16.0))+ln(32.0))), 6) AS hurst
 FROM piv
 WHERE y1 IS NOT NULL AND y2 IS NOT NULL AND y3 IS NOT NULL
+""",
+        # Mann-Kendall: S is a pure integer pair-sign sum over the
+        # i<j self-join; tau-a closes as one exact-int double division
+        "mann_kendall": """
+WITH c AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS nk
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+p AS (
+  SELECT a.user_id, MAX(a.nk) AS n,
+         CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                       WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_stat
+  FROM c a JOIN c b ON a.user_id = b.user_id AND b.rn > a.rn
+  GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n, s_stat,
+       round(CAST(2 * s_stat AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE), 6) AS tau
+FROM p
 """,
         # lexical richness: the same (source, term) count cells as
         # source_kl; types/tokens/hapax are integer reductions, the

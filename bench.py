@@ -309,6 +309,11 @@ def run_bench() -> dict:
         timed("hurst_rs",
               lambda: hurst_rs(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
+        from series_correction_project_updated_ray.stages.timeseries import (
+            mann_kendall)
+        timed("mann_kendall",
+              lambda: mann_kendall(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
 
         from series_correction_project_updated_ray.stages.textstage import (
             unigram_logprob)

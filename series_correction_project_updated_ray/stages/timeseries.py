@@ -2779,3 +2779,78 @@ def hurst_rs(events, *, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(HurstRSGroup(),
                                       batch_format="pandas")
+
+
+# --- Mann-Kendall trend test --------------------------------------------------
+
+class MannKendallGroup:
+    """Per-partition kernel: the Mann-Kendall trend statistic per key —
+    ``S = Σ_{i<j} sign(c_j − c_i)`` over cents in (t, event_id) order
+    (pure integer pair compares, chunk-vectorized like SampEn), with
+    Kendall's tau-a ``2S/(n(n−1))`` as the one double close.  Quadratic
+    in series length BY DEFINITION (the package's bounded per-series
+    contract); keys with < 2 rows emit nothing."""
+
+    CHUNK = 1024
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": g["user_id"].iloc[:0],
+            "n": pd.Series([], dtype=np.int64),
+            "s_stat": pd.Series([], dtype=np.int64),
+            "tau": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        vals = g["value"].to_numpy(np.float64)
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        keep = (codes >= 0) & ~np.isnan(vals)
+        g, codes = g.iloc[keep], codes[keep]
+        if len(g) == 0:
+            return empty
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes = codes[order]
+        keys = g["user_id"].to_numpy()[order]
+        x = scaled_int(vals[keep][order])
+        n = len(x)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], n]
+        out_key, out_n, out_s, out_tau = [], [], [], []
+        for s, e in zip(starts, ends):
+            nk = e - s
+            if nk < 2:
+                continue
+            xs = x[s:e]
+            s_stat = 0
+            for lo in range(0, nk, self.CHUNK):
+                hi = min(lo + self.CHUNK, nk)
+                diff = xs[None, :] - xs[lo:hi, None]
+                later = np.arange(nk)[None, :] > np.arange(lo, hi)[:, None]
+                s_stat += int(np.sign(diff[later]).sum())
+            denom = nk * (nk - 1)
+            out_key.append(keys[s])
+            out_n.append(nk)
+            out_s.append(s_stat)
+            out_tau.append(round_half_away(
+                float(2 * s_stat) / float(denom), 6))
+        if not out_key:
+            return empty
+        return pd.DataFrame({
+            "user_id": np.array(out_key),
+            "n": np.array(out_n, dtype=np.int64),
+            "s_stat": np.array(out_s, dtype=np.int64),
+            "tau": np.array(out_tau, dtype=np.float64)})
+
+
+def mann_kendall(events, *, n_parts: int = 64):
+    """Per-user Mann-Kendall monotone-trend test (S statistic +
+    Kendall tau-a) — the distribution-free trend screen.  One
+    partition-group shuffle; exact integer pair signs."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(MannKendallGroup(),
+                                      batch_format="pandas")

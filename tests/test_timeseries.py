@@ -1742,3 +1742,70 @@ def test_hurst_rs_direction():
     got = HurstRSGroup()(g).set_index("user_id")
     assert got.loc[1, "hurst"] > 0.8
     assert got.loc[2, "hurst"] < 0.3
+
+
+def test_mann_kendall_kernel_matches_sql():
+    """Chunk-vectorized pair signs match the DuckDB self-join twin;
+    chunked and one-shot counts agree; singleton keys drop."""
+    import duckdb
+
+    from series_correction_project_updated_ray.stages.timeseries import (
+        MannKendallGroup)
+    rng = np.random.default_rng(59)
+    n = 400
+    g = pd.DataFrame({
+        "user_id": pd.array(rng.integers(0, 5, n), dtype="Int64"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": rng.integers(0, 10**9, n).astype(np.int64),
+        "value": np.round(rng.normal(50, 10, n), 2),
+    })
+    g.loc[g.index[:2], "user_id"] = pd.NA
+    g.loc[g.index[5:7], "value"] = np.nan
+    got = MannKendallGroup()(g)
+    small = MannKendallGroup()
+    small.CHUNK = 13
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), small(g).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("ev", g)
+    want = con.execute("""
+WITH c AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS nk
+  FROM ev WHERE user_id IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+p AS (
+  SELECT a.user_id, MAX(a.nk) AS n,
+         CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                       WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+              AS BIGINT) AS s_stat
+  FROM c a JOIN c b ON a.user_id = b.user_id AND b.rn > a.rn
+  GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n, s_stat,
+       round(CAST(2 * s_stat AS DOUBLE)
+             / CAST(n * (n - 1) AS DOUBLE), 6) AS tau
+FROM p""").df()
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_mann_kendall_direction():
+    """Monotone-increasing series → tau == 1; decreasing → −1; a
+    constant series → 0."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        MannKendallGroup)
+    n = 30
+    g = pd.DataFrame({
+        "user_id": pd.array([1] * n + [2] * n + [3] * n, dtype="Int64"),
+        "event_id": np.arange(3 * n, dtype=np.int64),
+        "t": np.tile(np.arange(n), 3).astype(np.int64),
+        "value": np.concatenate([np.arange(n, dtype=float),
+                                 np.arange(n, 0, -1, dtype=float),
+                                 np.full(n, 7.0)])})
+    got = MannKendallGroup()(g).set_index("user_id")
+    assert got.loc[1, "tau"] == 1.0
+    assert got.loc[2, "tau"] == -1.0
+    assert got.loc[3, "tau"] == 0.0
