@@ -1411,6 +1411,15 @@ def _q_mann_kendall(sf_dir: str):
     return mann_kendall(ev)
 
 
+def _q_spearman_trend(sf_dir: str):
+    """Per-user Spearman rank trend — 2-scaled tie-averaged integer
+    ranks, exact moments, cast-first double close."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        spearman_trend)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return spearman_trend(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2399,7 +2408,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # sample_entropy's (demoted for the same reason) and
             # dtw_profile_pairs' (kept) quadratic-compare discipline,
             # closed by one exact-int double division
-            "mann_kendall"][:n_over]
+            "mann_kendall",
+            # spearman_trend is oracle-backed but windowed out at
+            # birth: the 2-scaled integer ranks are value_quartiles'
+            # (kept) exact-rank mechanism and the moment close is
+            # autocorr_lag1's (kept) certified cast-first formula
+            "spearman_trend"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2700,6 +2714,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # Mann-Kendall monotone-trend test per user — oracle-checked
         # (exact integer pair signs, tau-a close)
         "mann_kendall": _q_mann_kendall,
+        # Spearman rank trend per user — oracle-checked (2-scaled
+        # tie-averaged integer ranks, exact Pearson moments)
+        "spearman_trend": _q_spearman_trend,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -4360,6 +4377,42 @@ SELECT user_id, CAST(n AS BIGINT) AS n, s_stat,
        round(CAST(2 * s_stat AS DOUBLE)
              / CAST(n * (n - 1) AS DOUBLE), 6) AS tau
 FROM p
+""",
+        # Spearman trend: r2x = 2·rn (unique time ranks), r2y =
+        # 2·min_rank + tie_count − 1 (2-scaled average rank, exact
+        # integer); moments are HUGEINT, the close is the autocorr
+        # cast-first chain
+        "spearman_trend": """
+WITH c AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+r AS (
+  SELECT user_id, 2 * rn AS r2x,
+         2 * RANK() OVER (PARTITION BY user_id ORDER BY cents)
+           + COUNT(*) OVER (PARTITION BY user_id, cents) - 1 AS r2y
+  FROM c),
+s AS (
+  SELECT user_id, COUNT(*) AS n, SUM(r2x) AS sx, SUM(r2y) AS sy,
+         SUM(CAST(r2x AS HUGEINT) * r2y) AS sxy,
+         SUM(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+         SUM(CAST(r2y AS HUGEINT) * r2y) AS syy
+  FROM r GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0.0
+             AND CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) > 0.0
+            THEN round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                       / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                          * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))),
+                       6)
+       END AS rho
+FROM s WHERE n >= 2
 """,
         # lexical richness: the same (source, term) count cells as
         # source_kl; types/tokens/hapax are integer reductions, the

@@ -314,6 +314,11 @@ def run_bench() -> dict:
         timed("mann_kendall",
               lambda: mann_kendall(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
+        from series_correction_project_updated_ray.stages.timeseries import (
+            spearman_trend)
+        timed("spearman_trend",
+              lambda: spearman_trend(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
 
         from series_correction_project_updated_ray.stages.textstage import (
             unigram_logprob)

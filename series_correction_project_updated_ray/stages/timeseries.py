@@ -2854,3 +2854,97 @@ def mann_kendall(events, *, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(MannKendallGroup(),
                                       batch_format="pandas")
+
+
+# --- Spearman rank trend ------------------------------------------------------
+
+class SpearmanTrendGroup:
+    """Per-partition kernel: Spearman rank correlation between time
+    order and value per key — the rank-based trend strength.  Time
+    ranks are unique (2·rn); value ranks average ties, kept EXACT by
+    2-scaling (``r2y = 2·min_rank + run_len − 1``, an integer).
+    Pearson moments over (r2x, r2y) accumulate exactly (Python-int
+    fallback past the int64 bound) and the close is autocorr_lag1's
+    cast-first double formula — bit-identical to the SQL twin.  Keys
+    with < 2 rows emit nothing; zero-variance value ranks emit NULL
+    rho."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": g["user_id"].iloc[:0],
+            "n": pd.Series([], dtype=np.int64),
+            "rho": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        vals = g["value"].to_numpy(np.float64)
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        keep = (codes >= 0) & ~np.isnan(vals)
+        g, codes = g.iloc[keep], codes[keep]
+        if len(g) == 0:
+            return empty
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes = codes[order]
+        keys = g["user_id"].to_numpy()[order]
+        cents = scaled_int(vals[keep][order])
+        n = len(cents)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        local = np.arange(n) - np.repeat(starts, lens)
+        r2x = 2 * (local + 1)
+        # tie-averaged value ranks, 2-scaled: sort by (codes, cents)
+        ord2 = np.lexsort((cents, codes))
+        c2, cod2 = cents[ord2], codes[ord2]
+        key_first = np.r_[True, cod2[1:] != cod2[:-1]]
+        local2 = np.arange(n) - np.repeat(
+            np.flatnonzero(key_first), np.diff(
+                np.r_[np.flatnonzero(key_first), n]))
+        run_first = key_first | np.r_[True, c2[1:] != c2[:-1]]
+        run_starts = np.flatnonzero(run_first)
+        run_lens = np.diff(np.r_[run_starts, n])
+        r2y_run = 2 * (local2[run_starts] + 1) + run_lens - 1
+        r2y = np.empty(n, dtype=np.int64)
+        r2y[ord2] = np.repeat(r2y_run, run_lens)
+        rmax = int(2 * lens.max()) if n else 0
+        if rmax and rmax * rmax * n >= (1 << 62):
+            r2x = r2x.astype(object)
+            r2y = r2y.astype(object)
+        sx = np.add.reduceat(r2x, starts)
+        sy = np.add.reduceat(r2y, starts)
+        sxy = np.add.reduceat(r2x * r2y, starts)
+        sxx = np.add.reduceat(r2x * r2x, starts)
+        syy = np.add.reduceat(r2y * r2y, starts)
+        sel = lens >= 2
+        if not sel.any():
+            return empty
+        nd = lens[sel].astype(np.float64)
+        sxd, syd = sx[sel].astype(np.float64), sy[sel].astype(np.float64)
+        sxyd = sxy[sel].astype(np.float64)
+        sxxd, syyd = sxx[sel].astype(np.float64), syy[sel].astype(np.float64)
+        va = nd * sxxd - sxd * sxd
+        vb = nd * syyd - syd * syd
+        ok = (va > 0) & (vb > 0)
+        rho = np.full(len(nd), np.nan)
+        with np.errstate(invalid="ignore"):
+            rho[ok] = round_half_away(
+                (nd[ok] * sxyd[ok] - sxd[ok] * syd[ok])
+                / (np.sqrt(va[ok]) * np.sqrt(vb[ok])), 6)
+        return pd.DataFrame({
+            "user_id": keys[starts][sel],
+            "n": lens[sel].astype(np.int64),
+            "rho": rho})
+
+
+def spearman_trend(events, *, n_parts: int = 64):
+    """Per-user Spearman rank correlation of value against time order
+    — the tie-robust monotone-trend strength.  One partition-group
+    shuffle; 2-scaled integer ranks, exact moments, autocorr-style
+    double close."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(SpearmanTrendGroup(),
+                                      batch_format="pandas")

@@ -1809,3 +1809,85 @@ def test_mann_kendall_direction():
     assert got.loc[1, "tau"] == 1.0
     assert got.loc[2, "tau"] == -1.0
     assert got.loc[3, "tau"] == 0.0
+
+
+def test_spearman_trend_kernel_matches_sql():
+    """2-scaled tie-averaged ranks + exact moments match the DuckDB
+    window-rank twin; heavy ties exercised via coarse rounding."""
+    import duckdb
+
+    from series_correction_project_updated_ray.stages.timeseries import (
+        SpearmanTrendGroup)
+    rng = np.random.default_rng(61)
+    n = 400
+    g = pd.DataFrame({
+        "user_id": pd.array(rng.integers(0, 5, n), dtype="Int64"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": rng.integers(0, 10**9, n).astype(np.int64),
+        # integers 0..9 -> massive rank ties
+        "value": rng.integers(0, 10, n).astype(np.float64),
+    })
+    g.loc[g.index[:2], "user_id"] = pd.NA
+    g.loc[g.index[5:7], "value"] = np.nan
+    # constant-value key: zero rank variance -> NULL rho, row kept
+    const = pd.DataFrame({
+        "user_id": pd.array([42] * 6, dtype="Int64"),
+        "event_id": np.arange(5000, 5006, dtype=np.int64),
+        "t": np.arange(6, dtype=np.int64),
+        "value": [3.0] * 6})
+    g = pd.concat([g, const], ignore_index=True)
+    got = SpearmanTrendGroup()(g)
+    assert np.isnan(got.set_index("user_id").loc[42, "rho"])
+    con = duckdb.connect()
+    con.register("ev", g)
+    want = con.execute("""
+WITH c AS (
+  SELECT user_id, CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY t, event_id) AS rn
+  FROM ev WHERE user_id IS NOT NULL AND value IS NOT NULL),
+r AS (
+  SELECT user_id, 2 * rn AS r2x,
+         2 * RANK() OVER (PARTITION BY user_id ORDER BY cents)
+           + COUNT(*) OVER (PARTITION BY user_id, cents) - 1 AS r2y
+  FROM c),
+s AS (
+  SELECT user_id, COUNT(*) AS n, SUM(r2x) AS sx, SUM(r2y) AS sy,
+         SUM(CAST(r2x AS HUGEINT) * r2y) AS sxy,
+         SUM(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+         SUM(CAST(r2y AS HUGEINT) * r2y) AS syy
+  FROM r GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0.0
+             AND CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) > 0.0
+            THEN round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                       / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                          * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))),
+                       6)
+       END AS rho
+FROM s WHERE n >= 2""").df()
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_spearman_trend_monotone():
+    """A strictly increasing series has rho == 1 even when increments
+    vary; strictly decreasing -> -1."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        SpearmanTrendGroup)
+    v = np.cumsum(np.abs(np.random.default_rng(7).normal(1, 0.5, 40)))
+    g = pd.DataFrame({
+        "user_id": pd.array([1] * 40 + [2] * 40, dtype="Int64"),
+        "event_id": np.arange(80, dtype=np.int64),
+        "t": np.tile(np.arange(40), 2).astype(np.int64),
+        "value": np.concatenate([np.round(v, 2), np.round(v[::-1], 2)])})
+    got = SpearmanTrendGroup()(g).set_index("user_id")
+    assert got.loc[1, "rho"] == 1.0
+    assert got.loc[2, "rho"] == -1.0
