@@ -1420,6 +1420,28 @@ def _q_spearman_trend(sf_dir: str):
     return spearman_trend(ev)
 
 
+def _q_promo_share(sf_dir: str):
+    """TPC-H-Q14-shaped promo revenue share — broadcast part
+    dimension, exact 1e-4-dollar integer partials, one Sum close."""
+    from series_correction_project_updated_ray.stages.relational import (
+        promo_revenue_share)
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    return promo_revenue_share(li, part)
+
+
+def _q_late_shipment(sf_dir: str):
+    """TPC-H-Q12-shaped late-shipment counts per order priority —
+    partitioned hash join + indicator Sum groupby."""
+    from series_correction_project_updated_ray.stages.relational import (
+        late_shipment_priority)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    return late_shipment_priority(li, orders)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2413,7 +2435,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # birth: the 2-scaled integer ranks are value_quartiles'
             # (kept) exact-rank mechanism and the moment close is
             # autocorr_lag1's (kept) certified cast-first formula
-            "spearman_trend"][:n_over]
+            "spearman_trend",
+            # promo_revenue_share is oracle-backed but windowed out at
+            # birth: the broadcast-dimension semi-lookup is
+            # broadcast_enrich_orders' (kept) mechanism and the whole
+            # pipe is exact integers until three final divisions
+            "promo_revenue_share",
+            # late_shipment_priority is oracle-backed but windowed out
+            # at birth: the bucket hash join is join_lineitem_orders'
+            # (kept) machinery and the close is pure integer indicator
+            # counts — no float fold at all
+            "late_shipment_priority"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2717,6 +2749,12 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # Spearman rank trend per user — oracle-checked (2-scaled
         # tie-averaged integer ranks, exact Pearson moments)
         "spearman_trend": _q_spearman_trend,
+        # TPC-H-Q14-shaped promo revenue share — oracle-checked
+        # (broadcast dimension, exact integer revenue partials)
+        "promo_revenue_share": _q_promo_share,
+        # TPC-H-Q12-shaped late-shipment priority counts —
+        # oracle-checked (hash join + integer indicator groupby)
+        "late_shipment_priority": _q_late_shipment,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -4413,6 +4451,38 @@ SELECT user_id, CAST(n AS BIGINT) AS n,
                        6)
        END AS rho
 FROM s WHERE n >= 2
+""",
+        # Q14 shape: revenue stays in exact 1e-4-dollar integers
+        # through the join; three double closes
+        "promo_revenue_share": """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(round(l_discount*100) AS BIGINT)) AS rev4
+  FROM lineitem),
+j AS (SELECT rev4, p_type FROM li JOIN part ON l_partkey = p_partkey),
+s AS (
+  SELECT SUM(CAST(CASE WHEN p_type = 'PROMO' THEN rev4 ELSE 0 END
+             AS HUGEINT)) AS prom,
+         SUM(CAST(rev4 AS HUGEINT)) AS tot
+  FROM j)
+SELECT round(CAST(prom AS DOUBLE) / 10000.0, 6) AS promo_rev,
+       round(CAST(tot AS DOUBLE) / 10000.0, 6) AS total_rev,
+       round(100.0 * CAST(prom AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+         AS promo_share
+FROM s
+""",
+        # Q12 shape: pure integer indicator counts after the equi-join
+        "late_shipment_priority": """
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (epoch_us(l_shipdate)
+              > epoch_us(o_orderdate) + 7776000000000) AS BIGINT)
+         AS late_count,
+       CAST(COUNT(*) FILTER (epoch_us(l_shipdate)
+              <= epoch_us(o_orderdate) + 7776000000000) AS BIGINT)
+         AS ontime_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
 """,
         # lexical richness: the same (source, term) count cells as
         # source_kl; types/tokens/hapax are integer reductions, the

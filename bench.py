@@ -368,6 +368,30 @@ def run_bench() -> dict:
               lambda: dsir_weights(rd.read_parquet(
                   docs_path,
                   columns=["doc_id", "lang", "text"])).count())
+        from series_correction_project_updated_ray.stages.relational import (
+            late_shipment_priority, promo_revenue_share)
+        li_path = f"{SF_DIR}/lineitem.parquet"
+        ord_path = f"{SF_DIR}/orders.parquet"
+        part_path = f"{SF_DIR}/part.parquet"
+        if os.path.exists(li_path):
+            timed("promo_revenue_share",
+                  lambda: promo_revenue_share(
+                      rd.read_parquet(li_path,
+                                      columns=["l_partkey",
+                                               "l_extendedprice",
+                                               "l_discount"]),
+                      rd.read_parquet(part_path,
+                                      columns=["p_partkey",
+                                               "p_type"])).count())
+            timed("late_shipment_priority",
+                  lambda: late_shipment_priority(
+                      rd.read_parquet(li_path,
+                                      columns=["l_orderkey",
+                                               "l_shipdate"]),
+                      rd.read_parquet(ord_path,
+                                      columns=["o_orderkey",
+                                               "o_orderdate",
+                                               "o_orderpriority"])).count())
 
         # round-5 additions
         from series_correction_project_updated_ray.stages.relational import (

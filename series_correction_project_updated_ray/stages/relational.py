@@ -2124,3 +2124,119 @@ def cohort_retention(events, *, n_parts: int = 64):
         Sum("n", alias_name="n"))
     return summed.repartition(1).map_batches(
         _CohortClose(), batch_format="pyarrow", batch_size=None)
+
+
+# --- TPC-H-Q14-shaped promo revenue share ------------------------------------
+
+class _PromoScore:
+    """Task-cached lineitem scorer for :func:`promo_revenue_share`:
+    the part dimension's (sorted partkey, is-promo flag) arrays ship
+    once per worker; each batch emits ONE (prom, tot) partial in exact
+    1e-4-dollar integers (``rev4 = price_cents · (100 − disc_pct)``).
+    Lineitems whose partkey is absent from part drop — inner-join
+    semantics without shuffling the fact table."""
+
+    def __init__(self, keys_ref, promo_ref):
+        import ray
+        self.keys = ray.get(keys_ref)
+        self.promo = ray.get(promo_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.rounding import scaled_int
+        if len(t) == 0:
+            return pa.table({"prom": pa.array([], pa.int64()),
+                             "tot": pa.array([], pa.int64())})
+        ep = scaled_int(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        dc = scaled_int(t["l_discount"].to_numpy(zero_copy_only=False))
+        rev4 = ep * (100 - dc)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(self.keys, pk)
+        idx_c = np.minimum(idx, len(self.keys) - 1)
+        present = self.keys[idx_c] == pk
+        is_promo = present & self.promo[idx_c]
+        return pa.table({
+            "prom": pa.array([int(rev4[is_promo].sum())], pa.int64()),
+            "tot": pa.array([int(rev4[present].sum())], pa.int64())})
+
+
+def promo_revenue_share(lineitem, part):
+    """TPC-H-Q14-shaped promo revenue share: the percentage of joined
+    revenue carried by PROMO parts.  The part dimension broadcasts
+    once (``ray.put`` of two aligned arrays — the prescribed
+    small-side pattern; never a fact-table shuffle), batches emit one
+    exact-integer partial each, and ONE tiny Sum aggregate closes the
+    three output doubles."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .taskcache import class_task
+
+    dim = part.select_columns(["p_partkey", "p_type"]).to_arrow_refs()
+    parts = [p for p in ray.get(dim) if p is not None and len(p)]
+    if parts:
+        tbl = pa.concat_tables(parts)
+        pk = tbl["p_partkey"].to_numpy(zero_copy_only=False)
+        promo = pc.equal(tbl["p_type"], "PROMO").to_numpy(
+            zero_copy_only=False)
+        order = np.argsort(pk, kind="stable")
+        keys, promo = pk[order], promo[order]
+    else:
+        keys = np.array([], dtype=np.int64)
+        promo = np.array([], dtype=bool)
+    keys_ref, promo_ref = ray.put(keys), ray.put(promo)
+    partials = lineitem.map_batches(
+        class_task(_PromoScore, keys_ref, promo_ref),
+        batch_format="pyarrow")
+    g = partials.aggregate(Sum("prom", alias_name="prom"),
+                           Sum("tot", alias_name="tot"))
+    from ..functions.rounding import round_half_away
+    prom = int(g["prom"] or 0)
+    tot = int(g["tot"] or 0)
+    out = {
+        "promo_rev": pa.array([round_half_away(
+            np.float64(float(prom) / 10000.0), 6)], pa.float64()),
+        "total_rev": pa.array([round_half_away(
+            np.float64(float(tot) / 10000.0), 6)], pa.float64()),
+        "promo_share": pa.array(
+            [round_half_away(np.float64(100.0 * float(prom) / float(tot)),
+                             6)] if tot else [None], pa.float64()),
+    }
+    import ray.data as rd
+    return rd.from_arrow(pa.table(out))
+
+
+# --- TPC-H-Q12-shaped late-shipment priority counts --------------------------
+
+def late_shipment_priority(lineitem, orders, *, grace_days: int = 90):
+    """TPC-H-Q12-shaped shipping-delay accounting: per order priority,
+    how many lineitems shipped more than ``grace_days`` after the
+    order date vs on time.  One partitioned hash join on orderkey (the
+    package's bucket-join machinery), then integer indicator partials
+    into a 5-row groupby."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+    from .windows import _epoch_micros
+
+    j = hash_join(lineitem, orders, "l_orderkey", "o_orderkey",
+                  how="inner", n_buckets=16)
+    grace_us = grace_days * 86_400_000_000
+
+    def _flags(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                             "late_count": pa.array([], pa.int64()),
+                             "ontime_count": pa.array([], pa.int64())})
+        ship = np.asarray(_epoch_micros(t["l_shipdate"]))
+        od = np.asarray(_epoch_micros(t["o_orderdate"]))
+        late = ship > od + grace_us
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "late_count": pa.array(late.astype(np.int64)),
+            "ontime_count": pa.array((~late).astype(np.int64))})
+
+    return j.map_batches(_flags, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(
+            Sum("late_count", alias_name="late_count"),
+            Sum("ontime_count", alias_name="ontime_count"))

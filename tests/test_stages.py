@@ -2663,3 +2663,56 @@ def test_dsir_weights_ray_end_to_end(ray_session):
     en = m.loc[m["lang"] == "en", "avg_log_weight"].mean()
     rest = m.loc[m["lang"] != "en", "avg_log_weight"].mean()
     assert en > rest
+
+
+def test_promo_revenue_share_end_to_end(ray_session):
+    """Q14-shaped promo share over sf0.001 equals the SQL oracle; the
+    share lies in (0, 100) and the revenue split is consistent."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        promo_revenue_share)
+    d = "/root/testdata/sf0.001"
+    got = promo_revenue_share(
+        rd.read_parquet(f"{d}/lineitem.parquet",
+                        columns=["l_partkey", "l_extendedprice",
+                                 "l_discount"]),
+        rd.read_parquet(f"{d}/part.parquet",
+                        columns=["p_partkey", "p_type"])).to_pandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["promo_revenue_share"]).df()
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
+    assert 0 < got["promo_share"].iloc[0] < 100
+    assert got["promo_rev"].iloc[0] < got["total_rev"].iloc[0]
+
+
+def test_late_shipment_priority_end_to_end(ray_session):
+    """Q12-shaped late counts over sf0.001 equal the SQL oracle; every
+    priority appears and the totals add up to the join size."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        late_shipment_priority)
+    d = "/root/testdata/sf0.001"
+    got = late_shipment_priority(
+        rd.read_parquet(f"{d}/lineitem.parquet",
+                        columns=["l_orderkey", "l_shipdate"]),
+        rd.read_parquet(f"{d}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])).to_pandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["late_shipment_priority"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values("o_orderpriority").reset_index(drop=True)
+    w = want[cols].sort_values("o_orderpriority").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    assert len(g) == 5
