@@ -1442,6 +1442,15 @@ def _q_late_shipment(sf_dir: str):
     return late_shipment_priority(li, orders)
 
 
+def _q_grubbs(sf_dir: str):
+    """Per-event-type Grubbs single-outlier test — exact integer
+    moments, argmax row with smallest-event_id tie, double close."""
+    from series_correction_project_updated_ray.stages.relational import (
+        grubbs_test)
+    ev = _read(sf_dir, "events", ["event_type", "event_id", "value"])
+    return grubbs_test(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2445,7 +2454,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # at birth: the bucket hash join is join_lineitem_orders'
             # (kept) machinery and the close is pure integer indicator
             # counts — no float fold at all
-            "late_shipment_priority"][:n_over]
+            "late_shipment_priority",
+            # grubbs_test is oracle-backed but windowed out at birth:
+            # the n-scaled integer deviations are ljung_box-family
+            # machinery (kept via autocorr), the group-level exact-int
+            # Σy² identity avoids per-row 128-bit work, and the close
+            # is one sqrt-bearing double chain (welch family, kept via
+            # ks_test_weekend)
+            "grubbs_test"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2755,6 +2771,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H-Q12-shaped late-shipment priority counts —
         # oracle-checked (hash join + integer indicator groupby)
         "late_shipment_priority": _q_late_shipment,
+        # Grubbs single-outlier test per event type — oracle-checked
+        # (integer moments, tie-broken argmax, one double chain)
+        "grubbs_test": _q_grubbs,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -4483,6 +4502,38 @@ SELECT o_orderpriority,
          AS ontime_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
+""",
+        # Grubbs: |y| = |n·c − Σc| ranks the extreme row exactly (tie
+        # → smallest event_id); Σy² = n²Σc² − nS² stays integral; the
+        # close is (M/n)/√(D/(n²(n−1)))
+        "grubbs_test": """
+WITH c AS (
+  SELECT event_type, event_id, value,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         COUNT(*) OVER (PARTITION BY event_type) AS nk,
+         SUM(CAST(round(value*100) AS BIGINT))
+           OVER (PARTITION BY event_type) AS s,
+         SUM(CAST(round(value*100) AS HUGEINT)
+             * CAST(round(value*100) AS BIGINT))
+           OVER (PARTITION BY event_type) AS sc2
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+y AS (
+  SELECT event_type, event_id, value, nk, s, sc2,
+         abs(CAST(nk AS BIGINT) * cents - s) AS ay,
+         row_number() OVER (PARTITION BY event_type
+             ORDER BY abs(CAST(nk AS BIGINT) * cents - s) DESC,
+                      event_id) AS rk
+  FROM c),
+top AS (SELECT * FROM y WHERE rk = 1 AND nk >= 3)
+SELECT event_type, CAST(nk AS BIGINT) AS n,
+       event_id AS outlier_event_id, value AS outlier_value,
+       round((CAST(ay AS DOUBLE) / CAST(nk AS DOUBLE))
+             / sqrt(CAST(CAST(nk AS HUGEINT)*nk*sc2
+                         - CAST(nk AS HUGEINT)*s*s AS DOUBLE)
+                    / CAST(CAST(nk AS HUGEINT)*nk*(nk-1) AS DOUBLE)),
+             6) AS g_stat
+FROM top
+WHERE CAST(nk AS HUGEINT)*nk*sc2 - CAST(nk AS HUGEINT)*s*s > 0
 """,
         # lexical richness: the same (source, term) count cells as
         # source_kl; types/tokens/hapax are integer reductions, the

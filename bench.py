@@ -319,6 +319,12 @@ def run_bench() -> dict:
         timed("spearman_trend",
               lambda: spearman_trend(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
+        from series_correction_project_updated_ray.stages.relational import (
+            grubbs_test)
+        timed("grubbs_test",
+              lambda: grubbs_test(rd.read_parquet(
+                  ev_path,
+                  columns=["event_type", "event_id", "value"])).count())
 
         from series_correction_project_updated_ray.stages.textstage import (
             unigram_logprob)

@@ -2240,3 +2240,107 @@ def late_shipment_priority(lineitem, orders, *, grace_days: int = 90):
         .groupby("o_orderpriority").aggregate(
             Sum("late_count", alias_name="late_count"),
             Sum("ontime_count", alias_name="ontime_count"))
+
+
+# --- Grubbs single-outlier test ----------------------------------------------
+
+class _GrubbsGroup:
+    """Per-partition kernel for :func:`grubbs_test`: per event type,
+    ``G = max|x − x̄| / s`` with everything exact until the close —
+    ``y = n·c − Σc`` keeps deviations in int64 (bounded |y| ≤ 2n·max|c|,
+    guarded), ``Σy² = n²Σc² − nS²`` is computed per GROUP in exact
+    Python ints (never a per-row 128-bit array), the argmax row ties
+    to the smallest event_id, and the close replays the SQL double
+    chain ``(M/n) / √(D/(n²(n−1)))``."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        from ..functions.rounding import round_half_away, scaled_int
+        empty = pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64),
+            "outlier_event_id": pd.Series([], dtype=np.int64),
+            "outlier_value": pd.Series([], dtype=np.float64),
+            "g_stat": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        vals = g["value"].to_numpy(np.float64)
+        codes, _ = pd.factorize(g["event_type"], sort=False)
+        keep = (codes >= 0) & ~np.isnan(vals)
+        g, codes = g.iloc[keep], codes[keep]
+        if len(g) == 0:
+            return empty
+        ids = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((ids, codes))
+        codes, ids = codes[order], ids[order]
+        types = g["event_type"].to_numpy()[order]
+        vals = vals[keep][order]
+        c = scaled_int(vals)
+        n = len(c)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        s_grp = np.add.reduceat(c, starts)
+        nk_row = np.repeat(lens, lens)
+        y = nk_row * c - np.repeat(s_grp, lens)
+        absy = np.abs(y)
+        m_grp = np.maximum.reduceat(absy, starts)
+        cmax = int(np.abs(c).max()) if n else 0
+        sc2 = (np.add.reduceat(c.astype(object) * c.astype(object), starts)
+               if cmax and cmax * cmax * n >= (1 << 62)
+               else np.add.reduceat(c * c, starts))
+        out = []
+        for i, (s, ln) in enumerate(zip(starts, lens)):
+            if ln < 3:
+                continue
+            nk, sk = int(ln), int(s_grp[i])
+            d_exact = nk * nk * int(sc2[i]) - nk * sk * sk
+            if d_exact <= 0:
+                continue
+            m = int(m_grp[i])
+            seg = slice(s, s + ln)
+            hit = np.flatnonzero(absy[seg] == m)
+            eid = int(ids[seg][hit].min())
+            val = float(vals[seg][hit[np.argmin(ids[seg][hit])]])
+            gstat = ((float(m) / float(nk))
+                     / math.sqrt(float(d_exact)
+                                 / float(nk * nk * (nk - 1))))
+            out.append((types[s], nk, eid, val,
+                        round_half_away(gstat, 6)))
+        if not out:
+            return empty
+        et, nn, ei, ov, gs = zip(*out)
+        return pd.DataFrame({
+            "event_type": list(et),
+            "n": np.array(nn, dtype=np.int64),
+            "outlier_event_id": np.array(ei, dtype=np.int64),
+            "outlier_value": np.array(ov, dtype=np.float64),
+            "g_stat": np.array(gs, dtype=np.float64)})
+
+
+def grubbs_test(events, *, n_parts: int = 16):
+    """Per-event-type Grubbs single-outlier test — the classic
+    one-point ESD screen: the most extreme value's studentized
+    deviation, with the offending event identified (ties → smallest
+    event_id).  One partition-group shuffle over the bounded type
+    domain; exact integer moments, one double chain per type."""
+    import pyarrow.compute as pc
+
+    from .windows import _add_key_partition
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cols = ["event_type", "event_id", "value"]
+        if not all(col in batch.column_names for col in cols):
+            return pa.table({
+                "event_type": pa.array([], pa.string()),
+                "event_id": pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64())})
+        return batch.select(cols)
+
+    prepped = events.map_batches(_prep, batch_format="pyarrow")
+    return _add_key_partition(prepped, "event_type", n_parts) \
+        .groupby("__part").map_groups(_GrubbsGroup(),
+                                      batch_format="pandas")

@@ -2716,3 +2716,71 @@ def test_late_shipment_priority_end_to_end(ray_session):
     w = want[cols].sort_values("o_orderpriority").reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
     assert len(g) == 5
+
+
+def test_grubbs_kernel_matches_sql():
+    """Exact integer moments + tie-broken argmax match the DuckDB
+    window twin; a planted extreme point is identified."""
+    import duckdb
+
+    from series_correction_project_updated_ray.stages.relational import (
+        _GrubbsGroup)
+    rng = np.random.default_rng(67)
+    n = 500
+    g = pd.DataFrame({
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": np.round(rng.normal(50, 10, n), 2),
+    })
+    g.loc[g.index[3], "value"] = 9999.0     # planted outlier in its type
+    g.loc[g.index[5:7], "value"] = np.nan
+    got = _GrubbsGroup()(g)
+    planted_type = g.loc[g.index[3], "event_type"]
+    row = got.set_index("event_type").loc[planted_type]
+    assert row["outlier_event_id"] == 3
+    assert row["outlier_value"] == 9999.0
+    con = duckdb.connect()
+    con.register("ev", g)
+    want = con.execute("""
+WITH c AS (
+  SELECT event_type, event_id, value,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         COUNT(*) OVER (PARTITION BY event_type) AS nk,
+         SUM(CAST(round(value*100) AS BIGINT))
+           OVER (PARTITION BY event_type) AS s,
+         SUM(CAST(round(value*100) AS HUGEINT)
+             * CAST(round(value*100) AS BIGINT))
+           OVER (PARTITION BY event_type) AS sc2
+  FROM ev WHERE event_type IS NOT NULL AND value IS NOT NULL),
+y AS (
+  SELECT event_type, event_id, value, nk, s, sc2,
+         abs(CAST(nk AS BIGINT) * cents - s) AS ay,
+         row_number() OVER (PARTITION BY event_type
+             ORDER BY abs(CAST(nk AS BIGINT) * cents - s) DESC,
+                      event_id) AS rk
+  FROM c),
+top AS (SELECT * FROM y WHERE rk = 1 AND nk >= 3)
+SELECT event_type, CAST(nk AS BIGINT) AS n,
+       event_id AS outlier_event_id, value AS outlier_value,
+       round((CAST(ay AS DOUBLE) / CAST(nk AS DOUBLE))
+             / sqrt(CAST(CAST(nk AS HUGEINT)*nk*sc2
+                         - CAST(nk AS HUGEINT)*s*s AS DOUBLE)
+                    / CAST(CAST(nk AS HUGEINT)*nk*(nk-1) AS DOUBLE)),
+             6) AS g_stat
+FROM top
+WHERE CAST(nk AS HUGEINT)*nk*sc2 - CAST(nk AS HUGEINT)*s*s > 0""").df()
+    cols = sorted(got.columns)
+    g2 = got[cols].sort_values("event_type").reset_index(drop=True)
+    w2 = want[cols].sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g2, w2, check_dtype=False)
+
+
+def test_grubbs_degenerate_groups():
+    """Constant-valued and tiny groups emit nothing."""
+    from series_correction_project_updated_ray.stages.relational import (
+        _GrubbsGroup)
+    g = pd.DataFrame({
+        "event_type": ["k"] * 5 + ["tiny"] * 2,
+        "event_id": np.arange(7, dtype=np.int64),
+        "value": [4.0] * 5 + [1.0, 2.0]})
+    assert len(_GrubbsGroup()(g)) == 0
