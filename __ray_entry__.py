@@ -1451,6 +1451,15 @@ def _q_grubbs(sf_dir: str):
     return grubbs_test(ev)
 
 
+def _q_char_entropy(sf_dir: str):
+    """Per-document character-distribution entropy — map-only, exact
+    counts, ordered libm fold."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        char_entropy)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return char_entropy(docs)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2461,7 +2470,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # Σy² identity avoids per-row 128-bit work, and the close
             # is one sqrt-bearing double chain (welch family, kept via
             # ks_test_weekend)
-            "grubbs_test"][:n_over]
+            "grubbs_test",
+            # char_entropy is oracle-backed but windowed out at birth:
+            # map-only exact counts with unigram_logprob's (kept)
+            # ordered-libm-fold discipline, no shuffle at all
+            "char_entropy"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2774,6 +2787,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # Grubbs single-outlier test per event type — oracle-checked
         # (integer moments, tie-broken argmax, one double chain)
         "grubbs_test": _q_grubbs,
+        # character-distribution Shannon entropy per document —
+        # oracle-checked (exact counts, codepoint-ordered libm fold)
+        "char_entropy": _q_char_entropy,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -4534,6 +4550,27 @@ SELECT event_type, CAST(nk AS BIGINT) AS n,
              6) AS g_stat
 FROM top
 WHERE CAST(nk AS HUGEINT)*nk*sc2 - CAST(nk AS HUGEINT)*s*s > 0
+""",
+        # char entropy: H = ln n − (Σ c·ln c)/n with the Σ folded in
+        # codepoint order (UTF-8 byte order == codepoint order)
+        "char_entropy": """
+WITH d AS (
+  SELECT doc_id, string_split(text, '') AS l
+  FROM documents WHERE length(text) > 0),
+ch AS (SELECT doc_id, unnest(l) AS ch FROM d),
+cc AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ch GROUP BY 1, 2),
+f AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS nd,
+         list_reduce(list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                          ORDER BY ch), (a, b) -> a + b) AS s
+  FROM cc GROUP BY 1)
+SELECT doc_id, n AS n_cp, nd AS n_distinct,
+       round(ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 6)
+         AS entropy
+FROM f
 """,
         # lexical richness: the same (source, term) count cells as
         # source_kl; types/tokens/hapax are integer reductions, the

@@ -374,6 +374,11 @@ def run_bench() -> dict:
               lambda: dsir_weights(rd.read_parquet(
                   docs_path,
                   columns=["doc_id", "lang", "text"])).count())
+        from series_correction_project_updated_ray.stages.textstage import (
+            char_entropy)
+        timed("char_entropy",
+              lambda: char_entropy(rd.read_parquet(
+                  docs_path, columns=["doc_id", "text"])).count())
         from series_correction_project_updated_ray.stages.relational import (
             late_shipment_priority, promo_revenue_share)
         li_path = f"{SF_DIR}/lineitem.parquet"

@@ -1620,3 +1620,54 @@ def dsir_weights(docs, *, target_lang: str = "en", text_col="text",
         batch_format="pyarrow")
     out._graft_pin = (raw_tbl, tgt_tbl)
     return out
+
+
+# --- character entropy ---------------------------------------------------------
+
+def char_entropy_batch(batch: pa.Table, text_col="text",
+                       id_col="doc_id") -> pa.Table:
+    """Per-document Shannon entropy of the character distribution —
+    the compression-ratio proxy quality screen (gibberish and
+    boilerplate sit at the entropy extremes).  Exact integer char
+    counts; the only float work is ``ln n − (Σ c·ln c)/n`` with the
+    Σ folded LEFT OVER CHARS IN CODEPOINT ORDER via ``math.log``
+    (UTF-8 byte order == codepoint order, so DuckDB's ``ORDER BY ch``
+    sees the identical sequence).  Empty texts drop."""
+    import math
+    from collections import Counter
+
+    from ..functions.rounding import round_half_away
+    texts = (batch[text_col].to_pandas()
+             if text_col in batch.column_names else [])
+    ids, n_cp, n_distinct, ent = [], [], [], []
+    id_arr = (batch[id_col].to_numpy(zero_copy_only=False)
+              if len(texts) else np.array([], dtype=np.int64))
+    for i, txt in enumerate(texts):
+        if not txt:
+            continue
+        c = Counter(txt)
+        n = sum(c.values())
+        acc = 0.0
+        for ch in sorted(c):
+            cv = float(c[ch])
+            acc += cv * math.log(cv)
+        ids.append(id_arr[i])
+        n_cp.append(n)
+        n_distinct.append(len(c))
+        ent.append(round_half_away(
+            math.log(float(n)) - acc / float(n), 6))
+    return pa.table({
+        id_col: pa.array(np.array(ids, dtype=np.int64)),
+        "n_cp": pa.array(np.array(n_cp, dtype=np.int64)),
+        "n_distinct": pa.array(np.array(n_distinct, dtype=np.int64)),
+        "entropy": pa.array(np.array(ent, dtype=np.float64))})
+
+
+def char_entropy(docs, *, text_col="text", id_col="doc_id"):
+    """Per-document character-distribution Shannon entropy — map-only
+    (no shuffle), exact integer counts, one ordered libm fold per doc."""
+    import functools
+    return docs.map_batches(
+        functools.partial(char_entropy_batch, text_col=text_col,
+                          id_col=id_col),
+        batch_format="pyarrow")

@@ -2784,3 +2784,44 @@ def test_grubbs_degenerate_groups():
         "event_id": np.arange(7, dtype=np.int64),
         "value": [4.0] * 5 + [1.0, 2.0]})
     assert len(_GrubbsGroup()(g)) == 0
+
+
+def test_char_entropy_kernel_semantics():
+    """Uniform chars hit ln(k); a single repeated char scores 0;
+    empty docs drop; unicode codepoints count once each."""
+    import math
+
+    from series_correction_project_updated_ray.stages.textstage import (
+        char_entropy_batch)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["abcd", "aaaa", "", "汉字汉字"]),
+    })
+    out = char_entropy_batch(t).to_pandas().set_index("doc_id")
+    assert out.loc[1, "entropy"] == round(math.log(4.0), 6)
+    assert out.loc[1, "n_distinct"] == 4
+    assert out.loc[2, "entropy"] == 0.0
+    assert 3 not in out.index
+    assert out.loc[4, "n_cp"] == 4 and out.loc[4, "n_distinct"] == 2
+    assert out.loc[4, "entropy"] == round(math.log(2.0), 6)
+
+
+def test_char_entropy_ray_end_to_end(ray_session):
+    """Dataset-level char_entropy over sf0.001 (incl. zh/fr text)
+    equals the SQL oracle."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.textstage import (
+        char_entropy)
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    got = char_entropy(
+        rd.read_parquet(sf, columns=["doc_id", "text"])).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}'")
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["char_entropy"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values("doc_id").reset_index(drop=True)
+    w = want[cols].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
