@@ -1460,6 +1460,15 @@ def _q_char_entropy(sf_dir: str):
     return char_entropy(docs)
 
 
+def _q_drift_chi2(sf_dir: str):
+    """Split-half chi-square distribution drift per event type —
+    integer bin counts, ordered per-bin double folds."""
+    from series_correction_project_updated_ray.stages.relational import (
+        drift_chi2)
+    ev = _read(sf_dir, "events", ["event_type", "event_id", "ts", "value"])
+    return drift_chi2(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2474,7 +2483,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # char_entropy is oracle-backed but windowed out at birth:
             # map-only exact counts with unigram_logprob's (kept)
             # ordered-libm-fold discipline, no shuffle at all
-            "char_entropy"][:n_over]
+            "char_entropy",
+            # drift_chi2 is oracle-backed but windowed out at birth:
+            # the split-half rank mechanism is ks_test_weekend's
+            # (kept) two-sample discipline, bins are value_histogram's
+            # (kept) exact integer cells, the fold order is the
+            # benford_digits (kept) chi-square family
+            "drift_chi2"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2790,6 +2805,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # character-distribution Shannon entropy per document —
         # oracle-checked (exact counts, codepoint-ordered libm fold)
         "char_entropy": _q_char_entropy,
+        # split-half chi-square drift screen per event type —
+        # oracle-checked (integer bin counts, bin-ordered folds)
+        "drift_chi2": _q_drift_chi2,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -4570,6 +4588,49 @@ f AS (
 SELECT doc_id, n AS n_cp, nd AS n_distinct,
        round(ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE), 6)
          AS entropy
+FROM f
+""",
+        # drift chi-square: expected counts are exact-integer ratios
+        # cast once; the per-bin terms fold in ascending bin order
+        "drift_chi2": """
+WITH c AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS nk
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY event_type
+               ORDER BY epoch_us(ts), event_id)),
+b AS (
+  SELECT event_type, nk,
+         CASE WHEN rn <= nk // 2 THEN 0 ELSE 1 END AS half,
+         LEAST(GREATEST(cents // 1000, 0), 19) AS bin
+  FROM c WHERE nk >= 2),
+cells AS (
+  SELECT event_type, bin, MAX(nk) AS nk,
+         MAX(nk) // 2 AS n1, MAX(nk) - MAX(nk) // 2 AS n2,
+         CAST(COUNT(*) FILTER (half = 0) AS BIGINT) AS o1,
+         CAST(COUNT(*) FILTER (half = 1) AS BIGINT) AS o2
+  FROM b GROUP BY 1, 2),
+terms AS (
+  SELECT event_type, bin, nk,
+         (CAST(o1 AS DOUBLE)
+            - CAST(n1 * (o1 + o2) AS DOUBLE) / CAST(nk AS DOUBLE))
+         * (CAST(o1 AS DOUBLE)
+            - CAST(n1 * (o1 + o2) AS DOUBLE) / CAST(nk AS DOUBLE))
+         / (CAST(n1 * (o1 + o2) AS DOUBLE) / CAST(nk AS DOUBLE))
+         + (CAST(o2 AS DOUBLE)
+            - CAST(n2 * (o1 + o2) AS DOUBLE) / CAST(nk AS DOUBLE))
+         * (CAST(o2 AS DOUBLE)
+            - CAST(n2 * (o1 + o2) AS DOUBLE) / CAST(nk AS DOUBLE))
+         / (CAST(n2 * (o1 + o2) AS DOUBLE) / CAST(nk AS DOUBLE)) AS t
+  FROM cells),
+f AS (
+  SELECT event_type, MAX(nk) AS n,
+         CAST(COUNT(*) AS BIGINT) AS nbins,
+         list_reduce(list(t ORDER BY bin), (a, b) -> a + b) AS chi2
+  FROM terms GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n, nbins - 1 AS dof,
+       round(chi2, 6) AS chi2
 FROM f
 """,
         # lexical richness: the same (source, term) count cells as

@@ -325,6 +325,12 @@ def run_bench() -> dict:
               lambda: grubbs_test(rd.read_parquet(
                   ev_path,
                   columns=["event_type", "event_id", "value"])).count())
+        from series_correction_project_updated_ray.stages.relational import (
+            drift_chi2)
+        timed("drift_chi2",
+              lambda: drift_chi2(rd.read_parquet(
+                  ev_path, columns=["event_type", "event_id", "ts",
+                                    "value"])).count())
 
         from series_correction_project_updated_ray.stages.textstage import (
             unigram_logprob)

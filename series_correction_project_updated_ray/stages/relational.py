@@ -2344,3 +2344,94 @@ def grubbs_test(events, *, n_parts: int = 16):
     return _add_key_partition(prepped, "event_type", n_parts) \
         .groupby("__part").map_groups(_GrubbsGroup(),
                                       batch_format="pandas")
+
+
+# --- distribution drift (split-half chi-square) --------------------------------
+
+class _DriftChi2Group:
+    """Per-partition kernel for :func:`drift_chi2`: per event type the
+    stream splits at ``nk // 2`` in (t, event_id) order, values bucket
+    into 20 fixed-width cents bins (clamped), and the chi-square
+    homogeneity statistic folds over PRESENT bins in ascending bin
+    order — expected counts are exact-integer ratios cast once, each
+    bin term is a fixed double expression, so the SQL twin matches at
+    6dp.  Types with < 2 rows drop."""
+
+    BIN_CENTS, N_BINS = 1000, 20
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.rounding import round_half_away, scaled_int
+        empty = pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64),
+            "dof": pd.Series([], dtype=np.int64),
+            "chi2": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        vals = g["value"].to_numpy(np.float64)
+        codes, _ = pd.factorize(g["event_type"], sort=False)
+        keep = (codes >= 0) & ~np.isnan(vals)
+        g, codes = g.iloc[keep], codes[keep]
+        if len(g) == 0:
+            return empty
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes = codes[order]
+        types = g["event_type"].to_numpy()[order]
+        cents = scaled_int(vals[keep][order])
+        n = len(cents)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        local = np.arange(n) - np.repeat(starts, lens)
+        nk_row = np.repeat(lens, lens)
+        second = local >= (nk_row // 2)        # rn > nk//2
+        bins = np.clip(cents // self.BIN_CENTS, 0, self.N_BINS - 1)
+        seg = np.repeat(np.arange(len(starts)), lens)
+        slot = (seg * self.N_BINS + bins) * 2 + second
+        cnt = np.bincount(slot, minlength=len(starts) * self.N_BINS * 2)
+        cnt = cnt.reshape(len(starts), self.N_BINS, 2)
+        out = []
+        for i, (s, nk) in enumerate(zip(starts, lens)):
+            if nk < 2:
+                continue
+            n1, n2 = int(nk // 2), int(nk - nk // 2)
+            o1, o2 = cnt[i, :, 0], cnt[i, :, 1]
+            present = np.flatnonzero(o1 + o2 > 0)
+            chi2 = 0.0
+            for b in present:                  # ≤ N_BINS, bin order
+                tot = int(o1[b] + o2[b])
+                e1 = float(n1 * tot) / float(nk)
+                e2 = float(n2 * tot) / float(nk)
+                d1 = float(o1[b]) - e1
+                d2 = float(o2[b]) - e2
+                chi2 += d1 * d1 / e1 + d2 * d2 / e2
+            out.append((types[s], int(nk), len(present) - 1,
+                        round_half_away(chi2, 6)))
+        if not out:
+            return empty
+        et, nn, dof, x2 = zip(*out)
+        return pd.DataFrame({
+            "event_type": list(et),
+            "n": np.array(nn, dtype=np.int64),
+            "dof": np.array(dof, dtype=np.int64),
+            "chi2": np.array(x2, dtype=np.float64)})
+
+
+def drift_chi2(events, *, n_parts: int = 16):
+    """Per-event-type split-half distribution drift: the chi-square
+    homogeneity statistic between the first and second half of the
+    type's value stream over 20 fixed cents bins — the ops-monitoring
+    drift screen.  One partition-group shuffle over the bounded type
+    domain; integer counts, ordered per-bin double folds."""
+    from .windows import _add_key_partition
+    from ..stages.timeseries import _prep_events
+
+    prepped = _prep_events(events, cols=("event_type", "event_id",
+                                         "value"))
+    return _add_key_partition(prepped, "event_type", n_parts) \
+        .groupby("__part").map_groups(_DriftChi2Group(),
+                                      batch_format="pandas")

@@ -39,7 +39,9 @@ def _prep_events(events, cols=("user_id", "event_id", "value")):
         if "ts" not in batch.column_names:
             # Ray occasionally emits 0-row blocks that lose their
             # columns; emit a typed empty projection
-            out = {c: pa.array([], pa.int64()) for c in cols}
+            out = {c: pa.array([], pa.string()
+                               if c in ("event_type", "source")
+                               else pa.int64()) for c in cols}
             if "value" in cols:
                 out["value"] = pa.array([], pa.float64())
             out["t"] = pa.array([], pa.int64())

@@ -2825,3 +2825,87 @@ def test_char_entropy_ray_end_to_end(ray_session):
     g = got[cols].sort_values("doc_id").reset_index(drop=True)
     w = want[cols].sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_drift_chi2_kernel_matches_sql():
+    """Split-half bin counts + ordered chi-square folds match the
+    DuckDB twin, including the negative-cents clamp into bin 0."""
+    import duckdb
+
+    from series_correction_project_updated_ray.stages.relational import (
+        _DriftChi2Group)
+    rng = np.random.default_rng(71)
+    n = 600
+    g = pd.DataFrame({
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": rng.integers(0, 10**9, n).astype(np.int64),
+        "value": np.round(rng.normal(80, 40, n), 2),   # some negatives
+    })
+    g.loc[g.index[5:7], "value"] = np.nan
+    got = _DriftChi2Group()(g)
+    con = duckdb.connect()
+    con.register("ev", g)
+    want = con.execute("""
+WITH c AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS nk
+  FROM ev WHERE event_type IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id)),
+b AS (
+  SELECT event_type, nk,
+         CASE WHEN rn <= nk // 2 THEN 0 ELSE 1 END AS half,
+         LEAST(GREATEST(cents // 1000, 0), 19) AS bin
+  FROM c WHERE nk >= 2),
+cells AS (
+  SELECT event_type, bin, MAX(nk) AS nk,
+         MAX(nk) // 2 AS n1, MAX(nk) - MAX(nk) // 2 AS n2,
+         CAST(COUNT(*) FILTER (half = 0) AS BIGINT) AS o1,
+         CAST(COUNT(*) FILTER (half = 1) AS BIGINT) AS o2
+  FROM b GROUP BY 1, 2),
+terms AS (
+  SELECT event_type, bin, nk,
+         (CAST(o1 AS DOUBLE)
+            - CAST(n1 * (o1 + o2) AS DOUBLE) / CAST(nk AS DOUBLE))
+         * (CAST(o1 AS DOUBLE)
+            - CAST(n1 * (o1 + o2) AS DOUBLE) / CAST(nk AS DOUBLE))
+         / (CAST(n1 * (o1 + o2) AS DOUBLE) / CAST(nk AS DOUBLE))
+         + (CAST(o2 AS DOUBLE)
+            - CAST(n2 * (o1 + o2) AS DOUBLE) / CAST(nk AS DOUBLE))
+         * (CAST(o2 AS DOUBLE)
+            - CAST(n2 * (o1 + o2) AS DOUBLE) / CAST(nk AS DOUBLE))
+         / (CAST(n2 * (o1 + o2) AS DOUBLE) / CAST(nk AS DOUBLE)) AS t
+  FROM cells),
+f AS (
+  SELECT event_type, MAX(nk) AS n,
+         CAST(COUNT(*) AS BIGINT) AS nbins,
+         list_reduce(list(t ORDER BY bin), (a, b) -> a + b) AS chi2
+  FROM terms GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n, nbins - 1 AS dof,
+       round(chi2, 6) AS chi2
+FROM f""").df()
+    cols = sorted(got.columns)
+    g2 = got[cols].sort_values("event_type").reset_index(drop=True)
+    w2 = want[cols].sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g2, w2, check_dtype=False)
+    assert len(g2) == 3
+
+
+def test_drift_chi2_detects_shift():
+    """A stream whose second half shifts by +100 scores a much larger
+    chi-square than a stationary one of the same size."""
+    from series_correction_project_updated_ray.stages.relational import (
+        _DriftChi2Group)
+    rng = np.random.default_rng(13)
+    n = 400
+    stat = np.round(rng.normal(50, 5, n), 2)
+    shift = np.concatenate([np.round(rng.normal(50, 5, n // 2), 2),
+                            np.round(rng.normal(150, 5, n // 2), 2)])
+    g = pd.DataFrame({
+        "event_type": ["stat"] * n + ["shift"] * n,
+        "event_id": np.arange(2 * n, dtype=np.int64),
+        "t": np.tile(np.arange(n), 2).astype(np.int64),
+        "value": np.concatenate([stat, shift])})
+    got = _DriftChi2Group()(g).set_index("event_type")
+    assert got.loc["shift", "chi2"] > 50 * max(got.loc["stat", "chi2"], 1.0)
