@@ -1469,6 +1469,24 @@ def _q_drift_chi2(sf_dir: str):
     return drift_chi2(ev)
 
 
+def _q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension embedding corpus stats — 1e-6-quantized integer
+    partials, one |dim|-row groupby, exact-int close."""
+    from series_correction_project_updated_ray.stages.similarity import (
+        embedding_dim_stats)
+    emb = _read(sf_dir, "embeddings", ["embedding"])
+    return embedding_dim_stats(emb)
+
+
+def _q_embedding_quantize(sf_dir: str):
+    """Per-vector int8 quantization error report — map-only,
+    position-ordered MSE fold."""
+    from series_correction_project_updated_ray.stages.similarity import (
+        embedding_quantize)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_quantize(emb)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2489,7 +2507,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # (kept) two-sample discipline, bins are value_histogram's
             # (kept) exact integer cells, the fold order is the
             # benford_digits (kept) chi-square family
-            "drift_chi2"][:n_over]
+            "drift_chi2",
+            # embedding_dim_stats is oracle-backed but windowed out at
+            # birth: the quantized-integer moment partials are
+            # embedding_centroid_dist's (kept) scaled-int mechanism
+            # and the close is the welch-family sqrt chain (kept via
+            # ks_test_weekend)
+            "embedding_dim_stats",
+            # embedding_quantize is oracle-backed but windowed out at
+            # birth: map-only with vector_stats' (kept) zero-copy
+            # matrix discipline and unigram_logprob's (kept)
+            # position-ordered fold — no shuffle at all
+            "embedding_quantize"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2808,6 +2837,12 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # split-half chi-square drift screen per event type —
         # oracle-checked (integer bin counts, bin-ordered folds)
         "drift_chi2": _q_drift_chi2,
+        # per-dimension embedding corpus stats (whitening prep) —
+        # oracle-checked (1e-6-quantized integer moments)
+        "embedding_dim_stats": _q_embedding_dim_stats,
+        # int8 quantization error per vector — oracle-checked
+        # (position-ordered MSE fold, order-free scale/max)
+        "embedding_quantize": _q_embedding_quantize,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -4632,6 +4667,61 @@ f AS (
 SELECT event_type, CAST(n AS BIGINT) AS n, nbins - 1 AS dof,
        round(chi2, 6) AS chi2
 FROM f
+""",
+        # embedding dim stats: q = round(x·10⁶) makes the float32
+        # column's moments exact integers; D = nΣq² − S² closes with
+        # one sqrt chain per dim
+        "embedding_dim_stats": """
+WITH e AS (
+  SELECT unnest(embedding) AS x,
+         unnest(generate_series(1, len(embedding))) AS pos
+  FROM embeddings),
+q AS (
+  SELECT pos,
+         CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM e),
+s AS (
+  SELECT pos, COUNT(*) AS n, SUM(q) AS s,
+         SUM(CAST(q AS HUGEINT) * q) AS s2,
+         MIN(q) AS mn, MAX(q) AS mx
+  FROM q GROUP BY 1)
+SELECT CAST(pos AS BIGINT) AS pos, CAST(n AS BIGINT) AS n,
+       round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0, 6)
+         AS mean,
+       CASE WHEN n >= 2
+             AND CAST(n AS HUGEINT)*s2 - CAST(s AS HUGEINT)*s > 0
+            THEN round(sqrt(CAST(CAST(n AS HUGEINT)*s2
+                                 - CAST(s AS HUGEINT)*s AS DOUBLE)
+                            / CAST(n*(n-1) AS DOUBLE))
+                       / 1000000.0, 6)
+       END AS std,
+       round(CAST(mn AS DOUBLE) / 1000000.0, 6) AS vmin,
+       round(CAST(mx AS DOUBLE) / 1000000.0, 6) AS vmax
+FROM s
+""",
+        # int8 quantization: scale/max are order-free double ops, the
+        # MSE numerator folds in position order via list_reduce
+        "embedding_quantize": """
+WITH b AS (
+  SELECT vec_id, embedding, len(embedding) AS dim,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale
+  FROM embeddings WHERE len(embedding) > 0),
+e AS (
+  SELECT vec_id, dim, scale,
+         CASE WHEN scale > 0 THEN
+           list_transform(embedding, x -> CAST(x AS DOUBLE)
+             - round(CAST(x AS DOUBLE) / scale) * scale)
+         ELSE list_transform(embedding, x -> 0.0) END AS err
+  FROM b)
+SELECT vec_id, CAST(dim AS BIGINT) AS dim, round(scale, 6) AS scale,
+       round(list_max(list_transform(err, v -> abs(v))), 6)
+         AS max_abs_err,
+       round(list_reduce(list_transform(err, v -> v * v),
+                         (a, b) -> a + b) / CAST(dim AS BIGINT), 6)
+         AS mse
+FROM e
 """,
         # lexical richness: the same (source, term) count cells as
         # source_kl; types/tokens/hapax are integer reductions, the

@@ -331,6 +331,17 @@ def run_bench() -> dict:
               lambda: drift_chi2(rd.read_parquet(
                   ev_path, columns=["event_type", "event_id", "ts",
                                     "value"])).count())
+        emb_path = f"{SF_DIR}/embeddings.parquet"
+        if os.path.exists(emb_path):
+            from series_correction_project_updated_ray.stages.similarity import (
+                embedding_dim_stats, embedding_quantize)
+            timed("embedding_dim_stats",
+                  lambda: embedding_dim_stats(rd.read_parquet(
+                      emb_path, columns=["embedding"])).count())
+            timed("embedding_quantize",
+                  lambda: embedding_quantize(rd.read_parquet(
+                      emb_path,
+                      columns=["vec_id", "embedding"])).count())
 
         from series_correction_project_updated_ray.stages.textstage import (
             unigram_logprob)

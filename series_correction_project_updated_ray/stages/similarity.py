@@ -326,3 +326,153 @@ def embedding_centroid_dist(embeddings, *, label_col: str = "label",
         })
 
     return embeddings.map_batches(_dist, batch_format="pyarrow")
+
+
+# --- per-dimension corpus statistics -----------------------------------------
+
+def _dim_stats_partial(batch: pa.Table, vec_col: str) -> pa.Table:
+    """Batch-local per-dimension partials over 1e-6-quantized embedding
+    values (``q = round(x·10⁶)`` — exact int64, the quantization that
+    makes the float32 column's corpus moments order-free): per pos
+    (1-based) n / Σq / Σq² / min / max.  Handles ragged lists."""
+    from ..functions.rounding import scaled_int
+    if vec_col not in batch.column_names or len(batch) == 0:
+        return pa.table({
+            "pos": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+            "s2": pa.array([], pa.int64()),
+            "mn": pa.array([], pa.int64()),
+            "mx": pa.array([], pa.int64())})
+    col = batch[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    offs = col.offsets.to_numpy().astype(np.int64)
+    flat = flat[..., :]                      # values already trimmed by flatten()
+    lens = np.diff(offs)
+    pos = (np.arange(len(flat))
+           - np.repeat(offs[:-1] - offs[0], lens)) + 1
+    q = scaled_int(flat, 1_000_000)
+    d = int(lens.max()) if len(lens) else 0
+    n = np.bincount(pos - 1, minlength=d)
+    s = np.zeros(d, dtype=np.int64)
+    s2 = np.zeros(d, dtype=np.int64)
+    np.add.at(s, pos - 1, q)
+    np.add.at(s2, pos - 1, q * q)
+    mn = np.full(d, np.iinfo(np.int64).max)
+    mx = np.full(d, np.iinfo(np.int64).min)
+    np.minimum.at(mn, pos - 1, q)
+    np.maximum.at(mx, pos - 1, q)
+    return pa.table({
+        "pos": pa.array(np.arange(1, d + 1)),
+        "n": pa.array(n.astype(np.int64)),
+        "s": pa.array(s),
+        "s2": pa.array(s2),
+        "mn": pa.array(mn),
+        "mx": pa.array(mx)})
+
+
+def _dim_stats_close(t: pa.Table) -> pa.Table:
+    """Close per-dimension moments: exact Python-int D = nΣq² − S²
+    (the per-row 128-bit work never exists), one double chain per dim."""
+    import math
+
+    from ..functions.rounding import round_half_away
+    pos = t["pos"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    s = t["s"].to_numpy(zero_copy_only=False)
+    s2 = t["s2"].to_numpy(zero_copy_only=False)
+    mn = t["mn"].to_numpy(zero_copy_only=False)
+    mx = t["mx"].to_numpy(zero_copy_only=False)
+    mean = np.empty(len(pos))
+    std = np.full(len(pos), np.nan)
+    for i in range(len(pos)):
+        ni, si = int(n[i]), int(s[i])
+        mean[i] = (float(si) / float(ni)) / 1_000_000.0
+        d_exact = ni * int(s2[i]) - si * si
+        if ni >= 2 and d_exact > 0:
+            std[i] = math.sqrt(float(d_exact)
+                               / float(ni * (ni - 1))) / 1_000_000.0
+    return pa.table({
+        "pos": pa.array(pos.astype(np.int64)),
+        "n": pa.array(n.astype(np.int64)),
+        "mean": pa.array(round_half_away(mean, 6)),
+        "std": pa.array(round_half_away(std, 6)),
+        "vmin": pa.array(round_half_away(
+            mn.astype(np.float64) / 1_000_000.0, 6)),
+        "vmax": pa.array(round_half_away(
+            mx.astype(np.float64) / 1_000_000.0, 6))})
+
+
+def embedding_dim_stats(embeddings, *, vec_col: str = "embedding"):
+    """Per-dimension corpus statistics of the embedding column (mean /
+    std / min / max per position) — the whitening / normalization prep
+    pass.  Batch-local integer partials over 1e-6-quantized values →
+    ONE |dim|-row Sum/Min/Max groupby → a single-block close; the
+    vector stream never shuffles."""
+    import functools
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    partials = embeddings.map_batches(
+        functools.partial(_dim_stats_partial, vec_col=vec_col),
+        batch_format="pyarrow")
+    agg = partials.groupby("pos").aggregate(
+        Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+        Sum("s2", alias_name="s2"), Min("mn", alias_name="mn"),
+        Max("mx", alias_name="mx"))
+    return agg.map_batches(_dim_stats_close, batch_format="pyarrow")
+
+
+# --- int8 quantization error report ------------------------------------------
+
+def _quantize_batch(batch: pa.Table, vec_col: str,
+                    id_col: str) -> pa.Table:
+    """Symmetric int8 quantization error per vector: ``scale =
+    max|x|/127`` (order-free double max), ``q = round(x/scale)`` (half
+    away from zero, DuckDB ``round``), error = ``x − q·scale``.  The
+    max-abs error is order-free; the MSE numerator folds LEFT IN
+    POSITION ORDER (one vector add per position across the batch) —
+    the oracle's ``list_reduce`` operand order.  All-zero vectors emit
+    scale 0 with zero error."""
+    from ..functions.rounding import round_half_away
+    if vec_col not in batch.column_names or len(batch) == 0:
+        return pa.table({
+            id_col: pa.array([], pa.int64()),
+            "dim": pa.array([], pa.int64()),
+            "scale": pa.array([], pa.float64()),
+            "max_abs_err": pa.array([], pa.float64()),
+            "mse": pa.array([], pa.float64())})
+    M = _vec_matrix(batch[vec_col])
+    n, dim = M.shape
+    amax = np.max(np.abs(M), axis=1)
+    scale = amax / 127.0
+    err = np.zeros_like(M)
+    nz = scale > 0
+    if nz.any():
+        q = round_half_away(M[nz] / scale[nz, None], 0)
+        err[nz] = M[nz] - q * scale[nz, None]
+    acc = np.zeros(n)
+    for j in range(dim):                    # position-order fold
+        acc = acc + err[:, j] * err[:, j]
+    return pa.table({
+        id_col: batch[id_col],
+        "dim": pa.array(np.full(n, dim, dtype=np.int64)),
+        "scale": pa.array(round_half_away(scale, 6)),
+        "max_abs_err": pa.array(round_half_away(
+            np.max(np.abs(err), axis=1), 6)),
+        "mse": pa.array(round_half_away(acc / float(dim), 6))})
+
+
+def embedding_quantize(embeddings, *, vec_col: str = "embedding",
+                       id_col: str = "vec_id"):
+    """Per-vector symmetric int8 quantization error report (scale,
+    max abs error, MSE) — the compression-accuracy screen before
+    shipping embeddings to an int8 ANN index.  Map-only, fully
+    vectorized, no shuffle."""
+    import functools
+    return embeddings.map_batches(
+        functools.partial(_quantize_batch, vec_col=vec_col,
+                          id_col=id_col),
+        batch_format="pyarrow")

@@ -2909,3 +2909,68 @@ def test_drift_chi2_detects_shift():
         "value": np.concatenate([stat, shift])})
     got = _DriftChi2Group()(g).set_index("event_type")
     assert got.loc["shift", "chi2"] > 50 * max(got.loc["stat", "chi2"], 1.0)
+
+
+def test_embedding_dim_stats_end_to_end(ray_session):
+    """Per-dimension stats over sf0.001 equal the SQL oracle; 64 dims,
+    counts equal the corpus size."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.similarity import (
+        embedding_dim_stats)
+    sf = "/root/testdata/sf0.001/embeddings.parquet"
+    got = embedding_dim_stats(
+        rd.read_parquet(sf, columns=["embedding"])).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}'")
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["embedding_dim_stats"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values("pos").reset_index(drop=True)
+    w = want[cols].sort_values("pos").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    assert len(g) == 64
+    assert (g["vmin"] <= g["mean"]).all() and (g["mean"] <= g["vmax"]).all()
+
+
+def test_embedding_quantize_kernel_semantics():
+    """Quantization error is bounded by scale/2 per element; all-zero
+    vectors emit scale 0 and zero error; exact-representable vectors
+    quantize losslessly."""
+    from series_correction_project_updated_ray.stages.similarity import (
+        _quantize_batch)
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "embedding": pa.array(
+            [[127.0, -127.0, 0.0],        # exactly on the int8 grid
+             [0.0, 0.0, 0.0],             # degenerate
+             [1.0, 0.3, -0.7]],
+            pa.list_(pa.float32()))})
+    out = _quantize_batch(t, "embedding", "vec_id") \
+        .to_pandas().set_index("vec_id")
+    assert out.loc[1, "scale"] == 1.0
+    assert out.loc[1, "max_abs_err"] == 0.0 and out.loc[1, "mse"] == 0.0
+    assert out.loc[2, "scale"] == 0.0 and out.loc[2, "mse"] == 0.0
+    assert out.loc[3, "max_abs_err"] <= out.loc[3, "scale"] / 2 + 1e-9
+
+
+def test_embedding_quantize_end_to_end(ray_session):
+    """Dataset-level quantization report over sf0.001 equals the SQL
+    list-lambda oracle."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.similarity import (
+        embedding_quantize)
+    sf = "/root/testdata/sf0.001/embeddings.parquet"
+    got = embedding_quantize(
+        rd.read_parquet(sf, columns=["vec_id", "embedding"])).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}'")
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["embedding_quantize"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values("vec_id").reset_index(drop=True)
+    w = want[cols].sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
