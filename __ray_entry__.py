@@ -1487,6 +1487,15 @@ def _q_embedding_quantize(sf_dir: str):
     return embedding_quantize(emb)
 
 
+def _q_heaps_law(sf_dir: str):
+    """Heaps' law vocabulary-growth fit — |vocab|-row Min groupby,
+    |docs|-row close, doc-ordered libm folds."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        heaps_law)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return heaps_law(docs)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2518,7 +2527,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # birth: map-only with vector_stats' (kept) zero-copy
             # matrix discipline and unigram_logprob's (kept)
             # position-ordered fold — no shuffle at all
-            "embedding_quantize"][:n_over]
+            "embedding_quantize",
+            # heaps_law is oracle-backed but windowed out at birth:
+            # the first-occurrence Min groupby is token_vocab_stats'
+            # (kept) vocab mechanism and the ordered log-log LS close
+            # is zipf_fit's (kept) certified expression
+            "heaps_law"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2843,6 +2857,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # int8 quantization error per vector — oracle-checked
         # (position-ordered MSE fold, order-free scale/max)
         "embedding_quantize": _q_embedding_quantize,
+        # Heaps' law vocabulary-growth fit — oracle-checked
+        # (exact cumulative counts, doc-ordered libm LS folds)
+        "heaps_law": _q_heaps_law,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -4722,6 +4739,43 @@ SELECT vec_id, CAST(dim AS BIGINT) AS dim, round(scale, 6) AS scale,
                          (a, b) -> a + b) / CAST(dim AS BIGINT), 6)
          AS mse
 FROM e
+""",
+        # Heaps: cumulative token/vocab counts are exact integers in
+        # doc order; the four LS sums fold in the same order with libm
+        # lns and close in the zipf expression
+        "heaps_law": r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+  FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS term FROM d WHERE len(l) > 0),
+nt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+       FROM toks GROUP BY 1),
+fo AS (SELECT term, MIN(doc_id) AS fdoc FROM toks GROUP BY 1),
+nv AS (SELECT fdoc AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_terms
+       FROM fo GROUP BY 1),
+pts AS (
+  SELECT nt.doc_id,
+         SUM(nt.n_tok) OVER (ORDER BY nt.doc_id) AS cn,
+         SUM(COALESCE(nv.new_terms, 0)) OVER (ORDER BY nt.doc_id) AS cv
+  FROM nt LEFT JOIN nv USING (doc_id)),
+xy AS (
+  SELECT doc_id, ln(CAST(cn AS DOUBLE)) AS x,
+         ln(CAST(cv AS DOUBLE)) AS y
+  FROM pts),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         list_reduce(list(x ORDER BY doc_id), (a, b) -> a + b) AS sx,
+         list_reduce(list(y ORDER BY doc_id), (a, b) -> a + b) AS sy,
+         list_reduce(list(x*x ORDER BY doc_id), (a, b) -> a + b) AS sxx,
+         list_reduce(list(x*y ORDER BY doc_id), (a, b) -> a + b) AS sxy
+  FROM xy)
+SELECT n AS n_points,
+       round((CAST(n AS DOUBLE)*sxy - sx*sy)
+             / (CAST(n AS DOUBLE)*sxx - sx*sx), 6) AS beta,
+       round((sy - ((CAST(n AS DOUBLE)*sxy - sx*sy)
+                    / (CAST(n AS DOUBLE)*sxx - sx*sx)) * sx)
+             / CAST(n AS DOUBLE), 6) AS ln_k
+FROM m
 """,
         # lexical richness: the same (source, term) count cells as
         # source_kl; types/tokens/hapax are integer reductions, the

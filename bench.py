@@ -392,6 +392,11 @@ def run_bench() -> dict:
                   docs_path,
                   columns=["doc_id", "lang", "text"])).count())
         from series_correction_project_updated_ray.stages.textstage import (
+            heaps_law)
+        timed("heaps_law",
+              lambda: heaps_law(rd.read_parquet(
+                  docs_path, columns=["doc_id", "text"])).count())
+        from series_correction_project_updated_ray.stages.textstage import (
             char_entropy)
         timed("char_entropy",
               lambda: char_entropy(rd.read_parquet(

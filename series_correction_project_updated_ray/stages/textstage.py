@@ -1671,3 +1671,136 @@ def char_entropy(docs, *, text_col="text", id_col="doc_id"):
         functools.partial(char_entropy_batch, text_col=text_col,
                           id_col=id_col),
         batch_format="pyarrow")
+
+
+# --- Heaps' law vocabulary-growth fit ------------------------------------------
+
+class _HeapsClose:
+    """Closing kernel for :func:`heaps_law`: the per-doc (n_tok,
+    new_terms) rows arrive as ONE block; cumulative token and
+    vocabulary counts accumulate exactly in integers by doc_id order,
+    x = ln(cum_tokens) and y = ln(cum_vocab) per point via
+    ``math.log``, and the four least-squares sums fold LEFT IN DOC
+    ORDER — the oracle's ``list_reduce`` operand order — closing
+    slope/intercept in the zipf_fit expression order."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import math
+
+        from ..functions.rounding import round_half_away
+        empty = pa.table({"n_points": pa.array([], pa.int64()),
+                          "beta": pa.array([], pa.float64()),
+                          "ln_k": pa.array([], pa.float64())})
+        if len(t) < 2:
+            return empty
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        nt = t["n_tok"].to_numpy(zero_copy_only=False)[order]
+        nv = t["new_terms"].to_numpy(zero_copy_only=False)[order]
+        cn, cv = 0, 0
+        sx = sy = sxx = sxy = 0.0
+        n = len(nt)
+        for i in range(n):
+            cn += int(nt[i])
+            cv += int(nv[i])
+            x = math.log(float(cn))
+            y = math.log(float(cv))
+            sx += x
+            sy += y
+            sxx += x * x
+            sxy += x * y
+        nd = float(n)
+        denom = nd * sxx - sx * sx
+        if denom == 0.0:
+            return empty
+        slope = (nd * sxy - sx * sy) / denom
+        return pa.table({
+            "n_points": pa.array([n], pa.int64()),
+            "beta": pa.array([round_half_away(slope, 6)]),
+            "ln_k": pa.array([round_half_away(
+                (sy - slope * sx) / nd, 6)])})
+
+
+def heaps_law(docs, *, text_col="text", id_col="doc_id"):
+    """Heaps' law fit over the corpus in doc_id order: cumulative
+    vocabulary size V(n) ≈ K·n^β against cumulative token count, fit
+    by least squares in log-log space — the vocabulary-growth scaling
+    check that tells you whether more data keeps buying new types.
+
+    Scale shape: per-doc token totals are map-only; each term's FIRST
+    document is one |vocab|-row Min groupby (the token stream never
+    shuffles); new-term counts collapse to |docs| rows; only the tiny
+    (doc_id, n_tok, new_terms) table crosses to the single-block
+    ordered close."""
+    import functools
+
+    from ray.data.aggregate import Min, Sum
+
+    docs = docs.materialize()
+
+    def _tok_totals(batch: pa.Table) -> pa.Table:
+        import re
+        word_re = re.compile(r"[a-z]+")
+        texts = (batch[text_col].to_pandas()
+                 if text_col in batch.column_names else [])
+        nt = np.fromiter((len(word_re.findall((x or "").lower()))
+                          for x in texts), dtype=np.int64,
+                         count=len(texts))
+        keep = nt > 0
+        ids = (batch[id_col].to_numpy(zero_copy_only=False)[keep]
+               if len(texts) else np.array([], dtype=np.int64))
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_tok": pa.array(nt[keep]),
+            "new_terms": pa.array(np.zeros(int(keep.sum()),
+                                           dtype=np.int64))})
+
+    def _first_doc_partial(batch: pa.Table) -> pa.Table:
+        import re
+        word_re = re.compile(r"[a-z]+")
+        first: dict = {}
+        if text_col in batch.column_names:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            for d, txt in zip(ids, batch[text_col].to_pandas()):
+                for w in word_re.findall((txt or "").lower()):
+                    cur = first.get(w)
+                    if cur is None or d < cur:
+                        first[w] = d
+        return pa.table({
+            "term": pa.array(list(first.keys()), pa.string()),
+            "fdoc": pa.array(np.fromiter(first.values(), dtype=np.int64,
+                                         count=len(first)))})
+
+    firsts = docs.map_batches(_first_doc_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Min("fdoc", alias_name="fdoc"))
+
+    def _new_counts(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if len(t) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_tok": pa.array([], pa.int64()),
+                             "new_terms": pa.array([], pa.int64())})
+        g = t.group_by("fdoc").aggregate([("fdoc", "count")])
+        return pa.table({
+            id_col: g["fdoc"],
+            "n_tok": pa.array(np.zeros(len(g), dtype=np.int64)),
+            "new_terms": pc.cast(g["fdoc_count"], pa.int64())})
+
+    new_rows = firsts.map_batches(_new_counts, batch_format="pyarrow")
+    totals = docs.map_batches(_tok_totals, batch_format="pyarrow")
+    combined = totals.union(new_rows).groupby(id_col).aggregate(
+        Sum("n_tok", alias_name="n_tok"),
+        Sum("new_terms", alias_name="new_terms"))
+
+    def _only_token_docs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater(t["n_tok"], 0))
+
+    return combined.map_batches(_only_token_docs,
+                                batch_format="pyarrow") \
+        .repartition(1).map_batches(_HeapsClose(),
+                                    batch_format="pyarrow",
+                                    batch_size=None)

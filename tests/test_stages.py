@@ -2974,3 +2974,45 @@ def test_embedding_quantize_end_to_end(ray_session):
     g = got[cols].sort_values("vec_id").reset_index(drop=True)
     w = want[cols].sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_heaps_law_end_to_end(ray_session):
+    """Heaps' fit over sf0.001 equals the SQL oracle; beta lies in
+    (0, 1) for natural-ish text (sublinear vocabulary growth)."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.textstage import heaps_law
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    got = heaps_law(
+        rd.read_parquet(sf, columns=["doc_id", "text"])).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}'")
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["heaps_law"]).df()
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
+    assert 0 < got["beta"].iloc[0] < 1
+
+
+def test_heaps_close_hand_vector():
+    """Hand-checked close: two docs, known cumulative points."""
+    import math
+
+    from series_correction_project_updated_ray.stages.textstage import (
+        _HeapsClose)
+    t = pa.table({
+        "doc_id": pa.array([2, 1], pa.int64()),     # unsorted on purpose
+        "n_tok": pa.array([4, 2], pa.int64()),
+        "new_terms": pa.array([1, 2], pa.int64())})
+    out = _HeapsClose()(t).to_pandas()
+    xs = [math.log(2.0), math.log(6.0)]
+    ys = [math.log(2.0), math.log(3.0)]
+    sx = xs[0] + xs[1]
+    sy = ys[0] + ys[1]
+    sxx = xs[0] * xs[0] + xs[1] * xs[1]
+    sxy = xs[0] * ys[0] + xs[1] * ys[1]
+    slope = (2.0 * sxy - sx * sy) / (2.0 * sxx - sx * sx)
+    assert out["n_points"].iloc[0] == 2
+    assert out["beta"].iloc[0] == round(slope, 6)
+    assert out["ln_k"].iloc[0] == round((sy - slope * sx) / 2.0, 6)
