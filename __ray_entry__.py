@@ -1496,6 +1496,17 @@ def _q_heaps_law(sf_dir: str):
     return heaps_law(docs)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup-shaped semantic keep/drop labeling over embeddings —
+    rows-only (LSH bucket recall is not SQL-expressible)."""
+    from series_correction_project_updated_ray.stages.dedup import (
+        semantic_dedup)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # synthetic embeddings carry no true near-dups at 0.95; 0.4
+    # exercises clustering with output (see embedding_near_dup)
+    return semantic_dedup(emb, threshold=0.4, planes=6)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2860,6 +2871,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # Heaps' law vocabulary-growth fit — oracle-checked
         # (exact cumulative counts, doc-ordered libm LS folds)
         "heaps_law": _q_heaps_law,
+        # SemDeDup-shaped semantic keep/drop labeling — rows-only
+        # (LSH recall; composes certified near-dup + CC machinery)
+        "semantic_dedup": _q_semantic_dedup,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,

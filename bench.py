@@ -342,6 +342,12 @@ def run_bench() -> dict:
                   lambda: embedding_quantize(rd.read_parquet(
                       emb_path,
                       columns=["vec_id", "embedding"])).count())
+            from series_correction_project_updated_ray.stages.dedup import (
+                semantic_dedup)
+            timed("semantic_dedup",
+                  lambda: len(semantic_dedup(rd.read_parquet(
+                      emb_path, columns=["vec_id", "embedding"]),
+                      threshold=0.4, planes=6)))
 
         from series_correction_project_updated_ray.stages.textstage import (
             unigram_logprob)

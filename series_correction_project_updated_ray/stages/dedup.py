@@ -1199,3 +1199,36 @@ def dup_span_stats(docs, *, k: int = 8, text_col: str = "text",
                 6))})
 
     return combined.map_batches(_close, batch_format="pyarrow")
+
+
+def semantic_dedup(embeddings, *, vec_col="embedding", id_col="vec_id",
+                   threshold: float = 0.95, planes: int = 12,
+                   dim: int = 64, distributed_cc: bool | None = None
+                   ) -> pd.DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 shape): vectors whose cosine similarity exceeds
+    ``threshold`` inside hyperplane-LSH buckets form clusters; each
+    cluster KEEPS its smallest ``vec_id`` and marks the rest as
+    semantic duplicates to drop.
+
+    Composition of certified machinery: :func:`embedding_near_dup`
+    pair emission (bucketed, zero-copy Arrow matrices) →
+    :func:`_cluster_pairs` labeling (driver union-find under the pair
+    budget, log-round distributed propagation past it).  Returns
+    pandas (vec_id, cluster_id, keep) for vectors in ≥ 2-member
+    clusters — singletons are implicitly kept."""
+    pairs = embedding_near_dup(embeddings, vec_col=vec_col,
+                               id_col=id_col, threshold=threshold,
+                               planes=planes, dim=dim)
+    pairs = pairs.map_batches(
+        lambda t: pa.table({"id_a": t[id_col + "_a"],
+                            "id_b": t[id_col + "_b"]})
+        if (id_col + "_a") in t.column_names else
+        t.select(["id_a", "id_b"]) if "id_a" in t.column_names else
+        pa.table({"id_a": pa.array([], pa.int64()),
+                  "id_b": pa.array([], pa.int64())}),
+        batch_format="pyarrow")
+    labeled = _cluster_pairs(pairs, distributed_cc)
+    labeled = labeled.rename(columns={"doc_id": id_col})
+    labeled["keep"] = labeled[id_col] == labeled["cluster_id"]
+    return labeled

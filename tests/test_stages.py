@@ -3016,3 +3016,33 @@ def test_heaps_close_hand_vector():
     assert out["n_points"].iloc[0] == 2
     assert out["beta"].iloc[0] == round(slope, 6)
     assert out["ln_k"].iloc[0] == round((sy - slope * sx) / 2.0, 6)
+
+
+def test_semantic_dedup_planted_clusters(ray_session):
+    """Two planted groups of near-identical vectors are clustered;
+    each keeps its smallest vec_id; an isolated vector is absent."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.dedup import semantic_dedup
+    rng = np.random.default_rng(17)
+    base1 = rng.normal(0, 1, 64).astype(np.float32)
+    base2 = rng.normal(0, 1, 64).astype(np.float32)
+    rows = []
+    for i in range(3):                   # cluster around base1: ids 0-2
+        rows.append({"vec_id": i,
+                     "embedding": (base1 + rng.normal(0, 0.001, 64)
+                                   .astype(np.float32)).tolist()})
+    for i in range(3, 5):                # cluster around base2: ids 3-4
+        rows.append({"vec_id": i,
+                     "embedding": (base2 + rng.normal(0, 0.001, 64)
+                                   .astype(np.float32)).tolist()})
+    rows.append({"vec_id": 99,
+                 "embedding": rng.normal(0, 1, 64).astype(np.float32)
+                 .tolist()})
+    got = semantic_dedup(rd.from_items(rows), threshold=0.99)
+    got = got.set_index("vec_id")
+    assert set(got.index) >= {0, 1, 2, 3, 4}
+    assert (got.loc[[0, 1, 2], "cluster_id"] == 0).all()
+    assert (got.loc[[3, 4], "cluster_id"] == 3).all()
+    assert bool(got.loc[0, "keep"]) and not bool(got.loc[1, "keep"])
+    assert bool(got.loc[3, "keep"]) and not bool(got.loc[4, "keep"])
+    assert 99 not in got.index
