@@ -1507,6 +1507,24 @@ def _q_semantic_dedup(sf_dir: str):
     return semantic_dedup(emb, threshold=0.4, planes=6)
 
 
+def _q_distinct_ngrams(sf_dir: str):
+    """Corpus distinct-n diversity ratios (n=1..3) — gram-vocab
+    groupby, exact counts, one division per row."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        distinct_ngrams)
+    docs = _read(sf_dir, "documents", ["text"])
+    return distinct_ngrams(docs)
+
+
+def _q_oov_rate(sf_dir: str):
+    """Per-document OOV rate vs the corpus top-1000 vocabulary —
+    count groupby + distributed top-K + broadcast scoring."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        oov_rate)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return oov_rate(docs)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2543,7 +2561,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # the first-occurrence Min groupby is token_vocab_stats'
             # (kept) vocab mechanism and the ordered log-log LS close
             # is zipf_fit's (kept) certified expression
-            "heaps_law"][:n_over]
+            "heaps_law",
+            # distinct_ngrams is oracle-backed but windowed out at
+            # birth: the (n, gram) count shuffle is token_bigrams'
+            # (kept) mechanism generalized one step, and the close is
+            # two integer reductions + one rounded division
+            "distinct_ngrams",
+            # oov_rate is oracle-backed but windowed out at birth: the
+            # vocab groupby + deterministic top-K is tfidf/zipf (kept)
+            # machinery with top_users_by_value's (kept) partial top-k,
+            # and the close is integer counts + one rounded division
+            "oov_rate"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2874,6 +2902,12 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # SemDeDup-shaped semantic keep/drop labeling — rows-only
         # (LSH recall; composes certified near-dup + CC machinery)
         "semantic_dedup": _q_semantic_dedup,
+        # corpus distinct-n diversity ratios — oracle-checked
+        # (exact gram counts, one division per n)
+        "distinct_ngrams": _q_distinct_ngrams,
+        # per-doc OOV rate vs the top-K corpus vocab — oracle-checked
+        # (deterministic tie-broken top-K, integer counts)
+        "oov_rate": _q_oov_rate,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -4790,6 +4824,52 @@ SELECT n AS n_points,
                     / (CAST(n AS DOUBLE)*sxx - sx*sx)) * sx)
              / CAST(n AS DOUBLE), 6) AS ln_k
 FROM m
+""",
+        # distinct-n: exact gram occurrence/distinct counts, one
+        # rounded division per n
+        "distinct_ngrams": r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(l) AS term,
+         unnest(generate_series(1, len(l))) AS pos
+  FROM d WHERE len(l) > 0),
+w AS (
+  SELECT doc_id, term AS t1,
+         lead(term, 1) OVER win AS t2,
+         lead(term, 2) OVER win AS t3
+  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+g AS (
+  SELECT 1 AS n, t1 AS gram FROM w
+  UNION ALL
+  SELECT 2, t1 || ' ' || t2 FROM w WHERE t2 IS NOT NULL
+  UNION ALL
+  SELECT 3, t1 || ' ' || t2 || ' ' || t3 FROM w WHERE t3 IS NOT NULL)
+SELECT CAST(n AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS total,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+       round(CAST(COUNT(DISTINCT gram) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS distinct_ratio
+FROM g GROUP BY 1
+""",
+        # OOV: top-K vocab by (count DESC, term ASC); per-doc integer
+        # counts, one rounded division
+        "oov_rate": r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS l
+  FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS term FROM d WHERE len(l) > 0),
+cnt AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+topk AS (SELECT term FROM cnt ORDER BY c DESC, term LIMIT 1000),
+per AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(COUNT(*) FILTER (k.term IS NULL) AS BIGINT) AS n_oov
+  FROM toks t LEFT JOIN topk k ON t.term = k.term
+  GROUP BY 1)
+SELECT doc_id, n_tok, n_oov,
+       round(CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+         AS oov_rate
+FROM per
 """,
         # lexical richness: the same (source, term) count cells as
         # source_kl; types/tokens/hapax are integer reductions, the

@@ -403,6 +403,14 @@ def run_bench() -> dict:
               lambda: heaps_law(rd.read_parquet(
                   docs_path, columns=["doc_id", "text"])).count())
         from series_correction_project_updated_ray.stages.textstage import (
+            distinct_ngrams, oov_rate)
+        timed("distinct_ngrams",
+              lambda: distinct_ngrams(rd.read_parquet(
+                  docs_path, columns=["text"])).count())
+        timed("oov_rate",
+              lambda: oov_rate(rd.read_parquet(
+                  docs_path, columns=["doc_id", "text"])).count())
+        from series_correction_project_updated_ray.stages.textstage import (
             char_entropy)
         timed("char_entropy",
               lambda: char_entropy(rd.read_parquet(

@@ -1804,3 +1804,135 @@ def heaps_law(docs, *, text_col="text", id_col="doc_id"):
         .repartition(1).map_batches(_HeapsClose(),
                                     batch_format="pyarrow",
                                     batch_size=None)
+
+
+# --- distinct-n diversity ratios -----------------------------------------------
+
+def _ngram_count_partial(batch: pa.Table, max_n: int,
+                         text_col: str) -> pa.Table:
+    """Batch-local ((n, gram), cnt) partials for n = 1..max_n over the
+    ``[a-z]+`` lowercased tokens — the vocabulary-family tokenizer, so
+    distinct-n and the vocab ops can never tokenize differently."""
+    from collections import Counter
+    import re
+    word_re = re.compile(r"[a-z]+")
+    c: "Counter[tuple]" = Counter()
+    if text_col in batch.column_names:
+        for txt in batch[text_col].to_pandas():
+            w = word_re.findall((txt or "").lower())
+            for n in range(1, max_n + 1):
+                for i in range(len(w) - n + 1):
+                    c[(n, " ".join(w[i:i + n]))] += 1
+    ns, grams = ([], []) if not c else map(list, zip(*c.keys()))
+    return pa.table({
+        "n": pa.array(np.asarray(ns, dtype=np.int64)),
+        "gram": pa.array(grams, pa.string()),
+        "cnt": pa.array(np.fromiter(c.values(), dtype=np.int64,
+                                    count=len(c)))})
+
+
+def distinct_ngrams(docs, *, max_n: int = 3, text_col="text"):
+    """Corpus distinct-n diversity ratios (the self-repetition screen
+    on generated/crawled corpora): for n = 1..max_n, total n-gram
+    occurrences, distinct n-grams, and distinct/total.
+
+    Scale shape: batch-local (n, gram) count partials → ONE
+    |gram-vocab|-row groupby → a max_n-row reduce; the token stream
+    never shuffles and nothing reaches the driver."""
+    import functools
+
+    from ray.data.aggregate import Count, Sum
+
+    merged = docs.map_batches(
+        functools.partial(_ngram_count_partial, max_n=max_n,
+                          text_col=text_col),
+        batch_format="pyarrow") \
+        .groupby(["n", "gram"]).aggregate(Sum("cnt", alias_name="cnt"))
+    per_n = merged.groupby("n").aggregate(
+        Sum("cnt", alias_name="total"),
+        Count(alias_name="n_distinct"))
+
+    def _close(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+        tot = t["total"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = t["n_distinct"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "n": t["n"],
+            "total": pa.array(tot),
+            "n_distinct": pa.array(nd),
+            "distinct_ratio": pa.array(round_half_away(
+                nd.astype(np.float64) / tot.astype(np.float64), 6))})
+
+    return per_n.map_batches(_close, batch_format="pyarrow")
+
+
+# --- out-of-vocabulary rate ----------------------------------------------------
+
+class _OovScore:
+    """Task-cached scorer for :func:`oov_rate`: the top-K vocabulary
+    ships once per worker as a set; each document counts tokens
+    outside it — integer counts, one rounded division."""
+
+    def __init__(self, vocab_refs, text_col="text", id_col="doc_id"):
+        import re
+
+        import ray
+        vocab: set = set()
+        for t in ray.get(list(vocab_refs)):
+            if t is not None and "term" in t.column_names:
+                vocab.update(t["term"].to_pylist())
+        self.vocab = vocab
+        self.re = re.compile(r"[a-z]+")
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+        texts = batch[self.text_col].to_pandas()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        voc = self.vocab
+        out_id, out_n, out_o = [], [], []
+        for i, txt in enumerate(texts):
+            w = self.re.findall((txt or "").lower())
+            if not w:
+                continue
+            out_id.append(ids[i])
+            out_n.append(len(w))
+            out_o.append(sum(1 for x in w if x not in voc))
+        n = np.asarray(out_n, dtype=np.int64)
+        o = np.asarray(out_o, dtype=np.int64)
+        return pa.table({
+            self.id_col: pa.array(np.asarray(out_id, dtype=np.int64)),
+            "n_tok": pa.array(n),
+            "n_oov": pa.array(o),
+            "oov_rate": pa.array(round_half_away(
+                o.astype(np.float64) / n.astype(np.float64), 6))})
+
+
+def oov_rate(docs, *, top_k: int = 1000, text_col="text",
+             id_col="doc_id"):
+    """Per-document out-of-vocabulary rate against the corpus top-K
+    vocabulary (count DESC, term ASC ties) — the rare-token quality
+    screen.  One |vocab|-row count groupby → distributed top-K →
+    broadcast set → vectorized scoring; the token stream never
+    shuffles."""
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    from .relational import topk_by
+    from .taskcache import class_task
+
+    docs = docs.materialize()
+    cnt = docs.map_batches(
+        functools.partial(_vocab_count_partial, text_col=text_col),
+        batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
+    top = topk_by(cnt, ["cnt", "term"], [True, False], top_k) \
+        .select_columns(["term"]).materialize()
+    out = docs.map_batches(
+        class_task(_OovScore, top.to_arrow_refs(),
+                   text_col=text_col, id_col=id_col),
+        batch_format="pyarrow")
+    out._graft_pin = top
+    return out

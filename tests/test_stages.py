@@ -3046,3 +3046,47 @@ def test_semantic_dedup_planted_clusters(ray_session):
     assert bool(got.loc[0, "keep"]) and not bool(got.loc[1, "keep"])
     assert bool(got.loc[3, "keep"]) and not bool(got.loc[4, "keep"])
     assert 99 not in got.index
+
+
+def test_distinct_ngrams_end_to_end(ray_session):
+    """Distinct-n ratios over sf0.001 equal the SQL oracle; ratios
+    rise with n (trigrams repeat less than unigrams)."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.textstage import (
+        distinct_ngrams)
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    got = distinct_ngrams(
+        rd.read_parquet(sf, columns=["text"])).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}'")
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["distinct_ngrams"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values("n").reset_index(drop=True)
+    w = want[cols].sort_values("n").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    r = g.set_index("n")["distinct_ratio"]
+    assert r[1] < r[2] < r[3]
+
+
+def test_oov_rate_end_to_end(ray_session):
+    """OOV rates over sf0.001 equal the SQL oracle; rates live in
+    [0, 1] and someone is nonzero (vocab > 1000 types)."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.textstage import oov_rate
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    got = oov_rate(
+        rd.read_parquet(sf, columns=["doc_id", "text"])).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}'")
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["oov_rate"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values("doc_id").reset_index(drop=True)
+    w = want[cols].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    assert got["oov_rate"].between(0, 1).all()
