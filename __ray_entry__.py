@@ -1525,6 +1525,15 @@ def _q_oov_rate(sf_dir: str):
     return oov_rate(docs)
 
 
+def _q_source_mix(sf_dir: str):
+    """Temperature-scaled (α=0.7) source mixing weights — one bounded
+    groupby, libm pow, source-ordered normalizing fold."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        source_mix_weights)
+    docs = _read(sf_dir, "documents", ["source"])
+    return source_mix_weights(docs)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2571,7 +2580,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # vocab groupby + deterministic top-K is tfidf/zipf (kept)
             # machinery with top_users_by_value's (kept) partial top-k,
             # and the close is integer counts + one rounded division
-            "oov_rate"][:n_over]
+            "oov_rate",
+            # source_mix_weights is oracle-backed but windowed out at
+            # birth: one bounded-domain Count groupby (summary family,
+            # kept) closed by libm pow + an ordered 5-term fold
+            # (zipf_fit's, kept, discipline)
+            "source_mix_weights"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2908,6 +2922,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # per-doc OOV rate vs the top-K corpus vocab — oracle-checked
         # (deterministic tie-broken top-K, integer counts)
         "oov_rate": _q_oov_rate,
+        # α-temperature source mixing weights — oracle-checked
+        # (libm pow, ordered normalizing fold)
+        "source_mix_weights": _q_source_mix,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -4870,6 +4887,28 @@ SELECT doc_id, n_tok, n_oov,
        round(CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
          AS oov_rate
 FROM per
+""",
+        # α-mixing: pow is libm on both sides; the normalizing mass
+        # folds in source order; doc totals stay exact integers
+        "source_mix_weights": """
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+m AS (
+  SELECT source, n_docs,
+         pow(CAST(n_docs AS DOUBLE), 0.7) AS mass
+  FROM c),
+t AS (
+  SELECT list_reduce(list(mass ORDER BY source), (a, b) -> a + b)
+           AS tm,
+         SUM(n_docs) AS td
+  FROM m)
+SELECT m.source, m.n_docs,
+       round(m.mass / t.tm, 6) AS weight,
+       round((m.mass / t.tm)
+             / (CAST(m.n_docs AS DOUBLE) / CAST(t.td AS DOUBLE)), 6)
+         AS boost
+FROM m, t
 """,
         # lexical richness: the same (source, term) count cells as
         # source_kl; types/tokens/hapax are integer reductions, the

@@ -411,6 +411,11 @@ def run_bench() -> dict:
               lambda: oov_rate(rd.read_parquet(
                   docs_path, columns=["doc_id", "text"])).count())
         from series_correction_project_updated_ray.stages.textstage import (
+            source_mix_weights)
+        timed("source_mix_weights",
+              lambda: source_mix_weights(rd.read_parquet(
+                  docs_path, columns=["source"])).count())
+        from series_correction_project_updated_ray.stages.textstage import (
             char_entropy)
         timed("char_entropy",
               lambda: char_entropy(rd.read_parquet(

@@ -1936,3 +1936,60 @@ def oov_rate(docs, *, top_k: int = 1000, text_col="text",
         batch_format="pyarrow")
     out._graft_pin = top
     return out
+
+
+# --- temperature-scaled source mixing weights -----------------------------------
+
+def source_mix_weights(docs, *, alpha: float = 0.7,
+                       source_col: str = "source"):
+    """Temperature-scaled source sampling weights ``p_s ∝ n_s^α`` (the
+    mC4/multilingual mixing rule that up-samples tail sources): per
+    source its document count, raw ``n^α`` mass, normalized weight and
+    the implied up/down-sampling factor vs proportional.
+
+    ONE tiny groupby (source domain is bounded) + a single-block
+    close; the per-source ``pow`` is libm (glibc == DuckDB bit-for-
+    bit) and the normalizing Σ folds in source order."""
+    from ray.data.aggregate import Count
+
+    counts = docs.groupby(source_col).aggregate(
+        Count(alias_name="n_docs"))
+
+    def _close(t: pa.Table) -> pa.Table:
+        import math
+
+        from ..functions.rounding import round_half_away
+        empty = pa.table({
+            source_col: pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "weight": pa.array([], pa.float64()),
+            "boost": pa.array([], pa.float64())})
+        if len(t) == 0:
+            return empty
+        src = t[source_col].to_pylist()
+        n = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = [i for i, s in enumerate(src) if s is not None]
+        if not keep:
+            return empty
+        src = [src[i] for i in keep]
+        n = n[keep]
+        order = np.argsort(np.asarray(src, dtype=object), kind="stable")
+        src = [src[i] for i in order]
+        n = n[order]
+        mass = np.array([math.pow(float(v), alpha) for v in n])
+        tot_mass = 0.0
+        for m in mass:                      # fold in source order
+            tot_mass += float(m)
+        tot_docs = 0
+        for v in n:
+            tot_docs += int(v)
+        w = mass / tot_mass
+        prop = n.astype(np.float64) / float(tot_docs)
+        return pa.table({
+            source_col: pa.array(src, pa.string()),
+            "n_docs": pa.array(n),
+            "weight": pa.array(round_half_away(w, 6)),
+            "boost": pa.array(round_half_away(w / prop, 6))})
+
+    return counts.repartition(1).map_batches(
+        _close, batch_format="pyarrow", batch_size=None)

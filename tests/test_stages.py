@@ -3090,3 +3090,31 @@ def test_oov_rate_end_to_end(ray_session):
     w = want[cols].sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
     assert got["oov_rate"].between(0, 1).all()
+
+
+def test_source_mix_weights_end_to_end(ray_session):
+    """α-mixing weights over sf0.001 equal the SQL oracle; weights sum
+    to ~1 and tail sources get boost > 1 while the head gets < 1."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.textstage import (
+        source_mix_weights)
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    got = source_mix_weights(
+        rd.read_parquet(sf, columns=["source"])).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}'")
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["source_mix_weights"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values("source").reset_index(drop=True)
+    w = want[cols].sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    assert abs(got["weight"].sum() - 1.0) < 1e-4
+    # sf0.001 sources are uniform (boost == 1 everywhere); exercise the
+    # tilt on a skewed corpus: tail up-sampled, head down-sampled
+    skew = source_mix_weights(rd.from_items(
+        [{"source": "big"}] * 90 + [{"source": "small"}] * 10)) \
+        .to_pandas().set_index("source")
+    assert skew.loc["small", "boost"] > 1.0 > skew.loc["big", "boost"]
