@@ -1534,6 +1534,15 @@ def _q_source_mix(sf_dir: str):
     return source_mix_weights(docs)
 
 
+def _q_seasonal_quantiles(sf_dir: str):
+    """Seasonal p10/p50/p90 bands per (event_type, hour-of-day) —
+    composite-cell shuffle reusing the calibrated quantile lerp."""
+    from series_correction_project_updated_ray.stages.rollup import (
+        seasonal_quantiles)
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    return seasonal_quantiles(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2585,7 +2594,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # birth: one bounded-domain Count groupby (summary family,
             # kept) closed by libm pow + an ordered 5-term fold
             # (zipf_fit's, kept, discipline)
-            "source_mix_weights"][:n_over]
+            "source_mix_weights",
+            # seasonal_quantiles is oracle-backed but windowed out at
+            # birth: the calibrated quantile lerp is
+            # grouped_quantiles' (kept) kernel verbatim on a
+            # composite (type, hour-of-day) cell key — no new fold
+            "seasonal_quantiles"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2925,6 +2939,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # α-temperature source mixing weights — oracle-checked
         # (libm pow, ordered normalizing fold)
         "source_mix_weights": _q_source_mix,
+        # seasonal p10/p50/p90 bands per (type, hour-of-day) —
+        # oracle-checked (calibrated quantile_cont lerp)
+        "seasonal_quantiles": _q_seasonal_quantiles,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -4909,6 +4926,16 @@ SELECT m.source, m.n_docs,
              / (CAST(m.n_docs AS DOUBLE) / CAST(t.td AS DOUBLE)), 6)
          AS boost
 FROM m, t
+""",
+        # seasonal bands: quantile_cont == the calibrated lerp bitwise
+        "seasonal_quantiles": """
+SELECT event_type,
+       (epoch_us(ts) // 3600000000) % 24 AS hod,
+       round(quantile_cont(value, 0.1), 6) AS p10,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90
+FROM events
+GROUP BY 1, 2
 """,
         # lexical richness: the same (source, term) count cells as
         # source_kl; types/tokens/hapax are integer reductions, the

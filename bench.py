@@ -325,6 +325,12 @@ def run_bench() -> dict:
               lambda: grubbs_test(rd.read_parquet(
                   ev_path,
                   columns=["event_type", "event_id", "value"])).count())
+        from series_correction_project_updated_ray.stages.rollup import (
+            seasonal_quantiles)
+        timed("seasonal_quantiles",
+              lambda: seasonal_quantiles(rd.read_parquet(
+                  ev_path,
+                  columns=["event_type", "ts", "value"])).count())
         from series_correction_project_updated_ray.stages.relational import (
             drift_chi2)
         timed("drift_chi2",

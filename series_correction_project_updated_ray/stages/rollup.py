@@ -677,3 +677,53 @@ def tukey_fences(events, *, key_col: str = "user_id", k: float = 1.5,
                               batch_format="pyarrow")
     return proj.groupby("__part").map_groups(
         TukeyFencesGroup(key_col, k), batch_format="pandas")
+
+
+def seasonal_quantiles(events, *, key_col: str = "event_type",
+                       probs=(0.1, 0.5, 0.9), n_parts: int = 64):
+    """Seasonal quantile bands: exact p10/p50/p90 of value per
+    (key, hour-of-day) cell — the capacity-planning seasonality
+    envelope.  Derives the composite ``key#hod`` cell id in the
+    projection map (hour-of-day from epoch micros, UTC) and reuses the
+    calibrated :class:`GroupedQuantiles` lerp kernel verbatim; one
+    partition-group shuffle over the bounded |keys|·24 cell domain."""
+    from ..functions.hashing import stable_hash_array
+    from .windows import _epoch_micros
+
+    def _proj(t: pa.Table) -> pa.Table:
+        if "ts" not in t.column_names or len(t) == 0:
+            return pa.table({"__cell": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64()),
+                             "__part": pa.array([], pa.int64())})
+        hod = (np.asarray(_epoch_micros(t["ts"]))
+               // 3_600_000_000) % 24
+        keys = t[key_col].to_pandas().astype(str)
+        cell = keys.str.cat(
+            pd.Series(hod).astype(str).str.zfill(2), sep="#")
+        part = (stable_hash_array(cell)
+                % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"__cell": pa.array(cell, pa.string()),
+                         "value": t["value"],
+                         "__part": pa.array(part)})
+
+    proj = events.map_batches(_proj, batch_format="pyarrow")
+    cells = proj.groupby("__part").map_groups(
+        GroupedQuantiles("__cell", probs), batch_format="pandas")
+
+    def _split(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            cols = {key_col: pa.array([], pa.string()),
+                    "hod": pa.array([], pa.int64())}
+            for p in probs:
+                cols[f"p{int(p * 100)}"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        cell = t["__cell"].to_pandas()
+        key = cell.str.rsplit("#", n=1).str[0]
+        hod = cell.str.rsplit("#", n=1).str[1].astype(np.int64)
+        cols = {key_col: pa.array(key, pa.string()),
+                "hod": pa.array(hod.to_numpy())}
+        for p in probs:
+            cols[f"p{int(p * 100)}"] = t[f"p{int(p * 100)}"]
+        return pa.table(cols)
+
+    return cells.map_batches(_split, batch_format="pyarrow")

@@ -3118,3 +3118,25 @@ def test_source_mix_weights_end_to_end(ray_session):
         [{"source": "big"}] * 90 + [{"source": "small"}] * 10)) \
         .to_pandas().set_index("source")
     assert skew.loc["small", "boost"] > 1.0 > skew.loc["big", "boost"]
+
+
+def test_seasonal_quantiles_end_to_end(ray_session):
+    """Seasonal p10/p50/p90 bands over sf0.001 equal the SQL oracle;
+    the full 5x24 cell grid appears with ordered bands."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.rollup import (
+        seasonal_quantiles)
+    sf = "/root/testdata/sf0.001/events.parquet"
+    got = seasonal_quantiles(rd.read_parquet(
+        sf, columns=["event_type", "ts", "value"])).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}'")
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["seasonal_quantiles"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(["event_type", "hod"]).reset_index(drop=True)
+    w = want[cols].sort_values(["event_type", "hod"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    assert (got["p10"] <= got["p50"]).all() and (got["p50"] <= got["p90"]).all()
