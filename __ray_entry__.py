@@ -1543,6 +1543,15 @@ def _q_seasonal_quantiles(sf_dir: str):
     return seasonal_quantiles(ev)
 
 
+def _q_user_value_ranks(sf_dir: str):
+    """Global RANK / PERCENT_RANK / CUME_DIST over per-user value
+    totals — |users|-row reduce + single-block rank close."""
+    from series_correction_project_updated_ray.stages.relational import (
+        user_value_ranks)
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+    return user_value_ranks(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2599,7 +2608,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # birth: the calibrated quantile lerp is
             # grouped_quantiles' (kept) kernel verbatim on a
             # composite (type, hour-of-day) cell key — no new fold
-            "seasonal_quantiles"][:n_over]
+            "seasonal_quantiles",
+            # user_value_ranks is oracle-backed but windowed out at
+            # birth: the exact-cents rank mechanism is
+            # value_quartiles' (kept) bounded-domain rank and the
+            # close is two integer-ratio divisions
+            "user_value_ranks"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2942,6 +2956,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # seasonal p10/p50/p90 bands per (type, hour-of-day) —
         # oracle-checked (calibrated quantile_cont lerp)
         "seasonal_quantiles": _q_seasonal_quantiles,
+        # global window-rank family over user totals — oracle-checked
+        # (exact cents ties, integer ranks, two divisions)
+        "user_value_ranks": _q_user_value_ranks,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -4936,6 +4953,20 @@ SELECT event_type,
        round(quantile_cont(value, 0.9), 6) AS p90
 FROM events
 GROUP BY 1, 2
+""",
+        # rank family: ascending exact-cents totals; RANK min-ties,
+        # PERCENT_RANK (r−1)/(n−1), CUME_DIST run-end/n
+        "user_value_ranks": """
+WITH s AS (
+  SELECT user_id, SUM(CAST(round(value*100) AS BIGINT)) AS cents
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1)
+SELECT user_id,
+       round(CAST(cents AS DOUBLE) / 100.0, 6) AS total_value,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM s WINDOW w AS (ORDER BY cents)
 """,
         # lexical richness: the same (source, term) count cells as
         # source_kl; types/tokens/hapax are integer reductions, the

@@ -320,6 +320,11 @@ def run_bench() -> dict:
               lambda: spearman_trend(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
         from series_correction_project_updated_ray.stages.relational import (
+            user_value_ranks)
+        timed("user_value_ranks",
+              lambda: user_value_ranks(rd.read_parquet(
+                  ev_path, columns=["user_id", "value"])).count())
+        from series_correction_project_updated_ray.stages.relational import (
             grubbs_test)
         timed("grubbs_test",
               lambda: grubbs_test(rd.read_parquet(

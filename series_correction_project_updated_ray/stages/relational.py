@@ -2435,3 +2435,70 @@ def drift_chi2(events, *, n_parts: int = 16):
     return _add_key_partition(prepped, "event_type", n_parts) \
         .groupby("__part").map_groups(_DriftChi2Group(),
                                       batch_format="pandas")
+
+
+# --- global user value ranks ----------------------------------------------------
+
+def user_value_ranks(events):
+    """Global leaderboard ranks over per-user value totals: RANK,
+    PERCENT_RANK and CUME_DIST by ascending total (exact cents) —
+    the window-rank family on an aggregate, computed WITHOUT a global
+    sort of the event stream: cents totals reduce per user (one
+    |users|-row groupby), and only that bounded table crosses to a
+    single-block rank close (ties share min-rank / max-cume exactly
+    like the SQL window)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away, scaled_int
+
+    def _cents(t: pa.Table) -> pa.Table:
+        if "value" not in t.column_names or len(t) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        keep = pc.and_(pc.is_valid(t["user_id"]),
+                       pc.is_valid(t["value"]))
+        t = t.filter(keep)
+        return pa.table({
+            "user_id": t["user_id"],
+            "cents": pa.array(scaled_int(
+                t["value"].to_numpy(zero_copy_only=False)))})
+
+    sums = events.map_batches(_cents, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Sum("cents", alias_name="cents"))
+
+    def _close(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "total_value": pa.array([], pa.float64()),
+            "rnk": pa.array([], pa.int64()),
+            "pct_rank": pa.array([], pa.float64()),
+            "cume": pa.array([], pa.float64())})
+        if len(t) == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((uid, cents))
+        uid, cents = uid[order], cents[order]
+        n = len(cents)
+        run_first = np.r_[True, cents[1:] != cents[:-1]]
+        run_id = np.cumsum(run_first) - 1
+        run_starts = np.flatnonzero(run_first)
+        run_ends = np.r_[run_starts[1:], n]
+        rnk = (run_starts + 1)[run_id]
+        cume_cnt = run_ends[run_id]
+        pct = ((rnk - 1).astype(np.float64) / float(n - 1)
+               if n > 1 else np.zeros(n))
+        return pa.table({
+            "user_id": pa.array(uid),
+            "total_value": pa.array(round_half_away(
+                cents.astype(np.float64) / 100.0, 6)),
+            "rnk": pa.array(rnk.astype(np.int64)),
+            "pct_rank": pa.array(round_half_away(pct, 6)),
+            "cume": pa.array(round_half_away(
+                cume_cnt.astype(np.float64) / float(n), 6))})
+
+    return sums.repartition(1).map_batches(_close,
+                                           batch_format="pyarrow",
+                                           batch_size=None)

@@ -3140,3 +3140,22 @@ def test_seasonal_quantiles_end_to_end(ray_session):
     w = want[cols].sort_values(["event_type", "hod"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
     assert (got["p10"] <= got["p50"]).all() and (got["p50"] <= got["p90"]).all()
+
+
+def test_user_value_ranks_ties(ray_session):
+    """Tied totals share min-rank and max-cume exactly like the SQL
+    window; pct_rank spans [0, 1]."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        user_value_ranks)
+    ev = rd.from_items(
+        [{"user_id": 1, "value": 5.0},
+         {"user_id": 2, "value": 5.0},       # tie with user 1
+         {"user_id": 3, "value": 1.0},
+         {"user_id": 4, "value": 9.0}])
+    got = user_value_ranks(ev).to_pandas().set_index("user_id")
+    assert got.loc[3, "rnk"] == 1 and got.loc[3, "pct_rank"] == 0.0
+    assert got.loc[1, "rnk"] == got.loc[2, "rnk"] == 2
+    assert got.loc[1, "cume"] == got.loc[2, "cume"] == 0.75
+    assert got.loc[4, "rnk"] == 4 and got.loc[4, "pct_rank"] == 1.0
+    assert got.loc[4, "cume"] == 1.0
