@@ -683,3 +683,136 @@ def test_theil_sen_matches_literal_pairs(rows):
         assert r["n_pairs"] == len(sl)
         assert r["slope_per_hour"] == round_half_away(
             np.float64(np.median(sl) * 36000000.0), 6)
+
+
+# --- round-5 second-pass kernels vs naive reference loops -------------------
+
+import pandas as pd
+
+
+def _frame(xs, key=1):
+    n = len(xs)
+    return pd.DataFrame({
+        "user_id": pd.array([key] * n, dtype="Int64"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": np.arange(n, dtype=np.int64) * 1000,
+        "value": np.asarray(xs, dtype=np.float64)})
+
+
+cents_vals = st.floats(allow_nan=False, allow_infinity=False,
+                       min_value=-1e4, max_value=1e4).map(
+    lambda x: round(x, 2))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(cents_vals, min_size=3, max_size=80))
+def test_peak_detect_matches_naive(xs):
+    from series_correction_project_updated_ray.stages.timeseries import (
+        PeakDetectGroup)
+    got = PeakDetectGroup()(_frame(xs))
+    want = [i for i in range(1, len(xs) - 1)
+            if xs[i] > xs[i - 1] and xs[i] > xs[i + 1]
+            and xs[i] - max(xs[i - 1], xs[i + 1]) >= 0.5]
+    assert list(got["event_id"]) == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(cents_vals, min_size=0, max_size=64))
+def test_haar_energy_matches_naive(xs):
+    from series_correction_project_updated_ray.stages.timeseries import (
+        HaarEnergyGroup)
+    got = HaarEnergyGroup()(_frame(xs))
+    c = [int(np.copysign(np.floor(abs(v) * 100 + 0.5), v))
+         for v in xs]
+    L = len(c) - len(c) % 8
+    c = c[:L]
+    if L == 0:
+        assert len(got) == 0
+        return
+    lvl = got.set_index("level")
+    x = c
+    for level in (1, 2, 3):
+        d = [x[2 * i] - x[2 * i + 1] for i in range(len(x) // 2)]
+        x = [x[2 * i] + x[2 * i + 1] for i in range(len(x) // 2)]
+        e = float(sum(v * v for v in d)) / (2.0 ** level * 10000.0)
+        assert lvl.loc[level, "n_coef"] == len(d)
+        assert abs(lvl.loc[level, "energy"] - e) < 1e-6 + 1e-9 * abs(e)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(cents_vals, min_size=2, max_size=60))
+def test_mann_kendall_matches_naive(xs):
+    from series_correction_project_updated_ray.stages.timeseries import (
+        MannKendallGroup)
+    got = MannKendallGroup()(_frame(xs))
+    c = [int(np.copysign(np.floor(abs(v) * 100 + 0.5), v)) for v in xs]
+    s = sum(np.sign(c[j] - c[i])
+            for i in range(len(c)) for j in range(i + 1, len(c)))
+    assert got["s_stat"].iloc[0] == s
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(cents_vals, min_size=4, max_size=50))
+def test_sample_entropy_counts_match_naive(xs):
+    from series_correction_project_updated_ray.stages.timeseries import (
+        SampleEntropyGroup)
+    got = SampleEntropyGroup()(_frame(xs))
+    c = [int(np.copysign(np.floor(abs(v) * 100 + 0.5), v)) for v in xs]
+    L = len(c) - 2
+    b = a = 0
+    for i in range(L):
+        for j in range(i + 1, L):
+            if abs(c[i] - c[j]) <= 200 and abs(c[i+1] - c[j+1]) <= 200:
+                b += 1
+                if abs(c[i+2] - c[j+2]) <= 200:
+                    a += 1
+    if L < 2:
+        assert len(got) == 0
+        return
+    assert got["b_cnt"].iloc[0] == b and got["a_cnt"].iloc[0] == a
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=2,
+                max_size=60))
+def test_croston_matches_naive(hours):
+    from series_correction_project_updated_ray.stages.timeseries import (
+        CrostonGroup)
+    H = 3_600_000_000
+    n = len(hours)
+    g = pd.DataFrame({
+        "user_id": pd.array([1] * n, dtype="Int64"),
+        "t": (np.asarray(sorted(hours), dtype=np.int64) * H
+              + np.arange(n))})
+    got = CrostonGroup()(g)
+    from collections import Counter
+    cells = sorted(Counter(hours).items())
+    if len(cells) < 2:
+        assert len(got) == 0
+        return
+    (h0, d0), (h1, d1) = cells[0], cells[1]
+    z = float(d0) + 0.2 * (float(d1) - float(d0))
+    p = float(h1 - h0)
+    for (hp, _), (hc, dc) in zip(cells[1:-1], cells[2:]):
+        z = z + 0.2 * (float(dc) - z)
+        p = p + 0.2 * (float(hc - hp) - p)
+    assert got["n_hours"].iloc[0] == len(cells)
+    assert abs(got["level"].iloc[0] - z) < 1e-6
+    assert abs(got["smooth_interval"].iloc[0] - p) < 1e-6
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(cents_vals, min_size=2, max_size=60))
+def test_spearman_matches_pandas_ranks(xs):
+    from series_correction_project_updated_ray.stages.timeseries import (
+        SpearmanTrendGroup)
+    got = SpearmanTrendGroup()(_frame(xs))
+    c = pd.Series([int(np.copysign(np.floor(abs(v) * 100 + 0.5), v))
+                   for v in xs])
+    ry = c.rank(method="average")
+    rx = pd.Series(np.arange(1, len(xs) + 1, dtype=float))
+    if ry.nunique() < 2:
+        assert np.isnan(got["rho"].iloc[0])
+        return
+    want = np.corrcoef(rx, ry)[0, 1]
+    assert abs(got["rho"].iloc[0] - want) < 1e-6
