@@ -1552,6 +1552,15 @@ def _q_user_value_ranks(sf_dir: str):
     return user_value_ranks(ev)
 
 
+def _q_pacf_lags(sf_dir: str):
+    """Per-user PACF at lags 1-3 (Durbin-Levinson) — integer ACF
+    moments, fixed double chains."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        pacf_lags)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return pacf_lags(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2613,7 +2622,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # birth: the exact-cents rank mechanism is
             # value_quartiles' (kept) bounded-domain rank and the
             # close is two integer-ratio divisions
-            "user_value_ranks"][:n_over]
+            "user_value_ranks",
+            # pacf_lags is oracle-backed but windowed out at birth:
+            # the ρ_k moments are ljung_box's (demoted, certified via
+            # the kept autocorr family) machinery and the D-L close is
+            # a fixed double chain with no fold
+            "pacf_lags"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2959,6 +2973,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # global window-rank family over user totals — oracle-checked
         # (exact cents ties, integer ranks, two divisions)
         "user_value_ranks": _q_user_value_ranks,
+        # PACF lags 1-3 per user (Durbin-Levinson) — oracle-checked
+        # (integer ACF moments, fixed double chains)
+        "pacf_lags": _q_pacf_lags,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -4967,6 +4984,50 @@ SELECT user_id,
        round(percent_rank() OVER w, 6) AS pct_rank,
        round(cume_dist() OVER w, 6) AS cume
 FROM s WINDOW w AS (ORDER BY cents)
+""",
+        # PACF: the same n-scaled HUGEINT ACF moments as ljung_box;
+        # Durbin-Levinson closes as fixed double chains per user
+        "pacf_lags": """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         COUNT(*) OVER (PARTITION BY user_id) AS nk,
+         SUM(CAST(round(value*100) AS BIGINT))
+           OVER (PARTITION BY user_id) AS s
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+y AS (
+  SELECT user_id, nk, event_id, t,
+         CAST(nk AS HUGEINT) * cents - s AS y
+  FROM c),
+p AS (
+  SELECT user_id, nk, y,
+         lead(y, 1) OVER w AS y1, lead(y, 2) OVER w AS y2,
+         lead(y, 3) OVER w AS y3
+  FROM y WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+s AS (
+  SELECT user_id, MAX(nk) AS n, SUM(y*y) AS d,
+         SUM(y*y1) AS m1, SUM(y*y2) AS m2, SUM(y*y3) AS m3
+  FROM p GROUP BY 1),
+r AS (
+  SELECT user_id, n,
+         CAST(m1 AS DOUBLE)/CAST(d AS DOUBLE) AS r1,
+         CAST(m2 AS DOUBLE)/CAST(d AS DOUBLE) AS r2,
+         CAST(m3 AS DOUBLE)/CAST(d AS DOUBLE) AS r3
+  FROM s WHERE n >= 10 AND d > 0),
+dl AS (
+  SELECT user_id, n, r1, r2, r3,
+         (r2 - r1*r1) / (1.0 - r1*r1) AS p22
+  FROM r),
+dl2 AS (
+  SELECT user_id, n, r1, r2, r3, p22,
+         r1 - p22*r1 AS p21
+  FROM dl)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       round(r1, 6) AS pacf1,
+       round(p22, 6) AS pacf2,
+       round((r3 - p21*r2 - p22*r1)
+             / (1.0 - p21*r1 - p22*r2), 6) AS pacf3
+FROM dl2
 """,
         # lexical richness: the same (source, term) count cells as
         # source_kl; types/tokens/hapax are integer reductions, the

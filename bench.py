@@ -319,6 +319,11 @@ def run_bench() -> dict:
         timed("spearman_trend",
               lambda: spearman_trend(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
+        from series_correction_project_updated_ray.stages.timeseries import (
+            pacf_lags)
+        timed("pacf_lags",
+              lambda: pacf_lags(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
         from series_correction_project_updated_ray.stages.relational import (
             user_value_ranks)
         timed("user_value_ranks",

@@ -2950,3 +2950,85 @@ def spearman_trend(events, *, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(SpearmanTrendGroup(),
                                       batch_format="pandas")
+
+
+# --- partial autocorrelation (Durbin-Levinson, lags 1-3) ----------------------
+
+class PacfGroup:
+    """Per-partition kernel: partial autocorrelations at lags 1-3 per
+    key via the Durbin-Levinson closed forms — ``φ11 = ρ1``,
+    ``φ22 = (ρ2 − ρ1²)/(1 − ρ1²)``, ``φ33 = (ρ3 − φ21·ρ2 − φ22·ρ1) /
+    (1 − φ21·ρ1 − φ22·ρ2)`` with ``φ21 = ρ1 − φ22·ρ1``.  The ρ_k come
+    from the same n-scaled exact integer ACF moments as
+    :class:`LjungBoxGroup`; every subsequent step is a fixed double
+    expression replayed verbatim by the SQL twin.  Keys with n < 10 or
+    zero variance emit nothing."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": g["user_id"].iloc[:0],
+            "n": pd.Series([], dtype=np.int64),
+            "pacf1": pd.Series([], dtype=np.float64),
+            "pacf2": pd.Series([], dtype=np.float64),
+            "pacf3": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        vals = g["value"].to_numpy(np.float64)
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        keep = (codes >= 0) & ~np.isnan(vals)
+        g, codes = g.iloc[keep], codes[keep]
+        if len(g) == 0:
+            return empty
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes = codes[order]
+        keys = g["user_id"].to_numpy()[order]
+        c = scaled_int(vals[keep][order])
+        n = len(c)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        nk_row = np.repeat(lens, lens)
+        s_row = np.repeat(np.add.reduceat(c, starts), lens)
+        y = nk_row * c - s_row
+        ymax = int(np.abs(y).max()) if n else 0
+        if ymax and ymax * ymax * n >= (1 << 62):
+            y = y.astype(object)
+        d = np.add.reduceat(y * y, starts)
+        nums = []
+        for k in (1, 2, 3):
+            a = np.zeros(n, dtype=y.dtype)
+            if n > k:
+                a[k:] = y[:-k]
+                a[k:][codes[k:] != codes[:-k]] = 0
+            nums.append(np.add.reduceat(a * y, starts))
+        sel = (lens >= 10) & (d.astype(np.float64) > 0)
+        if not sel.any():
+            return empty
+        dd = d[sel].astype(np.float64)
+        r1 = nums[0][sel].astype(np.float64) / dd
+        r2 = nums[1][sel].astype(np.float64) / dd
+        r3 = nums[2][sel].astype(np.float64) / dd
+        p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+        p21 = r1 - p22 * r1
+        p33 = ((r3 - p21 * r2 - p22 * r1)
+               / (1.0 - p21 * r1 - p22 * r2))
+        return pd.DataFrame({
+            "user_id": keys[starts][sel],
+            "n": lens[sel].astype(np.int64),
+            "pacf1": round_half_away(r1, 6),
+            "pacf2": round_half_away(p22, 6),
+            "pacf3": round_half_away(p33, 6)})
+
+
+def pacf_lags(events, *, n_parts: int = 64):
+    """Per-user partial autocorrelations at lags 1-3 (Durbin-Levinson
+    closed forms) — the AR-order identification screen.  One
+    partition-group shuffle; integer ACF moments, fixed double chains."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(PacfGroup(),
+                                      batch_format="pandas")

@@ -1891,3 +1891,87 @@ def test_spearman_trend_monotone():
     got = SpearmanTrendGroup()(g).set_index("user_id")
     assert got.loc[1, "rho"] == 1.0
     assert got.loc[2, "rho"] == -1.0
+
+
+def test_pacf_kernel_matches_sql():
+    """Durbin-Levinson PACF chains over integer ACF moments match the
+    DuckDB twin at 6dp."""
+    import duckdb
+
+    from series_correction_project_updated_ray.stages.timeseries import (
+        PacfGroup)
+    rng = np.random.default_rng(73)
+    n = 500
+    g = pd.DataFrame({
+        "user_id": pd.array(rng.integers(0, 5, n), dtype="Int64"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": rng.integers(0, 10**9, n).astype(np.int64),
+        "value": np.round(rng.normal(50, 10, n), 2),
+    })
+    g.loc[g.index[:2], "user_id"] = pd.NA
+    g.loc[g.index[5:7], "value"] = np.nan
+    got = PacfGroup()(g)
+    con = duckdb.connect()
+    con.register("ev", g)
+    want = con.execute("""
+WITH c AS (
+  SELECT user_id, event_id, t,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         COUNT(*) OVER (PARTITION BY user_id) AS nk,
+         SUM(CAST(round(value*100) AS BIGINT))
+           OVER (PARTITION BY user_id) AS s
+  FROM ev WHERE user_id IS NOT NULL AND value IS NOT NULL),
+y AS (
+  SELECT user_id, nk, event_id, t,
+         CAST(nk AS HUGEINT) * cents - s AS y
+  FROM c),
+p AS (
+  SELECT user_id, nk, y,
+         lead(y, 1) OVER w AS y1, lead(y, 2) OVER w AS y2,
+         lead(y, 3) OVER w AS y3
+  FROM y WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+s AS (
+  SELECT user_id, MAX(nk) AS n, SUM(y*y) AS d,
+         SUM(y*y1) AS m1, SUM(y*y2) AS m2, SUM(y*y3) AS m3
+  FROM p GROUP BY 1),
+r AS (
+  SELECT user_id, n,
+         CAST(m1 AS DOUBLE)/CAST(d AS DOUBLE) AS r1,
+         CAST(m2 AS DOUBLE)/CAST(d AS DOUBLE) AS r2,
+         CAST(m3 AS DOUBLE)/CAST(d AS DOUBLE) AS r3
+  FROM s WHERE n >= 10 AND d > 0),
+dl AS (
+  SELECT user_id, n, r1, r2, r3,
+         (r2 - r1*r1) / (1.0 - r1*r1) AS p22
+  FROM r),
+dl2 AS (SELECT user_id, n, r1, r2, r3, p22, r1 - p22*r1 AS p21 FROM dl)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       round(r1, 6) AS pacf1, round(p22, 6) AS pacf2,
+       round((r3 - p21*r2 - p22*r1)
+             / (1.0 - p21*r1 - p22*r2), 6) AS pacf3
+FROM dl2""").df()
+    cols = sorted(got.columns)
+    g2 = got[cols].sort_values(cols).reset_index(drop=True)
+    w2 = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g2, w2, check_dtype=False)
+    assert len(g2) == 5
+
+
+def test_pacf_ar1_signature():
+    """For an AR(1)-like series, pacf1 is large while pacf2/pacf3 are
+    near zero — the AR-order identification property."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        PacfGroup)
+    rng = np.random.default_rng(19)
+    n = 2000
+    x = np.zeros(n)
+    for i in range(1, n):
+        x[i] = 0.8 * x[i - 1] + rng.normal(0, 1)
+    g = pd.DataFrame({
+        "user_id": pd.array([1] * n, dtype="Int64"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": np.arange(n, dtype=np.int64),
+        "value": np.round(x * 10 + 100, 2)})
+    got = PacfGroup()(g).iloc[0]
+    assert got["pacf1"] > 0.7
+    assert abs(got["pacf2"]) < 0.15 and abs(got["pacf3"]) < 0.15
