@@ -1561,6 +1561,17 @@ def _q_pacf_lags(sf_dir: str):
     return pacf_lags(ev)
 
 
+def _q_order_priority_check(sf_dir: str):
+    """TPC-H-Q4-shaped EXISTS aggregate — late-key semi-join into a
+    priority Count groupby, pure integer counts."""
+    from series_correction_project_updated_ray.stages.relational import (
+        order_priority_check)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    return order_priority_check(li, orders)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2627,7 +2638,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # the ρ_k moments are ljung_box's (demoted, certified via
             # the kept autocorr family) machinery and the D-L close is
             # a fixed double chain with no fold
-            "pacf_lags"][:n_over]
+            "pacf_lags",
+            # order_priority_check is oracle-backed but windowed out
+            # at birth: the distinct-key semi-join is semi_join_orders'
+            # (kept) mechanism behind join_lineitem_orders' (kept)
+            # bucket join, and the close is one integer Count groupby
+            "order_priority_check"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2976,6 +2992,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # PACF lags 1-3 per user (Durbin-Levinson) — oracle-checked
         # (integer ACF moments, fixed double chains)
         "pacf_lags": _q_pacf_lags,
+        # TPC-H-Q4-shaped EXISTS aggregate — oracle-checked
+        # (distinct late-key semi-join, integer counts)
+        "order_priority_check": _q_order_priority_check,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -5028,6 +5047,18 @@ SELECT user_id, CAST(n AS BIGINT) AS n,
        round((r3 - p21*r2 - p22*r1)
              / (1.0 - p21*r1 - p22*r2), 6) AS pacf3
 FROM dl2
+""",
+        # Q4 shape: EXISTS via the distinct late-orderkey set
+        "order_priority_check": """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND epoch_us(l.l_shipdate)
+        > epoch_us(o.o_orderdate) + 7776000000000)
+GROUP BY 1
 """,
         # lexical richness: the same (source, term) count cells as
         # source_kl; types/tokens/hapax are integer reductions, the

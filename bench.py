@@ -451,6 +451,17 @@ def run_bench() -> dict:
                       rd.read_parquet(part_path,
                                       columns=["p_partkey",
                                                "p_type"])).count())
+            from series_correction_project_updated_ray.stages.relational import (
+                order_priority_check)
+            timed("order_priority_check",
+                  lambda: order_priority_check(
+                      rd.read_parquet(li_path,
+                                      columns=["l_orderkey",
+                                               "l_shipdate"]),
+                      rd.read_parquet(ord_path,
+                                      columns=["o_orderkey",
+                                               "o_orderdate",
+                                               "o_orderpriority"])).count())
             timed("late_shipment_priority",
                   lambda: late_shipment_priority(
                       rd.read_parquet(li_path,

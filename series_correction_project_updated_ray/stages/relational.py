@@ -2502,3 +2502,38 @@ def user_value_ranks(events):
     return sums.repartition(1).map_batches(_close,
                                            batch_format="pyarrow",
                                            batch_size=None)
+
+
+# --- TPC-H-Q4-shaped order priority check --------------------------------------
+
+def order_priority_check(lineitem, orders, *, grace_days: int = 90):
+    """TPC-H-Q4-shaped EXISTS aggregate: per order priority, how many
+    orders have AT LEAST ONE lineitem shipped more than ``grace_days``
+    after the order date.  The late-lineitem ORDERKEY SET (distinct,
+    orders-bounded) semi-joins orders — the fact table never shuffles
+    whole rows; counts are pure integers."""
+    from ray.data.aggregate import Count
+
+    from .joins import hash_join, semi_join
+    from .windows import _epoch_micros
+
+    j = hash_join(lineitem, orders.select_columns(["o_orderkey",
+                                                   "o_orderdate"]),
+                  "l_orderkey", "o_orderkey", how="inner", n_buckets=16)
+    grace_us = grace_days * 86_400_000_000
+
+    def _late_keys(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"o_orderkey": pa.array([], pa.int64())})
+        ship = np.asarray(_epoch_micros(t["l_shipdate"]))
+        od = np.asarray(_epoch_micros(t["o_orderdate"]))
+        late = ship > od + grace_us
+        return pa.table({"o_orderkey": t["o_orderkey"].filter(
+            pa.array(late))})
+
+    late_keys = j.map_batches(_late_keys, batch_format="pyarrow")
+    hit = semi_join(orders.select_columns(["o_orderkey",
+                                           "o_orderpriority"]),
+                    late_keys, "o_orderkey")
+    return hit.groupby("o_orderpriority").aggregate(
+        Count(alias_name="late_orders"))

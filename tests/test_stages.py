@@ -3159,3 +3159,34 @@ def test_user_value_ranks_ties(ray_session):
     assert got.loc[1, "cume"] == got.loc[2, "cume"] == 0.75
     assert got.loc[4, "rnk"] == 4 and got.loc[4, "pct_rank"] == 1.0
     assert got.loc[4, "cume"] == 1.0
+
+
+def test_order_priority_check_end_to_end(ray_session):
+    """Q4-shaped EXISTS counts over sf0.001 equal the SQL oracle and
+    never exceed the per-priority order totals."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        order_priority_check)
+    d = "/root/testdata/sf0.001"
+    got = order_priority_check(
+        rd.read_parquet(f"{d}/lineitem.parquet",
+                        columns=["l_orderkey", "l_shipdate"]),
+        rd.read_parquet(f"{d}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])).to_pandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["order_priority_check"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values("o_orderpriority").reset_index(drop=True)
+    w = want[cols].sort_values("o_orderpriority").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    totals = con.execute(
+        "SELECT o_orderpriority, COUNT(*) n FROM orders GROUP BY 1"
+    ).df().set_index("o_orderpriority")["n"]
+    for _, r in got.iterrows():
+        assert r["late_orders"] <= totals[r["o_orderpriority"]]
