@@ -1572,6 +1572,15 @@ def _q_order_priority_check(sf_dir: str):
     return order_priority_check(li, orders)
 
 
+def _q_isotonic_fit(sf_dir: str):
+    """Per-user isotonic regression (minimax PAVA) — exact interval
+    means, two window extrema."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        isotonic_fit)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return isotonic_fit(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2643,7 +2652,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # at birth: the distinct-key semi-join is semi_join_orders'
             # (kept) mechanism behind join_lineitem_orders' (kept)
             # bucket join, and the close is one integer Count groupby
-            "order_priority_check"][:n_over]
+            "order_priority_check",
+            # isotonic_fit is oracle-backed but windowed out at birth:
+            # interval means are exact-integer prefix-sum ratios (the
+            # twa family, kept) and the minimax close is two window
+            # extrema over identical doubles — no fold
+            "isotonic_fit"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -2995,6 +3009,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H-Q4-shaped EXISTS aggregate — oracle-checked
         # (distinct late-key semi-join, integer counts)
         "order_priority_check": _q_order_priority_check,
+        # isotonic regression per user (minimax PAVA) —
+        # oracle-checked (exact interval means, window extrema)
+        "isotonic_fit": _q_isotonic_fit,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -5059,6 +5076,39 @@ WHERE EXISTS (
     AND epoch_us(l.l_shipdate)
         > epoch_us(o.o_orderdate) + 7776000000000)
 GROUP BY 1
+""",
+        # isotonic: ŷ_i = max_{j≤i} min_{k≥i} mean(x[j..k]) — the
+        # exact minimax form of the PAVA solution; interval means are
+        # integer prefix-sum ratios, the extrema are window functions
+        "isotonic_fit": """
+WITH c AS (
+  SELECT user_id, event_id,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER w AS rn
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+ps AS (
+  SELECT user_id, event_id, rn, cents,
+         SUM(cents) OVER (PARTITION BY user_id ORDER BY rn) AS s
+  FROM c),
+pairs AS (
+  SELECT a.user_id, a.rn AS j, b.rn AS k,
+         CAST(b.s - (a.s - a.cents) AS DOUBLE)
+           / CAST(b.rn - a.rn + 1 AS DOUBLE) AS mean_jk
+  FROM ps a JOIN ps b ON a.user_id = b.user_id AND b.rn >= a.rn),
+mn AS (
+  SELECT user_id, j, k,
+         MIN(mean_jk) OVER (PARTITION BY user_id, j ORDER BY k DESC
+                            ROWS UNBOUNDED PRECEDING) AS m
+  FROM pairs),
+mx AS (
+  SELECT user_id, j, k,
+         MAX(m) OVER (PARTITION BY user_id, k ORDER BY j
+                      ROWS UNBOUNDED PRECEDING) AS f
+  FROM mn)
+SELECT c.user_id, c.event_id, round(mx.f / 100.0, 6) AS fitted
+FROM mx JOIN c ON c.user_id = mx.user_id AND c.rn = mx.k
+WHERE mx.j = mx.k
 """,
         # lexical richness: the same (source, term) count cells as
         # source_kl; types/tokens/hapax are integer reductions, the

@@ -324,6 +324,11 @@ def run_bench() -> dict:
         timed("pacf_lags",
               lambda: pacf_lags(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
+        from series_correction_project_updated_ray.stages.timeseries import (
+            isotonic_fit)
+        timed("isotonic_fit",
+              lambda: isotonic_fit(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
         from series_correction_project_updated_ray.stages.relational import (
             user_value_ranks)
         timed("user_value_ranks",

@@ -3032,3 +3032,74 @@ def pacf_lags(events, *, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(PacfGroup(),
                                       batch_format="pandas")
+
+
+# --- isotonic regression (minimax PAVA) ---------------------------------------
+
+class IsotonicGroup:
+    """Per-partition kernel: isotonic (monotone non-decreasing)
+    regression of value on time order per key, via the EXACT minimax
+    characterization of the PAVA solution —
+    ``ŷ_i = max_{j≤i} min_{k≥i} mean(x[j..k])`` — which needs no
+    data-dependent pooling loop: interval means come from exact integer
+    prefix sums (one double division each, identical on both sides),
+    the inner min is a reverse cumulative minimum along k and the
+    outer max a cumulative maximum along j — O(n²) per key BY THE
+    FORMULA (bounded per-series contract), fully vectorized.  The SQL
+    twin replays the same two window extrema over the same doubles."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": g["user_id"].iloc[:0],
+            "event_id": pd.Series([], dtype=np.int64),
+            "fitted": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        vals = g["value"].to_numpy(np.float64)
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        keep = (codes >= 0) & ~np.isnan(vals)
+        g, codes = g.iloc[keep], codes[keep]
+        if len(g) == 0:
+            return empty
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, ids = codes[order], ids[order]
+        keys = g["user_id"].to_numpy()[order]
+        c = scaled_int(vals[keep][order])
+        n = len(c)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], n]
+        out_key, out_id, out_fit = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            cs = np.concatenate([[0], np.cumsum(c[s:e])])
+            j = np.arange(m)[:, None]
+            k = np.arange(m)[None, :]
+            with np.errstate(invalid="ignore"):
+                mean = (cs[k + 1] - cs[j]).astype(np.float64) \
+                    / (k - j + 1).astype(np.float64)
+            mean[k < j] = np.inf
+            mn = np.minimum.accumulate(mean[:, ::-1], axis=1)[:, ::-1]
+            fit = np.diag(np.maximum.accumulate(mn, axis=0))
+            out_key.append(keys[s:e])
+            out_id.append(ids[s:e].astype(np.int64))
+            out_fit.append(round_half_away(fit / 100.0, 6))
+        return pd.DataFrame({
+            "user_id": np.concatenate(out_key),
+            "event_id": np.concatenate(out_id),
+            "fitted": np.concatenate(out_fit)})
+
+
+def isotonic_fit(events, *, n_parts: int = 64):
+    """Per-user isotonic regression of value on time order — the
+    monotone calibration fit (PAVA solution via the exact minimax
+    formula).  One partition-group shuffle; exact integer interval
+    sums, two window extrema."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(IsotonicGroup(),
+                                      batch_format="pandas")

@@ -1975,3 +1975,99 @@ def test_pacf_ar1_signature():
     got = PacfGroup()(g).iloc[0]
     assert got["pacf1"] > 0.7
     assert abs(got["pacf2"]) < 0.15 and abs(got["pacf3"]) < 0.15
+
+
+def test_isotonic_matches_classic_pava():
+    """The minimax form equals the classic pool-adjacent-violators
+    loop on random series (cents-exact pools), and the fit is
+    non-decreasing."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        IsotonicGroup)
+    rng = np.random.default_rng(79)
+    for trial in range(5):
+        n = int(rng.integers(3, 60))
+        vals = np.round(rng.normal(50, 10, n), 2)
+        g = pd.DataFrame({
+            "user_id": pd.array([1] * n, dtype="Int64"),
+            "event_id": np.arange(n, dtype=np.int64),
+            "t": np.arange(n, dtype=np.int64),
+            "value": vals})
+        got = IsotonicGroup()(g)["fitted"].to_numpy()
+        # classic PAVA on cents
+        c = np.round(vals * 100).astype(np.int64)
+        pools = [[int(x), 1] for x in c]      # [sum, count]
+        i = 0
+        merged = True
+        while merged:
+            merged = False
+            j = 0
+            while j + 1 < len(pools):
+                if pools[j][0] * pools[j+1][1] \
+                        > pools[j+1][0] * pools[j][1]:
+                    pools[j][0] += pools[j+1][0]
+                    pools[j][1] += pools[j+1][1]
+                    del pools[j+1]
+                    merged = True
+                else:
+                    j += 1
+        want = np.concatenate([
+            np.full(cnt, s / cnt / 100.0) for s, cnt in pools])
+        assert np.all(np.diff(got) >= -1e-9)
+        assert np.allclose(got, np.round(want, 6), atol=2e-6)
+
+
+def test_isotonic_kernel_matches_sql():
+    """Window-extrema SQL twin matches the vectorized minimax kernel
+    bit-for-bit at 6dp across multiple keys."""
+    import duckdb
+
+    from series_correction_project_updated_ray.stages.timeseries import (
+        IsotonicGroup)
+    rng = np.random.default_rng(83)
+    n = 300
+    g = pd.DataFrame({
+        "user_id": pd.array(rng.integers(0, 5, n), dtype="Int64"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": rng.integers(0, 10**9, n).astype(np.int64),
+        "value": np.round(rng.normal(50, 10, n), 2),
+    })
+    g.loc[g.index[:2], "user_id"] = pd.NA
+    g.loc[g.index[5:7], "value"] = np.nan
+    got = IsotonicGroup()(g)
+    con = duckdb.connect()
+    con.register("ev", g)
+    want = con.execute("""
+WITH c AS (
+  SELECT user_id, event_id,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER w AS rn
+  FROM ev WHERE user_id IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+ps AS (
+  SELECT user_id, event_id, rn, cents,
+         SUM(cents) OVER (PARTITION BY user_id ORDER BY rn) AS s
+  FROM c),
+pairs AS (
+  SELECT a.user_id, a.rn AS j, b.rn AS k,
+         CAST(b.s - (a.s - a.cents) AS DOUBLE)
+           / CAST(b.rn - a.rn + 1 AS DOUBLE) AS mean_jk
+  FROM ps a JOIN ps b ON a.user_id = b.user_id AND b.rn >= a.rn),
+mn AS (
+  SELECT user_id, j, k,
+         MIN(mean_jk) OVER (PARTITION BY user_id, j ORDER BY k DESC
+                            ROWS UNBOUNDED PRECEDING) AS m
+  FROM pairs),
+mx AS (
+  SELECT user_id, j, k,
+         MAX(m) OVER (PARTITION BY user_id, k ORDER BY j
+                      ROWS UNBOUNDED PRECEDING) AS f
+  FROM mn)
+SELECT c.user_id, c.event_id, round(mx.f / 100.0, 6) AS fitted
+FROM mx JOIN c ON c.user_id = mx.user_id AND c.rn = mx.k
+WHERE mx.j = mx.k""").df()
+    cols = sorted(got.columns)
+    g2 = got[cols].sort_values(["user_id", "event_id"]) \
+        .reset_index(drop=True)
+    w2 = want[cols].sort_values(["user_id", "event_id"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(g2, w2, check_dtype=False)
