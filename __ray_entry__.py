@@ -1581,6 +1581,15 @@ def _q_isotonic_fit(sf_dir: str):
     return isotonic_fit(ev)
 
 
+def _q_next_higher(sf_dir: str):
+    """Per-event wait until the next strictly higher value — O(rows)
+    monotonic stack vs the oracle's quadratic first-match join."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        next_higher_event)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return next_higher_event(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2657,7 +2666,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # interval means are exact-integer prefix-sum ratios (the
             # twa family, kept) and the minimax close is two window
             # extrema over identical doubles — no fold
-            "isotonic_fit"][:n_over]
+            "isotonic_fit",
+            # next_higher_event is oracle-backed but windowed out at
+            # birth: exact integer compares and waits only (the
+            # max_drawdown, kept, extremum-scan family) — the stack is
+            # an execution detail the oracle's join restates
+            "next_higher_event"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -3012,6 +3026,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # isotonic regression per user (minimax PAVA) —
         # oracle-checked (exact interval means, window extrema)
         "isotonic_fit": _q_isotonic_fit,
+        # next-higher-value wait per event (monotonic stack) —
+        # oracle-checked (exact cents compares, integer waits)
+        "next_higher_event": _q_next_higher,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -5109,6 +5126,21 @@ mx AS (
 SELECT c.user_id, c.event_id, round(mx.f / 100.0, 6) AS fitted
 FROM mx JOIN c ON c.user_id = mx.user_id AND c.rn = mx.k
 WHERE mx.j = mx.k
+""",
+        # next higher: t is non-decreasing in rn, so the first higher
+        # row is also the min-t higher row — MIN(b.t) − a.t
+        "next_higher_event": """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER w AS rn
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+SELECT a.user_id, a.event_id,
+       MIN(b.t) - a.t AS wait_us
+FROM c a LEFT JOIN c b
+  ON a.user_id = b.user_id AND b.rn > a.rn AND b.cents > a.cents
+GROUP BY a.user_id, a.event_id, a.t
 """,
         # lexical richness: the same (source, term) count cells as
         # source_kl; types/tokens/hapax are integer reductions, the

@@ -329,6 +329,11 @@ def run_bench() -> dict:
         timed("isotonic_fit",
               lambda: isotonic_fit(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
+        from series_correction_project_updated_ray.stages.timeseries import (
+            next_higher_event)
+        timed("next_higher_event",
+              lambda: next_higher_event(rd.read_parquet(
+                  ev_path, columns=ev_cols)).count())
         from series_correction_project_updated_ray.stages.relational import (
             user_value_ranks)
         timed("user_value_ranks",

@@ -3103,3 +3103,66 @@ def isotonic_fit(events, *, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(IsotonicGroup(),
                                       batch_format="pandas")
+
+
+# --- next higher value (monotonic stack) ---------------------------------------
+
+class NextHigherGroup:
+    """Per-partition kernel: for every event, the wait (µs) until the
+    key's NEXT strictly greater value — the 'days till higher high'
+    screen.  O(n) per key via a monotonic stack over exact cents (the
+    SQL twin states the same semantics as a quadratic first-match
+    self-join; the engine never pays it).  Events with no later higher
+    value emit NULL wait.  Cents compares are exact; the wait is an
+    integer microsecond difference."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": g["user_id"].iloc[:0],
+            "event_id": pd.Series([], dtype=np.int64),
+            "wait_us": pd.Series([], dtype="Int64")})
+        if len(g) == 0:
+            return empty
+        vals = g["value"].to_numpy(np.float64)
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        keep = (codes >= 0) & ~np.isnan(vals)
+        g, codes = g.iloc[keep], codes[keep]
+        if len(g) == 0:
+            return empty
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t, ids = codes[order], t[order], ids[order]
+        keys = g["user_id"].to_numpy()[order]
+        c = scaled_int(vals[keep][order])
+        n = len(c)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], n]
+        wait = np.full(n, -1, dtype=np.int64)
+        for s, e in zip(starts, ends):
+            stack: list[int] = []           # indices with unmet higher
+            for i in range(s, e):
+                while stack and c[stack[-1]] < c[i]:
+                    j = stack.pop()
+                    wait[j] = t[i] - t[j]
+                stack.append(i)
+        out = pd.DataFrame({
+            "user_id": keys,
+            "event_id": ids.astype(np.int64),
+            "wait_us": pd.array(wait, dtype="Int64")})
+        out.loc[out["wait_us"] < 0, "wait_us"] = pd.NA
+        return out
+
+
+def next_higher_event(events, *, n_parts: int = 64):
+    """Per-event wait until the user's next strictly higher value —
+    O(rows) monotonic-stack scan per key (the oracle's first-match
+    self-join is quadratic; the engine never pays it).  One
+    partition-group shuffle."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(NextHigherGroup(),
+                                      batch_format="pandas")

@@ -2071,3 +2071,60 @@ WHERE mx.j = mx.k""").df()
     w2 = want[cols].sort_values(["user_id", "event_id"]) \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(g2, w2, check_dtype=False)
+
+
+def test_next_higher_kernel_matches_sql():
+    """Monotonic-stack waits equal the quadratic first-match join."""
+    import duckdb
+
+    from series_correction_project_updated_ray.stages.timeseries import (
+        NextHigherGroup)
+    rng = np.random.default_rng(89)
+    n = 400
+    g = pd.DataFrame({
+        "user_id": pd.array(rng.integers(0, 5, n), dtype="Int64"),
+        "event_id": np.arange(n, dtype=np.int64),
+        "t": np.sort(rng.integers(0, 10**9, n)).astype(np.int64),
+        "value": np.round(rng.normal(50, 10, n), 2),
+    })
+    g.loc[g.index[:2], "user_id"] = pd.NA
+    g.loc[g.index[5:7], "value"] = np.nan
+    got = NextHigherGroup()(g)
+    con = duckdb.connect()
+    con.register("ev", g)
+    want = con.execute("""
+WITH c AS (
+  SELECT user_id, event_id, t,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         row_number() OVER w AS rn
+  FROM ev WHERE user_id IS NOT NULL AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+SELECT a.user_id, a.event_id, MIN(b.t) - a.t AS wait_us
+FROM c a LEFT JOIN c b
+  ON a.user_id = b.user_id AND b.rn > a.rn AND b.cents > a.cents
+GROUP BY a.user_id, a.event_id, a.t""").df()
+    cols = sorted(got.columns)
+    g2 = got[cols].sort_values(["user_id", "event_id"]) \
+        .reset_index(drop=True)
+    w2 = want[cols].sort_values(["user_id", "event_id"]) \
+        .reset_index(drop=True)
+    g2["wait_us"] = g2["wait_us"].astype("float64")
+    w2["wait_us"] = w2["wait_us"].astype("float64")
+    pd.testing.assert_frame_equal(g2, w2, check_dtype=False)
+
+
+def test_next_higher_hand_vector():
+    """Hand-checked waits on [3,1,2,5,4]: the running-max tail has
+    NULL waits."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        NextHigherGroup)
+    g = pd.DataFrame({
+        "user_id": pd.array([1] * 5, dtype="Int64"),
+        "event_id": np.arange(5, dtype=np.int64),
+        "t": np.array([0, 10, 20, 30, 40], dtype=np.int64),
+        "value": [3.0, 1.0, 2.0, 5.0, 4.0]})
+    got = NextHigherGroup()(g).set_index("event_id")["wait_us"]
+    assert got[0] == 30       # 3 -> 5 at t=30
+    assert got[1] == 10       # 1 -> 2 at t=20
+    assert got[2] == 10       # 2 -> 5
+    assert pd.isna(got[3]) and pd.isna(got[4])
