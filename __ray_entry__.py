@@ -1590,6 +1590,16 @@ def _q_next_higher(sf_dir: str):
     return next_higher_event(ev)
 
 
+def _q_top_event_paths(sf_dir: str):
+    """Corpus top-10 event-type trigram paths — path-vocab partials,
+    tiny Sum merge, partial top-k."""
+    from series_correction_project_updated_ray.stages.windows import (
+        top_event_paths)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+    return top_event_paths(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2671,7 +2681,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # birth: exact integer compares and waits only (the
             # max_drawdown, kept, extremum-scan family) — the stack is
             # an execution detail the oracle's join restates
-            "next_higher_event"][:n_over]
+            "next_higher_event",
+            # top_event_paths is oracle-backed but windowed out at
+            # birth: the trigram emission is transition_entropy's
+            # (kept) bigram mechanism one step wider and top-k is the
+            # kept partial top-k — integer counts only
+            "top_event_paths"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -3029,6 +3044,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # next-higher-value wait per event (monotonic stack) —
         # oracle-checked (exact cents compares, integer waits)
         "next_higher_event": _q_next_higher,
+        # top event-type trigram paths (clickstream mining) —
+        # oracle-checked (integer counts, deterministic top-k ties)
+        "top_event_paths": _q_top_event_paths,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -5141,6 +5159,21 @@ SELECT a.user_id, a.event_id,
 FROM c a LEFT JOIN c b
   ON a.user_id = b.user_id AND b.rn > a.rn AND b.cents > a.cents
 GROUP BY a.user_id, a.event_id, a.t
+""",
+        # path mining: pure integer trigram counts, deterministic ties
+        "top_event_paths": """
+WITH c AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id)),
+p AS (
+  SELECT event_type || '>' || e2 || '>' || e3 AS path
+  FROM c WHERE e2 IS NOT NULL AND e3 IS NOT NULL),
+g AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY 1)
+SELECT path, cnt FROM g ORDER BY cnt DESC, path LIMIT 10
 """,
         # lexical richness: the same (source, term) count cells as
         # source_kl; types/tokens/hapax are integer reductions, the

@@ -334,6 +334,12 @@ def run_bench() -> dict:
         timed("next_higher_event",
               lambda: next_higher_event(rd.read_parquet(
                   ev_path, columns=ev_cols)).count())
+        from series_correction_project_updated_ray.stages.windows import (
+            top_event_paths)
+        timed("top_event_paths",
+              lambda: top_event_paths(rd.read_parquet(
+                  ev_path, columns=["user_id", "event_id", "ts",
+                                    "event_type"])).count())
         from series_correction_project_updated_ray.stages.relational import (
             user_value_ranks)
         timed("user_value_ranks",

