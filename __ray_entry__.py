@@ -1600,6 +1600,15 @@ def _q_top_event_paths(sf_dir: str):
     return top_event_paths(ev)
 
 
+def _q_bounce_rate(sf_dir: str):
+    """Per-user session bounce rate — certified sessionization into a
+    |users|-row integer reduce."""
+    from series_correction_project_updated_ray.stages.windows import (
+        bounce_rate)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return bounce_rate(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2686,7 +2695,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # birth: the trigram emission is transition_entropy's
             # (kept) bigram mechanism one step wider and top-k is the
             # kept partial top-k — integer counts only
-            "top_event_paths"][:n_over]
+            "top_event_paths",
+            # bounce_rate is oracle-backed but windowed out at birth:
+            # it composes session_windows' (kept) certified boundary
+            # scan with integer counts and one rounded division
+            "bounce_rate"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -3047,6 +3060,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # top event-type trigram paths (clickstream mining) —
         # oracle-checked (integer counts, deterministic top-k ties)
         "top_event_paths": _q_top_event_paths,
+        # session bounce rate per user — oracle-checked (certified
+        # sessionization, integer counts, one division)
+        "bounce_rate": _q_bounce_rate,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -6883,6 +6899,33 @@ sess AS (
 SELECT user_id, session_id, count(*) AS n_events,
        min(t) AS t_start, max(t) AS t_end
 FROM sess GROUP BY user_id, session_id
+""",
+        # bounce rate: the same sessionization, reduced to per-user
+        # integer counts and one rounded division
+        "bounce_rate": f"""
+WITH ordered AS (
+  SELECT user_id, {EPOCH_S} AS t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+                   OR {EPOCH_S} - lag({EPOCH_S}) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS boundary
+  FROM events),
+sess AS (
+  SELECT user_id,
+         CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY rn)
+              AS BIGINT) AS session_id
+  FROM ordered),
+s AS (
+  SELECT user_id, session_id, COUNT(*) AS ne
+  FROM sess GROUP BY 1, 2)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) FILTER (ne = 1) AS BIGINT) AS n_bounce,
+       round(CAST(COUNT(*) FILTER (ne = 1) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+FROM s GROUP BY 1
 """,
         "sliding_mean": """
 SELECT user_id, event_id,

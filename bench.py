@@ -340,6 +340,12 @@ def run_bench() -> dict:
               lambda: top_event_paths(rd.read_parquet(
                   ev_path, columns=["user_id", "event_id", "ts",
                                     "event_type"])).count())
+        from series_correction_project_updated_ray.stages.windows import (
+            bounce_rate)
+        timed("bounce_rate",
+              lambda: bounce_rate(rd.read_parquet(
+                  ev_path,
+                  columns=["user_id", "event_id", "ts"])).count())
         from series_correction_project_updated_ray.stages.relational import (
             user_value_ranks)
         timed("user_value_ranks",

@@ -1020,3 +1020,42 @@ def top_event_paths(events, *, k: int = 10, n_parts: int = 64):
     merged = partials.groupby("path").aggregate(
         Sum("cnt", alias_name="cnt"))
     return topk_by(merged, ["cnt", "path"], [True, False], k)
+
+
+def bounce_rate(events, *, timeout_s: int = 1800, n_parts: int = 64):
+    """Per-user session bounce rate: the share of sessions holding a
+    single event — the engagement-quality staple, composed on the
+    certified sessionization kernel.  Session rows reduce to per-user
+    integer counts (one |users|-row groupby); the close is one rounded
+    division."""
+    from ray.data.aggregate import Sum
+
+    sessions = session_windows(events, timeout_s=timeout_s,
+                               n_parts=n_parts)
+
+    def _flags(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": g["user_id"],
+            "one": np.ones(len(g), dtype=np.int64),
+            "bounce": (g["n_events"].to_numpy(np.int64) == 1)
+            .astype(np.int64)})
+
+    flagged = sessions.map_batches(_flags, batch_format="pandas")
+    summed = flagged.groupby("user_id").aggregate(
+        Sum("one", alias_name="n_sessions"),
+        Sum("bounce", alias_name="n_bounce"))
+
+    def _close(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+        ns = t["n_sessions"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nb = t["n_bounce"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "n_sessions": pa.array(ns),
+            "n_bounce": pa.array(nb),
+            "bounce_rate": pa.array(round_half_away(
+                nb.astype(np.float64) / ns.astype(np.float64), 6))})
+
+    return summed.map_batches(_close, batch_format="pyarrow")

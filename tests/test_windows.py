@@ -275,3 +275,25 @@ def test_path_trigram_partial_boundaries():
     out = _PathTrigramPartial()(g)
     assert list(out["path"]) == ["a>b>c"]
     assert list(out["cnt"]) == [1]
+
+
+def test_bounce_rate_end_to_end(ray_session):
+    """Per-user bounce rates over sf0.001 equal the SQL oracle; rates
+    live in [0, 1] and bounces never exceed sessions."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.windows import bounce_rate
+    sf = "/root/testdata/sf0.001/events.parquet"
+    got = bounce_rate(rd.read_parquet(
+        sf, columns=["user_id", "event_id", "ts"])).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}'")
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["bounce_rate"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values("user_id").reset_index(drop=True)
+    w = want[cols].sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    assert (got["n_bounce"] <= got["n_sessions"]).all()
+    assert got["bounce_rate"].between(0, 1).all()
