@@ -1609,6 +1609,15 @@ def _q_bounce_rate(sf_dir: str):
     return bounce_rate(ev)
 
 
+def _q_rfm_scores(sf_dir: str):
+    """RFM quintile segmentation per user — one |users|-row reduce,
+    deterministic NTILE(5) orders."""
+    from series_correction_project_updated_ray.stages.relational import (
+        rfm_scores)
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return rfm_scores(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2699,7 +2708,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # bounce_rate is oracle-backed but windowed out at birth:
             # it composes session_windows' (kept) certified boundary
             # scan with integer counts and one rounded division
-            "bounce_rate"][:n_over]
+            "bounce_rate",
+            # rfm_scores is oracle-backed but windowed out at birth:
+            # the exact-statistic reduce is user_value_ranks' (demoted
+            # for the same reason, certified via value_quartiles kept)
+            # mechanism and NTILE's equal-fill rule is integer
+            # arithmetic with a fully deterministic order
+            "rfm_scores"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -3063,6 +3078,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # session bounce rate per user — oracle-checked (certified
         # sessionization, integer counts, one division)
         "bounce_rate": _q_bounce_rate,
+        # RFM quintile segmentation — oracle-checked (deterministic
+        # NTILE orders over exact integer statistics)
+        "rfm_scores": _q_rfm_scores,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -6926,6 +6944,29 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
        round(CAST(COUNT(*) FILTER (ne = 1) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
 FROM s GROUP BY 1
+""",
+        # RFM: NTILE(5) over (metric, user_id) total orders — the
+        # equal-fill rule is pure integer arithmetic on both sides
+        "rfm_scores": """
+WITH s AS (
+  SELECT user_id, MAX(epoch_us(ts)) AS last_t,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         SUM(CAST(round(value*100) AS BIGINT)) AS cents
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1)
+SELECT user_id,
+       CAST(ntile(5) OVER (ORDER BY last_t, user_id) AS BIGINT)
+         AS r_score,
+       CAST(ntile(5) OVER (ORDER BY freq, user_id) AS BIGINT)
+         AS f_score,
+       CAST(ntile(5) OVER (ORDER BY cents, user_id) AS BIGINT)
+         AS m_score,
+       CAST(ntile(5) OVER (ORDER BY last_t, user_id) AS VARCHAR)
+         || CAST(ntile(5) OVER (ORDER BY freq, user_id) AS VARCHAR)
+         || CAST(ntile(5) OVER (ORDER BY cents, user_id) AS VARCHAR)
+         AS rfm,
+       round(CAST(cents AS DOUBLE) / 100.0, 6) AS monetary
+FROM s
 """,
         "sliding_mean": """
 SELECT user_id, event_id,

@@ -352,6 +352,11 @@ def run_bench() -> dict:
               lambda: user_value_ranks(rd.read_parquet(
                   ev_path, columns=["user_id", "value"])).count())
         from series_correction_project_updated_ray.stages.relational import (
+            rfm_scores)
+        timed("rfm_scores",
+              lambda: rfm_scores(rd.read_parquet(
+                  ev_path, columns=["user_id", "ts", "value"])).count())
+        from series_correction_project_updated_ray.stages.relational import (
             grubbs_test)
         timed("grubbs_test",
               lambda: grubbs_test(rd.read_parquet(

@@ -2537,3 +2537,90 @@ def order_priority_check(lineitem, orders, *, grace_days: int = 90):
                     late_keys, "o_orderkey")
     return hit.groupby("o_orderpriority").aggregate(
         Count(alias_name="late_orders"))
+
+
+# --- RFM quintile scores ---------------------------------------------------------
+
+def rfm_scores(events):
+    """RFM segmentation per user: quintile scores (1-5, 5 = best) for
+    Recency (latest event time, newer is better), Frequency (event
+    count) and Monetary (exact cents total), plus the concatenated
+    ``rfm`` code — the marketing-segmentation staple.
+
+    Per-user sufficient statistics reduce in ONE |users|-row groupby
+    (exact integers); only that bounded table crosses to a single-block
+    close where each NTILE(5) runs over a deterministic total order
+    (metric, then user_id) — the SQL twin states the identical
+    orders."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .windows import _epoch_micros
+    from ..functions.rounding import scaled_int
+
+    def _prep(t: pa.Table) -> pa.Table:
+        if "ts" not in t.column_names or len(t) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        keep = pc.and_(pc.is_valid(t["user_id"]),
+                       pc.is_valid(t["value"]))
+        t = t.filter(keep)
+        return pa.table({
+            "user_id": t["user_id"],
+            "t": pa.array(np.asarray(_epoch_micros(t["ts"]))),
+            "cents": pa.array(scaled_int(
+                t["value"].to_numpy(zero_copy_only=False)))})
+
+    sums = events.map_batches(_prep, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Max("t", alias_name="last_t"),
+            Count(alias_name="freq"),
+            Sum("cents", alias_name="cents"))
+
+    def _ntile(order_keys: np.ndarray, uid: np.ndarray) -> np.ndarray:
+        """NTILE(5) positions over (key asc, user_id asc) — DuckDB's
+        equal-fill rule: first (n % 5) tiles get the extra row."""
+        n = len(uid)
+        order = np.lexsort((uid, order_keys))
+        base, extra = divmod(n, 5)
+        sizes = np.full(5, base, dtype=np.int64)
+        sizes[:extra] += 1
+        tile = np.repeat(np.arange(1, 6, dtype=np.int64), sizes)
+        out = np.empty(n, dtype=np.int64)
+        out[order] = tile
+        return out
+
+    def _close(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "r_score": pa.array([], pa.int64()),
+            "f_score": pa.array([], pa.int64()),
+            "m_score": pa.array([], pa.int64()),
+            "rfm": pa.array([], pa.string()),
+            "monetary": pa.array([], pa.float64())})
+        if len(t) == 0:
+            return empty
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        last_t = t["last_t"].to_numpy(zero_copy_only=False)
+        freq = t["freq"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        r = _ntile(last_t, uid)               # newer (larger t) → 5
+        f = _ntile(freq, uid)
+        m = _ntile(cents, uid)
+        rfm = (pd.Series(r).astype(str) + pd.Series(f).astype(str)
+               + pd.Series(m).astype(str))
+        return pa.table({
+            "user_id": pa.array(uid),
+            "r_score": pa.array(r),
+            "f_score": pa.array(f),
+            "m_score": pa.array(m),
+            "rfm": pa.array(rfm, pa.string()),
+            "monetary": pa.array(round_half_away(
+                cents.astype(np.float64) / 100.0, 6))})
+
+    return sums.repartition(1).map_batches(_close,
+                                           batch_format="pyarrow",
+                                           batch_size=None)

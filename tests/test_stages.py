@@ -3190,3 +3190,32 @@ def test_order_priority_check_end_to_end(ray_session):
     ).df().set_index("o_orderpriority")["n"]
     for _, r in got.iterrows():
         assert r["late_orders"] <= totals[r["o_orderpriority"]]
+
+
+def test_rfm_scores_end_to_end(ray_session):
+    """RFM quintiles over sf0.001 equal the SQL oracle; the code
+    concatenates the three scores; each quintile holds n/5 +- 1 users."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        rfm_scores)
+    sf = "/root/testdata/sf0.001/events.parquet"
+    got = rfm_scores(rd.read_parquet(
+        sf, columns=["user_id", "ts", "value"])).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}'")
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["rfm_scores"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values("user_id").reset_index(drop=True)
+    w = want[cols].sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    n = len(got)
+    for colname in ("r_score", "f_score", "m_score"):
+        counts = got[colname].value_counts()
+        assert counts.max() - counts.min() <= 1
+        assert set(counts.index) == {1, 2, 3, 4, 5}
+    assert (got["rfm"] == got["r_score"].astype(str)
+            + got["f_score"].astype(str)
+            + got["m_score"].astype(str)).all()
