@@ -1618,6 +1618,15 @@ def _q_rfm_scores(sf_dir: str):
     return rfm_scores(ev)
 
 
+def _q_vocab_overlap(sf_dir: str):
+    """Pairwise source-vocabulary Jaccard matrix — cell dedup,
+    term-partitioned intersection partials, tiny Sum merge."""
+    from series_correction_project_updated_ray.stages.textstage import (
+        vocab_overlap_sources)
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    return vocab_overlap_sources(docs)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2714,7 +2723,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # for the same reason, certified via value_quartiles kept)
             # mechanism and NTILE's equal-fill rule is integer
             # arithmetic with a fully deterministic order
-            "rfm_scores"][:n_over]
+            "rfm_scores",
+            # vocab_overlap_sources is oracle-backed but windowed out
+            # at birth: the (source, term) cells are lexical_richness'
+            # (demoted; certified via term_frequencies kept) shuffle
+            # and the intersection matmul is pmi_pairs' (kept)
+            # presence-matrix mechanism — integer counts only
+            "vocab_overlap_sources"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -3081,6 +3096,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # RFM quintile segmentation — oracle-checked (deterministic
         # NTILE orders over exact integer statistics)
         "rfm_scores": _q_rfm_scores,
+        # pairwise source-vocabulary Jaccard — oracle-checked
+        # (exact integer intersections, one division per pair)
+        "vocab_overlap_sources": _q_vocab_overlap,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -6967,6 +6985,30 @@ SELECT user_id,
          AS rfm,
        round(CAST(cents AS DOUBLE) / 100.0, 6) AS monetary
 FROM s
+""",
+        # vocab overlap: exact distinct-cell intersections, one
+        # division per source pair
+        "vocab_overlap_sources": r"""
+WITH raw AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents WHERE source IS NOT NULL),
+cells AS (SELECT DISTINCT source, term FROM raw),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+       FROM cells GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cells a JOIN cells b
+    ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT i.src_a, i.src_b, i.inter,
+       sa.n + sb.n - i.inter AS union_sz,
+       round(CAST(i.inter AS DOUBLE)
+             / CAST(sa.n + sb.n - i.inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.source = i.src_a
+JOIN sz sb ON sb.source = i.src_b
 """,
         "sliding_mean": """
 SELECT user_id, event_id,

@@ -459,6 +459,11 @@ def run_bench() -> dict:
               lambda: source_mix_weights(rd.read_parquet(
                   docs_path, columns=["source"])).count())
         from series_correction_project_updated_ray.stages.textstage import (
+            vocab_overlap_sources)
+        timed("vocab_overlap_sources",
+              lambda: vocab_overlap_sources(rd.read_parquet(
+                  docs_path, columns=["source", "text"])).count())
+        from series_correction_project_updated_ray.stages.textstage import (
             char_entropy)
         timed("char_entropy",
               lambda: char_entropy(rd.read_parquet(

@@ -1993,3 +1993,125 @@ def source_mix_weights(docs, *, alpha: float = 0.7,
 
     return counts.repartition(1).map_batches(
         _close, batch_format="pyarrow", batch_size=None)
+
+
+# --- pairwise source vocabulary overlap -------------------------------------------
+
+class _VocabOverlapPartial:
+    """Per-partition kernel for :func:`vocab_overlap_sources`: term-
+    co-located (source, term) cells accumulate a |S|×|S| intersection
+    matrix against the broadcast global source index (one np update
+    per term run) and emit the nonzero i<j cells plus the diagonal
+    sizes as mergeable partials."""
+
+    def __init__(self, sources_ref):
+        import ray
+        self.sources = list(ray.get(sources_ref))
+        self.index = {s: i for i, s in enumerate(self.sources)}
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        k = len(self.sources)
+        if len(g) == 0:
+            return pd.DataFrame({"i": pd.Series([], dtype=np.int64),
+                                 "j": pd.Series([], dtype=np.int64),
+                                 "c": pd.Series([], dtype=np.int64)})
+        codes, _ = pd.factorize(g["term"], sort=False)
+        src = g["source"].map(self.index).to_numpy(np.int64)
+        order = np.argsort(codes, kind="stable")
+        codes, src = codes[order], src[order]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        ends = np.r_[starts[1:], len(codes)]
+        m = np.zeros((k, k), dtype=np.int64)
+        for s, e in zip(starts, ends):
+            idx = np.unique(src[s:e])
+            m[np.ix_(idx, idx)] += 1
+        iu = np.triu_indices(k)              # includes the diagonal
+        c = m[iu]
+        nz = c > 0
+        return pd.DataFrame({"i": iu[0][nz].astype(np.int64),
+                             "j": iu[1][nz].astype(np.int64),
+                             "c": c[nz]})
+
+
+def vocab_overlap_sources(docs, *, text_col="text",
+                          source_col="source", n_parts: int = 64):
+    """Pairwise Jaccard overlap between source vocabularies — the
+    cross-domain similarity matrix of a mixed corpus (which sources
+    speak the same language?).  Stages: batch-local distinct (source,
+    term) cells → one cell-dedup groupby → term-partitioned |S|×|S|
+    intersection partials against the broadcast source index → a tiny
+    (i, j) Sum groupby → single-block Jaccard close.  The source
+    domain is bounded BY CONTRACT (it is the mixture's partition
+    key)."""
+    import functools
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .taskcache import class_task
+    from .windows import _add_key_partition
+
+    docs = docs.materialize()
+
+    def _cells(batch: pa.Table) -> pa.Table:
+        import re
+        word_re = re.compile(r"[a-z]+")
+        out: set = set()
+        if text_col in batch.column_names:
+            srcs = batch[source_col].to_pylist()
+            for s, txt in zip(srcs, batch[text_col].to_pandas()):
+                if s is None:
+                    continue
+                for t in set(word_re.findall((txt or "").lower())):
+                    out.add((s, t))
+        ss, ts = ([], []) if not out else map(list, zip(*out))
+        return pa.table({"source": pa.array(ss, pa.string()),
+                         "term": pa.array(ts, pa.string())})
+
+    from .joins import distributed_distinct
+
+    cells = distributed_distinct(
+        docs.map_batches(_cells, batch_format="pyarrow"),
+        ["source", "term"]).materialize()
+    sources = sorted({
+        r["source"] for r in distributed_distinct(
+            cells, ["source"]).take_all()})
+    ref = ray.put(sources)
+    partials = _add_key_partition(cells, "term", n_parts) \
+        .groupby("__part").map_groups(
+            class_task(_VocabOverlapPartial, ref),
+            batch_format="pandas")
+    summed = partials.groupby(["i", "j"]).aggregate(
+        Sum("c", alias_name="c"))
+
+    def _close(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+        empty = pa.table({
+            "src_a": pa.array([], pa.string()),
+            "src_b": pa.array([], pa.string()),
+            "inter": pa.array([], pa.int64()),
+            "union_sz": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())})
+        if len(t) == 0:
+            return empty
+        i = t["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = t["j"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sizes = {int(a): int(v) for a, b, v in zip(i, j, c) if a == b}
+        off = i != j
+        i, j, c = i[off], j[off], c[off]
+        sa = np.array([sizes[x] for x in i], dtype=np.int64)
+        sb = np.array([sizes[x] for x in j], dtype=np.int64)
+        union = sa + sb - c
+        return pa.table({
+            "src_a": pa.array([sources[x] for x in i], pa.string()),
+            "src_b": pa.array([sources[x] for x in j], pa.string()),
+            "inter": pa.array(c),
+            "union_sz": pa.array(union),
+            "jaccard": pa.array(round_half_away(
+                c.astype(np.float64) / union.astype(np.float64), 6))})
+
+    return summed.repartition(1).map_batches(_close,
+                                             batch_format="pyarrow",
+                                             batch_size=None)

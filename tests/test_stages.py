@@ -3219,3 +3219,27 @@ def test_rfm_scores_end_to_end(ray_session):
     assert (got["rfm"] == got["r_score"].astype(str)
             + got["f_score"].astype(str)
             + got["m_score"].astype(str)).all()
+
+
+def test_vocab_overlap_sources_end_to_end(ray_session):
+    """Source-vocabulary Jaccard matrix over sf0.001 equals the SQL
+    oracle; all 190 source pairs appear with jaccard in (0, 1]."""
+    import duckdb
+
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.textstage import (
+        vocab_overlap_sources)
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    got = vocab_overlap_sources(
+        rd.read_parquet(sf, columns=["source", "text"])).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}'")
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["vocab_overlap_sources"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    w = want[cols].sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    assert len(got) == 190
+    assert got["jaccard"].between(0, 1).all()
+    assert (got["src_a"] < got["src_b"]).all()
