@@ -1627,6 +1627,49 @@ def _q_vocab_overlap(sf_dir: str):
     return vocab_overlap_sources(docs)
 
 
+def _q_volume_shipping(sf_dir: str):
+    """TPC-H-Q7-shaped cross-nation shipping volume — pre-aggregated
+    lineitem partials through the bucket-join chain, nation broadcast
+    twice, exact-integer revenue until one close division."""
+    from series_correction_project_updated_ray.stages.relational import (
+        volume_shipping)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    return volume_shipping(li, orders, cust, supp, nation)
+
+
+def _q_returned_items(sf_dir: str):
+    """TPC-H-Q10-shaped returned-item reporting — scan-pass return
+    filter + revenue partials, per-customer pre-aggregation before the
+    dimension join, deterministic exact-integer top-k tie."""
+    from series_correction_project_updated_ray.stages.relational import (
+        returned_item_revenue)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag",
+                "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    return returned_item_revenue(li, orders, cust, nation)
+
+
+def _q_order_count_dist(sf_dir: str):
+    """TPC-H-Q13-shaped customer order-count distribution — filtered
+    per-customer count shuffle, LEFT join keeps zero-order customers,
+    bounded-domain count-of-counts close; exact integers only."""
+    from series_correction_project_updated_ray.stages.relational import (
+        order_count_distribution)
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    return order_count_distribution(cust, orders)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2729,7 +2772,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # (demoted; certified via term_frequencies kept) shuffle
             # and the intersection matmul is pmi_pairs' (kept)
             # presence-matrix mechanism — integer counts only
-            "vocab_overlap_sources"][:n_over]
+            "vocab_overlap_sources",
+            # volume_shipping is oracle-backed but windowed out at
+            # birth: the bucket join chain is join_lineitem_orders'
+            # (kept) machinery composed three deep, the nation lookups
+            # are broadcast_enrich_orders' (kept) mechanism, and
+            # revenue stays in the certified exact-integer family
+            "volume_shipping",
+            # returned_item_revenue is oracle-backed but windowed out
+            # at birth: scan-filter + join are kept machinery and the
+            # partial top-k with exact-int tie is knn_topk's (kept)
+            # and shipping_priority's (kept) mechanism
+            "returned_item_revenue",
+            # order_count_dist is oracle-backed but windowed out at
+            # birth: the left join is left_join_customer_orders'
+            # (kept) machinery and the close is pure integer
+            # count-of-counts — no float anywhere
+            "order_count_dist"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -3099,6 +3158,15 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # pairwise source-vocabulary Jaccard — oracle-checked
         # (exact integer intersections, one division per pair)
         "vocab_overlap_sources": _q_vocab_overlap,
+        # TPC-H-Q7-shaped cross-nation volume — oracle-checked (exact
+        # integer revenue through a 3-join chain, one close division)
+        "volume_shipping": _q_volume_shipping,
+        # TPC-H-Q10-shaped returned-item top-k — oracle-checked
+        # (exact-integer revenue ties, deterministic rank-k boundary)
+        "returned_item_revenue": _q_returned_items,
+        # TPC-H-Q13-shaped order-count distribution — oracle-checked
+        # (left join keeps the zero class; integers only)
+        "order_count_dist": _q_order_count_dist,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -7009,6 +7077,45 @@ SELECT i.src_a, i.src_b, i.inter,
 FROM inter i
 JOIN sz sa ON sa.source = i.src_a
 JOIN sz sb ON sb.source = i.src_b
+""",
+        "volume_shipping": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey  = c.c_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+GROUP BY 1, 2, 3
+""",
+        "returned_item_revenue": """
+WITH per_cust AS (
+  SELECT o.o_custkey,
+         SUM(CAST(round(l.l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount*100) AS BIGINT))) AS rev1e4
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY 1)
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(p.rev1e4 AS DOUBLE) / 10000.0 AS revenue
+FROM per_cust p
+JOIN customer c ON p.o_custkey   = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+ORDER BY p.rev1e4 DESC, c.c_custkey
+LIMIT 20
+""",
+        "order_count_dist": """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY 1
 """,
         "sliding_mean": """
 SELECT user_id, event_id,

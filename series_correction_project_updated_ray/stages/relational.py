@@ -77,11 +77,25 @@ class BroadcastLookup:
 
 def broadcast_enrich(ds, small_df: pd.DataFrame, key_col: str,
                      index_col: str, out_cols: dict[str, str],
-                     concurrency: int = 2):
+                     concurrency: int | None = None):
     """Enrich ``ds`` with columns from ``small_df`` (indexed by
-    ``index_col``) matched on ``ds[key_col]``."""
+    ``index_col``) matched on ``ds[key_col]``.
+
+    Default runs as a task-cached stage (``class_task``): the lookup
+    builds once per warm worker and the stage reserves NO fixed actor
+    slots — a pipeline composing several enrich stages therefore can't
+    starve its own shuffle of CPUs on a small cluster (two fixed
+    ``concurrency=2`` pools deadlocked a 3-join chain at 4 CPUs).
+    Pass an int to pin a dedicated actor pool instead (only worth it
+    when the lookup is expensive enough to amortize a process)."""
     import ray
+
+    from .taskcache import class_task
     ref = ray.put(small_df.set_index(index_col))
+    if concurrency is None:
+        return ds.map_batches(class_task(BroadcastLookup, ref, key_col,
+                                         out_cols),
+                              batch_format="pyarrow")
     return ds.map_batches(BroadcastLookup, batch_format="pyarrow",
                           concurrency=concurrency,
                           fn_constructor_args=(ref, key_col, out_cols))
@@ -2624,3 +2638,205 @@ def rfm_scores(events):
     return sums.repartition(1).map_batches(_close,
                                            batch_format="pyarrow",
                                            batch_size=None)
+
+
+# --- TPC-H-Q7-shaped volume shipping -----------------------------------------
+
+def volume_shipping(lineitem, orders, customer, supplier, nation):
+    """TPC-H-Q7-shaped cross-nation shipping volume: revenue per
+    (supplier nation, customer nation, ship year).
+
+    Scale-honest plan: lineitem pre-aggregates to one row per
+    (orderkey, suppkey, year) BEFORE any join (revenue partials in
+    exact 1e-4-dollar integers), then bucket-hash-joins supplier on
+    suppkey, orders on orderkey and customer on custkey — none of the
+    three fact/dimension sides is broadcastable at real TPC-H scale —
+    and only the 25-row nation dim broadcasts (twice, one lookup per
+    endpoint).  The final groupby is tiny (|nations|² × |years|)."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    def _li_partial(t: pa.Table) -> pa.Table:
+        p100 = _scaled_cents(t["l_extendedprice"])
+        d100 = _scaled_cents(t["l_discount"])
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "l_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+            "l_year": t["l_shipdate"].to_pandas().dt.year
+            .to_numpy(np.int64),
+            "rev1e4": p100 * (100 - d100)})
+        part = df.groupby(["l_orderkey", "l_suppkey", "l_year"],
+                          as_index=False, sort=False, dropna=False).sum()
+        schema = pa.schema([("l_orderkey", t["l_orderkey"].type),
+                            ("l_suppkey", t["l_suppkey"].type),
+                            ("l_year", pa.int64()),
+                            ("rev1e4", pa.int64())])
+        return pa.Table.from_pandas(part, schema=schema,
+                                    preserve_index=False)
+
+    li_pre = lineitem.map_batches(_li_partial, batch_format="pyarrow")
+    j1 = hash_join(li_pre, supplier.select_columns(
+        ["s_suppkey", "s_nationkey"]), "l_suppkey", "s_suppkey",
+        how="inner", n_buckets=16)
+    j2 = hash_join(j1, orders.select_columns(
+        ["o_orderkey", "o_custkey"]), "l_orderkey", "o_orderkey",
+        how="inner", n_buckets=16)
+    j3 = hash_join(j2, customer.select_columns(
+        ["c_custkey", "c_nationkey"]), "o_custkey", "c_custkey",
+        how="inner", n_buckets=16)
+    nat = nation.to_pandas()
+    e1 = broadcast_enrich(j3, nat, "s_nationkey", "n_nationkey",
+                          {"n_name": "supp_nation"})
+    e2 = broadcast_enrich(e1, nat, "c_nationkey", "n_nationkey",
+                          {"n_name": "cust_nation"})
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "supp_nation": t["supp_nation"].to_pandas(),
+            "cust_nation": t["cust_nation"].to_pandas(),
+            "l_year": t["l_year"].to_numpy(zero_copy_only=False),
+            "rev1e4": t["rev1e4"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        part = df.groupby(["supp_nation", "cust_nation", "l_year"],
+                          as_index=False, sort=False, dropna=False).sum()
+        schema = pa.schema([("supp_nation", pa.string()),
+                            ("cust_nation", pa.string()),
+                            ("l_year", pa.int64()),
+                            ("rev1e4", pa.int64())])
+        return pa.Table.from_pandas(part, schema=schema,
+                                    preserve_index=False)
+
+    agg = e2.map_batches(_partial, batch_format="pyarrow") \
+        .groupby(["supp_nation", "cust_nation", "l_year"]) \
+        .aggregate(Sum("rev1e4", alias_name="rev1e4"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "supp_nation": t["supp_nation"],
+            "cust_nation": t["cust_nation"],
+            "l_year": t["l_year"],
+            "revenue": pa.array(
+                t["rev1e4"].to_numpy(zero_copy_only=False)
+                .astype(np.int64) / 10000.0)}),
+        batch_format="pyarrow")
+
+
+# --- TPC-H-Q10-shaped returned-item revenue ----------------------------------
+
+def returned_item_revenue(lineitem, orders, customer, nation, *, k: int = 20):
+    """TPC-H-Q10-shaped returned-item reporting: the top-k customers
+    by revenue on lineitems flagged RETURNED (``l_returnflag = 'R'``).
+
+    Plan: the return filter + per-order revenue partial run inside the
+    lineitem scan pass (exact 1e-4-dollar integers), one bucket hash
+    join attaches o_custkey, a second pre-aggregated shuffle collapses
+    to one row per customer BEFORE the customer-dimension join (so the
+    dim join moves |matched customers| rows, not |lineitems|), nation
+    broadcasts, and top-k is per-block partial → single-block exact
+    (no global sort).  The tie at rank k is deterministic: ordered by
+    exact integer revenue desc, then custkey asc."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    def _li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        p100 = _scaled_cents(t["l_extendedprice"])
+        d100 = _scaled_cents(t["l_discount"])
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "rev1e4": p100 * (100 - d100)})
+        part = df.groupby("l_orderkey", as_index=False, sort=False,
+                          dropna=False).sum()
+        schema = pa.schema([("l_orderkey", t["l_orderkey"].type),
+                            ("rev1e4", pa.int64())])
+        return pa.Table.from_pandas(part, schema=schema,
+                                    preserve_index=False)
+
+    li_pre = lineitem.map_batches(_li_partial, batch_format="pyarrow")
+    j1 = hash_join(li_pre, orders.select_columns(
+        ["o_orderkey", "o_custkey"]), "l_orderkey", "o_orderkey",
+        how="inner", n_buckets=16)
+
+    def _cust_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+            "rev1e4": t["rev1e4"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        part = df.groupby("o_custkey", as_index=False, sort=False,
+                          dropna=False).sum()
+        schema = pa.schema([("o_custkey", t["o_custkey"].type),
+                            ("rev1e4", pa.int64())])
+        return pa.Table.from_pandas(part, schema=schema,
+                                    preserve_index=False)
+
+    per_cust = j1.map_batches(_cust_partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("rev1e4", alias_name="rev1e4"))
+    j2 = hash_join(per_cust, customer.select_columns(
+        ["c_custkey", "c_name", "c_nationkey"]), "o_custkey", "c_custkey",
+        how="inner", n_buckets=16)
+    enriched = broadcast_enrich(j2, nation.to_pandas(), "c_nationkey",
+                                "n_nationkey", {"n_name": "n_name"})
+    top = topk_by(enriched, ["rev1e4", "c_custkey"], [True, False], k)
+    return top.map_batches(
+        lambda t: pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_name": t["c_name"],
+            "n_name": t["n_name"],
+            "revenue": pa.array(
+                t["rev1e4"].to_numpy(zero_copy_only=False)
+                .astype(np.int64) / 10000.0)}),
+        batch_format="pyarrow")
+
+
+# --- TPC-H-Q13-shaped customer order-count distribution ----------------------
+
+def order_count_distribution(customer, orders, *,
+                             exclude_priority: str = "1-URGENT"):
+    """TPC-H-Q13-shaped customer distribution: how many customers
+    placed exactly c_count qualifying orders (orders with priority
+    ``exclude_priority`` do not qualify — the Q13 comment-filter
+    adapted to this schema), INCLUDING the zero-order customers the
+    left join keeps.
+
+    Plan: orders collapse to one (custkey, count) row per customer via
+    batch partials + one keyed Sum shuffle, the customer key column
+    LEFT-joins those counts (missing → 0), and the close is a tiny
+    bounded-domain count-of-counts groupby.  Exact integers
+    throughout — no float appears anywhere."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    def _ord_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["o_orderpriority"], exclude_priority))
+        df = pd.DataFrame({
+            "o_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
+            "n_orders": np.ones(len(t), dtype=np.int64)})
+        part = df.groupby("o_custkey", as_index=False, sort=False,
+                          dropna=False).sum()
+        schema = pa.schema([("o_custkey", t["o_custkey"].type),
+                            ("n_orders", pa.int64())])
+        return pa.Table.from_pandas(part, schema=schema,
+                                    preserve_index=False)
+
+    per_cust = orders.map_batches(_ord_partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("n_orders", alias_name="n_orders"))
+    j = hash_join(customer.select_columns(["c_custkey"]), per_cust,
+                  "c_custkey", "o_custkey", how="left", n_buckets=16)
+
+    def _cnt_partial(t: pa.Table) -> pa.Table:
+        n = t["n_orders"].to_pandas().fillna(0).to_numpy(np.int64)
+        df = pd.DataFrame({"c_count": n,
+                           "custdist": np.ones(len(n), dtype=np.int64)})
+        part = df.groupby("c_count", as_index=False, sort=False,
+                          dropna=False).sum()
+        return pa.Table.from_pandas(
+            part, schema=pa.schema([("c_count", pa.int64()),
+                                    ("custdist", pa.int64())]),
+            preserve_index=False)
+
+    return j.map_batches(_cnt_partial, batch_format="pyarrow") \
+        .groupby("c_count").aggregate(Sum("custdist", alias_name="custdist"))
