@@ -1670,6 +1670,66 @@ def _q_order_count_dist(sf_dir: str):
     return order_count_distribution(cust, orders)
 
 
+def _q_top_supplier(sf_dir: str):
+    """TPC-H-Q15-shaped top supplier — one keyed revenue shuffle, exact
+    integer max tie, dimension join touches only the tied rows."""
+    from series_correction_project_updated_ray.stages.relational import (
+        top_supplier_revenue)
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    return top_supplier_revenue(li, supp)
+
+
+def _q_small_qty_revenue(sf_dir: str):
+    """TPC-H-Q17-shaped small-quantity revenue — the correlated AVG
+    subquery as a per-part aggregate join; the 20% threshold is an
+    exact int64 cross-multiplication, never a float gate."""
+    from series_correction_project_updated_ray.stages.relational import (
+        small_quantity_revenue)
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"])
+    return small_quantity_revenue(li)
+
+
+def _q_large_volume(sf_dir: str):
+    """TPC-H-Q18-shaped large-volume customers — HAVING filter before
+    any join, exact-cents top-k tie."""
+    from series_correction_project_updated_ray.stages.relational import (
+        large_volume_customers)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return large_volume_customers(li, orders, cust)
+
+
+def _q_disjunctive_revenue(sf_dir: str):
+    """TPC-H-Q19-shaped disjunctive revenue — OR-of-ANDs clauses as
+    vectorized boolean columns over the bucket join, one exact-integer
+    partial per batch."""
+    from series_correction_project_updated_ray.stages.relational import (
+        disjunctive_revenue)
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    return disjunctive_revenue(li, part)
+
+
+def _q_inactive_high_balance(sf_dir: str):
+    """TPC-H-Q22-shaped inactive high-balance customers — the global
+    positive-average gate cross-multiplied in int64, anti semi-join
+    against urgent orders, |nations|-row integer close."""
+    from series_correction_project_updated_ray.stages.relational import (
+        inactive_high_balance)
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    return inactive_high_balance(cust, orders)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2788,7 +2848,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # birth: the left join is left_join_customer_orders'
             # (kept) machinery and the close is pure integer
             # count-of-counts — no float anywhere
-            "order_count_dist"][:n_over]
+            "order_count_dist",
+            # top_supplier_revenue is oracle-backed but windowed out
+            # at birth: the keyed revenue shuffle + exact-int max tie
+            # are the kept revenue family's machinery
+            "top_supplier_revenue",
+            # small_qty_revenue is oracle-backed but windowed out at
+            # birth: the per-part aggregate join is kept bucket-join
+            # machinery and the int64 cross-multiplied gate is
+            # inactive_high_balance's (also demoted) exact-gate trick
+            # over the kept exact-cents family
+            "small_qty_revenue",
+            # large_volume_customers is oracle-backed but windowed out
+            # at birth: pre-join HAVING over the kept keyed-Sum
+            # machinery, exact-cents top-k = shipping_priority (kept)
+            "large_volume_customers",
+            # disjunctive_revenue is oracle-backed but windowed out at
+            # birth: one bucket join (kept) + vectorized boolean
+            # clauses into the kept exact-integer partial family
+            "disjunctive_revenue",
+            # inactive_high_balance is oracle-backed but windowed out
+            # at birth: the anti semi-join is anti_join_orders' (kept)
+            # mechanism and the balance gate is exact integers
+            "inactive_high_balance"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -3167,6 +3249,21 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H-Q13-shaped order-count distribution — oracle-checked
         # (left join keeps the zero class; integers only)
         "order_count_dist": _q_order_count_dist,
+        # TPC-H-Q15-shaped top supplier — oracle-checked (exact
+        # integer revenue max with ALL ties surviving)
+        "top_supplier_revenue": _q_top_supplier,
+        # TPC-H-Q17-shaped small-quantity revenue — oracle-checked
+        # (correlated AVG as an exact cross-multiplied int64 gate)
+        "small_qty_revenue": _q_small_qty_revenue,
+        # TPC-H-Q18-shaped large-volume customers — oracle-checked
+        # (pre-join HAVING, exact-cents deterministic top-k)
+        "large_volume_customers": _q_large_volume,
+        # TPC-H-Q19-shaped disjunctive revenue — oracle-checked
+        # (vectorized OR-of-ANDs, one integer partial per batch)
+        "disjunctive_revenue": _q_disjunctive_revenue,
+        # TPC-H-Q22-shaped inactive high-balance — oracle-checked
+        # (int64 cross-multiplied balance gate, anti join)
+        "inactive_high_balance": _q_inactive_high_balance,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -7116,6 +7213,74 @@ WITH per_cust AS (
   GROUP BY 1)
 SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
 FROM per_cust GROUP BY 1
+""",
+        "top_supplier_revenue": """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l_discount*100) AS BIGINT))) AS rev1e4
+  FROM lineitem GROUP BY 1)
+SELECT s.s_suppkey, s.s_name,
+       CAST(p.rev1e4 AS DOUBLE) / 10000.0 AS total_revenue
+FROM per_supp p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+WHERE p.rev1e4 = (SELECT MAX(rev1e4) FROM per_supp)
+""",
+        "small_qty_revenue": """
+WITH q AS (
+  SELECT l_partkey, CAST(round(l_quantity*100) AS BIGINT) AS q100,
+         CAST(round(l_extendedprice*100) AS BIGINT) AS p100
+  FROM lineitem),
+stats AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(q100) AS sumq100
+          FROM q GROUP BY 1)
+SELECT round(CAST(COALESCE(SUM(q.p100), 0) AS DOUBLE) / 700.0, 6)
+         AS avg_yearly
+FROM q JOIN stats s ON q.l_partkey = s.l_partkey
+WHERE 5 * q.q100 * s.n < s.sumq100
+""",
+        "large_volume_customers": """
+WITH qty AS (
+  SELECT l_orderkey,
+         SUM(CAST(round(l_quantity*100) AS BIGINT)) AS q100
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(round(l_quantity*100) AS BIGINT)) > 25000)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, CAST(q.q100 AS DOUBLE) / 100.0 AS total_qty
+FROM qty q
+JOIN orders o   ON q.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey  = c.c_custkey
+ORDER BY CAST(round(o.o_totalprice*100) AS BIGINT) DESC, o.o_orderkey
+LIMIT 100
+""",
+        "disjunctive_revenue": """
+SELECT CAST(SUM(CASE WHEN
+  (p.p_brand = 'Brand#4'  AND p.p_size BETWEEN 1  AND 15
+   AND CAST(round(l.l_quantity*100) AS BIGINT) BETWEEN 100  AND 2000) OR
+  (p.p_brand = 'Brand#2'  AND p.p_size BETWEEN 10 AND 30
+   AND CAST(round(l.l_quantity*100) AS BIGINT) BETWEEN 1000 AND 3500) OR
+  (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 20 AND 50
+   AND CAST(round(l.l_quantity*100) AS BIGINT) BETWEEN 2000 AND 5000)
+  THEN CAST(round(l.l_extendedprice*100) AS BIGINT)
+       * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+  ELSE 0 END) AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+""",
+        "inactive_high_balance": """
+WITH bal AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal*100) AS BIGINT) AS bal100
+  FROM customer),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(bal100) AS s100
+      FROM bal WHERE bal100 > 0),
+quiet AS (
+  SELECT b.* FROM bal b, g
+  WHERE b.bal100 * g.n > g.s100
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = b.c_custkey
+                      AND o.o_orderpriority = '1-URGENT'))
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(bal100) AS DOUBLE) / 100.0 AS totacctbal
+FROM quiet GROUP BY 1
 """,
         "sliding_mean": """
 SELECT user_id, event_id,

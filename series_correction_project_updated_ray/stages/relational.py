@@ -2840,3 +2840,283 @@ def order_count_distribution(customer, orders, *,
 
     return j.map_batches(_cnt_partial, batch_format="pyarrow") \
         .groupby("c_count").aggregate(Sum("custdist", alias_name="custdist"))
+
+
+# --- TPC-H-Q15-shaped top supplier ---------------------------------------
+
+def top_supplier_revenue(lineitem, supplier):
+    """TPC-H-Q15-shaped top supplier: the supplier(s) whose lineitem
+    revenue equals the global maximum (ALL ties survive, as Q15's
+    view-equality semantics require).
+
+    Plan: revenue partials combine per batch, ONE keyed shuffle
+    collapses to |suppliers| rows, the scalar max reduces from that
+    small aggregate (never re-scanning lineitem), and the equality
+    filter + supplier-dimension join touch only the tied rows.
+    Revenue is exact 1e-4-dollar integers so the tie is exact, not a
+    float accident."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    def _li_partial(t: pa.Table) -> pa.Table:
+        p100 = _scaled_cents(t["l_extendedprice"])
+        d100 = _scaled_cents(t["l_discount"])
+        df = pd.DataFrame({
+            "l_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+            "rev1e4": p100 * (100 - d100)})
+        part = df.groupby("l_suppkey", as_index=False, sort=False,
+                          dropna=False).sum()
+        schema = pa.schema([("l_suppkey", t["l_suppkey"].type),
+                            ("rev1e4", pa.int64())])
+        return pa.Table.from_pandas(part, schema=schema,
+                                    preserve_index=False)
+
+    per_supp = lineitem.map_batches(_li_partial, batch_format="pyarrow") \
+        .groupby("l_suppkey").aggregate(Sum("rev1e4", alias_name="rev1e4")) \
+        .materialize()
+    from ray.data.aggregate import Max
+    best = per_supp.aggregate(Max("rev1e4", alias_name="m"))["m"]
+    import pyarrow.compute as pc
+    tied = per_supp.map_batches(
+        lambda t: t.filter(pc.equal(t["rev1e4"], best)),
+        batch_format="pyarrow")
+    j = hash_join(tied, supplier.select_columns(["s_suppkey", "s_name"]),
+                  "l_suppkey", "s_suppkey", how="inner", n_buckets=4)
+    return j.map_batches(
+        lambda t: pa.table({
+            "s_suppkey": t["s_suppkey"],
+            "s_name": t["s_name"],
+            "total_revenue": pa.array(
+                t["rev1e4"].to_numpy(zero_copy_only=False)
+                .astype(np.int64) / 10000.0)}),
+        batch_format="pyarrow")
+
+
+# --- TPC-H-Q17-shaped small-quantity revenue ----------------------------
+
+def small_quantity_revenue(lineitem):
+    """TPC-H-Q17-shaped small-quantity-order revenue: average yearly
+    revenue lost if orders below 20% of a part's average quantity were
+    no longer taken.
+
+    The correlated subquery becomes one per-part aggregate (count +
+    exact centi-quantity sum) that joins back to lineitem; the 20%-of-
+    average threshold never becomes a float — the filter cross-
+    multiplies to ``5·q100·n < Σq100`` in int64, exactly the SQL
+    predicate after the same rewrite.  The close is one Sum and one
+    division by 7.0 (Q17's yearly scaling)."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    def _per_part(t: pa.Table) -> pa.Table:
+        q100 = _scaled_cents(t["l_quantity"])
+        df = pd.DataFrame({
+            "l_partkey": t["l_partkey"].to_numpy(zero_copy_only=False),
+            "n": np.ones(len(t), dtype=np.int64),
+            "sumq100": q100})
+        part = df.groupby("l_partkey", as_index=False, sort=False,
+                          dropna=False).sum()
+        schema = pa.schema([("l_partkey", t["l_partkey"].type),
+                            ("n", pa.int64()), ("sumq100", pa.int64())])
+        return pa.Table.from_pandas(part, schema=schema,
+                                    preserve_index=False)
+
+    stats = lineitem.map_batches(_per_part, batch_format="pyarrow") \
+        .groupby("l_partkey").aggregate(Sum("n", alias_name="n"),
+                                        Sum("sumq100", alias_name="sumq100"))
+    j = hash_join(lineitem.select_columns(
+        ["l_partkey", "l_quantity", "l_extendedprice"]), stats,
+        "l_partkey", "l_partkey", how="inner", n_buckets=16)
+
+    def _filtered_partial(t: pa.Table) -> pa.Table:
+        q100 = _scaled_cents(t["l_quantity"])
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sumq = t["sumq100"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = 5 * q100 * n < sumq
+        p100 = _scaled_cents(t["l_extendedprice"])[keep]
+        return pa.table({"p100": pa.array([int(p100.sum())], pa.int64())})
+
+    total = j.map_batches(_filtered_partial, batch_format="pyarrow") \
+        .aggregate(Sum("p100", alias_name="p100"))
+    import ray.data as rd
+    from ..functions.rounding import round_half_away
+    cents = int(total["p100"] or 0)
+    return rd.from_arrow(pa.table({
+        "avg_yearly": pa.array([round_half_away(
+            np.float64(float(cents) / 700.0), 6)], pa.float64())}))
+
+
+# --- TPC-H-Q18-shaped large-volume customers -----------------------------
+
+def large_volume_customers(lineitem, orders, customer, *,
+                           min_qty: float = 250.0, k: int = 100):
+    """TPC-H-Q18-shaped large-volume customers: the top-k biggest
+    orders whose total lineitem quantity exceeds ``min_qty``.
+
+    Plan: quantity partials collapse lineitem to |orders| rows in ONE
+    keyed shuffle, the HAVING filter drops all but the heavy tail
+    before any join, and the two dimension joins touch only survivors.
+    Top-k orders by exact total-price cents with the orderkey tie —
+    never a global sort."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    def _qty_partial(t: pa.Table) -> pa.Table:
+        q100 = _scaled_cents(t["l_quantity"])
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "q100": q100})
+        part = df.groupby("l_orderkey", as_index=False, sort=False,
+                          dropna=False).sum()
+        schema = pa.schema([("l_orderkey", t["l_orderkey"].type),
+                            ("q100", pa.int64())])
+        return pa.Table.from_pandas(part, schema=schema,
+                                    preserve_index=False)
+
+    thresh100 = int(round(min_qty * 100))
+    import pyarrow.compute as pc
+    heavy = lineitem.map_batches(_qty_partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("q100", alias_name="q100")) \
+        .map_batches(lambda t: t.filter(pc.greater(t["q100"], thresh100)),
+                     batch_format="pyarrow")
+    j1 = hash_join(heavy, orders.select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        "l_orderkey", "o_orderkey", how="inner", n_buckets=16)
+    j2 = hash_join(j1, customer.select_columns(["c_custkey", "c_name"]),
+                   "o_custkey", "c_custkey", how="inner", n_buckets=16)
+
+    def _cents(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "tp100", pa.array(_scaled_cents(t["o_totalprice"]),
+                              pa.int64()))
+
+    top = topk_by(j2.map_batches(_cents, batch_format="pyarrow"),
+                  ["tp100", "l_orderkey"], [True, False], k)
+    return top.map_batches(
+        lambda t: pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_name": t["c_name"],
+            "o_orderkey": t["l_orderkey"],
+            "o_orderdate": t["o_orderdate"],
+            "o_totalprice": t["o_totalprice"],
+            "total_qty": pa.array(
+                t["q100"].to_numpy(zero_copy_only=False)
+                .astype(np.int64) / 100.0)}),
+        batch_format="pyarrow")
+
+
+# --- TPC-H-Q19-shaped disjunctive-predicate revenue ----------------------
+
+_Q19_CLAUSES = (("Brand#4", 1, 15, 1, 20),
+                ("Brand#2", 10, 30, 10, 35),
+                ("Brand#19", 20, 50, 20, 50))
+
+
+def disjunctive_revenue(lineitem, part, *, clauses=_Q19_CLAUSES):
+    """TPC-H-Q19-shaped disjunctive revenue: one scalar revenue over
+    an OR of (brand, size range, quantity range) clauses.
+
+    The part attributes arrive through the bucket hash join (part is
+    not broadcastable at real scale), every clause evaluates as one
+    vectorized boolean column, and each batch emits a single exact-
+    integer partial."""
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    j = hash_join(lineitem.select_columns(
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]),
+        part.select_columns(["p_partkey", "p_brand", "p_size"]),
+        "l_partkey", "p_partkey", how="inner", n_buckets=16)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        brand = t["p_brand"].to_pandas().to_numpy(dtype=object)
+        size = t["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q100 = _scaled_cents(t["l_quantity"])
+        keep = np.zeros(len(t), dtype=bool)
+        for b, s_lo, s_hi, q_lo, q_hi in clauses:
+            keep |= ((brand == b) & (size >= s_lo) & (size <= s_hi)
+                     & (q100 >= q_lo * 100) & (q100 <= q_hi * 100))
+        p100 = _scaled_cents(t["l_extendedprice"])[keep]
+        d100 = _scaled_cents(t["l_discount"])[keep]
+        return pa.table({"rev1e4": pa.array(
+            [int((p100 * (100 - d100)).sum())], pa.int64())})
+
+    total = j.map_batches(_partial, batch_format="pyarrow") \
+        .aggregate(Sum("rev1e4", alias_name="rev1e4"))
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "revenue": pa.array([int(total["rev1e4"] or 0) / 10000.0],
+                            pa.float64())}))
+
+
+# --- TPC-H-Q22-shaped inactive high-balance customers --------------------
+
+def inactive_high_balance(customer, orders, *,
+                          priority: str = "1-URGENT"):
+    """TPC-H-Q22-shaped global sales opportunity: per nation, how many
+    above-average-balance customers placed NO ``priority`` orders (the
+    empty-mailbox anti join), and their total balance.
+
+    The global average of positive balances never becomes a float
+    gate: the filter cross-multiplies to ``bal100·n > Σbal100`` in
+    int64.  The anti join broadcasts the distinct urgent-customer key
+    set under the cap and falls back to a partitioned hash join past
+    it (semi_join machinery); the close is a |nations|-row integer
+    groupby."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .joins import semi_join
+
+    def _bal_partial(t: pa.Table) -> pa.Table:
+        bal100 = _scaled_cents(t["c_acctbal"])
+        pos = bal100 > 0
+        return pa.table({"n": pa.array([int(pos.sum())], pa.int64()),
+                         "s100": pa.array([int(bal100[pos].sum())],
+                                          pa.int64())})
+
+    g = customer.map_batches(_bal_partial, batch_format="pyarrow") \
+        .aggregate(Sum("n", alias_name="n"), Sum("s100", alias_name="s100"))
+    n, s100 = int(g["n"] or 0), int(g["s100"] or 0)
+
+    def _above(t: pa.Table) -> pa.Table:
+        bal100 = _scaled_cents(t["c_acctbal"])
+        return t.filter(pa.array(bal100 * n > s100))
+
+    rich = customer.map_batches(_above, batch_format="pyarrow")
+    urgent = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], priority)),
+        batch_format="pyarrow")
+    quiet = semi_join(rich, urgent, "c_custkey", right_key="o_custkey",
+                      anti=True)
+
+    def _nat_partial(t: pa.Table) -> pa.Table:
+        bal100 = _scaled_cents(t["c_acctbal"])
+        df = pd.DataFrame({
+            "c_nationkey": t["c_nationkey"].to_numpy(zero_copy_only=False),
+            "numcust": np.ones(len(t), dtype=np.int64),
+            "bal100": bal100})
+        part = df.groupby("c_nationkey", as_index=False, sort=False,
+                          dropna=False).sum()
+        schema = pa.schema([("c_nationkey", t["c_nationkey"].type),
+                            ("numcust", pa.int64()),
+                            ("bal100", pa.int64())])
+        return pa.Table.from_pandas(part, schema=schema,
+                                    preserve_index=False)
+
+    agg = quiet.map_batches(_nat_partial, batch_format="pyarrow") \
+        .groupby("c_nationkey").aggregate(
+            Sum("numcust", alias_name="numcust"),
+            Sum("bal100", alias_name="bal100"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "c_nationkey": t["c_nationkey"],
+            "numcust": t["numcust"],
+            "totacctbal": pa.array(
+                t["bal100"].to_numpy(zero_copy_only=False)
+                .astype(np.int64) / 100.0)}),
+        batch_format="pyarrow")

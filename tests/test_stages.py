@@ -3339,3 +3339,128 @@ def test_order_count_dist_end_to_end(ray_session):
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
     n_cust = con.execute("SELECT COUNT(*) FROM customer").fetchone()[0]
     assert int(g["custdist"].sum()) == n_cust
+
+
+def _oracle_con(d, tables):
+    import duckdb
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    return con
+
+
+def test_top_supplier_revenue_end_to_end(ray_session):
+    """Q15-shaped top supplier over sf0.001 equals the SQL oracle; the
+    winner's revenue is the verifiable per-supplier maximum."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        top_supplier_revenue)
+    d = "/root/testdata/sf0.001"
+    got = top_supplier_revenue(
+        rd.read_parquet(f"{d}/lineitem.parquet",
+                        columns=["l_suppkey", "l_extendedprice",
+                                 "l_discount"]),
+        rd.read_parquet(f"{d}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])).to_pandas()
+    con = _oracle_con(d, ("lineitem", "supplier"))
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["top_supplier_revenue"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values("s_suppkey").reset_index(drop=True)
+    w = want[cols].sort_values("s_suppkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    assert len(g) >= 1
+
+
+def test_small_qty_revenue_end_to_end(ray_session):
+    """Q17-shaped small-quantity revenue over sf0.001 equals the SQL
+    oracle and is strictly positive on this data."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        small_quantity_revenue)
+    d = "/root/testdata/sf0.001"
+    got = small_quantity_revenue(
+        rd.read_parquet(f"{d}/lineitem.parquet",
+                        columns=["l_partkey", "l_quantity",
+                                 "l_extendedprice"])).to_pandas()
+    con = _oracle_con(d, ("lineitem",))
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["small_qty_revenue"]).df()
+    assert got["avg_yearly"].iloc[0] == want["avg_yearly"].iloc[0]
+    assert got["avg_yearly"].iloc[0] > 0
+
+
+def test_large_volume_customers_end_to_end(ray_session):
+    """Q18-shaped large-volume top-100 over sf0.001 equals the SQL
+    oracle; every surviving order beats the quantity floor."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        large_volume_customers)
+    d = "/root/testdata/sf0.001"
+    got = large_volume_customers(
+        rd.read_parquet(f"{d}/lineitem.parquet",
+                        columns=["l_orderkey", "l_quantity"]),
+        rd.read_parquet(f"{d}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                 "o_totalprice"]),
+        rd.read_parquet(f"{d}/customer.parquet",
+                        columns=["c_custkey", "c_name"])).to_pandas()
+    con = _oracle_con(d, ("lineitem", "orders", "customer"))
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["large_volume_customers"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values("o_orderkey").reset_index(drop=True)
+    w = want[cols].sort_values("o_orderkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    assert (got["total_qty"] > 250.0).all()
+
+
+def test_disjunctive_revenue_end_to_end(ray_session):
+    """Q19-shaped disjunctive revenue over sf0.001 equals the SQL
+    oracle; widening a clause can only grow the revenue."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        disjunctive_revenue)
+    d = "/root/testdata/sf0.001"
+    li = rd.read_parquet(f"{d}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+    part = rd.read_parquet(f"{d}/part.parquet",
+                           columns=["p_partkey", "p_brand", "p_size"])
+    got = disjunctive_revenue(li, part).to_pandas()
+    con = _oracle_con(d, ("lineitem", "part"))
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["disjunctive_revenue"]).df()
+    assert got["revenue"].iloc[0] == want["revenue"].iloc[0]
+    wider = disjunctive_revenue(
+        li, part, clauses=(("Brand#4", 1, 50, 1, 50),
+                           ("Brand#2", 10, 30, 10, 35),
+                           ("Brand#19", 20, 50, 20, 50))).to_pandas()
+    assert wider["revenue"].iloc[0] >= got["revenue"].iloc[0] > 0
+
+
+def test_inactive_high_balance_end_to_end(ray_session):
+    """Q22-shaped inactive high-balance over sf0.001 equals the SQL
+    oracle; each kept group's average balance clears the global
+    positive mean."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        inactive_high_balance)
+    d = "/root/testdata/sf0.001"
+    got = inactive_high_balance(
+        rd.read_parquet(f"{d}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey", "c_acctbal"]),
+        rd.read_parquet(f"{d}/orders.parquet",
+                        columns=["o_custkey", "o_orderpriority"])) \
+        .to_pandas()
+    con = _oracle_con(d, ("customer", "orders"))
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["inactive_high_balance"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values("c_nationkey").reset_index(drop=True)
+    w = want[cols].sort_values("c_nationkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    global_avg = con.execute(
+        "SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0") \
+        .fetchone()[0]
+    assert ((got["totacctbal"] / got["numcust"]) > global_avg).all()
