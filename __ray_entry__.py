@@ -1730,6 +1730,25 @@ def _q_inactive_high_balance(sf_dir: str):
     return inactive_high_balance(cust, orders)
 
 
+def _q_rsi_per_user(sf_dir: str):
+    """Per-user Wilder RSI — bit-exact double recursion vs a recursive
+    CTE replaying the identical operand order; al=0 → 100 convention."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        rsi_per_user)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    return rsi_per_user(ev)
+
+
+def _q_rolling_active(sf_dir: str):
+    """Trailing-7-day distinct actives per day — windowed
+    COUNT(DISTINCT) via mergeable distinct cells fanned to the windows
+    they serve; integer counts only."""
+    from series_correction_project_updated_ray.stages.windows import (
+        rolling_active_users)
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return rolling_active_users(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2870,7 +2889,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # inactive_high_balance is oracle-backed but windowed out
             # at birth: the anti semi-join is anti_join_orders' (kept)
             # mechanism and the balance gate is exact integers
-            "inactive_high_balance"][:n_over]
+            "inactive_high_balance",
+            # rsi_per_user is oracle-backed but windowed out at birth:
+            # the position-major double recursion is ewma_per_user's
+            # (kept) certified bit-exact fold machinery, two state
+            # vectors instead of one
+            "rsi_per_user",
+            # rolling_active_users is oracle-backed but windowed out
+            # at birth: distinct cells are distinct_users' (demoted,
+            # certified via kept set-op family) mechanism and the
+            # fan-out join is cohort_retention's (kept) window shape
+            "rolling_active_users"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -3264,6 +3293,12 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # TPC-H-Q22-shaped inactive high-balance — oracle-checked
         # (int64 cross-multiplied balance gate, anti join)
         "inactive_high_balance": _q_inactive_high_balance,
+        # per-user Wilder RSI — oracle-checked bit-exactly (recursive
+        # CTE replays the identical double fold)
+        "rsi_per_user": _q_rsi_per_user,
+        # trailing-7-day distinct actives — oracle-checked (mergeable
+        # distinct cells; integer counts)
+        "rolling_active_users": _q_rolling_active,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -7264,6 +7299,40 @@ SELECT CAST(SUM(CASE WHEN
        * (100 - CAST(round(l.l_discount*100) AS BIGINT))
   ELSE 0 END) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+""",
+        "rsi_per_user": """
+WITH RECURSIVE c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, value,
+         row_number() OVER w AS rn,
+         value - lag(value) OVER w AS d
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+g AS (SELECT user_id, event_id, t, rn,
+             CASE WHEN d > 0 THEN d ELSE 0.0 END AS gain,
+             CASE WHEN d < 0 THEN -d ELSE 0.0 END AS loss
+      FROM c),
+r AS (
+  SELECT user_id, event_id, t, rn,
+         CAST(0.0 AS DOUBLE) AS ag, CAST(0.0 AS DOUBLE) AS al
+  FROM g WHERE rn = 1
+  UNION ALL
+  SELECT g.user_id, g.event_id, g.t, g.rn,
+         (r.ag * 13.0 + g.gain) / 14.0,
+         (r.al * 13.0 + g.loss) / 14.0
+  FROM g JOIN r ON g.user_id = r.user_id AND g.rn = r.rn + 1)
+SELECT user_id, event_id, t,
+       CASE WHEN al = 0 THEN 100.0
+            ELSE round(100.0 - 100.0 / (1.0 + ag / al), 6) END AS rsi
+FROM r
+""",
+        "rolling_active_users": """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+  FROM events WHERE user_id IS NOT NULL),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active
+FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1
 """,
         "inactive_high_balance": """
 WITH bal AS (

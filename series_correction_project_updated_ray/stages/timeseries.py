@@ -3166,3 +3166,90 @@ def next_higher_event(events, *, n_parts: int = 64):
     return _add_key_partition(prepped, "user_id", n_parts) \
         .groupby("__part").map_groups(NextHigherGroup(),
                                       batch_format="pandas")
+
+
+# --- Wilder RSI -------------------------------------------------------------
+
+class RsiGroup:
+    """Per-partition kernel: Wilder's relative-strength index per key
+    in (t, event_id) order, zero-seeded.
+
+    ``d_i = x_i − x_{i−1}``; gains/losses clamp through the SQL CASE
+    (a NULL/NaN delta contributes 0 to both, matching ``d > 0`` /
+    ``d < 0`` three-valued logic); the smoothed averages recurse as
+    ``(prev·(p−1) + g)/p`` with EXACTLY that operand order so the
+    doubles replay bit-identically in a recursive CTE; the close is
+    ``100 − 100/(1 + ag/al)`` with the ``al = 0 → 100`` convention.
+    Vectorized across keys via the position-major layout — O(longest
+    series) Python iterations over O(rows) work."""
+
+    def __init__(self, period: int = 14):
+        self.period = period
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "event_id": pd.Series([], dtype=np.int64),
+            "t": pd.Series([], dtype=np.int64),
+            "rsi": pd.Series([], dtype=np.float64)})
+        if len(g) == 0:
+            return empty
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        if (codes < 0).any():
+            g = g.iloc[codes >= 0]
+            codes = codes[codes >= 0]
+        if len(g) == 0:
+            return empty
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes, t = codes[order], t[order]
+        keys = g["user_id"].to_numpy()[order]
+        x = g["value"].to_numpy(np.float64)[order]
+        n = len(t)
+        pm, offs = _pos_major_layout(codes, n)
+        x_pm = x[pm]
+        ag_pm = np.zeros(n)
+        al_pm = np.zeros(n)
+        pm1, p = float(self.period - 1), float(self.period)
+        max_len = len(offs) - 1
+        seg0 = offs[1] - offs[0]
+        ag = np.zeros(seg0)
+        al = np.zeros(seg0)
+        prev_x = x_pm[offs[0]:offs[1]].copy()
+        for k in range(1, max_len):
+            m = offs[k + 1] - offs[k]
+            xk = x_pm[offs[k]:offs[k + 1]]
+            d = xk - prev_x[:m]
+            with np.errstate(invalid="ignore"):
+                gain = np.where(d > 0, d, 0.0)
+                loss = np.where(d < 0, -d, 0.0)
+            # same operand order as the SQL `(r.ag * 13.0 + g.gain) / 14.0`
+            ag = (ag[:m] * pm1 + gain) / p
+            al = (al[:m] * pm1 + loss) / p
+            ag_pm[offs[k]:offs[k + 1]] = ag
+            al_pm[offs[k]:offs[k + 1]] = al
+            prev_x = xk
+        ag_o = np.empty(n)
+        al_o = np.empty(n)
+        ag_o[pm] = ag_pm
+        al_o[pm] = al_pm
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rsi = round_half_away(100.0 - 100.0 / (1.0 + ag_o / al_o), 6)
+        rsi = np.where(al_o == 0, 100.0, rsi)
+        return pd.DataFrame({
+            "user_id": keys,
+            "event_id": ids[order],
+            "t": t,
+            "rsi": rsi})
+
+
+def rsi_per_user(events, *, period: int = 14, n_parts: int = 64):
+    """Per-user Wilder RSI in event-time order — one partition-group
+    shuffle; the double recursion is bit-exact against a recursive
+    CTE replaying the identical operand order."""
+    prepped = _prep_events(events)
+    return _add_key_partition(prepped, "user_id", n_parts) \
+        .groupby("__part").map_groups(RsiGroup(period),
+                                      batch_format="pandas")

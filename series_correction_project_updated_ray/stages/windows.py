@@ -1059,3 +1059,74 @@ def bounce_rate(events, *, timeout_s: int = 1800, n_parts: int = 64):
                 nb.astype(np.float64) / ns.astype(np.float64), 6))})
 
     return summed.map_batches(_close, batch_format="pyarrow")
+
+
+# --- trailing-window distinct actives ---------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def rolling_active_users(events, *, window_days: int = 7):
+    """Trailing-``window_days`` distinct active users per day (the DAU/
+    WAU rolling-retention shape): for every day with data, how many
+    distinct users appeared in the ``window_days``-day window ending
+    that day.
+
+    A windowed COUNT(DISTINCT) can't pre-aggregate — counts of
+    overlapping windows don't merge — so the plan works in distinct
+    CELLS, which do: (1) per-batch local dedup shrinks events to
+    (day, user) cells before the first shuffle; (2) each cell fans out
+    to the ≤``window_days`` window-end days it can serve, filtered to
+    days that exist (the observed-day set is bounded by the calendar,
+    not the data, so it broadcasts as a closure constant); (3) one
+    distinct shuffle collapses (window_day, user) duplicates a user
+    active on several days of one window would create; (4) integer
+    count partials close per day.  Shuffle volume is O(cells ×
+    window_days), never O(events)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .joins import distributed_distinct
+
+    def _cells(t: pa.Table) -> pa.Table:
+        if "ts" not in t.column_names:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64())})
+        day = np.asarray(_epoch_micros(t["ts"])) // _DAY_US
+        out = pa.table({"day": pa.array(day),
+                        "user_id": t["user_id"]})
+        out = out.filter(pc.is_valid(out["user_id"]))
+        return out.group_by(["day", "user_id"]).aggregate([])
+
+    cells = distributed_distinct(
+        events.map_batches(_cells, batch_format="pyarrow"),
+        ["day", "user_id"]).materialize()
+    day_rows = distributed_distinct(cells, ["day"]).take_all()
+    days_arr = np.sort(np.array([int(r["day"]) for r in day_rows],
+                                dtype=np.int64))
+    offsets = np.arange(window_days, dtype=np.int64)
+
+    def _fan_out(t: pa.Table) -> pa.Table:
+        day = t["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        win = (day[:, None] + offsets[None, :]).ravel()
+        u = np.repeat(uid, window_days)
+        keep = np.isin(win, days_arr, assume_unique=False)
+        return pa.table({"day": pa.array(win[keep]),
+                         "user_id": pa.array(u[keep])})
+
+    expanded = distributed_distinct(
+        cells.map_batches(_fan_out, batch_format="pyarrow"),
+        ["day", "user_id"])
+
+    def _count_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"day": t["day"].to_numpy(zero_copy_only=False),
+                           "active": np.ones(len(t), dtype=np.int64)})
+        part = df.groupby("day", as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(
+            part, schema=pa.schema([("day", pa.int64()),
+                                    ("active", pa.int64())]),
+            preserve_index=False)
+
+    return expanded.map_batches(_count_partial, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("active", alias_name="active"))

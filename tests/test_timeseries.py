@@ -2128,3 +2128,72 @@ def test_next_higher_hand_vector():
     assert got[1] == 10       # 1 -> 2 at t=20
     assert got[2] == 10       # 2 -> 5
     assert pd.isna(got[3]) and pd.isna(got[4])
+
+
+def test_rsi_per_user_oracle(ray_session):
+    """Wilder RSI over sf0.001 is bit-exact vs the recursive CTE; all
+    values live in [0, 100] and a monotone-gain user pins at 100."""
+    import duckdb
+
+    import ray.data as rd
+    import __ray_entry__ as E
+    from series_correction_project_updated_ray.stages.timeseries import (
+        rsi_per_user)
+    sf = "/root/testdata/sf0.001/events.parquet"
+    got = rsi_per_user(rd.read_parquet(
+        sf, columns=["user_id", "event_id", "ts", "value"])).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}'")
+    want = con.execute(E.oracle_sql()["rsi_per_user"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(["user_id", "event_id"]) \
+        .reset_index(drop=True)
+    w = want[cols].sort_values(["user_id", "event_id"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    assert got["rsi"].between(0.0, 100.0).all()
+
+
+def test_rsi_kernel_monotone_and_flat():
+    """Kernel semantics on crafted series: pure gains pin RSI at 100,
+    pure losses drive it to 0 asymptotically, a flat series stays 100
+    (zero losses) — the al=0 convention."""
+    from series_correction_project_updated_ray.stages.timeseries import (
+        RsiGroup)
+    n = 10
+    up = pd.DataFrame({"user_id": np.int64(1), "event_id": np.arange(n),
+                       "t": np.arange(n, dtype=np.int64) * 1_000_000,
+                       "value": np.linspace(1.0, 10.0, n)})
+    out = RsiGroup()(up)
+    assert (out["rsi"] == 100.0).all()
+    down = up.assign(value=np.linspace(10.0, 1.0, n), user_id=np.int64(2))
+    out_d = RsiGroup()(down).sort_values("event_id")
+    assert out_d["rsi"].iloc[0] == 100.0          # zero-seed anchor
+    assert (out_d["rsi"].iloc[1:] == 0.0).all()   # ag stays exactly 0
+    flat = up.assign(value=5.0, user_id=np.int64(3))
+    assert (RsiGroup()(flat)["rsi"] == 100.0).all()
+
+
+def test_rolling_active_users_oracle(ray_session):
+    """Trailing-7-day distinct actives over sf0.001 equal the SQL
+    oracle; each day's 7-day count is >= that day's 1-day count."""
+    import duckdb
+
+    import ray.data as rd
+    import __ray_entry__ as E
+    from series_correction_project_updated_ray.stages.windows import (
+        rolling_active_users)
+    sf = "/root/testdata/sf0.001/events.parquet"
+    ev = rd.read_parquet(sf, columns=["user_id", "ts"])
+    got = rolling_active_users(ev).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}'")
+    want = con.execute(E.oracle_sql()["rolling_active_users"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values("day").reset_index(drop=True)
+    w = want[cols].sort_values("day").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    one_day = rolling_active_users(ev, window_days=1).to_pandas() \
+        .set_index("day")["active"]
+    merged = got.set_index("day")["active"]
+    assert (merged >= one_day.reindex(merged.index)).all()
