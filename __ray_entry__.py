@@ -1749,6 +1749,25 @@ def _q_rolling_active(sf_dir: str):
     return rolling_active_users(ev)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Weighted sample without replacement (Efraimidis–Spirakis over
+    the stable hash, weight = n_chars) — deterministic at any cluster
+    size, SQL-replayable scores."""
+    from series_correction_project_updated_ray.stages.relational import (
+        weighted_sample)
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample(docs, "doc_id", "n_chars", k=50)
+
+
+def _q_mode_per_type(sf_dir: str):
+    """Per-event-type MODE with a deterministic smallest-value tie —
+    bounded (type, cents) cells, integer counts."""
+    from series_correction_project_updated_ray.stages.relational import (
+        mode_per_type)
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return mode_per_type(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2899,7 +2918,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # at birth: distinct cells are distinct_users' (demoted,
             # certified via kept set-op family) mechanism and the
             # fan-out join is cohort_retention's (kept) window shape
-            "rolling_active_users"][:n_over]
+            "rolling_active_users",
+            # weighted_sample_docs is oracle-backed but windowed out
+            # at birth: the splitmix hash is sample_users_10pct's
+            # (demoted, certified via stratified_sample kept) SQL
+            # replica, ln is the certified libm fold family, top-k is
+            # knn_topk's (kept) partial top-k
+            "weighted_sample_docs",
+            # mode_per_type is oracle-backed but windowed out at
+            # birth: the (type, cents) cells are value_histogram's
+            # (demoted, certified via zscore/grouped_quantiles kept)
+            # exact integer cells with an argmax close
+            "mode_per_type"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -3299,6 +3329,12 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # trailing-7-day distinct actives — oracle-checked (mergeable
         # distinct cells; integer counts)
         "rolling_active_users": _q_rolling_active,
+        # weighted sample without replacement (A-ES over the stable
+        # hash) — oracle-checked (identical ln-score expression)
+        "weighted_sample_docs": _q_weighted_sample,
+        # per-type MODE with deterministic tie — oracle-checked
+        # (bounded integer cells)
+        "mode_per_type": _q_mode_per_type,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -7299,6 +7335,28 @@ SELECT CAST(SUM(CASE WHEN
        * (100 - CAST(round(l.l_discount*100) AS BIGINT))
   ELSE 0 END) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+""",
+        "weighted_sample_docs": f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         ln((CAST({_splitmix_sql("doc_id")} AS DOUBLE) + 1.0)
+            / 18446744073709551616.0) / CAST(n_chars AS DOUBLE) AS sc
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, n_chars, round(sc, 6) AS wkey
+FROM s ORDER BY sc DESC, doc_id LIMIT 50
+""",
+        "mode_per_type": """
+WITH c AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                    ORDER BY n DESC, cents) AS r
+       FROM c)
+SELECT event_type, CAST(cents AS DOUBLE) / 100.0 AS mode_value,
+       n AS n_mode
+FROM rk WHERE r = 1
 """,
         "rsi_per_user": """
 WITH RECURSIVE c AS (

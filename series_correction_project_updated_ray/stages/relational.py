@@ -3120,3 +3120,94 @@ def inactive_high_balance(customer, orders, *,
                 t["bal100"].to_numpy(zero_copy_only=False)
                 .astype(np.int64) / 100.0)}),
         batch_format="pyarrow")
+
+
+# --- weighted sample without replacement (Efraimidis–Spirakis) ------------
+
+def weighted_sample(ds, key_col: str, weight_col: str, *, k: int = 50):
+    """Deterministic weighted sample without replacement: the
+    Efraimidis–Spirakis A-ES scheme with the engine's stable key hash
+    as the uniform draw — ``score = ln(u)/w`` where ``u = (h+1)/2⁶⁴``
+    — and the top-k scores win.
+
+    No RNG state, no shuffle for scoring (one map pass), identical
+    sample at any cluster size, and heavier rows win proportionally
+    more often (w doubles → score halves toward 0).  Selection is the
+    package's partial top-k (per-block survivors → single-block exact)
+    with the raw double score + key tiebreak, replayable exactly in
+    SQL because ``u`` and ``ln`` evaluate identically there.  Rows
+    with non-positive weight never qualify (SQL-visible gate)."""
+    from ..functions.hashing import stable_hash_array
+    from ..functions.rounding import round_half_away
+
+    def _score(t: pa.Table) -> pa.Table:
+        hv = stable_hash_array(t[key_col].to_pandas())
+        w = t[weight_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        keep = w > 0
+        u = (hv.astype(np.float64) + 1.0) / 18446744073709551616.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            score = np.log(u) / w
+        out = pa.table({key_col: t[key_col],
+                        weight_col: t[weight_col],
+                        "__score": pa.array(score)})
+        return out.filter(pa.array(keep))
+
+    top = topk_by(ds.map_batches(_score, batch_format="pyarrow"),
+                  ["__score", key_col], [True, False], k)
+    return top.map_batches(
+        lambda t: pa.table({
+            key_col: t[key_col],
+            weight_col: t[weight_col],
+            "wkey": pa.array(round_half_away(
+                t["__score"].to_numpy(zero_copy_only=False), 6))}),
+        batch_format="pyarrow")
+
+
+# --- per-group mode --------------------------------------------------------
+
+def mode_per_type(events):
+    """Most frequent exact-cents value per event type (the MODE()
+    aggregate with a deterministic smallest-value tie).
+
+    Counts pre-combine per batch on (type, cents) cells — the shuffle
+    carries |types|×|distinct cents| rows bounded by the value domain,
+    never |events| — and the argmax close reads the whole tiny cell
+    table in one block."""
+    from ray.data.aggregate import Sum
+
+    def _cell_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.is_valid(t["value"]))
+        cents = _scaled_cents(t["value"])
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "cents": cents,
+                           "n": np.ones(len(t), dtype=np.int64)})
+        part = df.groupby(["event_type", "cents"], as_index=False,
+                          sort=False, dropna=True).sum()
+        return pa.Table.from_pandas(
+            part, schema=pa.schema([("event_type", pa.string()),
+                                    ("cents", pa.int64()),
+                                    ("n", pa.int64())]),
+            preserve_index=False)
+
+    cells = events.map_batches(_cell_partial, batch_format="pyarrow") \
+        .groupby(["event_type", "cents"]).aggregate(Sum("n", alias_name="n"))
+
+    def _close(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if len(df) == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "mode_value": pa.array([], pa.float64()),
+                             "n_mode": pa.array([], pa.int64())})
+        df = df.sort_values(["event_type", "n", "cents"],
+                            ascending=[True, False, True], kind="stable")
+        best = df.groupby("event_type", as_index=False, sort=True).first()
+        return pa.table({
+            "event_type": pa.array(best["event_type"], pa.string()),
+            "mode_value": pa.array(
+                best["cents"].to_numpy(np.int64) / 100.0),
+            "n_mode": pa.array(best["n"].to_numpy(np.int64))})
+
+    return cells.repartition(1).map_batches(_close, batch_format="pyarrow",
+                                            batch_size=None)

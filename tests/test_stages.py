@@ -3464,3 +3464,55 @@ def test_inactive_high_balance_end_to_end(ray_session):
         "SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0") \
         .fetchone()[0]
     assert ((got["totacctbal"] / got["numcust"]) > global_avg).all()
+
+
+def test_weighted_sample_end_to_end(ray_session):
+    """A-ES weighted sample over sf0.001 equals the SQL oracle; the
+    sampled docs skew long (mean n_chars above the corpus mean), and
+    doubling k nests the smaller sample."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        weighted_sample)
+    d = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{d}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    got = weighted_sample(docs, "doc_id", "n_chars", k=50).to_pandas()
+    con = _oracle_con(d, ("documents",))
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["weighted_sample_docs"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values("doc_id").reset_index(drop=True)
+    w = want[cols].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    corpus_mean = con.execute(
+        "SELECT AVG(n_chars) FROM documents").fetchone()[0]
+    assert got["n_chars"].mean() > corpus_mean
+    bigger = weighted_sample(docs, "doc_id", "n_chars", k=100).to_pandas()
+    assert set(got["doc_id"]) <= set(bigger["doc_id"])
+
+
+def test_mode_per_type_end_to_end(ray_session):
+    """Per-type MODE over sf0.001 equals the SQL oracle; each winner's
+    count is the verifiable per-type maximum."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        mode_per_type)
+    d = "/root/testdata/sf0.001"
+    got = mode_per_type(rd.read_parquet(
+        f"{d}/events.parquet", columns=["event_type", "value"])) \
+        .to_pandas()
+    con = _oracle_con(d, ("events",))
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["mode_per_type"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values("event_type").reset_index(drop=True)
+    w = want[cols].sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    maxes = con.execute("""
+        SELECT event_type, MAX(n) FROM (
+          SELECT event_type, CAST(round(value*100) AS BIGINT) c,
+                 COUNT(*) n
+          FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        GROUP BY 1""").df().set_index("event_type").iloc[:, 0]
+    for _, row in got.iterrows():
+        assert row["n_mode"] == maxes[row["event_type"]]
