@@ -1768,6 +1768,17 @@ def _q_mode_per_type(sf_dir: str):
     return mode_per_type(ev)
 
 
+def _q_pagerank(sf_dir: str):
+    """PageRank over the event-type transition graph — one bigram-cell
+    shuffle; the power iteration replays bit-exactly in a list-typed
+    recursive CTE (ascending-source list_reduce folds)."""
+    from series_correction_project_updated_ray.stages.relational import (
+        pagerank_event_types)
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                  "event_type"])
+    return pagerank_event_types(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2929,7 +2940,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # birth: the (type, cents) cells are value_histogram's
             # (demoted, certified via zscore/grouped_quantiles kept)
             # exact integer cells with an argmax close
-            "mode_per_type"][:n_over]
+            "mode_per_type",
+            # pagerank_event_types is oracle-backed but windowed out
+            # at birth: the bigram-cell shuffle is transition_entropy's
+            # (kept) machinery and the label-domain power iteration is
+            # a driver close in the certified ordered-fold family
+            "pagerank_event_types"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -3335,6 +3351,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # per-type MODE with deterministic tie — oracle-checked
         # (bounded integer cells)
         "mode_per_type": _q_mode_per_type,
+        # PageRank power iteration over the transition graph —
+        # oracle-checked bit-exactly (list-typed recursive CTE)
+        "pagerank_event_types": _q_pagerank,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -7344,6 +7363,52 @@ WITH s AS (
   FROM documents WHERE n_chars > 0)
 SELECT doc_id, n_chars, round(sc, 6) AS wkey
 FROM s ORDER BY sc DESC, doc_id LIMIT 50
+""",
+        "pagerank_event_types": """
+WITH RECURSIVE
+pairs AS (
+  SELECT prev AS u, event_type AS v, CAST(COUNT(*) AS BIGINT) AS w
+  FROM (SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id)
+                 AS prev
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL)
+  WHERE prev IS NOT NULL GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT x AS node
+          FROM (SELECT u AS x FROM pairs UNION SELECT v FROM pairs)),
+nl AS (SELECT list(node ORDER BY node) AS ns FROM nodes),
+pos AS (SELECT node,
+               CAST(row_number() OVER (ORDER BY node) AS BIGINT) AS idx
+        FROM nodes),
+outw AS (SELECT u, SUM(w) AS wsum FROM pairs GROUP BY 1),
+en AS (SELECT p.v, p.u, pu.idx AS uidx,
+              CAST(p.w AS DOUBLE) / CAST(o.wsum AS DOUBLE) AS wn
+       FROM pairs p JOIN outw o ON p.u = o.u
+       JOIN pos pu ON p.u = pu.node),
+inl AS (SELECT v, list(uidx ORDER BY u) AS uidxs,
+               list(wn ORDER BY u) AS wns
+        FROM en GROUP BY v),
+padded AS (SELECT p.idx, COALESCE(i.uidxs, []) AS uidxs,
+                  COALESCE(i.wns, []) AS wns
+           FROM pos p LEFT JOIN inl i ON i.v = p.node),
+alists AS (SELECT list(uidxs ORDER BY idx) AS alluidx,
+                  list(wns ORDER BY idx) AS allwns FROM padded),
+r AS (
+  SELECT 0 AS it,
+         list_transform(ns, x -> 1.0 / CAST(len(ns) AS DOUBLE)) AS ranks
+  FROM nl
+  UNION ALL
+  SELECT it + 1,
+         list_transform(range(1, len(ns) + 1), i ->
+           0.15 / CAST(len(ns) AS DOUBLE)
+           + 0.85 * COALESCE(list_reduce(
+               list_transform(range(1, len(alluidx[i]) + 1), j ->
+                 r.ranks[alluidx[i][j]] * allwns[i][j]),
+               (a, b) -> a + b), 0.0))
+  FROM r, alists, nl WHERE it < 4)
+SELECT p.node AS event_type, round(r.ranks[p.idx], 6) AS pagerank
+FROM r, pos p WHERE r.it = 4
 """,
         "mode_per_type": """
 WITH c AS (

@@ -3211,3 +3211,102 @@ def mode_per_type(events):
 
     return cells.repartition(1).map_batches(_close, batch_format="pyarrow",
                                             batch_size=None)
+
+
+# --- PageRank over the event-type transition graph -------------------------
+
+class _BigramCellsGroup:
+    """Per-partition kernel: (prev_type → type) transition-count cells
+    over each user's (t, event_id) order — bounded |types|² rows out
+    per partition regardless of event count."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"u": pd.Series([], dtype=object),
+                              "v": pd.Series([], dtype=object),
+                              "w": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        g = g[g["event_type"].notna() & g["user_id"].notna()]
+        if len(g) < 2:
+            return empty
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy()
+        order = np.lexsort((ids, t, codes))
+        codes = codes[order]
+        typ = g["event_type"].to_numpy()[order]
+        same = codes[1:] == codes[:-1]
+        if not same.any():
+            return empty
+        df = pd.DataFrame({"u": typ[:-1][same], "v": typ[1:][same],
+                           "w": np.int64(1)})
+        return df.groupby(["u", "v"], as_index=False, sort=False).sum()
+
+
+def pagerank_event_types(events, *, iters: int = 4, n_parts: int = 64):
+    """PageRank over the corpus-wide event-type transition graph — the
+    iterative-graph-algorithm shape (label graphs, site graphs,
+    topic-link graphs) on Ray Data.
+
+    The heavy work is ONE partition-group shuffle producing per-user
+    bigram cells (bounded |types|² per partition) merged by a tiny
+    keyed Sum; the power iteration runs on the driver because the
+    node set is the LABEL domain, not the data (at 100 TB the graph is
+    still |types|²).  Doubles replay bit-exactly in SQL: edge weights
+    normalize as w/W once, each node folds its incoming contributions
+    in ascending-source order (list_reduce), and the damping step is
+    ``0.15/N + 0.85·s`` with exactly those literals.  Dangling mass is
+    dropped (documented variant — every label here has out-edges).
+    ``iters`` counts update steps after the uniform start."""
+    from functools import reduce
+    from operator import add
+
+    from ray.data.aggregate import Sum
+
+    from .windows import _add_key_partition, _epoch_micros
+    from ..functions.rounding import round_half_away
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        if "ts" not in batch.column_names or len(batch) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "t": pa.array([], pa.int64())})
+        return pa.table({"user_id": batch["user_id"],
+                         "event_id": batch["event_id"],
+                         "event_type": batch["event_type"],
+                         "t": pa.array(_epoch_micros(batch["ts"]))})
+
+    cells = _add_key_partition(
+        events.map_batches(_prep, batch_format="pyarrow"),
+        "user_id", n_parts) \
+        .groupby("__part").map_groups(_BigramCellsGroup(),
+                                      batch_format="pandas") \
+        .groupby(["u", "v"]).aggregate(Sum("w", alias_name="w"))
+    edges = cells.to_pandas()
+    import ray.data as rd
+    if len(edges) == 0:
+        return rd.from_arrow(pa.table({
+            "event_type": pa.array([], pa.string()),
+            "pagerank": pa.array([], pa.float64())}))
+    nodes = sorted(set(edges["u"]).union(edges["v"]))
+    idx = {node: i for i, node in enumerate(nodes)}
+    n = len(nodes)
+    wsum = edges.groupby("u")["w"].sum()
+    incoming: list[list[tuple[int, float]]] = [[] for _ in range(n)]
+    for _, row in edges.sort_values(["v", "u"]).iterrows():
+        # w/W as doubles — the exact SQL normalization expression
+        incoming[idx[row["v"]]].append(
+            (idx[row["u"]], float(row["w"]) / float(wsum[row["u"]])))
+    ranks = [1.0 / float(n)] * n
+    for _ in range(iters):
+        ranks = [0.15 / float(n) + 0.85 * (reduce(
+            add, (ranks[ui] * wn for ui, wn in inc)) if inc else 0.0)
+            for inc in incoming]
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(nodes, pa.string()),
+        "pagerank": pa.array(round_half_away(
+            np.array(ranks, dtype=np.float64), 6))}))

@@ -3516,3 +3516,48 @@ def test_mode_per_type_end_to_end(ray_session):
         GROUP BY 1""").df().set_index("event_type").iloc[:, 0]
     for _, row in got.iterrows():
         assert row["n_mode"] == maxes[row["event_type"]]
+
+
+def test_pagerank_event_types_end_to_end(ray_session):
+    """PageRank over sf0.001 transitions is bit-exact vs the
+    list-recursion CTE; ranks are a probability-ish vector (sum within
+    dangling-loss of 1) and every rank clears the teleport floor."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        pagerank_event_types)
+    d = "/root/testdata/sf0.001"
+    got = pagerank_event_types(rd.read_parquet(
+        f"{d}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"])).to_pandas()
+    con = _oracle_con(d, ("events",))
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["pagerank_event_types"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values("event_type").reset_index(drop=True)
+    w = want[cols].sort_values("event_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    n = len(got)
+    assert (got["pagerank"] >= 0.15 / n - 1e-9).all()
+    assert 0.9 <= got["pagerank"].sum() <= 1.0 + 1e-9
+
+
+def test_pagerank_kernel_star_graph(ray_session):
+    """On a crafted star graph (every user hops a->b) the hub absorbs
+    the damped mass: rank(b) = 0.15/2 + 0.85*rank(a) at the fixpoint
+    direction, and rank(b) > rank(a)."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        pagerank_event_types)
+    rows = []
+    for u in range(20):
+        rows.append({"user_id": u, "event_id": 2 * u,
+                     "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(u, "s"),
+                     "event_type": "a"})
+        rows.append({"user_id": u, "event_id": 2 * u + 1,
+                     "ts": pd.Timestamp("2024-01-01")
+                     + pd.Timedelta(u, "s") + pd.Timedelta(1, "ms"),
+                     "event_type": "b"})
+    ev = rd.from_pandas(pd.DataFrame(rows))
+    out = pagerank_event_types(ev).to_pandas().set_index("event_type")
+    assert out.loc["b", "pagerank"] > out.loc["a", "pagerank"]
+    assert abs(out.loc["a", "pagerank"] - 0.075) < 1e-9
