@@ -1779,6 +1779,16 @@ def _q_pagerank(sf_dir: str):
     return pagerank_event_types(ev)
 
 
+def _q_latest_event(sf_dir: str):
+    """CDC keep-latest compaction — per-batch local argmax before the
+    one keyed shuffle; deterministic (t, event_id) winner."""
+    from series_correction_project_updated_ray.stages.relational import (
+        latest_event_per_user)
+    ev = _read(sf_dir, "events",
+               ["user_id", "event_id", "ts", "event_type", "value"])
+    return latest_event_per_user(ev)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2945,7 +2955,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # at birth: the bigram-cell shuffle is transition_entropy's
             # (kept) machinery and the label-domain power iteration is
             # a driver close in the certified ordered-fold family
-            "pagerank_event_types"][:n_over]
+            "pagerank_event_types",
+            # latest_event_per_user is oracle-backed but windowed out
+            # at birth: the composite-key argmax is ohlc_user_1h's
+            # (kept) open/close extremum mechanism with the engine-wide
+            # (t, event_id) tie convention
+            "latest_event_per_user"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -3354,6 +3369,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # PageRank power iteration over the transition graph —
         # oracle-checked bit-exactly (list-typed recursive CTE)
         "pagerank_event_types": _q_pagerank,
+        # CDC keep-latest compaction — oracle-checked (deterministic
+        # composite-key argmax, partial-first)
+        "latest_event_per_user": _q_latest_event,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -7363,6 +7381,13 @@ WITH s AS (
   FROM documents WHERE n_chars > 0)
 SELECT doc_id, n_chars, round(sc, 6) AS wkey
 FROM s ORDER BY sc DESC, doc_id LIMIT 50
+""",
+        "latest_event_per_user": """
+SELECT user_id, event_id, epoch_us(ts) AS t, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+      FROM events WHERE user_id IS NOT NULL)
+WHERE rk = 1
 """,
         "pagerank_event_types": """
 WITH RECURSIVE

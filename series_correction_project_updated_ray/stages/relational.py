@@ -3310,3 +3310,61 @@ def pagerank_event_types(events, *, iters: int = 4, n_parts: int = 64):
         "event_type": pa.array(nodes, pa.string()),
         "pagerank": pa.array(round_half_away(
             np.array(ranks, dtype=np.float64), 6))}))
+
+
+# --- CDC keep-latest compaction ---------------------------------------------
+
+def latest_event_per_user(events):
+    """Keep-latest compaction: each user's single most recent event row
+    (max ``(t, event_id)``) — the CDC upsert / changelog-compaction
+    shape every incremental table maintenance job needs.
+
+    Partial-first: every batch compacts locally to ≤ |its users| rows
+    BEFORE the one keyed shuffle, so the exchange carries per-batch
+    winners, not the event log; the per-key close re-runs the same
+    vectorized argmax on the co-located survivors.  The (t, event_id)
+    tie order is the engine-wide convention, so the winner is unique
+    and deterministic."""
+
+    def _local_latest(g: pd.DataFrame) -> pd.DataFrame:
+        out_cols = ["user_id", "event_id", "t", "event_type", "value"]
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "event_id": pd.Series([], dtype=np.int64),
+                "t": pd.Series([], dtype=np.int64),
+                "event_type": pd.Series([], dtype=object),
+                "value": pd.Series([], dtype=np.float64)})
+        g = g[g["user_id"].notna()]
+        codes, _ = pd.factorize(g["user_id"], sort=False)
+        t = g["t"].to_numpy(np.int64)
+        ids = g["event_id"].to_numpy(np.int64)
+        # last row per key of the (key, t, id) lexsort = the max
+        order = np.lexsort((ids, t, codes))
+        codes_o = codes[order]
+        last = np.flatnonzero(
+            np.r_[codes_o[1:] != codes_o[:-1], True])
+        return g.iloc[order[last]][out_cols]
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        from .windows import _epoch_micros
+        if "ts" not in batch.column_names or len(batch) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_id": pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64())})
+        t = pa.table({"user_id": batch["user_id"],
+                      "event_id": batch["event_id"],
+                      "t": pa.array(_epoch_micros(batch["ts"])),
+                      "event_type": batch["event_type"],
+                      "value": batch["value"]})
+        return pa.Table.from_pandas(_local_latest(t.to_pandas()),
+                                    preserve_index=False)
+
+    from .windows import _add_key_partition
+    compacted = events.map_batches(_prep, batch_format="pyarrow")
+    # partition-group close: 64 kernel calls, not one per user
+    return _add_key_partition(compacted, "user_id", 64) \
+        .groupby("__part").map_groups(_local_latest,
+                                      batch_format="pandas")

@@ -3561,3 +3561,27 @@ def test_pagerank_kernel_star_graph(ray_session):
     out = pagerank_event_types(ev).to_pandas().set_index("event_type")
     assert out.loc["b", "pagerank"] > out.loc["a", "pagerank"]
     assert abs(out.loc["a", "pagerank"] - 0.075) < 1e-9
+
+
+def test_latest_event_per_user_end_to_end(ray_session):
+    """CDC keep-latest over sf0.001 equals the SQL oracle: exactly one
+    row per user, each carrying that user's max (t, event_id)."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.relational import (
+        latest_event_per_user)
+    d = "/root/testdata/sf0.001"
+    got = latest_event_per_user(rd.read_parquet(
+        f"{d}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type", "value"])) \
+        .to_pandas()
+    con = _oracle_con(d, ("events",))
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["latest_event_per_user"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values("user_id").reset_index(drop=True)
+    w = want[cols].sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    assert got["user_id"].is_unique
+    n_users = con.execute("SELECT COUNT(DISTINCT user_id) FROM events "
+                          "WHERE user_id IS NOT NULL").fetchone()[0]
+    assert len(got) == n_users
