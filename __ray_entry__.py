@@ -1789,6 +1789,17 @@ def _q_latest_event(sf_dir: str):
     return latest_event_per_user(ev)
 
 
+def _q_copurchase_triangles(sf_dir: str):
+    """Per-part triangle counts over the within-order co-purchase
+    graph — degree-oriented wedge plan (compact-forward): bounded
+    per-order pair emission, gather-joined endpoint degrees, one
+    wedge shuffle, tagged-union closing probe, count-cell close."""
+    from series_correction_project_updated_ray.stages.graph import (
+        copurchase_triangles)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return copurchase_triangles(li)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2960,7 +2971,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # at birth: the composite-key argmax is ohlc_user_1h's
             # (kept) open/close extremum mechanism with the engine-wide
             # (t, event_id) tie convention
-            "latest_event_per_user"][:n_over]
+            "latest_event_per_user",
+            # copurchase_triangles is oracle-backed but windowed out at
+            # birth: pair/wedge cells are the bigram-cell machinery
+            # (pagerank, demoted-certified), the degree gather is
+            # gather_join (kept via broadcast_enrich/dedup verify), and
+            # the count close is integer Sum cells
+            "copurchase_triangles"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -3372,6 +3389,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # CDC keep-latest compaction — oracle-checked (deterministic
         # composite-key argmax, partial-first)
         "latest_event_per_user": _q_latest_event,
+        # co-purchase graph triangle counts — oracle-checked
+        "copurchase_triangles": _q_copurchase_triangles,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -7835,6 +7854,22 @@ SELECT source, term, cnt,
                           ORDER BY cnt DESC, term) AS rn
 FROM totals
 QUALIFY rn <= 20
+""",
+        "copurchase_triangles": """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+edges AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM op a JOIN op b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT node AS part_key, CAST(COUNT(*) AS BIGINT) AS triangles
+FROM (SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY node
 """,
         "revenue_by_nation": """
 SELECT n.n_name,

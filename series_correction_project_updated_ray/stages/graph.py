@@ -1,0 +1,246 @@
+"""Co-occurrence graph analytics on Ray Data.
+
+The reference engine has no graph module; these operators cover the
+graph-shaped jobs a large-scale data platform runs over relational
+logs — co-purchase / co-occurrence graphs and their triangle (cluster)
+structure, the standard building block for community detection and
+recommendation candidate generation.
+
+Scale design (the whole point at 100 TB):
+
+* The co-purchase graph's EDGES come from within-order part pairs.
+  Orders are bounded (≤ 7 lineitems in TPC-H-shaped data), so pair
+  emission is a constant-factor blow-up of the lineitem scan — one
+  partition-group shuffle on ``l_orderkey``, vectorized self-merge per
+  partition, never a driver collect.
+* Triangle counting uses the degree-oriented wedge plan (the
+  "compact-forward" / MapReduce node-iterator algorithm): every edge is
+  directed from its (degree, id)-smaller endpoint, wedges are emitted
+  per source from ONE partition-group shuffle, and a wedge closes iff
+  the oriented edge (v, w) exists — checked by a tagged-union
+  co-partition on the wedge's first closing endpoint.  Degree
+  orientation bounds per-source fan-out at O(sqrt(m)) amortized, so a
+  hot part (present in a constant fraction of orders) cannot make the
+  wedge set quadratic the way id-orientation would.
+* Degrees attach to edge endpoints via :func:`gather_join` (unique-key
+  distributed lookup), NOT a driver-side dict — the node domain is
+  |part|, which is data-proportional.
+* Every stage's intermediate (edges, oriented edges) is materialized
+  ONCE when reused by two consumers, per the house rule that a lazy
+  Dataset consumed twice re-executes its whole plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+_EMPTY_PAIRS = pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                             "v": pd.Series([], dtype=np.int64)})
+
+
+class _OrderPairsGroup:
+    """Per-partition kernel: distinct within-order part pairs (u < v).
+
+    Orders are whole within a partition (partition key = l_orderkey),
+    so the self-merge sees every line of each order.  Group sizes are
+    bounded by the order's lineitem count, so the merge blow-up is a
+    small constant."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return _EMPTY_PAIRS
+        g = g[g["l_orderkey"].notna() & g["l_partkey"].notna()]
+        if len(g) == 0:
+            return _EMPTY_PAIRS
+        op = pd.DataFrame({
+            "o": g["l_orderkey"].to_numpy(np.int64),
+            "p": g["l_partkey"].to_numpy(np.int64)}).drop_duplicates()
+        m = op.merge(op, on="o", suffixes=("_a", "_b"))
+        m = m[m["p_a"] < m["p_b"]]
+        if len(m) == 0:
+            return _EMPTY_PAIRS
+        out = pd.DataFrame({"u": m["p_a"].to_numpy(np.int64),
+                            "v": m["p_b"].to_numpy(np.int64)})
+        return out.drop_duplicates()
+
+
+def copurchase_edges(lineitem, *, n_parts: int = 64):
+    """Distinct co-purchase edges (u < v): parts appearing in the same
+    order.  One partition-group shuffle emits per-order pairs with a
+    partition-local distinct; :func:`distributed_distinct` closes the
+    global dedup (an edge can arise in many orders, hence many
+    partitions)."""
+    from .windows import _add_key_partition
+    from .joins import distributed_distinct
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return t.select(["l_orderkey", "l_partkey"])
+
+    pairs = _add_key_partition(
+        lineitem.map_batches(_prep, batch_format="pyarrow"),
+        "l_orderkey", n_parts) \
+        .groupby("__part").map_groups(_OrderPairsGroup(),
+                                      batch_format="pandas")
+    return distributed_distinct(pairs, ["u", "v"])
+
+
+class _WedgesGroup:
+    """Per-partition kernel over oriented edges (s, t, dt): emit every
+    wedge (apex a=s; closing pair v→w in the SAME (degree, id)
+    orientation order edges use, so the closing probe matches the
+    stored direction) via a self-merge on the source.  Degree
+    orientation bounds per-source out-degree, so the merge output is
+    the O(m^1.5) wedge set."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                              "v": pd.Series([], dtype=np.int64),
+                              "w": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        e = pd.DataFrame({"s": g["s"].to_numpy(np.int64),
+                          "t": g["t"].to_numpy(np.int64),
+                          "dt": g["dt"].to_numpy(np.int64)})
+        m = e.merge(e, on="s", suffixes=("_a", "_b"))
+        da, db = m["dt_a"].to_numpy(), m["dt_b"].to_numpy()
+        ta, tb = m["t_a"].to_numpy(), m["t_b"].to_numpy()
+        # keep one of each unordered pair, (deg, id)-ascending — the
+        # orientation the closing edge (v, w) is stored under
+        m = m[(da < db) | ((da == db) & (ta < tb))]
+        if len(m) == 0:
+            return empty
+        return pd.DataFrame({"a": m["s"].to_numpy(np.int64),
+                             "v": m["t_a"].to_numpy(np.int64),
+                             "w": m["t_b"].to_numpy(np.int64)})
+
+
+class _CloseCountGroup:
+    """Per-partition kernel: wedges and oriented edges co-partitioned
+    on the closing pair's first endpoint; a wedge (a; v, w) is a
+    triangle iff oriented edge (v, w) exists.  Emits per-node triangle
+    COUNT CELLS (each triangle credits its three vertices), so the
+    final exchange carries ≤ 3·|nodes-in-partition| rows, not
+    per-triangle rows."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                              "c": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        side = g["__side"].to_numpy()
+        wed = g[side == 0]
+        edg = g[side == 1]
+        if len(wed) == 0 or len(edg) == 0:
+            return empty
+        tri = pd.DataFrame({
+            "a": wed["a"].to_numpy(np.int64),
+            "v": wed["v"].to_numpy(np.int64),
+            "w": wed["w"].to_numpy(np.int64)}).merge(
+            pd.DataFrame({"v": edg["v"].to_numpy(np.int64),
+                          "w": edg["w"].to_numpy(np.int64)}),
+            on=["v", "w"])
+        if len(tri) == 0:
+            return empty
+        nodes = np.concatenate([tri["a"].to_numpy(np.int64),
+                                tri["v"].to_numpy(np.int64),
+                                tri["w"].to_numpy(np.int64)])
+        uniq, cnt = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": uniq, "c": cnt.astype(np.int64)})
+
+
+def copurchase_triangles(lineitem, *, n_parts: int = 64):
+    """Per-part triangle participation counts over the co-purchase
+    graph — ``(part_key, triangles)`` where ``triangles`` is the number
+    of co-purchase triangles the part belongs to.
+
+    Plan: edges (one partition shuffle + global distinct) → endpoint
+    degrees (count cells + keyed Sum) → degrees gathered onto both
+    endpoints (two :func:`gather_join` lookups — the node domain is
+    data-proportional, never a driver dict) → degree-(then id-)
+    orientation → wedge emission (one partition shuffle on the source)
+    → tagged-union co-partition of wedges and oriented edges on the
+    closing pair's first endpoint → per-node count cells → keyed Sum.
+    Output is bounded by |part|, orientation-invariant, and exactly the
+    textbook triangle count (each triangle credited once per vertex)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .windows import _add_key_partition
+    from .joins import gather_join
+
+    edges = copurchase_edges(lineitem, n_parts=n_parts).materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(pa.table({
+            "part_key": pa.array([], pa.int64()),
+            "triangles": pa.array([], pa.int64())}))
+
+    def _deg_cells(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
+                                t["v"].to_numpy(zero_copy_only=False)])
+        uniq, cnt = np.unique(nodes.astype(np.int64), return_counts=True)
+        return pa.table({"node": pa.array(uniq, pa.int64()),
+                         "d": pa.array(cnt.astype(np.int64))})
+
+    deg = edges.map_batches(_deg_cells, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("d", alias_name="d")).materialize()
+
+    def _orient(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        du = t["du"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = t["dv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # direct u→v when (du, u) < (dv, v); u != v so ties resolve on
+        # id; dt (target degree) rides along so the wedge kernel can
+        # order closing pairs by the same criterion
+        swap = (dv < du) | ((dv == du) & (v < u))
+        return pa.table({"s": pa.array(np.where(swap, v, u)),
+                         "t": pa.array(np.where(swap, u, v)),
+                         "dt": pa.array(np.where(swap, du, dv))})
+
+    oe = gather_join(
+        gather_join(edges, deg, "u", "node",
+                    attach_cols=["d"], attach_as={"d": "du"}),
+        deg, "v", "node", attach_cols=["d"], attach_as={"d": "dv"}) \
+        .map_batches(_orient, batch_format="pyarrow").materialize()
+
+    wedges = _add_key_partition(oe, "s", n_parts) \
+        .groupby("__part").map_groups(_WedgesGroup(),
+                                      batch_format="pandas")
+
+    def _tag_wedge(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": t["a"], "v": t["v"], "w": t["w"],
+            "__side": pa.array(np.zeros(len(t), dtype=np.int8))})
+
+    def _tag_edge(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": pa.array(np.full(len(t), -1, dtype=np.int64)),
+            "v": t["s"], "w": t["t"],
+            "__side": pa.array(np.ones(len(t), dtype=np.int8))})
+
+    tagged = wedges.map_batches(_tag_wedge, batch_format="pyarrow") \
+        .union(oe.map_batches(_tag_edge, batch_format="pyarrow"))
+    cells = _add_key_partition(tagged, "v", n_parts) \
+        .groupby("__part").map_groups(_CloseCountGroup(),
+                                      batch_format="pandas")
+    counted = cells.groupby("node").aggregate(
+        Sum("c", alias_name="triangles"))
+
+    def _close(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "part_key": t["node"].cast(pa.int64()),
+            "triangles": t["triangles"].cast(pa.int64())})
+
+    return counted.map_batches(_close, batch_format="pyarrow")

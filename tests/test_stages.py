@@ -3585,3 +3585,61 @@ def test_latest_event_per_user_end_to_end(ray_session):
     n_users = con.execute("SELECT COUNT(DISTINCT user_id) FROM events "
                           "WHERE user_id IS NOT NULL").fetchone()[0]
     assert len(got) == n_users
+
+
+def test_copurchase_triangles_end_to_end(ray_session):
+    """Per-part triangle counts over sf0.001 equal the three-way
+    self-join oracle exactly; counts are positive and the global sum is
+    3x the triangle total (each triangle credits three vertices)."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.graph import (
+        copurchase_triangles)
+    d = "/root/testdata/sf0.001"
+    got = copurchase_triangles(rd.read_parquet(
+        f"{d}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey"])).to_pandas()
+    con = _oracle_con(d, ("lineitem",))
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["copurchase_triangles"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values("part_key").reset_index(drop=True)
+    w = want[cols].sort_values("part_key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    assert (got["triangles"] > 0).all()
+    assert got["triangles"].sum() % 3 == 0
+
+
+def test_copurchase_triangles_kernel_crafted(ray_session):
+    """Crafted graphs: one 4-part order yields K4 (every part in
+    C(3,2)=3 triangles); a chain of 2-part orders (path graph) yields
+    none; duplicate lineitems never double-count."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.graph import (
+        copurchase_triangles)
+    rows = []
+    # order 1: parts 1..4 -> K4, with a duplicated lineitem for part 1
+    for p in [1, 2, 3, 4, 1]:
+        rows.append({"l_orderkey": 1, "l_partkey": p})
+    # orders 2..4: a path 10-11-12-13 (no triangles)
+    for o, (a, b) in enumerate([(10, 11), (11, 12), (12, 13)], start=2):
+        rows.append({"l_orderkey": o, "l_partkey": a})
+        rows.append({"l_orderkey": o, "l_partkey": b})
+    out = copurchase_triangles(
+        rd.from_pandas(pd.DataFrame(rows))).to_pandas() \
+        .set_index("part_key")["triangles"]
+    assert sorted(out.index) == [1, 2, 3, 4]
+    assert (out == 3).all()
+
+
+def test_copurchase_triangles_empty(ray_session):
+    """Single-part orders produce no edges and a typed empty result."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.graph import (
+        copurchase_triangles)
+    df = pd.DataFrame({"l_orderkey": [1, 2, 3],
+                       "l_partkey": [7, 8, 9]})
+    out = copurchase_triangles(rd.from_pandas(df))
+    # ray's to_pandas drops columns on 0-row datasets; the dataset-level
+    # schema is the contract
+    assert sorted(out.schema().names) == ["part_key", "triangles"]
+    assert out.count() == 0
