@@ -1800,6 +1800,16 @@ def _q_copurchase_triangles(sf_dir: str):
     return copurchase_triangles(li)
 
 
+def _q_copurchase_components(sf_dir: str):
+    """Connected components of the support-2 co-purchase graph —
+    frequent-pair screen (mergeable order-count cells + keyed Sum)
+    then the dedup module's equivalence-tested min-label CC."""
+    from series_correction_project_updated_ray.stages.graph import (
+        copurchase_components)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return copurchase_components(li)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2977,7 +2987,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # (pagerank, demoted-certified), the degree gather is
             # gather_join (kept via broadcast_enrich/dedup verify), and
             # the count close is integer Sum cells
-            "copurchase_triangles"][:n_over]
+            "copurchase_triangles",
+            # copurchase_components is oracle-backed but windowed out
+            # at birth: the support cells are the pair-cell partials
+            # above and the labeling is minhash_dedup's (kept)
+            # equivalence-tested CC machinery verbatim
+            "copurchase_components"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -3391,6 +3406,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": _q_latest_event,
         # co-purchase graph triangle counts — oracle-checked
         "copurchase_triangles": _q_copurchase_triangles,
+        # support-filtered co-purchase connected components — oracle-checked
+        "copurchase_components": _q_copurchase_components,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -7870,6 +7887,22 @@ FROM (SELECT a AS node FROM tri
       UNION ALL SELECT b FROM tri
       UNION ALL SELECT c FROM tri)
 GROUP BY node
+""",
+        "copurchase_components": """
+WITH RECURSIVE op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+ed AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+reach(node, r) AS (
+  SELECT u, u FROM ed
+  UNION
+  SELECT ed.v, reach.r FROM reach JOIN ed ON ed.u = reach.node)
+SELECT node AS part_key, CAST(MIN(r) AS BIGINT) AS component_id
+FROM reach GROUP BY node
 """,
         "revenue_by_nation": """
 SELECT n.n_name,

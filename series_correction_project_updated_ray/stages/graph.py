@@ -90,6 +90,95 @@ def copurchase_edges(lineitem, *, n_parts: int = 64):
     return distributed_distinct(pairs, ["u", "v"])
 
 
+class _OrderPairCellsGroup:
+    """Per-partition kernel: within-order distinct part pairs with a
+    partition-local ORDER count per pair — the mergeable partial for
+    support counting (how many orders co-contain the pair)."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                              "v": pd.Series([], dtype=np.int64),
+                              "c": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        g = g[g["l_orderkey"].notna() & g["l_partkey"].notna()]
+        if len(g) == 0:
+            return empty
+        op = pd.DataFrame({
+            "o": g["l_orderkey"].to_numpy(np.int64),
+            "p": g["l_partkey"].to_numpy(np.int64)}).drop_duplicates()
+        m = op.merge(op, on="o", suffixes=("_a", "_b"))
+        m = m[m["p_a"] < m["p_b"]]
+        if len(m) == 0:
+            return empty
+        out = pd.DataFrame({"u": m["p_a"].to_numpy(np.int64),
+                            "v": m["p_b"].to_numpy(np.int64),
+                            "c": np.int64(1)})
+        return out.groupby(["u", "v"], as_index=False, sort=False).sum()
+
+
+def copurchase_support_edges(lineitem, *, min_support: int = 2,
+                             n_parts: int = 64):
+    """Co-purchase edges with ORDER support ≥ ``min_support`` —
+    ``(u, v, support)``.  Same partition-group pair emission as
+    :func:`copurchase_edges`, but the partition kernel emits mergeable
+    count cells and one keyed Sum closes the global order count before
+    the support filter (the classic frequent-itemset pair screen that
+    strips coincidence edges from the graph)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .windows import _add_key_partition
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return t.select(["l_orderkey", "l_partkey"])
+
+    cells = _add_key_partition(
+        lineitem.map_batches(_prep, batch_format="pyarrow"),
+        "l_orderkey", n_parts) \
+        .groupby("__part").map_groups(_OrderPairCellsGroup(),
+                                      batch_format="pandas") \
+        .groupby(["u", "v"]).aggregate(Sum("c", alias_name="support"))
+
+    def _keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["support"], min_support))
+        return pa.table({"u": t["u"].cast(pa.int64()),
+                         "v": t["v"].cast(pa.int64()),
+                         "support": t["support"].cast(pa.int64())})
+
+    return cells.map_batches(_keep, batch_format="pyarrow")
+
+
+def copurchase_components(lineitem, *, min_support: int = 2,
+                          n_parts: int = 64,
+                          distributed_cc: bool | None = None):
+    """Connected components of the support-filtered co-purchase graph —
+    ``(part_key, component_id)`` with ``component_id`` = the component's
+    minimum part key (only parts with ≥ 1 surviving edge are labeled).
+
+    The labeling reuses the dedup module's equivalence-tested machinery
+    (:func:`..dedup.connected_components_distributed` — min-label
+    propagation + pointer jumping, O(log diameter) rounds of bounded
+    keyed shuffles), auto-routed against the driver union-find by the
+    same pair budget the near-dup pipelines use."""
+    import ray.data as rd
+
+    from .dedup import _cluster_pairs
+
+    edges = copurchase_support_edges(
+        lineitem, min_support=min_support, n_parts=n_parts)
+    pairs = edges.map_batches(
+        lambda t: pa.table({"id_a": t["u"], "id_b": t["v"]}),
+        batch_format="pyarrow")
+    labeled = _cluster_pairs(pairs, distributed_cc)
+    return rd.from_pandas(pd.DataFrame({
+        "part_key": labeled["doc_id"].to_numpy(np.int64),
+        "component_id": labeled["cluster_id"].to_numpy(np.int64)}))
+
+
 class _WedgesGroup:
     """Per-partition kernel over oriented edges (s, t, dt): emit every
     wedge (apex a=s; closing pair v→w in the SAME (degree, id)

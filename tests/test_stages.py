@@ -3643,3 +3643,52 @@ def test_copurchase_triangles_empty(ray_session):
     # schema is the contract
     assert sorted(out.schema().names) == ["part_key", "triangles"]
     assert out.count() == 0
+
+
+def test_copurchase_components_end_to_end(ray_session):
+    """Support-2 co-purchase components over sf0.001 equal the
+    recursive min-label oracle; every component id is its own minimum
+    member and both CC routes (driver union-find, distributed
+    log-round propagation) agree."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.graph import (
+        copurchase_components)
+    d = "/root/testdata/sf0.001"
+    li = rd.read_parquet(f"{d}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    got = copurchase_components(li).to_pandas() \
+        .sort_values("part_key").reset_index(drop=True)
+    con = _oracle_con(d, ("lineitem",))
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["copurchase_components"]).df() \
+        .astype({"part_key": np.int64, "component_id": np.int64}) \
+        .sort_values("part_key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    mins = got.groupby("component_id")["part_key"].min()
+    assert (mins.index == mins.to_numpy()).all()
+    dist = copurchase_components(li, distributed_cc=True).to_pandas() \
+        .sort_values("part_key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, dist, check_dtype=False)
+
+
+def test_copurchase_components_kernel_crafted(ray_session):
+    """Crafted input: pairs below the support threshold vanish; two
+    disjoint repeated pairs form two components labeled by their min
+    member."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.graph import (
+        copurchase_components, copurchase_support_edges)
+    rows = []
+    # pair (1,2) in 2 orders, (2,3) in 3 orders, (10,11) in 2 orders,
+    # (5,6) only once -> dropped
+    for o, (a, b) in enumerate([(1, 2), (1, 2), (2, 3), (2, 3), (2, 3),
+                                (10, 11), (10, 11), (5, 6)], start=1):
+        rows.append({"l_orderkey": o, "l_partkey": a})
+        rows.append({"l_orderkey": o, "l_partkey": b})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    edges = copurchase_support_edges(ds).to_pandas() \
+        .sort_values(["u", "v"]).reset_index(drop=True)
+    assert edges.values.tolist() == [[1, 2, 2], [2, 3, 3], [10, 11, 2]]
+    out = copurchase_components(ds).to_pandas() \
+        .set_index("part_key")["component_id"]
+    assert out.to_dict() == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
