@@ -1810,6 +1810,18 @@ def _q_copurchase_components(sf_dir: str):
     return copurchase_components(li)
 
 
+def _q_link_prediction(sf_dir: str):
+    """Top-50 common-neighbor Jaccard link predictions over the
+    support-2 co-purchase graph — per-center neighbor-pair cells, a
+    composite-key co-partition anti-join against existing edges,
+    gather-joined degrees, per-block top-k prune before the global
+    sort-limit."""
+    from series_correction_project_updated_ray.stages.graph import (
+        link_prediction_jaccard)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return link_prediction_jaccard(li)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -2992,7 +3004,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # at birth: the support cells are the pair-cell partials
             # above and the labeling is minhash_dedup's (kept)
             # equivalence-tested CC machinery verbatim
-            "copurchase_components"][:n_over]
+            "copurchase_components",
+            # link_prediction_jaccard is oracle-backed but windowed out
+            # at birth: neighbor-pair cells + gather_join degrees are
+            # the triangle/pagerank cell machinery, and the top-k close
+            # is knn_topk's (kept) per-block prune + sort-limit
+            "link_prediction_jaccard"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -3408,6 +3425,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_triangles": _q_copurchase_triangles,
         # support-filtered co-purchase connected components — oracle-checked
         "copurchase_components": _q_copurchase_components,
+        # common-neighbor Jaccard link prediction — oracle-checked
+        "link_prediction_jaccard": _q_link_prediction,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -7903,6 +7922,29 @@ reach(node, r) AS (
   SELECT ed.v, reach.r FROM reach JOIN ed ON ed.u = reach.node)
 SELECT node AS part_key, CAST(MIN(r) AS BIGINT) AS component_id
 FROM reach GROUP BY node
+""",
+        "link_prediction_jaccard": """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+und AS (SELECT u AS x, v AS n FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT x, COUNT(*) AS d FROM und GROUP BY x),
+cn AS (SELECT e1.n AS a, e2.n AS b, CAST(COUNT(*) AS BIGINT) AS c
+       FROM und e1 JOIN und e2 ON e1.x = e2.x AND e1.n < e2.n
+       GROUP BY 1, 2),
+nonadj AS (SELECT cn.* FROM cn
+           LEFT JOIN e ON e.u = cn.a AND e.v = cn.b
+           WHERE e.u IS NULL)
+SELECT a AS part_a, b AS part_b, c AS common_n,
+       round(c * 1.0 / (da.d + db.d - c), 6) AS jaccard
+FROM nonadj
+JOIN deg da ON da.x = nonadj.a
+JOIN deg db ON db.x = nonadj.b
+ORDER BY c * 1.0 / (da.d + db.d - c) DESC, a, b
+LIMIT 50
 """,
         "revenue_by_nation": """
 SELECT n.n_name,

@@ -179,6 +179,178 @@ def copurchase_components(lineitem, *, min_support: int = 2,
         "component_id": labeled["cluster_id"].to_numpy(np.int64)}))
 
 
+class _NeighborPairCellsGroup:
+    """Per-partition kernel over undirected adjacency rows (x, n):
+    for each center x, every neighbor pair (a < b) — the
+    common-neighbor partial for link prediction.  Fan-out is
+    degree(x)², so the caller must feed a SUPPORT-FILTERED (sparse)
+    graph; the support screen is what bounds hub degrees here."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                              "b": pd.Series([], dtype=np.int64),
+                              "c": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        e = pd.DataFrame({"x": g["x"].to_numpy(np.int64),
+                          "n": g["n"].to_numpy(np.int64)})
+        m = e.merge(e, on="x", suffixes=("_a", "_b"))
+        m = m[m["n_a"] < m["n_b"]]
+        if len(m) == 0:
+            return empty
+        out = pd.DataFrame({"a": m["n_a"].to_numpy(np.int64),
+                            "b": m["n_b"].to_numpy(np.int64),
+                            "c": np.int64(1)})
+        return out.groupby(["a", "b"], as_index=False, sort=False).sum()
+
+
+class _NonAdjacentGroup:
+    """Per-partition kernel: common-neighbor pairs (side 0) minus
+    existing edges (side 1), co-partitioned on the pair's first node —
+    a shuffle anti-join on the composite (a, b) key without packing
+    part keys into one integer (which would cap the key domain)."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                              "b": pd.Series([], dtype=np.int64),
+                              "c": pd.Series([], dtype=np.int64)})
+        if len(g) == 0:
+            return empty
+        side = g["__side"].to_numpy()
+        cand = g[side == 0]
+        edge = g[side == 1]
+        if len(cand) == 0:
+            return empty
+        out = pd.DataFrame({"a": cand["a"].to_numpy(np.int64),
+                            "b": cand["b"].to_numpy(np.int64),
+                            "c": cand["c"].to_numpy(np.int64)})
+        if len(edge) == 0:
+            return out
+        m = out.merge(
+            pd.DataFrame({"a": edge["a"].to_numpy(np.int64),
+                          "b": edge["b"].to_numpy(np.int64)}),
+            on=["a", "b"], how="left", indicator=True)
+        keep = m["_merge"].to_numpy() == "left_only"
+        return out[keep]
+
+
+def link_prediction_jaccard(lineitem, *, min_support: int = 2,
+                            k: int = 50, n_parts: int = 64):
+    """Top-``k`` link predictions over the support-filtered co-purchase
+    graph: non-adjacent part pairs ranked by neighborhood Jaccard
+    ``|N(a)∩N(b)| / |N(a)∪N(b)|`` — the classic common-neighbors
+    recommender baseline, with ``(jaccard DESC, a, b)`` deterministic
+    order.
+
+    One partition-group shuffle emits per-center neighbor-pair cells
+    (fan-out degree², bounded by the support screen); a keyed Sum
+    closes common-neighbor counts; existing edges are removed by a
+    tagged-union co-partition anti-join on the composite pair key;
+    degrees attach via two :func:`gather_join` lookups; every block
+    prunes to its local top-k before the final global sort-limit, so
+    the sort sees ≤ k·|blocks| rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .windows import _add_key_partition
+    from .joins import gather_join
+    from ..functions.rounding import round_half_away
+
+    edges = copurchase_support_edges(
+        lineitem, min_support=min_support, n_parts=n_parts) \
+        .map_batches(lambda t: t.select(["u", "v"]),
+                     batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(pa.table({
+            "part_a": pa.array([], pa.int64()),
+            "part_b": pa.array([], pa.int64()),
+            "common_n": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+
+    def _und(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "x": pa.concat_arrays([t["u"].combine_chunks(),
+                                   t["v"].combine_chunks()]),
+            "n": pa.concat_arrays([t["v"].combine_chunks(),
+                                   t["u"].combine_chunks()])})
+
+    und = edges.map_batches(_und, batch_format="pyarrow")
+    cn = _add_key_partition(und, "x", n_parts) \
+        .groupby("__part").map_groups(_NeighborPairCellsGroup(),
+                                      batch_format="pandas") \
+        .groupby(["a", "b"]).aggregate(Sum("c", alias_name="c"))
+
+    def _tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            c = t["c"].cast(pa.int64()) if side == 0 \
+                else pa.array(np.zeros(len(t), dtype=np.int64))
+            names = ("a", "b") if side == 0 else ("u", "v")
+            return pa.table({
+                "a": t[names[0]].cast(pa.int64()),
+                "b": t[names[1]].cast(pa.int64()), "c": c,
+                "__side": pa.array(np.full(len(t), side, dtype=np.int8))})
+        fn.__name__ = f"tag_side{side}"
+        return fn
+
+    nonadj = _add_key_partition(
+        cn.map_batches(_tag(0), batch_format="pyarrow")
+        .union(edges.map_batches(_tag(1), batch_format="pyarrow")),
+        "a", n_parts) \
+        .groupby("__part").map_groups(_NonAdjacentGroup(),
+                                      batch_format="pandas")
+
+    def _deg_cells(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
+                                t["v"].to_numpy(zero_copy_only=False)])
+        uniq, cnt = np.unique(nodes.astype(np.int64), return_counts=True)
+        return pa.table({"node": pa.array(uniq, pa.int64()),
+                         "d": pa.array(cnt.astype(np.int64))})
+
+    deg = edges.map_batches(_deg_cells, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("d", alias_name="d")).materialize()
+
+    scored = gather_join(
+        gather_join(nonadj, deg, "a", "node",
+                    attach_cols=["d"], attach_as={"d": "da"}),
+        deg, "b", "node", attach_cols=["d"], attach_as={"d": "db"})
+
+    def _score(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = t["da"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = t["db"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = c.astype(np.float64) / (da + db - c).astype(np.float64)
+        out = pa.table({"part_a": t["a"].cast(pa.int64()),
+                        "part_b": t["b"].cast(pa.int64()),
+                        "common_n": pa.array(c), "jaccard": pa.array(j)})
+        # per-block prune: only a block's own top-k can survive the
+        # global (jaccard DESC, a, b) limit
+        if len(out) > k:
+            df = out.to_pandas().sort_values(
+                ["jaccard", "part_a", "part_b"],
+                ascending=[False, True, True]).head(k)
+            out = pa.Table.from_pandas(df, preserve_index=False)
+        return out
+    _score.__name__ = "score_prune_topk"
+
+    top = scored.map_batches(_score, batch_format="pyarrow") \
+        .sort(["jaccard", "part_a", "part_b"],
+              descending=[True, False, False]).limit(k)
+
+    def _round(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("jaccard"), "jaccard",
+            pa.array(round_half_away(
+                t["jaccard"].to_numpy(zero_copy_only=False), 6)))
+
+    return top.map_batches(_round, batch_format="pyarrow")
+
+
 class _WedgesGroup:
     """Per-partition kernel over oriented edges (s, t, dt): emit every
     wedge (apex a=s; closing pair v→w in the SAME (degree, id)

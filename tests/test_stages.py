@@ -3692,3 +3692,49 @@ def test_copurchase_components_kernel_crafted(ray_session):
     out = copurchase_components(ds).to_pandas() \
         .set_index("part_key")["component_id"]
     assert out.to_dict() == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_link_prediction_jaccard_end_to_end(ray_session):
+    """Top-50 Jaccard link predictions over sf0.001 equal the SQL
+    oracle; no predicted pair is an existing support-2 edge and scores
+    sit in (0, 1]."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.graph import (
+        copurchase_support_edges, link_prediction_jaccard)
+    d = "/root/testdata/sf0.001"
+    li = rd.read_parquet(f"{d}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    got = link_prediction_jaccard(li).to_pandas()
+    con = _oracle_con(d, ("lineitem",))
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["link_prediction_jaccard"]).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(["part_a", "part_b"]).reset_index(drop=True)
+    w = want[cols].sort_values(["part_a", "part_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    edges = set(map(tuple, copurchase_support_edges(li).to_pandas()
+                    [["u", "v"]].values.tolist()))
+    assert not (set(map(tuple, got[["part_a", "part_b"]]
+                        .values.tolist())) & edges)
+    assert ((got["jaccard"] > 0) & (got["jaccard"] <= 1)).all()
+
+
+def test_link_prediction_kernel_crafted(ray_session):
+    """Crafted square 1-2-3-4-1 (each edge doubled for support): the
+    two diagonals (1,3) and (2,4) are the only predictions, each with
+    2 common neighbors and Jaccard 2/(2+2-2) = 1.0."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.graph import (
+        link_prediction_jaccard)
+    rows = []
+    o = 0
+    for a, b in [(1, 2), (2, 3), (3, 4), (1, 4)] * 2:
+        o += 1
+        rows.append({"l_orderkey": o, "l_partkey": a})
+        rows.append({"l_orderkey": o, "l_partkey": b})
+    out = link_prediction_jaccard(
+        rd.from_pandas(pd.DataFrame(rows))).to_pandas() \
+        .sort_values(["part_a", "part_b"]).reset_index(drop=True)
+    assert out[["part_a", "part_b"]].values.tolist() == [[1, 3], [2, 4]]
+    assert (out["common_n"] == 2).all()
+    assert (out["jaccard"] == 1.0).all()
