@@ -1822,6 +1822,16 @@ def _q_link_prediction(sf_dir: str):
     return link_prediction_jaccard(li)
 
 
+def _q_clustering_coefficient(sf_dir: str):
+    """Local clustering coefficient per part — the triangle plan's
+    (node, triangles) cells zero-fill-joined with degrees via a tagged
+    union + ONE keyed Sum (no join operator), integer-ratio close."""
+    from series_correction_project_updated_ray.stages.graph import (
+        clustering_coefficient)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return clustering_coefficient(li)
+
+
 def _q_lexical_richness(sf_dir: str):
     """Per-source lexical richness (type-token ratio, hapax share) —
     vocab-cells shuffle shared with source_kl, integer-exact close."""
@@ -3009,7 +3019,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # at birth: neighbor-pair cells + gather_join degrees are
             # the triangle/pagerank cell machinery, and the top-k close
             # is knn_topk's (kept) per-block prune + sort-limit
-            "link_prediction_jaccard"][:n_over]
+            "link_prediction_jaccard",
+            # clustering_coefficient is oracle-backed but windowed out
+            # at birth: it composes copurchase_triangles' certified
+            # cells with a zero-fill tagged-cell Sum — no new kernel
+            "clustering_coefficient"][:n_over]
     if n_over > len(late):
         # more oracles than the preference list covers: demote the
         # newest-declared backed entries so the window always holds
@@ -3427,6 +3441,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_components": _q_copurchase_components,
         # common-neighbor Jaccard link prediction — oracle-checked
         "link_prediction_jaccard": _q_link_prediction,
+        # per-part local clustering coefficient — oracle-checked
+        "clustering_coefficient": _q_clustering_coefficient,
         # per-user DFT power at daily/weekly periods (libm-trig terms,
         # ordered float folds) — oracle-checked bit-exactly
         "spectral_power": _q_spectral,
@@ -7922,6 +7938,31 @@ reach(node, r) AS (
   SELECT ed.v, reach.r FROM reach JOIN ed ON ed.u = reach.node)
 SELECT node AS part_key, CAST(MIN(r) AS BIGINT) AS component_id
 FROM reach GROUP BY node
+""",
+        "clustering_coefficient": """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+edges AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM op a JOIN op b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM
+        (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+        GROUP BY node),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM
+       (SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+       GROUP BY node)
+SELECT deg.node AS part_key, deg.d AS degree,
+       COALESCE(tn.t, 0) AS triangles,
+       round(2.0 * COALESCE(tn.t, 0) / (deg.d * (deg.d - 1)), 6)
+         AS coeff
+FROM deg LEFT JOIN tn ON tn.node = deg.node
+WHERE deg.d >= 2
 """,
         "link_prediction_jaccard": """
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -421,21 +421,11 @@ class _CloseCountGroup:
         return pd.DataFrame({"node": uniq, "c": cnt.astype(np.int64)})
 
 
-def copurchase_triangles(lineitem, *, n_parts: int = 64):
-    """Per-part triangle participation counts over the co-purchase
-    graph — ``(part_key, triangles)`` where ``triangles`` is the number
-    of co-purchase triangles the part belongs to.
-
-    Plan: edges (one partition shuffle + global distinct) → endpoint
-    degrees (count cells + keyed Sum) → degrees gathered onto both
-    endpoints (two :func:`gather_join` lookups — the node domain is
-    data-proportional, never a driver dict) → degree-(then id-)
-    orientation → wedge emission (one partition shuffle on the source)
-    → tagged-union co-partition of wedges and oriented edges on the
-    closing pair's first endpoint → per-node count cells → keyed Sum.
-    Output is bounded by |part|, orientation-invariant, and exactly the
-    textbook triangle count (each triangle credited once per vertex)."""
-    import ray.data as rd
+def _triangle_plan(lineitem, n_parts: int):
+    """Shared plan: (deg, counted) Datasets over the co-purchase graph
+    — ``deg`` = (node, d) endpoint degrees, ``counted`` = (node,
+    triangles) per-node triangle participation (zero-triangle nodes
+    absent).  Returns (None, None) on an edgeless input."""
     from ray.data.aggregate import Sum
 
     from .windows import _add_key_partition
@@ -443,9 +433,7 @@ def copurchase_triangles(lineitem, *, n_parts: int = 64):
 
     edges = copurchase_edges(lineitem, n_parts=n_parts).materialize()
     if edges.count() == 0:
-        return rd.from_arrow(pa.table({
-            "part_key": pa.array([], pa.int64()),
-            "triangles": pa.array([], pa.int64())}))
+        return None, None
 
     def _deg_cells(t: pa.Table) -> pa.Table:
         nodes = np.concatenate([t["u"].to_numpy(zero_copy_only=False),
@@ -498,6 +486,30 @@ def copurchase_triangles(lineitem, *, n_parts: int = 64):
                                       batch_format="pandas")
     counted = cells.groupby("node").aggregate(
         Sum("c", alias_name="triangles"))
+    return deg, counted
+
+
+def copurchase_triangles(lineitem, *, n_parts: int = 64):
+    """Per-part triangle participation counts over the co-purchase
+    graph — ``(part_key, triangles)`` where ``triangles`` is the number
+    of co-purchase triangles the part belongs to.
+
+    Plan: edges (one partition shuffle + global distinct) → endpoint
+    degrees (count cells + keyed Sum) → degrees gathered onto both
+    endpoints (two :func:`gather_join` lookups — the node domain is
+    data-proportional, never a driver dict) → degree-(then id-)
+    orientation → wedge emission (one partition shuffle on the source)
+    → tagged-union co-partition of wedges and oriented edges on the
+    closing pair's first endpoint → per-node count cells → keyed Sum.
+    Output is bounded by |part|, orientation-invariant, and exactly the
+    textbook triangle count (each triangle credited once per vertex)."""
+    import ray.data as rd
+
+    _, counted = _triangle_plan(lineitem, n_parts)
+    if counted is None:
+        return rd.from_arrow(pa.table({
+            "part_key": pa.array([], pa.int64()),
+            "triangles": pa.array([], pa.int64())}))
 
     def _close(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -505,3 +517,58 @@ def copurchase_triangles(lineitem, *, n_parts: int = 64):
             "triangles": t["triangles"].cast(pa.int64())})
 
     return counted.map_batches(_close, batch_format="pyarrow")
+
+
+def clustering_coefficient(lineitem, *, n_parts: int = 64):
+    """Local clustering coefficient per part over the co-purchase
+    graph — ``(part_key, degree, triangles, coeff)`` for every node
+    with degree ≥ 2, ``coeff = 2·T / (d·(d−1))`` rounded half-away to
+    6dp (zero-triangle nodes INCLUDED with coeff 0).
+
+    Composes the shared triangle plan with the degree table by a
+    tagged-cell union + ONE keyed Sum — (node, d, 0) cells from the
+    degree side, (node, 0, T) cells from the triangle side — so the
+    zero-fill outer join costs no join at all; the close is a
+    vectorized integer-ratio map."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    deg, counted = _triangle_plan(lineitem, n_parts)
+    if deg is None:
+        return rd.from_arrow(pa.table({
+            "part_key": pa.array([], pa.int64()),
+            "degree": pa.array([], pa.int64()),
+            "triangles": pa.array([], pa.int64()),
+            "coeff": pa.array([], pa.float64())}))
+
+    def _deg_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"].cast(pa.int64()),
+            "d": t["d"].cast(pa.int64()),
+            "t": pa.array(np.zeros(len(t), dtype=np.int64))})
+
+    def _tri_side(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"].cast(pa.int64()),
+            "d": pa.array(np.zeros(len(t), dtype=np.int64)),
+            "t": t["triangles"].cast(pa.int64())})
+
+    merged = deg.map_batches(_deg_side, batch_format="pyarrow") \
+        .union(counted.map_batches(_tri_side, batch_format="pyarrow")) \
+        .groupby("node").aggregate(Sum("d", alias_name="d"),
+                                   Sum("t", alias_name="t"))
+
+    def _close(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["d"], 2))
+        d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tri = t["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = 2.0 * tri / (d * (d - 1)).astype(np.float64)
+        return pa.table({
+            "part_key": t["node"].cast(pa.int64()),
+            "degree": pa.array(d), "triangles": pa.array(tri),
+            "coeff": pa.array(round_half_away(c, 6))})
+
+    return merged.map_batches(_close, batch_format="pyarrow")

@@ -3738,3 +3738,53 @@ def test_link_prediction_kernel_crafted(ray_session):
     assert out[["part_a", "part_b"]].values.tolist() == [[1, 3], [2, 4]]
     assert (out["common_n"] == 2).all()
     assert (out["jaccard"] == 1.0).all()
+
+
+def test_clustering_coefficient_end_to_end(ray_session):
+    """Per-part clustering coefficients over sf0.001 equal the
+    left-join oracle: every degree->=2 node present (zero-triangle
+    nodes included), coeff in [0, 1], and triangle counts agree with
+    copurchase_triangles."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.graph import (
+        clustering_coefficient, copurchase_triangles)
+    d = "/root/testdata/sf0.001"
+    li = rd.read_parquet(f"{d}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    got = clustering_coefficient(li).to_pandas() \
+        .sort_values("part_key").reset_index(drop=True)
+    con = _oracle_con(d, ("lineitem",))
+    import __ray_entry__ as E
+    want = con.execute(E.oracle_sql()["clustering_coefficient"]).df() \
+        .astype({"part_key": np.int64, "degree": np.int64,
+                 "triangles": np.int64}) \
+        .sort_values("part_key").reset_index(drop=True)
+    cols = sorted(got.columns)
+    pd.testing.assert_frame_equal(got[cols], want[cols],
+                                  check_dtype=False)
+    assert ((got["coeff"] >= 0) & (got["coeff"] <= 1)).all()
+    tri = copurchase_triangles(li).to_pandas() \
+        .set_index("part_key")["triangles"]
+    sub = got.set_index("part_key")["triangles"]
+    assert (sub[tri.index] == tri).all()
+
+
+def test_clustering_coefficient_kernel_crafted(ray_session):
+    """Crafted graph: a K3 (orders {1,2,3}) plus a pendant edge (3,4):
+    parts 1,2 have coeff 1.0; part 3 has degree 3, one triangle ->
+    1/3; part 4 has degree 1 and is excluded."""
+    import ray.data as rd
+    from series_correction_project_updated_ray.stages.graph import (
+        clustering_coefficient)
+    rows = []
+    for p in (1, 2, 3):
+        rows.append({"l_orderkey": 1, "l_partkey": p})
+    rows += [{"l_orderkey": 2, "l_partkey": 3},
+             {"l_orderkey": 2, "l_partkey": 4}]
+    out = clustering_coefficient(
+        rd.from_pandas(pd.DataFrame(rows))).to_pandas() \
+        .set_index("part_key")
+    assert sorted(out.index) == [1, 2, 3]
+    assert out.loc[1, "coeff"] == 1.0 and out.loc[2, "coeff"] == 1.0
+    assert out.loc[3, "degree"] == 3 and out.loc[3, "triangles"] == 1
+    assert out.loc[3, "coeff"] == 0.333333
